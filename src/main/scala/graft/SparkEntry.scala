@@ -1,13 +1,673 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.Num._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §2 for the inventory each entry maps to.
+  *
+  * Conventions that make the DuckDB oracle hash-match:
+  *  - every aggregate of 2-dp source doubles goes through exact DECIMAL
+  *    sums (order-independent → bit-identical across engines);
+  *  - every inherently-double statistic (stddev, corr, cosine) is rounded
+  *    to 4 dp on both sides, and thresholds/rankings apply to the rounded
+  *    value with unique-id tiebreaks;
+  *  - counts are BIGINT on both sides (DuckDB sums cast from HUGEINT);
+  *  - timestamps surface as epoch seconds (BIGINT);
+  *  - every query is deterministically ordered by a unique key prefix.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared oracle-SQL fragments (events → long signals → 15-min grid) ----
+  private val SQL_SIG =
+    """signals AS (SELECT event_type AS name, 'u' || CAST(user_id % 8 AS VARCHAR) AS node,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)""".stripMargin.replace("\n", " ")
+  private val SQL_GRID =
+    """grid AS (SELECT name, node, tsec // 900 * 900 AS tsb,
+      | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS gval
+      | FROM signals GROUP BY 1, 2, 3)""".stripMargin.replace("\n", " ")
+  private val WITH_GRID = s"WITH $SQL_SIG, $SQL_GRID"
+
+  private def grid(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resample(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+
+  /** Correlation runs on a dense grid: coarser step (1 h), fewer nodes,
+    * forward-filled — so every bucket has full overlap (the reference
+    * works on complete 15 s grids; raw events are sparse).
+    */
+  private def corrGrid(s: SparkSession, dir: String): DataFrame = {
+    val g = TimeSeries.resample(
+      TimeSeries.signalsFromEvents(Tables.events(s, dir), nodeMod = 4), 3600L)
+    TimeSeries.indexed(
+      TimeSeries.fillForward(g, 3600L)
+        .select(col("name"), col("node"), col("tsb"), col("filled").as("gval")),
+      3600L)
+  }
+
+  // oracle-SQL fragments for the dense correlation grid
+  private val SQL_CORR_CTES =
+    """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
+      |grid36 AS (SELECT name, node, tsec // 3600 * 3600 AS tsb,
+      | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS gval
+      | FROM signals4 GROUP BY 1, 2, 3),
+      |spans36 AS (SELECT name, node, min(tsb) AS t0, max(tsb) AS t1 FROM grid36 GROUP BY 1, 2),
+      |dense36 AS (SELECT name, node, unnest(range(t0, t1 + 1, 3600)) AS tsb FROM spans36),
+      |ff36 AS (SELECT name, node, tsb,
+      |  last_value(gval IGNORE NULLS) OVER (PARTITION BY name, node ORDER BY tsb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gval
+      | FROM (SELECT d.name, d.node, d.tsb, g.gval
+      |   FROM dense36 d LEFT JOIN grid36 g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb) j),
+      |g2 AS (SELECT name, node, tsb // 3600 AS i, tsb // 86400 * 86400 AS b, gval FROM ff36)""".stripMargin
+
+  private val ObjSignals = Seq("click", "error")
+
+  /** Flagship: the advisor's correlation ranking on sf0.001 (driver
+    * smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Correlate.topCorr(Correlate.nccLag(corrGrid(spark, "/root/testdata/sf0.001"), ObjSignals), 5)
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  private def defs: Seq[Q] = Seq(
+
+    // ================= A. relational / OLAP =================
+    Q("q01_agg", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avgDec(col("l_quantity")).as("avg_qty"),
+          avgDec(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q02_join_agg", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("oyear"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name", "oyear")
+    }, Some(
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS oyear,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, oyear ORDER BY n_name, oyear""".stripMargin)),
+
+    Q("q03_topk", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sumDec(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }, Some(
+      """SELECT c_custkey, c_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    Q("q04_window_rank", (s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    }, Some(
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+        | FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
+
+    Q("q05_star_broadcast", (s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), sumDec(col("o_totalprice")).as("rev"))
+        .orderBy("r_name", "n_name")
+    }, Some(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q06_distinct", (s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          countDistinct(col("c_custkey")).as("n_unique_cust"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(DISTINCT c_custkey) AS n_unique_cust, count(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q07_semi_anti", (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val oc = Tables.orders(s, dir).select("o_custkey").distinct()
+      c.join(oc, c("c_custkey") === oc("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+          sum(when(col("o_custkey").isNotNull, 1).otherwise(0)).cast("bigint").as("with_orders"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("bigint").as("without_orders"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey,
+        | CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        | ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q08_conditional_agg", (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("oyear"))
+        .agg(
+          sum(when(col("o_orderpriority").like("1%"), 1).otherwise(0)).cast("bigint").as("n_urgent"),
+          sum(when(col("o_orderpriority").like("2%"), 1).otherwise(0)).cast("bigint").as("n_high"),
+          sum(when(col("o_totalprice") > 100000, dec(col("o_totalprice")))
+            .otherwise(expr("CAST(0 AS DECIMAL(12,2))"))).cast("double").as("big_rev"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("oyear")
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        | CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS big_rev,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY oyear ORDER BY oyear""".stripMargin)),
+
+    Q("q09_rollup", (s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("acct_sum"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_cust"), col("acct_sum"))
+        .orderBy("region_name", "nation_name")
+    }, Some(
+      """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+        | count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acct_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""".stripMargin)),
+
+    Q("q10_sessionize", (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), min("tsec").as("start_ts"), max("tsec").as("end_ts"))
+        .orderBy("user_id", "sid")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id FROM events),
+        |b AS (SELECT user_id, tsec, event_id,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, tsec,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM b)
+        |SELECT user_id, sid, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts
+        |FROM s2 GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
+    // ================= B. time-series core =================
+    Q("ts_melt", (s, dir) => {
+      TimeSeries.melt(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    Q("ts_resample", (s, dir) => {
+      grid(s, dir).select(col("name"), col("node"), col("tsb"), r4(col("gval")).as("gval"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS gval FROM grid
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_fill_forward", (s, dir) => {
+      TimeSeries.fillForward(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("filled")).as("val_ff"),
+          col("gval").isNull.cast("int").as("was_missing"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |spans AS (SELECT name, node, min(tsb) AS t0, max(tsb) AS t1 FROM grid GROUP BY 1, 2),
+         |dense AS (SELECT name, node, unnest(range(t0, t1 + 1, 900)) AS tsb FROM spans),
+         |j AS (SELECT d.name, d.node, d.tsb, g.gval
+         |  FROM dense d LEFT JOIN grid g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb)
+         |SELECT name, node, tsb,
+         | round(last_value(gval IGNORE NULLS) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) AS val_ff,
+         | CAST(gval IS NULL AS INT) AS was_missing
+         |FROM j ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_moving_avg", (s, dir) => {
+      TimeSeries.movingAvg(grid(s, dir), 5)
+        .select(col("name"), col("node"), col("tsb"), r4(col("ma")).as("ma"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round(avg(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9, 4) AS ma
+         |FROM grid ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_moving_median", (s, dir) => {
+      TimeSeries.movingMedian(grid(s, dir), 5)
+        .select(col("name"), col("node"), col("tsb"), r4(col("med")).as("med"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round(median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9, 4) AS med
+         |FROM grid ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_delta_rate", (s, dir) => {
+      TimeSeries.deltaRate(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("delta")).as("delta"), r6(col("rate")).as("rate"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round(gval - lag(gval) OVER w + 1e-9, 4) AS delta,
+         | round((gval - lag(gval) OVER w) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
+         |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_zscore", (s, dir) => {
+      TimeSeries.zscore(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"), r4(col("z")).as("z"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round((gval - avg(gval) OVER w) / stddev_samp(gval) OVER w + 1e-9, 4) AS z
+         |FROM grid WINDOW w AS (PARTITION BY name, node)
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_range_gate", (s, dir) => {
+      TimeSeries.rangeGate(grid(s, dir))
+        .select(col("name"), col("node"), r4(col("rng")).as("rng"), col("n"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, round(max(gval) - min(gval) + 1e-9, 4) AS rng, count(*) AS n
+         |FROM grid GROUP BY name, node
+         |HAVING round(max(gval) - min(gval) + 1e-9, 4) > 0.005
+         |ORDER BY name, node""".stripMargin)),
+
+    Q("ts_relative", (s, dir) => {
+      TimeSeries.relative(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"), r6(col("rel")).as("rel"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round(gval / (abs(max(gval) OVER (PARTITION BY name, node)) + 1e-10) + 1e-11, 6) AS rel
+         |FROM grid ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_bucket_agg", (s, dir) => {
+      TimeSeries.bucketAgg(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+        .select(col("name"), col("node"), col("b"), col("n"),
+          r4(col("mean_v")).as("mean_v"), col("min_v"), col("max_v"))
+        .orderBy("name", "node", "b")
+    }, Some(
+      s"""WITH $SQL_SIG
+         |SELECT name, node, tsec // 86400 * 86400 AS b, count(*) AS n,
+         | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_v,
+         | min(value) AS min_v, max(value) AS max_v
+         |FROM signals GROUP BY name, node, b ORDER BY name, node, b""".stripMargin)),
+
+    // ================= C. anomaly & correlation =================
+    Q("ad_ksigma", (s, dir) => {
+      Anomaly.ksigma(grid(s, dir), 2.5)
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("gval")).as("gval"), r4(col("z")).as("z"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |st AS (SELECT name, node, avg(gval) AS mu, stddev_samp(gval) AS sigma, count(*) AS n
+         |  FROM grid GROUP BY 1, 2)
+         |SELECT g.name, g.node, g.tsb, round(g.gval + 1e-9, 4) AS gval,
+         | round((g.gval - mu) / sigma + 1e-9, 4) AS z
+         |FROM grid g JOIN st ON g.name = st.name AND g.node = st.node
+         |WHERE n >= 3 AND sigma > 0 AND round(abs((g.gval - mu) / sigma) + 1e-9, 4) >= 2.5
+         |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
+
+    Q("ad_mad", (s, dir) => {
+      Anomaly.mad(grid(s, dir), 3.0)
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("gval")).as("gval"), r4(col("rz")).as("rz"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |med AS (SELECT name, node, quantile_cont(gval, 0.5) AS med FROM grid GROUP BY 1, 2),
+         |dev AS (SELECT g.name, g.node, g.tsb, g.gval, g.gval - med.med AS d, abs(g.gval - med.med) AS ad
+         |  FROM grid g JOIN med ON g.name = med.name AND g.node = med.node),
+         |madv AS (SELECT name, node, quantile_cont(ad, 0.5) AS mad_v FROM dev GROUP BY 1, 2)
+         |SELECT dev.name, dev.node, dev.tsb, round(dev.gval + 1e-9, 4) AS gval,
+         | round(0.6745 * dev.d / mad_v + 1e-9, 4) AS rz
+         |FROM dev JOIN madv ON dev.name = madv.name AND dev.node = madv.node
+         |WHERE mad_v > 0 AND round(abs(0.6745 * dev.d / mad_v) + 1e-9, 4) >= 3.0
+         |ORDER BY dev.name, dev.node, dev.tsb""".stripMargin)),
+
+    Q("ad_iqr", (s, dir) => {
+      Anomaly.iqr(grid(s, dir), 1.5)
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("gval")).as("gval"), r4(col("q1")).as("q1"), r4(col("q3")).as("q3"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |q AS (SELECT name, node, quantile_cont(gval, 0.25) AS q1, quantile_cont(gval, 0.75) AS q3
+         |  FROM grid GROUP BY 1, 2)
+         |SELECT g.name, g.node, g.tsb, round(g.gval + 1e-9, 4) AS gval,
+         | round(q1 + 1e-9, 4) AS q1, round(q3 + 1e-9, 4) AS q3
+         |FROM grid g JOIN q ON g.name = q.name AND g.node = q.node
+         |WHERE g.gval < q1 - 1.5 * (q3 - q1) OR g.gval > q3 + 1.5 * (q3 - q1)
+         |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
+
+    Q("ad_decompose", (s, dir) => {
+      Anomaly.decompose(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("gval")).as("gval"), r4(col("trend")).as("trend"), r4(col("resid")).as("resid"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |t AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
+         | FROM grid)
+         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS gval, round(trend + 1e-9, 4) AS trend,
+         | round(gval - trend + 1e-9, 4) AS resid
+         |FROM t ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ad_noise_outlier", (s, dir) => {
+      Anomaly.noiseOutlier(grid(s, dir), 2.5)
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("resid")).as("resid"), r4(col("z")).as("z"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |t AS (SELECT name, node, tsb, gval,
+         |  gval - median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS resid
+         | FROM grid),
+         |st AS (SELECT name, node, avg(resid) AS mu, stddev_samp(resid) AS sigma, count(*) AS n
+         |  FROM t GROUP BY 1, 2)
+         |SELECT t.name, t.node, t.tsb, round(t.resid + 1e-9, 4) AS resid,
+         | round((t.resid - mu) / sigma + 1e-9, 4) AS z
+         |FROM t JOIN st ON t.name = st.name AND t.node = st.node
+         |WHERE n >= 3 AND sigma > 0 AND round(abs((t.resid - mu) / sigma) + 1e-9, 4) >= 2.5
+         |ORDER BY t.name, t.node, t.tsb""".stripMargin)),
+
+    Q("corr_ncc_lag", (s, dir) => {
+      Correlate.nccLag(corrGrid(s, dir), ObjSignals)
+        .select(col("obj_name"), col("obj_node"), col("cand_name"), col("cand_node"),
+          col("b"), col("lag"), col("r"), col("n"))
+        .orderBy("obj_name", "obj_node", "cand_name", "cand_node", "b", "lag")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
+         |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
+         |   corr(o.gval, c.gval) AS r_raw, count(*) AS n
+         | FROM g2 o CROSS JOIN lags l JOIN g2 c ON c.i = o.i + l.lag AND c.b = o.b
+         | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')
+         | GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT obj_name, obj_node, cand_name, cand_node, b, lag, round(r_raw + 1e-9, 4) AS r, n
+         |FROM cells WHERE n >= 8 AND r_raw IS NOT NULL AND NOT isnan(r_raw)
+         |ORDER BY obj_name, obj_node, cand_name, cand_node, b, lag""".stripMargin)),
+
+    Q("corr_topk", (s, dir) => {
+      Correlate.topCorr(Correlate.nccLag(corrGrid(s, dir), ObjSignals), 5)
+        .select(col("obj_name"), col("obj_node"), col("cand_name"), col("cand_node"),
+          col("b"), col("lag"), col("r"), col("rank"))
+        .orderBy("obj_name", "obj_node", "b", "rank")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
+         |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
+         |   corr(o.gval, c.gval) AS r_raw, count(*) AS n
+         | FROM g2 o CROSS JOIN lags l JOIN g2 c ON c.i = o.i + l.lag AND c.b = o.b
+         | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')
+         | GROUP BY 1, 2, 3, 4, 5, 6),
+         |cr AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag, round(r_raw + 1e-9, 4) AS r
+         | FROM cells WHERE n >= 8 AND r_raw IS NOT NULL AND NOT isnan(r_raw)),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node, b
+         |   ORDER BY abs(r) DESC, lag ASC) AS rn FROM cr),
+         |ranked AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag, r,
+         |   row_number() OVER (PARTITION BY obj_name, obj_node, b
+         |     ORDER BY abs(r) DESC, cand_name, cand_node) AS rank
+         | FROM best WHERE rn = 1)
+         |SELECT obj_name, obj_node, cand_name, cand_node, b, lag, r, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY obj_name, obj_node, b, rank""".stripMargin)),
+
+    Q("corr_matrix", (s, dir) => {
+      Correlate.corrMatrix(corrGrid(s, dir))
+        .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
+          col("b"), col("r"), col("n"))
+        .orderBy("a_name", "a_node", "b_name", "b_node", "b")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES
+         |SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         | x.b AS b, round(corr(x.gval, y.gval) + 1e-9, 4) AS r, count(*) AS n
+         |FROM g2 x JOIN g2 y ON y.i = x.i AND y.b = x.b
+         | AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         |GROUP BY 1, 2, 3, 4, 5
+         |HAVING count(*) >= 8 AND corr(x.gval, y.gval) IS NOT NULL AND NOT isnan(corr(x.gval, y.gval))
+         |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
+    // ================= D. dedup =================
+    Q("dedup_exact", (s, dir) => {
+      Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        |c AS (SELECT hh, min(doc_id) AS canonical_id, count(*) AS group_size FROM h GROUP BY hh)
+        |SELECT doc_id, canonical_id, group_size,
+        | CAST(doc_id != canonical_id AS INT) AS is_dup
+        |FROM h JOIN c ON h.hh = c.hh ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_jaccard", (s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.1)
+        .orderBy("doc1", "doc2")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc1, doc2, inter, n1.n AS n1, n2.n AS n2,
+        | round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) AS jac
+        |FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.1
+        |ORDER BY doc1, doc2""".stripMargin)),
+
+    Q("dedup_minhash_lsh", (s, dir) => {
+      Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
+    }, None),
+
+    Q("dedup_simhash", (s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), maxHamming = 8).orderBy("doc1", "doc2")
+    }, None),
+
+    Q("dedup_embed_cosine", (s, dir) => {
+      Dedup.embedCosinePairs(Tables.embeddings(s, dir), 5, 0.3).orderBy("id1", "id2")
+    }, Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 4) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 4) >= 0.3
+        |ORDER BY id1, id2""".stripMargin)),
+
+    // ================= E. similarity search =================
+    Q("knn_brute_cosine", (s, dir) => {
+      Similarity.knnBruteCosine(Tables.embeddings(s, dir), 10, 10)
+        .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (SELECT qid, n.vec_id AS nid,
+        |  round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9, 4) AS cos_sim
+        | FROM n CROSS JOIN q WHERE n.vec_id != qid),
+        |ranked AS (SELECT qid, nid, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
+        | FROM scored)
+        |SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("ann_lsh", (s, dir) => {
+      Similarity.lshAnn(Tables.embeddings(s, dir))
+        .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
+        .orderBy("qid", "rank")
+    }, None),
+
+    Q("ann_ivf", (s, dir) => {
+      Similarity.ivfAnn(Tables.embeddings(s, dir))
+        .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
+        .orderBy("qid", "rank")
+    }, None),
+
+    // ================= F. text analysis =================
+    Q("text_tokens", (s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        | len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |   len(string_split_regex(lower(trim(text)), '\s+')) + 1e-9, 4) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_quality", (s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents)
+        |SELECT doc_id,
+        | round(punct / len + 1e-9, 4) AS punct_ratio,
+        | round(digits / len + 1e-9, 4) AS digit_ratio,
+        | round(CAST(len(list_intersect(list_distinct(w),
+        |   ['the','and','is','of','to','in','that','it','for','on'])) AS DOUBLE) / 10.0 + 1e-9, 4) AS stop_hit_ratio,
+        | round(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w) + 1e-9, 4) AS short_tok_ratio,
+        | round(1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("text_langid", (s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh
+        | FROM documents),
+        |h AS (SELECT doc_id, lang, zh,
+        |  len(list_intersect(w, ['the','and','is','of','to','in','that','it','for','on'])) AS en,
+        |  len(list_intersect(w, ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS de,
+        |  len(list_intersect(w, ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+        |  len(list_intersect(w, ['el','los','las','y','de','que','en','por','para','es'])) AS es
+        | FROM t)
+        |SELECT doc_id, lang AS lang_true, en AS hits_en, de AS hits_de, fr AS hits_fr, es AS hits_es,
+        | zh AS zh_chars,
+        | CASE WHEN zh > 0 THEN 'zh'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("text_fingerprint", (s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+    }, None),
+
+    // ================= G. streaming (batch-equivalent) =================
+    Q("stream_window_agg", (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("value"))
+        .groupBy(col("event_type"), (expr("tsec div 3600") * 3600).as("hour_start"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_start")
+    }, Some(
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)
+        |SELECT event_type, tsec // 3600 * 3600 AS hour_start, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY event_type, hour_start ORDER BY event_type, hour_start""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Outlier / anomaly detectors over the long grid (name, node, tsb, gval).
+  *
+  * Reference behavior: mathbox `noise_outlier(noise, level=3)` flags
+  * points more than level·sigma from the mean of the de-trended,
+  * de-seasonalized residual (metrics_advisor.py:51-62, :150). MAD and IQR
+  * are the standard robust variants of the same gate.
+  *
+  * All detectors are a per-signal aggregate joined back to the rows —
+  * one shuffle on (name, node), no driver-side iteration. Thresholds
+  * compare *rounded* scores so the row set is engine-deterministic.
+  */
+object Anomaly {
+
+  private val bySignal = Seq("name", "node")
+
+  /** k-sigma outliers on any value column. */
+  def ksigma(grid: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
+    val stats = grid.groupBy(bySignal.map(col): _*)
+      .agg(avg(in).as("mu"), stddev_samp(col(in)).as("sigma"), count(lit(1)).as("n"))
+      .filter(col("n") >= 3 && col("sigma") > 0)
+    grid.join(stats, bySignal)
+      .withColumn("z", (col(in) - col("mu")) / col("sigma"))
+      .filter(r4(abs(col("z"))) >= level)
+  }
+
+  /** Median-absolute-deviation outliers (robust z via 0.6745·dev/MAD). */
+  def mad(grid: DataFrame, level: Double = 3.5, in: String = "gval"): DataFrame = {
+    val med = grid.groupBy(bySignal.map(col): _*)
+      .agg(expr(s"percentile($in, 0.5)").as("med"))
+    val withDev = grid.join(med, bySignal)
+      .withColumn("dev", abs(col(in) - col("med")))
+    val madAgg = withDev.groupBy(bySignal.map(col): _*)
+      .agg(expr("percentile(dev, 0.5)").as("mad_v"))
+      .filter(col("mad_v") > 0)
+    withDev.join(madAgg, bySignal)
+      .withColumn("rz", lit(0.6745) * (col(in) - col("med")) / col("mad_v"))
+      .filter(r4(abs(col("rz"))) >= level)
+  }
+
+  /** IQR fence outliers: outside [q1 - k·iqr, q3 + k·iqr]. */
+  def iqr(grid: DataFrame, k: Double = 1.5, in: String = "gval"): DataFrame = {
+    val q = grid.groupBy(bySignal.map(col): _*)
+      .agg(
+        expr(s"percentile($in, 0.25)").as("q1"),
+        expr(s"percentile($in, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    grid.join(q, bySignal)
+      .filter(col(in) < col("q1") - lit(k) * col("iqr") ||
+              col(in) > col("q3") + lit(k) * col("iqr"))
+  }
+
+  /** Trend/residual decomposition: trend = centered rolling median (w=5),
+    * residual = value − trend (get_noise step 1-2, metrics_advisor.py:52-54).
+    */
+  def decompose(grid: DataFrame, w: Int = 5): DataFrame =
+    TimeSeries.movingMedian(grid, w, "gval", "trend")
+      .withColumn("resid", col("gval") - col("trend"))
+
+  /** Full reference pipeline (sans FFT seasonality, which is
+    * Dsp.lowpassSeasonal): detrend by rolling median, then k-sigma on the
+    * residual (get_noise, metrics_advisor.py:51-62).
+    */
+  def noiseOutlier(grid: DataFrame, level: Double = 3.0, w: Int = 5): DataFrame = {
+    val resid = decompose(grid, w).select("name", "node", "tsb", "gval", "trend", "resid")
+    val stats = resid.groupBy(bySignal.map(col): _*)
+      .agg(avg("resid").as("mu"), stddev_samp(col("resid")).as("sigma"), count(lit(1)).as("n"))
+      .filter(col("n") >= 3 && col("sigma") > 0)
+    resid.join(stats, bySignal)
+      .withColumn("z", (col("resid") - col("mu")) / col("sigma"))
+      .filter(r4(abs(col("z"))) >= level)
+  }
+}

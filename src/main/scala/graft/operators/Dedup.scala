@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Scale design: exact dedup is one hash-aggregate on a 128-bit digest
+  * (never shuffles raw text). Near-dup methods are bucket-then-verify:
+  * MinHash/LSH and SimHash shrink the candidate space with a groupBy on
+  * small keys, and only candidate pairs are verified — the all-pairs
+  * quadratic never materializes at scale.
+  */
+object Dedup {
+
+  private def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word k-shingles (k=2) — with a tiny vocabulary single words are
+    * shared by every document; bigrams discriminate.
+    */
+  private def shingles(text: Column): Column = {
+    val w = words(text)
+    array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+  }
+
+  /** Exact dedup: group by md5(text), canonical = min doc_id per group. */
+  def exact(docs: DataFrame): DataFrame = {
+    val canon = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(canon, "h")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+  }
+
+  /** Near-dup pairs by exact Jaccard over word-bigram shingles.
+    * Inverted-index join: explode shingles, pair docs sharing one, count
+    * the intersection, derive the union from per-doc set sizes. All
+    * integer arithmetic → bit-identical across engines.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n", "n2"), "doc2")
+      .withColumn("jac",
+        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+      .filter(col("jac") >= threshold)
+      .select("doc1", "doc2", "inter", "n1", "n2", "jac")
+  }
+
+  /** Deterministic per-shingle 32-bit hash family: murmur-style Spark
+    * `hash` with the permutation index mixed in.
+    */
+  private def shingleHash(s: Column, perm: Int): Column =
+    hash(concat(lit(perm.toString), lit("#"), s))
+
+  /** MinHash signatures + LSH banding → candidate pairs, verified with
+    * exact shingle Jaccard. numHashes=64, bands=16 (r=4) targets
+    * J ≈ 0.5+ candidates.
+    */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    // signature: per doc, min over shingles of h_p(shingle) for each perm
+    val sig = toks.groupBy("doc_id")
+      .agg(array((0 until numHashes).map(p => min(shingleHash(col("s"), p))): _*).as("sig"))
+    // band key: hash of the band's slice of the signature
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bd =>
+        hash(slice(col("sig"), bd * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jac", r4(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter"))))
+      .filter(col("jac") >= threshold)
+      .select("doc1", "doc2", "jac")
+  }
+
+  /** 64-bit SimHash over word hashes; near-dup = hamming distance ≤ k.
+    * Pairs are found by exact match on 4 16-bit blocks (pigeonhole: any
+    * pair within hamming ≤ 3 of 64 bits shares at least one of 4 blocks)
+    * — a groupBy join, not an all-pairs scan.
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val w = explode(words(col("text")))
+    val tok = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = sig.select(col("doc_id"),
+      (0 until 64).map(bit =>
+        when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(blk =>
+        shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "bv")))
+    val popcnt = (x: Column) => bit_count(x)
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        popcnt(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup pairs by embedding cosine similarity above a threshold.
+    * Brute pairwise on a keyed subset; the scale path is Similarity.lshAnn
+    * (bucketed). Cosine folds the vector in array order on both engines →
+    * identical doubles before rounding.
+    */
+  def embedCosinePairs(embs: DataFrame, mod: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val e = embs.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = e.withColumn("nrm",
+      sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        r4(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (s, x) => s + x) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * Scale design: brute-force is the correctness baseline (query side is
+  * tiny → broadcast; one pass over the corpus, no shuffle of the corpus).
+  * The scale paths bucket the corpus first — random-hyperplane LSH —
+  * so each query only scans its bucket(s).
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries (self excluded).
+    * Query side broadcast; ranking on rounded cosine + id tiebreak.
+    */
+  def knnBruteCosine(embs: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 — no RNG
+    * state, reproducible across runs and engines.
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      (splitmix64(p.toLong * 131071L + j).toDouble / Long.MaxValue)
+    }
+
+  /** Random-hyperplane LSH ANN: bucket = sign-bit string over nPlanes
+    * projections; per query, rank within its bucket. The bucket groupBy
+    * is the only shuffle — at corpus scale each task handles a hash
+    * bucket, and queries probe exactly one bucket.
+    */
+  def lshAnn(embs: DataFrame, nPlanes: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+    val planeCols = planes.map(p => array(p.map(lit): _*))
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val bucketed = base.withColumn("bucket",
+      concat(planeCols.map(pc => when(dot(col("v"), pc) >= 0, "1").otherwise("0")): _*))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qbucket"))
+    val scored = bucketed.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus to deterministic seed
+    * centroids (the first nCells vectors by id — a deterministic stand-in
+    * for trained centroids), assign each vector to its nearest centroid,
+    * then search only the query's cell. Same plan shape as a trained IVF:
+    * broadcast centroids, one corpus pass to assign, bucket join to probe.
+    */
+  def ivfAnn(embs: DataFrame, nCells: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

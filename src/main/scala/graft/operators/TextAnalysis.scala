@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text statistics for training-data curation: token counts, quality
+  * scores, heuristic language ID, content fingerprints. Pure column
+  * expressions (whole-stage codegen; no UDFs) — a single narrow map over
+  * the corpus, trivially scalable.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "y", "de", "que", "en", "por", "para", "es"))
+
+  /** Token count, char count, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).cast("bigint").as("n_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      r4(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(w)).as("mean_token_len"))
+  }
+
+  /** Quality scoring: punctuation/digit/stopword/short-token ratios and a
+    * weighted composite — the standard cheap pre-filters for LLM corpora.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("double")
+    val len = length(col("text")).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val digits = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val stops = size(array_intersect(array_distinct(w),
+      array(Stopwords("en").map(lit): _*))).cast("double")
+    val shortToks = size(filter(w, t => length(t) <= 2)).cast("double")
+    docs.select(
+      col("doc_id"),
+      r4(punct / len).as("punct_ratio"),
+      r4(digits / len).as("digit_ratio"),
+      r4(stops / lit(10.0)).as("stop_hit_ratio"),
+      r4(shortToks / nTok).as("short_tok_ratio"),
+      r4(
+        lit(1.0)
+          - least(punct / len * 5.0, lit(0.3))
+          - least(digits / len * 5.0, lit(0.3))
+          - least(shortToks / nTok, lit(0.3))).as("quality"))
+  }
+
+  /** Heuristic language ID: distinct-stopword hits per language + CJK
+    * character presence, deterministic priority on ties.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = array_distinct(words(col("text")))
+    def hits(lang: String): Column =
+      size(array_intersect(w, array(Stopwords(lang).map(lit): _*)))
+    val zh = length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
+    docs.select(
+      col("doc_id"), col("lang").as("lang_true"),
+      en.cast("bigint").as("hits_en"), de.cast("bigint").as("hits_de"),
+      fr.cast("bigint").as("hits_fr"), es.cast("bigint").as("hits_es"),
+      zh.cast("bigint").as("zh_chars"),
+      when(zh > 0, "zh")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("lang_pred"))
+  }
+
+  /** Rolling polynomial hash fingerprint over characters (mod a prime to
+    * stay overflow-free): a cheap order-sensitive content digest.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val fp = aggregate(chars, lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % 1000000007L)
+    docs.select(col("doc_id"), fp.as("fp"),
+      length(col("text")).cast("bigint").as("n_chars_calc"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Long-format time-series operators — the data model of the reference
+  * (metrics_advisor.py:38-48 melts wide reshape CSVs into
+  * {name, node, timestamp, data} signals).
+  *
+  * Scale design: every op is keyed by signal `(name, node)`. One shuffle
+  * groups a signal's points onto one executor partition; all per-signal
+  * work (rolling filters, decomposition, gates) is a window or aggregate
+  * within that partitioning, so throughput scales linearly with executors
+  * and no state ever crosses signal boundaries. At 100 TB / millions of
+  * signals the `(name,node)` hash partitioning spreads evenly; a single
+  * signal's series stays bounded by retention (thousands of points).
+  */
+object TimeSeries {
+
+  val StepSec = 900L          // resample grid step (reference: 15 s grid; 15 min here)
+  val BucketSec = 86400L      // correlation bucket (reference: 40 steps = 10 min; 1 day here)
+
+  /** events table (ts = epoch nanos as bigint) → long signals
+    * (name, node, tsec, value). Mirrors get_valid_signals'
+    * {name, node, timestamp, data} (metrics_advisor.py:38-48).
+    */
+  def signalsFromEvents(events: DataFrame, nodeMod: Int = 8): DataFrame =
+    events.select(
+      col("event_type").as("name"),
+      concat(lit("u"), (col("user_id") % nodeMod).cast("string")).as("node"),
+      expr("ts div 1000000000").as("tsec"),
+      col("value"))
+
+  /** Wide → long melt (the reshape-CSV ingestion shape). */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "measure", valName: String = "value"): DataFrame = {
+    val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    df.selectExpr(idCols ++ Seq(
+      s"stack(${valueCols.size}, $stackArgs) AS ($varName, $valName)"): _*)
+  }
+
+  /** Align to a fixed grid: floor tsec to `step`, exact-decimal mean per
+    * cell (reference aligns to its 15 s sample grid, :123-134).
+    */
+  def resample(signals: DataFrame, step: Long = StepSec): DataFrame =
+    signals
+      .groupBy(col("name"), col("node"),
+        (expr(s"tsec div $step") * step).as("tsb"))
+      .agg(avgDec(col("value")).as("gval"))
+
+  /** Grid with sample index and correlation bucket columns. */
+  def indexed(grid: DataFrame, step: Long = StepSec, bucket: Long = BucketSec): DataFrame =
+    grid
+      .withColumn("i", expr(s"tsb div $step"))
+      .withColumn("b", (expr(s"tsb div $bucket") * bucket))
+
+  private def signalWindow = Window.partitionBy("name", "node").orderBy("tsb")
+
+  /** Densify the grid (one row per signal per step between that signal's
+    * min and max tsb) and forward-fill missing cells with the last
+    * observed value.
+    */
+  def fillForward(grid: DataFrame, step: Long = StepSec): DataFrame = {
+    val spans = grid.groupBy("name", "node")
+      .agg(min("tsb").as("t0"), max("tsb").as("t1"))
+    val dense = spans.select(col("name"), col("node"),
+      explode(expr(s"sequence(t0, t1, $step)")).as("tsb"))
+    dense.join(grid, Seq("name", "node", "tsb"), "left")
+      .withColumn("filled",
+        last(col("gval"), ignoreNulls = true)
+          .over(signalWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Centered rolling mean, window w (odd), edge-shrunk. */
+  def movingAvg(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "ma"): DataFrame = {
+    val h = w / 2
+    grid.withColumn(out, avg(col(in)).over(signalWindow.rowsBetween(-h, h)))
+  }
+
+  /** Centered rolling median, window w (odd), edge-shrunk — mathbox
+    * moving_median as used at metrics_advisor.py:147. Spark won't run
+    * `median` with a window frame, so take the sorted frame array and
+    * interpolate the middle — exact, codegen-friendly, and identical to
+    * DuckDB's windowed `median` (linear interpolation on even counts).
+    */
+  def movingMedian(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "med"): DataFrame = {
+    val h = w / 2
+    val arr = sort_array(collect_list(col(in)).over(signalWindow.rowsBetween(-h, h)))
+    val n = size(arr)
+    grid.withColumn(out,
+      when(n % 2 === 1, element_at(arr, ((n + lit(1)) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int")) +
+          element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
+  }
+
+  /** Lag difference and per-second rate (counter → gauge). */
+  def deltaRate(grid: DataFrame): DataFrame =
+    grid
+      .withColumn("delta", col("gval") - lag("gval", 1).over(signalWindow))
+      .withColumn("rate", col("delta") / (col("tsb") - lag("tsb", 1).over(signalWindow)))
+
+  /** Per-signal global z-score. */
+  def zscore(grid: DataFrame): DataFrame = {
+    val w = Window.partitionBy("name", "node")
+    grid
+      .withColumn("mu", avg("gval").over(w))
+      .withColumn("sigma", stddev_samp(col("gval")).over(w))
+      .withColumn("z", (col("gval") - col("mu")) / col("sigma"))
+  }
+
+  /** Variance gate: keep signals with max-min above `minRange`
+    * (reference drops flat signals, metrics_advisor.py:146).
+    */
+  def rangeGate(grid: DataFrame, minRange: Double = 0.005): DataFrame =
+    grid.groupBy("name", "node")
+      .agg((max("gval") - min("gval")).as("rng"), count(lit(1)).as("n"))
+      .filter(r4(col("rng")) > minRange)
+
+  /** Normalize by |max| (get_relative, metrics_advisor.py:78-80). */
+  def relative(grid: DataFrame): DataFrame = {
+    val w = Window.partitionBy("name", "node")
+    grid.withColumn("rel", col("gval") / (abs(max("gval").over(w)) + lit(1e-10)))
+  }
+
+  /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */
+  def bucketAgg(signals: DataFrame, bucket: Long = BucketSec): DataFrame =
+    signals
+      .groupBy(col("name"), col("node"),
+        (expr(s"tsec div $bucket") * bucket).as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        avgDec(col("value")).as("mean_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+}
