@@ -519,6 +519,27 @@ object SparkEntry {
          |HAVING count(*) >= 8 AND corr(x.gval, y.gval) IS NOT NULL AND NOT isnan(corr(x.gval, y.gval))
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
+    Q("ad_edivisive", (s, dir) => {
+      ChangePoints.eDivisive(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node", "cp_tsb")
+    }, None),
+
+    Q("ad_lowpass_seasonal", (s, dir) => {
+      ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("gval")).as("gval"), col("trend"), col("seasonal"), col("noise"))
+        .orderBy("name", "node", "tsb")
+    }, None),
+
+    Q("ad_anomaly_union", (s, dir) => {
+      ChangePoints.anomalyUnion(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node", "tsb", "kind")
+    }, None),
+
+    Q("advisor_report", (s, dir) => {
+      graft.report.AdvisorReport.advise(Tables.events(s, dir))
+    }, None),
+
     // ================= D. dedup =================
     Q("dedup_exact", (s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
@@ -651,7 +672,15 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
     }, None),
 
-    // ================= G. streaming (batch-equivalent) =================
+    // ================= G. multimodal & streaming =================
+    Q("mm_binary_meta", (s, dir) => {
+      Multimodal.decodeMeta(Tables.documents(s, dir)).orderBy("doc_id")
+    }, None),
+
+    Q("mm_format_stats", (s, dir) => {
+      Multimodal.formatStats(Multimodal.decodeMeta(Tables.documents(s, dir)))
+    }, None),
+
     Q("stream_window_agg", (s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("value"))

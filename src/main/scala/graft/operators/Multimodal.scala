@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted in batch per partition.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this container):
+  * `fakeDecode` derives deterministic pseudo-metadata from the payload
+  * bytes. Everything around it — the binary schema, the mapPartitions
+  * batch shape (one decoder init per partition, streaming rows through
+  * it), the metadata struct, partition-count independence — is the real
+  * production plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** STUB decoder: a real implementation would hand `payload` to a codec;
+    * this derives stable fake dimensions from the bytes so the pipeline
+    * is testable end-to-end.
+    */
+  private def fakeDecode(payload: Array[Byte]): (String, Int, Int, Long) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val fmt = (math.floorMod(h, 3L): @unchecked) match {
+      case 0L => "png"
+      case 1L => "jpeg"
+      case 2L => "webp"
+    }
+    (fmt, 64 + math.floorMod(h >> 8, 1856L).toInt,
+      64 + math.floorMod(h >> 16, 1016L).toInt, h)
+  }
+
+  /** Attach a binary payload column (here: utf-8 of text, standing in for
+    * image bytes) and run the batch decode → metadata extraction.
+    */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val binDF = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val rdd = binDF.rdd.mapPartitions { rows =>
+      // one decoder init per partition in a real pipeline
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (fmt, wdt, hgt, sum) = fakeDecode(payload)
+        Row(id, payload.length.toLong, fmt, wdt, hgt, sum)
+      }
+    }
+    spark.createDataFrame(rdd, MetaSchema)
+  }
+
+  /** Downstream typed-metadata aggregation (the shape a curation pipeline
+    * runs after decode): per format, count + size stats.
+    */
+  def formatStats(meta: DataFrame): DataFrame =
+    meta.groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum("byte_len").as("total_bytes"),
+        graft.Num.r4(avg(col("width").cast("double"))).as("mean_width"))
+      .orderBy("format")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{Dsp, EDivisive}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class AnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def grid(rows: (String, String, Long, Double)*) =
+    rows.toDF("name", "node", "tsb", "gval")
+
+  test("ksigma flags a clear outlier") {
+    val base = (0 until 20).map(i => ("m", "a", i * 900L, 10.0 + (i % 3)))
+    val out = Anomaly.ksigma(grid(base :+ (("m", "a", 20 * 900L, 100.0)): _*), 3.0)
+    assert(out.select("tsb").as[Long].collect().toSeq == Seq(20 * 900L))
+  }
+
+  test("iqr flags fence violations") {
+    val base = (0 until 12).map(i => ("m", "a", i * 900L, 10.0 + (i % 4)))
+    val out = Anomaly.iqr(grid(base :+ (("m", "a", 12 * 900L, 1000.0)): _*), 1.5)
+    assert(out.select("gval").as[Double].collect().toSeq == Seq(1000.0))
+  }
+
+  test("e-divisive finds an obvious level shift") {
+    val series = Array.fill(30)(1.0) ++ Array.fill(30)(10.0)
+    val cps = EDivisive.changePoints(series, pvalue = 0.05, permutations = 30)
+    assert(cps.map(_.index) == Seq(30))
+  }
+
+  test("e-divisive finds nothing in constant data") {
+    val cps = EDivisive.changePoints(Array.fill(50)(5.0), permutations = 30)
+    assert(cps.isEmpty)
+  }
+
+  test("lowpass keeps DC and removes fast oscillation") {
+    val n = 64
+    val slow = Array.tabulate(n)(_ => 5.0)
+    val fast = Array.tabulate(n)(i => math.sin(i * math.Pi / 2) * 2.0)
+    val x = Array.tabulate(n)(i => slow(i) + fast(i))
+    val filtered = Dsp.lowpass(x, stepSec = 1.0, fMin = 0.01)
+    // fast component (period 4 samples = 0.25 Hz) must be gone; DC stays
+    val maxDev = filtered.map(v => math.abs(v - 5.0)).max
+    assert(maxDev < 0.8, s"maxDev=$maxDev")
+  }
+
+  test("eDivisive operator emits change point per signal") {
+    val rows = (0 until 30).map(i => ("m", "a", i * 3600L, 1.0)) ++
+      (30 until 60).map(i => ("m", "a", i * 3600L, 50.0))
+    val out = ChangePoints.eDivisive(grid(rows: _*), permutations = 20)
+    val cps = out.select("cp_tsb").as[Long].collect().toSeq
+    assert(cps == Seq(30 * 3600L))
+  }
+
+  test("nccLag recovers a known lagged correlation") {
+    // candidate = objective shifted by +1 step inside one bucket
+    val obj = (0 until 24).map(i => ("click", "u0", i * 3600L, math.sin(i / 3.0) * 10 + 20))
+    val cand = (0 until 24).map(i => ("other", "u0", i * 3600L, math.sin((i - 1) / 3.0) * 10 + 20))
+    val g = TimeSeries.indexed(grid((obj ++ cand): _*), 3600L, 86400L)
+    val cells = Correlate.nccLag(g, Seq("click"), lagMax = 2, minOverlap = 8)
+    val best = cells.orderBy(abs(col("r")).desc).select("lag", "r").head()
+    assert(best.getLong(0) == 1L, s"best lag=${best.getLong(0)}")
+    assert(best.getDouble(1) > 0.999)
+  }
+
+  test("anomalyUnion tags both kinds") {
+    val rows = (0 until 30).map(i => ("m", "a", i * 3600L, 1.0)) ++
+      (30 until 60).map(i => ("m", "a", i * 3600L, 50.0))
+    val out = ChangePoints.anomalyUnion(grid(rows: _*))
+    val kinds = out.select("kind").distinct().as[String].collect().toSet
+    assert(kinds.contains("changepoint"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z")))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq ==
+      Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 3L, 0)))
+  }
+
+  test("jaccard pairs finds near-dups, skips unrelated") {
+    val out = Dedup.jaccardPairs(docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")), 0.5)
+    val pairs = out.select("doc1", "doc2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces the same near-dup pair") {
+    val out = Dedup.minhashLsh(docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely different words entirely here now for sure")), threshold = 0.3)
+    val pairs = out.select("doc1", "doc2").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash finds identical docs at hamming 0, skips unrelated") {
+    val out = Dedup.simhash(docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")), maxHamming = 3)
+    val pairs = out.select("doc1", "doc2", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
+  test("knn brute cosine ranks the identical vector first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteCosine(e, nQueries = 1, k = 3)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(out.head == 1L)
+  }
+
+  test("lsh ann returns ranked neighbors from the same bucket") {
+    val e = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(_ + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshAnn(e, nPlanes = 4, nQueries = 2, k = 3)
+    assert(out.count() > 0)
+  }
+
+  test("token stats and quality are sane") {
+    val d = Seq((1L, "Hello world, this is a test!")).toDF("doc_id", "text")
+    val t = TextAnalysis.tokenStats(d).head()
+    assert(t.getLong(1) == 6L)
+    val q = TextAnalysis.qualityScore(d).head()
+    assert(q.getDouble(5) > 0.0 && q.getDouble(5) <= 1.0)
+  }
+
+  test("langid picks the language with most stopword hits") {
+    val d = Seq(
+      (1L, "the cat is on the mat and it is fine"),
+      (2L, "der hund ist nicht mit das ein zu den")).toDF("doc_id", "text")
+      .withColumn("lang", lit("?"))
+    val out = TextAnalysis.langId(d).orderBy("doc_id")
+      .select("lang_pred").as[String].collect().toSeq
+    assert(out == Seq("en", "de"))
+  }
+
+  test("multimodal decode meta is deterministic plumbing") {
+    val d = docs((1L, "payload one"), (2L, "payload two"))
+    val m1 = Multimodal.decodeMeta(d).orderBy("doc_id").collect()
+    val m2 = Multimodal.decodeMeta(d.repartition(4)).orderBy("doc_id").collect()
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.forall(_.getLong(1) > 0))
+  }
+}

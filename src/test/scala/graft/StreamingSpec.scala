@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourlyAgg over a stream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 3600L * 1000000000L, 1L, "click", 2.0, "{}"),
+      (2L, 3700L * 1000000000L, 2L, "click", 3.0, "{}"),
+      (3L, 7300L * 1000000000L, 1L, "view", 5.0, "{}"))
+    val schema = Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hourlyAgg(streamDF).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT event_type, n, sum_value FROM hourly ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+
+    val batch = EventStream.hourlyAgg(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(("click", 2L, 5.0), ("view", 1L, 5.0)))
+  }
+
+  test("watermark drops state for closed windows (plan sanity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = EventStream.hourlyAgg(streamDF)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("wmtest")
+      .outputMode("append").start()
+    mem.addData((1L, 3600L * 1000000000L, 1L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    succeed
+  }
+}

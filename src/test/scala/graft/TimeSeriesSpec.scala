@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sig(rows: (String, String, Long, Double)*) =
+    rows.toDF("name", "node", "tsec", "value")
+
+  private def grid(rows: (String, String, Long, Double)*) =
+    rows.toDF("name", "node", "tsb", "gval")
+
+  test("resample floors to grid and takes exact mean") {
+    val g = TimeSeries.resample(sig(
+      ("m", "a", 100L, 1.0), ("m", "a", 800L, 3.0), ("m", "a", 950L, 10.0)), 900L)
+      .orderBy("tsb").collect()
+    assert(g.map(r => (r.getLong(2), r.getDouble(3))).toSeq == Seq((0L, 2.0), (900L, 10.0)))
+  }
+
+  test("movingMedian matches interpolated median on even windows") {
+    val out = TimeSeries.movingMedian(grid(
+      ("m", "a", 0L, 1.0), ("m", "a", 900L, 9.0), ("m", "a", 1800L, 2.0),
+      ("m", "a", 2700L, 8.0), ("m", "a", 3600L, 3.0)), 5)
+      .orderBy("tsb").select("med").as[Double].collect().toSeq
+    // edges shrink: [1,9,2]→2; [1,9,2,8]→(2+8)/2=5; [1,9,2,8,3]→3; [9,2,8,3]→5.5; [2,8,3]→3
+    assert(out == Seq(2.0, 5.0, 3.0, 5.5, 3.0))
+  }
+
+  test("fillForward densifies and carries last value") {
+    val out = TimeSeries.fillForward(grid(("m", "a", 0L, 1.0), ("m", "a", 2700L, 4.0)), 900L)
+      .orderBy("tsb").select("tsb", "filled").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1.0), (900L, 1.0), (1800L, 1.0), (2700L, 4.0)))
+  }
+
+  test("deltaRate computes per-second rate") {
+    val out = TimeSeries.deltaRate(grid(("m", "a", 0L, 10.0), ("m", "a", 900L, 19.0)))
+      .orderBy("tsb").select("rate").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(0.01)))
+  }
+
+  test("rangeGate drops flat signals") {
+    val out = TimeSeries.rangeGate(grid(
+      ("flat", "a", 0L, 1.0), ("flat", "a", 900L, 1.0),
+      ("live", "a", 0L, 1.0), ("live", "a", 900L, 2.0)))
+      .select("name").as[String].collect().toSeq
+    assert(out == Seq("live"))
+  }
+
+  test("melt goes wide to long") {
+    val wide = Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
+    val out = TimeSeries.melt(wide, Seq("id"), Seq("x", "y"))
+      .orderBy("measure").collect()
+    assert(out.map(r => (r.getString(1), r.getDouble(2))).toSeq == Seq(("x", 2.0), ("y", 3.0)))
+  }
+}
