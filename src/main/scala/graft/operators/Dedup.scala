@@ -18,12 +18,26 @@ object Dedup {
 
   /** Word k-shingles (k=2) — with a tiny vocabulary single words are
     * shared by every document; bigrams discriminate.
+    *
+    * Two-step projection on purpose: materialize the split once, THEN
+    * index it. Inlining `split` into the transform lambda makes every
+    * `element_at` re-run the regex split (no CSE across lambda
+    * boundaries) — measured ~10× slower on the shingle stage.
     */
-  private def shingles(text: Column): Column = {
-    val w = words(text)
-    array_distinct(transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-  }
+  private def withShingles(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("sh"))
+
+  /** A text corpus often arrives as few large files; per-doc expression
+    * work (shingling, hashing) is CPU-bound, so spread it across all
+    * cores first. Keyed repartition keeps results deterministic (every
+    * downstream op aggregates by doc_id).
+    */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Exact dedup: group by md5(text), canonical = min doc_id per group. */
   def exact(docs: DataFrame): DataFrame = {
@@ -43,7 +57,7 @@ object Dedup {
     * integer arithmetic → bit-identical across engines.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val toks = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = toks.as("a")
       .join(toks.as("b"),
@@ -59,23 +73,50 @@ object Dedup {
       .select("doc1", "doc2", "inter", "n1", "n2", "jac")
   }
 
-  /** Deterministic per-shingle 32-bit hash family: murmur-style Spark
-    * `hash` with the permutation index mixed in.
-    */
-  private def shingleHash(s: Column, perm: Int): Column =
-    hash(concat(lit(perm.toString), lit("#"), s))
-
   /** MinHash signatures + LSH banding → candidate pairs, verified with
     * exact shingle Jaccard. numHashes=64, bands=16 (r=4) targets
     * J ≈ 0.5+ candidates.
+    *
+    * Each shingle is hashed ONCE (variable-length string → long); the
+    * permutation family re-hashes that fixed-width long, so the per-row
+    * cost is 1 string hash + numHashes integer hashes instead of
+    * numHashes string hashes (~10× cheaper at corpus scale).
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
-    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    // signature: per doc, min over shingles of h_p(shingle) for each perm
-    val sig = toks.groupBy("doc_id")
-      .agg(array((0 until numHashes).map(p => min(shingleHash(col("s"), p))): _*).as("sig"))
+    // the shingle table feeds three branches (signatures + both sides of
+    // the verify join) — persist it instead of recomputing the regex
+    // split + shingle build per branch
+    val sets = withShingles(docs).persist()
+    val toks = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    // Signature: min over shingles of h_p(shingle) for each permutation.
+    // A 64-column min-aggregate makes Catalyst generate (and Janino
+    // compile) a multi-second giant class; a mapGroups loop is 16M
+    // integer mixes — milliseconds — with the same one-shuffle shape.
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val nh = numHashes
+    val sig = toks.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (docId: Long, it: Iterator[(Long, Long)]) =>
+        val mins = Array.fill(nh)(Long.MaxValue)
+        it.foreach { case (_, h0) =>
+          var p = 0
+          while (p < nh) {
+            var z = h0 ^ (p * 0x9E3779B97F4A7C15L)
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            if (z < mins(p)) mins(p) = z
+            p += 1
+          }
+        }
+        (docId, mins.toSeq)
+      }
+      .toDF("doc_id", "sig")
     // band key: hash of the band's slice of the signature
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
@@ -87,7 +128,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
     // verify candidates with exact Jaccard
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
@@ -105,16 +145,32 @@ object Dedup {
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val w = explode(words(col("text")))
-    val tok = docs.select(col("doc_id"), w.as("w"))
+    val tok = spread(docs).select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitCols = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
-    }
-    val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = sig.select(col("doc_id"),
-      (0 until 64).map(bit =>
-        when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    // 64 bit-count sum-aggregates blow up codegen (see minhashLsh); the
+    // per-doc bit tally is a tiny mapGroups loop instead.
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val sim = tok.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (docId: Long, it: Iterator[(Long, Long)]) =>
+        val counts = new Array[Int](64)
+        it.foreach { case (_, h) =>
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        var sh = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (counts(bit) > 0) sh |= (1L << bit)
+          bit += 1
+        }
+        (docId, sh)
+      }
+      .toDF("doc_id", "simhash")
     val blocks = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(blk =>
         shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "bv")))
