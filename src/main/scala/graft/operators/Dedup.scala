@@ -3,6 +3,7 @@ package graft.operators
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -192,12 +193,10 @@ object Dedup {
   def embedCosinePairs(embs: DataFrame, mod: Int = 5, threshold: Double = 0.5): DataFrame = {
     val e = embs.filter(col("vec_id") % mod === 0)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("nrm",
-      sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
+    val withNorm = e.withColumn("nrm", vecNorm(col("v")))
     withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        r4(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (s, x) => s + x) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
