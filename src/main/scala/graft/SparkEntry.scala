@@ -616,6 +616,14 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }, None),
 
+    Q("embed_kmeans", (s, dir) => {
+      Clustering.clusterStats(Tables.embeddings(s, dir), 8)
+    }, None),
+
+    Q("embed_dist_outliers", (s, dir) => {
+      Clustering.distanceOutliers(Tables.embeddings(s, dir), 8, 20)
+    }, None),
+
     // ================= F. text analysis =================
     Q("text_tokens", (s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")

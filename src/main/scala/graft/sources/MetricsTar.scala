@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStream}
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.zip.GZIPInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end ingestion of the reference's metrics bundles: a .tar.gz
+  * (or .gz.tar) containing wide metric CSVs under `<workload>/reshape/`
+  * (metrics_advisor.py:114-120 untars to a temp dir and globs the CSVs).
+  *
+  * The tar walk is a minimal ustar reader (512-byte headers, octal size
+  * field) — only extraction of *.csv entries is needed. Extraction is a
+  * driver-side, one-pass streaming step (bundles are small: metadata and
+  * metric series); the heavy lifting stays in the Spark melt that
+  * follows.
+  */
+object MetricsTar {
+
+  /** Extract `*.csv` members under a `reshape/` directory to a temp dir;
+    * returns the directory. AppleDouble `._*` entries are skipped.
+    */
+  def extractCsvs(tarGzPath: String, subdir: String = "reshape"): Path = {
+    val out = Files.createTempDirectory("graft_metrics_tar")
+    val in = new DataInputStream(new BufferedInputStream(
+      new GZIPInputStream(new FileInputStream(tarGzPath), 1 << 16), 1 << 16))
+    val header = new Array[Byte](512)
+    try {
+      var done = false
+      while (!done) {
+        in.readFully(header)
+        if (header.forall(_ == 0)) done = true
+        else {
+          val name = new String(header, 0, 100, "US-ASCII").takeWhile(_ != 0)
+          val sizeStr = new String(header, 124, 12, "US-ASCII")
+            .takeWhile(c => c != 0 && c != ' ').trim
+          val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+          val typeFlag = header(156).toChar
+          val base = name.split('/').lastOption.getOrElse("")
+          val wanted = (typeFlag == '0' || typeFlag == 0.toChar) &&
+            name.contains(s"/$subdir/") && base.endsWith(".csv") &&
+            !base.startsWith("._")
+          if (wanted) {
+            val buf = new Array[Byte](size.toInt)
+            in.readFully(buf)
+            Files.write(out.resolve(base), buf, StandardOpenOption.CREATE,
+              StandardOpenOption.TRUNCATE_EXISTING)
+          } else {
+            var toSkip = size
+            while (toSkip > 0) toSkip -= in.skip(toSkip)
+          }
+          val pad = (512 - (size % 512)) % 512
+          var p = pad
+          while (p > 0) p -= in.skip(p)
+        }
+      }
+    } catch { case _: EOFException => () }
+    finally in.close()
+    out
+  }
+
+  /** Bundle → long signals (name, node, tsec, value). */
+  def read(spark: SparkSession, tarGzPath: String, minSamples: Int = 20): DataFrame = {
+    val dir = extractCsvs(tarGzPath)
+    MetricsCsv.read(spark, dir.toString, minSamples)
+  }
+}

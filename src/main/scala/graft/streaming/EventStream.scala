@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming path for the events feed. The same transform
   * works in batch and streaming (Spark's unified Dataset semantics);
@@ -26,10 +27,64 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
-  /** Sessionization-friendly per-user running state demo:
-    * flatMapGroupsWithState is the custom-state scale path; here the
-    * batch-equivalent per-user hourly activity for parity testing.
+  final case class SessionUpdate(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long)
+
+  final case class SessionState(startTs: Long, lastTs: Long, cnt: Long)
+
+  /** Streaming sessionization with custom state: per-user sessions close
+    * after `gapSec` of event-time inactivity, finalized when the
+    * watermark passes (event-time timeout — processing-time timeouts
+    * keep the no-data loop spinning in Spark 4.1 and stall
+    * processAllAvailable). State per user is three longs — bounded
+    * regardless of stream volume; the state store shards by user across
+    * executors.
+    *
+    * Input: any frame with `user_id` (bigint) and `ts` (epoch nanos
+    * bigint — the events table shape).
     */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L,
+                 lateness: String = "10 seconds"): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wm = events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("tstamp", lateness)
+      .select(col("user_id"), expr("ts div 1000000000").as("tsec"), col("tstamp"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    wm.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.lastTs <= gapSec =>
+                cur = Some(s.copy(lastTs = t, cnt = s.cnt + 1))
+              case Some(s) =>
+                closed += SessionUpdate(userId, s.startTs, s.lastTs, s.cnt)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(s => closed += SessionUpdate(userId, s.startTs, s.lastTs, s.cnt))
+            state.remove()
+          } else {
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSec) * 1000)
+            }
+          }
+          closed.iterator
+      }
+  }
+
+  /** Batch-equivalent per-user hourly activity for parity testing. */
   def userActivity(events: DataFrame): DataFrame = {
     val withTs = events
       .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
