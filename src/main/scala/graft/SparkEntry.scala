@@ -262,6 +262,32 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts
         |FROM s2 GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
 
+    Q("q11_json_extract", (s, dir) => {
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("kv"))
+        .groupBy("kv").agg(count(lit(1)).as("n"))
+        .orderBy("kv")
+    }, Some(
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS kv, count(*) AS n
+        |FROM events GROUP BY kv ORDER BY kv""".stripMargin)),
+
+    Q("q12_salted_agg", (s, dir) => {
+      // two-stage salted aggregation: the skew-safe shape (salt the hot
+      // key space, partial-agg, merge) — results identical to the plain
+      // aggregate, which is exactly what the oracle checks
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), pmod(col("event_id"), lit(8)).as("salt"))
+      ev.groupBy("event_type", "salt")
+        .agg(sum(dec(col("value"))).as("partial_sum"), count(lit(1)).as("partial_n"))
+        .groupBy("event_type")
+        .agg(sum(col("partial_sum")).cast("double").as("sum_value"),
+          sum(col("partial_n")).cast("bigint").as("n"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ================= B. time-series core =================
     Q("ts_melt", (s, dir) => {
       TimeSeries.melt(Tables.lineitem(s, dir),
@@ -378,6 +404,74 @@ object SparkEntry {
          | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_v,
          | min(value) AS min_v, max(value) AS max_v
          |FROM signals GROUP BY name, node, b ORDER BY name, node, b""".stripMargin)),
+
+    Q("ts_percentiles", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          r4(expr("percentile(value, 0.5)")).as("p50"),
+          r4(expr("percentile(value, 0.9)")).as("p90"),
+          r4(expr("percentile(value, 0.99)")).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        | round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+        | round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("ts_histogram", (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val mm = ev.groupBy("event_type")
+        .agg(min("value").as("minv"), max("value").as("maxv"))
+      ev.join(mm, "event_type")
+        .withColumn("bin",
+          least(floor((col("value") - col("minv")) / ((col("maxv") - col("minv")) / 10)), lit(9L))
+            .cast("bigint"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }, Some(
+      """WITH mm AS (SELECT event_type, min(value) AS minv, max(value) AS maxv
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        | CAST(least(floor((e.value - minv) / ((maxv - minv) / 10)), 9) AS BIGINT) AS bin,
+        | count(*) AS n
+        |FROM events e JOIN mm ON e.event_type = mm.event_type
+        |GROUP BY e.event_type, bin ORDER BY e.event_type, bin""".stripMargin)),
+
+    Q("ts_asof_join", (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("key"), expr("ts div 1000000000").as("tsec"),
+          col("event_id").as("id"), col("value"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      AsOfJoin.asOf(clicks, purchases)
+        .select(col("id").as("event_id"), col("key").as("user_id"), col("tsec"),
+          col("asof_ts"), col("asof_value"),
+          (col("tsec") - col("asof_ts")).as("gap_sec"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH ev AS (SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id AS id, value, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |tagged AS (SELECT key, tsec, id, value,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side FROM ev),
+        |filled AS (SELECT key, tsec, id, value, side,
+        |  last_value(CASE WHEN side = 0 THEN tsec END IGNORE NULLS) OVER w AS asof_ts,
+        |  last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS asof_value
+        | FROM tagged
+        | WINDOW w AS (PARTITION BY key ORDER BY tsec, side, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT id AS event_id, key AS user_id, tsec, asof_ts, asof_value,
+        | tsec - asof_ts AS gap_sec
+        |FROM filled WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    Q("ts_ewma", (s, dir) => {
+      TimeSeries.ewma(grid(s, dir), 0.3)
+        .orderBy("name", "node", "tsb")
+    }, None),
 
     // ================= C. anomaly & correlation =================
     Q("ad_ksigma", (s, dir) => {

@@ -124,6 +124,26 @@ object TimeSeries {
     grid.withColumn("rel", col("gval") / (abs(max("gval").over(w)) + lit(1e-10)))
   }
 
+  /** Exponentially-weighted moving average per signal (recursive — a
+    * whole-series op, so a typed per-signal loop like e-divisive).
+    */
+  def ewma(grid: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        var acc = Double.NaN
+        pts.map { case (name, node, tsb, v) =>
+          acc = if (acc.isNaN) v else alpha * v + (1 - alpha) * acc
+          (name, node, tsb, math.floor((acc + 1e-9) * 1e4 + 0.5) / 1e4)
+        }
+      }
+      .toDF("name", "node", "tsb", "ewma")
+  }
+
   /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */
   def bucketAgg(signals: DataFrame, bucket: Long = BucketSec): DataFrame =
     signals

@@ -48,6 +48,27 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == Seq("live"))
   }
 
+  test("asOf join attaches the latest right row at or before each left row") {
+    val clicks = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0), (2L, 50L, 12L, 3.0))
+      .toDF("key", "tsec", "id", "value")
+    val purchases = Seq((1L, 90L, 20L, 9.0), (1L, 150L, 21L, 8.0), (3L, 10L, 22L, 7.0))
+      .toDF("key", "tsec", "id", "value")
+    val out = operators.AsOfJoin.asOf(clicks, purchases)
+      .orderBy("id").select("id", "asof_ts", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (10L, Some(90L), Some(9.0)),   // click@100 ← purchase@90
+      (11L, Some(150L), Some(8.0)),  // click@200 ← purchase@150
+      (12L, None, None)))            // no purchase for user 2
+  }
+
+  test("ewma smooths recursively") {
+    val out = TimeSeries.ewma(grid(
+      ("m", "a", 0L, 10.0), ("m", "a", 900L, 20.0), ("m", "a", 1800L, 20.0)), 0.5)
+      .orderBy("tsb").select("ewma").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 15.0, 17.5))
+  }
+
   test("melt goes wide to long") {
     val wide = Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
     val out = TimeSeries.melt(wide, Seq("id"), Seq("x", "y"))
