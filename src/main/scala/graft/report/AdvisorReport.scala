@@ -35,7 +35,10 @@ object AdvisorReport {
     * :177-230). One DataFrame, driver-collect-free until render.
     */
   def advise(events: DataFrame, cfg: Config = Config()): DataFrame = {
-    val grid = buildGrid(events, cfg)
+    // the grid feeds three independent analyses (outliers, change
+    // points, correlation) — persist it so the ffill window pipeline
+    // runs once
+    val grid = buildGrid(events, cfg).persist()
     val anomalies = ChangePoints.anomalyUnion(
       grid.select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
     val anomalousObjBuckets = anomalies
