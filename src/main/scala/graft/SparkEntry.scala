@@ -634,6 +634,30 @@ object SparkEntry {
       graft.report.AdvisorReport.advise(Tables.events(s, dir))
     }, None),
 
+    Q("sketch_approx_distinct", (s, dir) => {
+      // HLL++ sketch path for cardinality at scale (exact distinct of a
+      // high-cardinality key would shuffle every value; the sketch is
+      // mergeable map-side state). rows-only: sketch estimates are
+      // engine-specific by design.
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }, None),
+
+    Q("sketch_approx_quantiles", (s, dir) => {
+      // percentile_approx = the mergeable quantile sketch; exact
+      // percentile kept alongside to expose the error envelope
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          r4(expr("percentile_approx(value, 0.5, 1000)")).as("p50_sketch"),
+          r4(expr("percentile(value, 0.5)")).as("p50_exact"))
+        .orderBy("event_type")
+    }, None),
+
     // ================= D. dedup =================
     Q("dedup_exact", (s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
@@ -659,6 +683,40 @@ object SparkEntry {
         | round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) AS jac
         |FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
         |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.1
+        |ORDER BY doc1, doc2""".stripMargin)),
+
+    Q("dedup_ngram_char", (s, dir) => {
+      // char-trigram Jaccard (robust to tokenization; the word-bigram
+      // variant is dedup_jaccard). Same inverted-index join shape.
+      val d = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          array_distinct(expr(
+            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      val toks = d.select(col("doc_id"), explode(col("g")).as("s"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = toks.as("a")
+        .join(toks.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n", "n2"), "doc2")
+        .withColumn("jac", r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+        .filter(col("jac") >= 0.5)
+        .select("doc1", "doc2", "jac")
+        .orderBy("doc1", "doc2")
+    }, Some(
+      """WITH d AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
+        | FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(g) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        | FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        | round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) AS jac
+        |FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_minhash_lsh", (s, dir) => {
@@ -769,6 +827,23 @@ object SparkEntry {
         |      WHEN fr >= es THEN 'fr'
         |      ELSE 'es' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("text_ngram_freq", (s, dir) => {
+      // corpus-wide word-bigram frequency, top 20 — the n-gram language
+      // model building block
+      val w = split(lower(trim(col("text"))), "\\s+")
+      val grams = Tables.documents(s, dir)
+        .select(w.as("w"))
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
+      grams.groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(20)
+    }, Some(
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g FROM w)
+        |SELECT g, count(*) AS n FROM g GROUP BY g
+        |ORDER BY n DESC, g LIMIT 20""".stripMargin)),
 
     Q("text_fingerprint", (s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")

@@ -84,6 +84,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop replayed event_ids, with state bounded
+    * by the watermark (dropDuplicatesWithinWatermark — state for ids
+    * older than the watermark is evicted, so a 100 TB/day feed keeps a
+    * window of ids, not all of history).
+    */
+  def dedupStream(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val withTs = events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+    if (events.isStreaming)
+      withTs.withWatermark("tstamp", lateness)
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("tstamp")
+    else withTs.dropDuplicates("event_id").drop("tstamp")
+  }
+
   /** Batch-equivalent per-user hourly activity for parity testing. */
   def userActivity(events: DataFrame): DataFrame = {
     val withTs = events

@@ -33,6 +33,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == Seq(("click", 2L, 5.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupStream(streamDF).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData((1L, 3600L * 1000000000L, 1L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    // replay the same id in a later batch, plus one new event
+    mem.addData((1L, 3600L * 1000000000L, 1L, "click", 2.0, "{}"),
+      (2L, 3700L * 1000000000L, 2L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("watermark drops state for closed windows (plan sanity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
