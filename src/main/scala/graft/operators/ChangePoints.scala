@@ -76,14 +76,17 @@ object ChangePoints {
     */
   def anomalyUnion(grid: DataFrame, level: Double = 2.5,
                    bucket: Long = 86400L): DataFrame = {
-    val sn = seasonalNoise(grid)
+    // the grid feeds both the decomposition and the change-point scan —
+    // persist so the resample/ffill pipeline runs once
+    val g = grid.persist()
+    val sn = seasonalNoise(g)
     val stats = sn.groupBy("name", "node")
       .agg(avg("noise").as("mu"), stddev_samp(col("noise")).as("sigma"))
       .filter(col("sigma") > 0)
     val outliers = sn.join(stats, Seq("name", "node"))
       .filter(graft.Num.r4(abs((col("noise") - col("mu")) / col("sigma"))) >= level)
       .select(col("name"), col("node"), col("tsb"), lit("outlier").as("kind"))
-    val cps = eDivisive(grid)
+    val cps = eDivisive(g)
       .select(col("name"), col("node"), col("cp_tsb").as("tsb"),
         lit("changepoint").as("kind"))
     outliers.unionByName(cps)
