@@ -687,23 +687,8 @@ object SparkEntry {
 
     Q("dedup_ngram_char", (s, dir) => {
       // char-trigram Jaccard (robust to tokenization; the word-bigram
-      // variant is dedup_jaccard). Same inverted-index join shape.
-      val d = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"),
-          array_distinct(expr(
-            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("g"))
-      val toks = d.select(col("doc_id"), explode(col("g")).as("s"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = toks.as("a")
-        .join(toks.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n", "n2"), "doc2")
-        .withColumn("jac", r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
-        .filter(col("jac") >= 0.5)
-        .select("doc1", "doc2", "jac")
+      // variant is dedup_jaccard). Prefix-filtered — see Dedup.ngramCharPairs.
+      Dedup.ngramCharPairs(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), 0.5)
         .orderBy("doc1", "doc2")
     }, Some(
       """WITH d AS (SELECT doc_id,

@@ -139,6 +139,54 @@ object Dedup {
       .select("doc1", "doc2", "jac")
   }
 
+  /** Char-trigram Jaccard near-dup pairs with prefix filtering
+    * (AllPairs/PPJoin family). A naive inverted-index self-join on char
+    * trigrams is near-quadratic: frequent trigrams occur in every
+    * document, so one hot token alone yields |corpus|² candidate rows.
+    *
+    * Prefix filter: order every doc's trigram set by ascending global
+    * document frequency (ties by value — one canonical total order).
+    * Jaccard(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so the rarest
+    * |A| − ⌈t·|A|⌉ + 1 tokens of each side must share an element —
+    * only that prefix is indexed. Hot trigrams sit at the end of the
+    * order and never enter the join; candidates are verified with the
+    * exact set intersection. Same exact result, candidate space shrunk
+    * from Σ df² over all tokens to Σ df² over rare-prefix tokens.
+    */
+  def ngramCharPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same gram construction as the oracle: distinct char trigrams
+    val d = spread(docs).select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      .persist() // feeds the prefix index and both sides of the verify join
+    val toks = d.select(col("doc_id"), explode(col("g")).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val ranked = toks.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "s", "n")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: t·|A| ≤ |B| and t·|B| ≤ |A| is necessary for J ≥ t
+          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    cands
+      .join(d.select(col("doc_id").as("doc1"), col("g").as("g1")), "doc1")
+      .join(d.select(col("doc_id").as("doc2"), col("g").as("g2")), "doc2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jac", r4(col("inter").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("inter"))))
+      .filter(col("jac") >= threshold)
+      .select("doc1", "doc2", "jac")
+  }
+
   /** 64-bit SimHash over word hashes; near-dup = hamming distance ≤ k.
     * Pairs are found by exact match on 4 16-bit blocks (pigeonhole: any
     * pair within hamming ≤ 3 of 64 bits shares at least one of 4 blocks)
