@@ -52,27 +52,59 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
-  /** Near-dup pairs by exact Jaccard over word-bigram shingles.
-    * Inverted-index join: explode shingles, pair docs sharing one, count
-    * the intersection, derive the union from per-doc set sizes. All
-    * integer arithmetic → bit-identical across engines.
+  /** Exact token-set Jaccard self-join with AllPairs-style prefix
+    * filtering. `sets` is (doc_id, tok: array<string> of DISTINCT
+    * tokens). A naive inverted-index self-join costs Σ df² over all
+    * tokens — dominated by the hottest tokens, which occur in nearly
+    * every document. Prefix filter: order each doc's tokens by ascending
+    * global document frequency (ties by value — one canonical total
+    * order). Jaccard(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (and ⌈t·|B|⌉), so
+    * the rarest |X| − ⌈t·|X|⌉ + 1 tokens of each side must already share
+    * an element — only that prefix is indexed, and the head of the df
+    * distribution never enters the join. Candidates are then verified
+    * with the exact set intersection, so results are identical to the
+    * naive join.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val toks = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n", "n2"), "doc2")
-      .withColumn("jac",
-        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+  private def prefixJaccard(sets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sets.persist() // feeds the prefix index and both verify sides
+    val toks = s.select(col("doc_id"), explode(col("tok")).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = toks.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "s", "n")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: t·|A| ≤ |B| and t·|B| ≤ |A| is necessary for J ≥ t
+          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    cands
+      .join(s.select(col("doc_id").as("doc1"), col("tok").as("t1")), "doc1")
+      .join(s.select(col("doc_id").as("doc2"), col("tok").as("t2")), "doc2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("n1", size(col("t1")).cast("long"))
+      .withColumn("n2", size(col("t2")).cast("long"))
+      .withColumn("jac", r4(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter"))))
       .filter(col("jac") >= threshold)
       .select("doc1", "doc2", "inter", "n1", "n2", "jac")
   }
+
+  /** Near-dup pairs by exact Jaccard over word-bigram shingles. With a
+    * tiny vocabulary the hottest bigrams appear in every document, so the
+    * inverted index is prefix-filtered (see [[prefixJaccard]]); even at a
+    * low threshold that drops the head of the df distribution, which
+    * carries most of the Σ df² join cost.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    prefixJaccard(withShingles(docs).select(col("doc_id"), col("sh").as("tok")),
+      threshold)
 
   /** MinHash signatures + LSH banding → candidate pairs, verified with
     * exact shingle Jaccard. numHashes=64, bands=16 (r=4) targets
@@ -139,52 +171,17 @@ object Dedup {
       .select("doc1", "doc2", "jac")
   }
 
-  /** Char-trigram Jaccard near-dup pairs with prefix filtering
-    * (AllPairs/PPJoin family). A naive inverted-index self-join on char
-    * trigrams is near-quadratic: frequent trigrams occur in every
-    * document, so one hot token alone yields |corpus|² candidate rows.
-    *
-    * Prefix filter: order every doc's trigram set by ascending global
-    * document frequency (ties by value — one canonical total order).
-    * Jaccard(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so the rarest
-    * |A| − ⌈t·|A|⌉ + 1 tokens of each side must share an element —
-    * only that prefix is indexed. Hot trigrams sit at the end of the
-    * order and never enter the join; candidates are verified with the
-    * exact set intersection. Same exact result, candidate space shrunk
-    * from Σ df² over all tokens to Σ df² over rare-prefix tokens.
+  /** Char-trigram Jaccard near-dup pairs (robust to tokenization).
+    * Prefix-filtered inverted index — see [[prefixJaccard]]: frequent
+    * trigrams occur in every document, so one hot token alone would
+    * yield |corpus|² candidate rows in a naive self-join.
     */
   def ngramCharPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // same gram construction as the oracle: distinct char trigrams
-    val d = spread(docs).select(col("doc_id"),
+    val grams = spread(docs).select(col("doc_id"),
       array_distinct(expr(
-        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("g"))
-      .persist() // feeds the prefix index and both sides of the verify join
-    val toks = d.select(col("doc_id"), explode(col("g")).as("s"))
-    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val ranked = toks.join(dfreq, "s")
-      .withColumn("rk", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "s", "n")
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // length filter: t·|A| ≤ |B| and t·|B| ≤ |A| is necessary for J ≥ t
-          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
-          col("a.n") >= ceil(lit(threshold) * col("b.n")))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    cands
-      .join(d.select(col("doc_id").as("doc1"), col("g").as("g1")), "doc1")
-      .join(d.select(col("doc_id").as("doc2"), col("g").as("g2")), "doc2")
-      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-      .withColumn("jac", r4(col("inter").cast("double") /
-        (size(col("g1")) + size(col("g2")) - col("inter"))))
-      .filter(col("jac") >= threshold)
-      .select("doc1", "doc2", "jac")
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("tok"))
+    prefixJaccard(grams, threshold).select("doc1", "doc2", "jac")
   }
 
   /** 64-bit SimHash over word hashes; near-dup = hamming distance ≤ k.

@@ -24,6 +24,32 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard equals the naive all-pairs join") {
+    // random-ish corpus with heavy token overlap (worst case for the
+    // naive join, the case the prefix filter must not change)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0L until 30L).map { i =>
+      val words = (0 until 12).map(j => vocab(((i * 7 + j * 5 + (i * j) % 11) % 8).toInt))
+      (i, words.mkString(" "))
+    }
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val fast = Dedup.jaccardPairs(docs(corpus: _*), t)
+        .select("doc1", "doc2", "inter", "n1", "n2")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // naive reference: exact Jaccard over every pair, computed locally
+      val sets = corpus.map { case (id, text) =>
+        id -> text.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+      val naive = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if BigDecimal(jac + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= t
+      } yield (a, b, inter.toLong, sets(a).size.toLong, sets(b).size.toLong)).toSet
+      assert(fast == naive, s"threshold $t")
+    }
+  }
+
   test("minhash LSH surfaces the same near-dup pair") {
     val out = Dedup.minhashLsh(docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
