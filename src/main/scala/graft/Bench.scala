@@ -19,6 +19,19 @@ object Bench {
       .foreach(t => Tables.table(spark, sfDir, t).count())
     SparkEntry.queries.get("q01_agg").foreach(fn => fn(spark, sfDir).count())
     SparkEntry.queries.get("ts_resample").foreach(fn => fn(spark, sfDir).count())
+    // the typed pipelines (flatMapGroups + DSP + e-divisive + minhash)
+    // carry several seconds of first-use JIT that would otherwise land
+    // on whichever query alphabetically hits them first — run them once
+    // on the smallest SF so the timed section measures steady state
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
+    }
+    Seq("ad_anomaly_union", "dedup_minhash_lsh", "knn_brute_cosine")
+      .foreach(n => SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      })
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

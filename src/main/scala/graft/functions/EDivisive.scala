@@ -43,48 +43,98 @@ object EDivisive {
     a
   }
 
+  /** Fenwick tree over value ranks carrying (count, sum of values);
+    * answers Σ|x_a − p| over the inserted set in O(log n).
+    */
+  private final class L1Fenwick(n: Int) {
+    private val cnt = new Array[Long](n + 1)
+    private val sum = new Array[Double](n + 1)
+    private var totalCnt = 0L
+    private var totalSum = 0.0
+    def insert(rank: Int, v: Double): Unit = {
+      var i = rank + 1
+      while (i <= n) { cnt(i) += 1; sum(i) += v; i += i & (-i) }
+      totalCnt += 1; totalSum += v
+    }
+    /** Σ|x_a − p| over inserted points, where `rank` is p's rank. */
+    def l1To(rank: Int, p: Double): Double = {
+      var cBelow = 0L; var sBelow = 0.0
+      var i = rank + 1
+      while (i > 0) { cBelow += cnt(i); sBelow += sum(i); i -= i & (-i) }
+      // points at p's own rank have value p: contribute 0 on either side
+      p * cBelow - sBelow + (totalSum - sBelow) - p * (totalCnt - cBelow)
+    }
+  }
+
   /** Max Q over all splits of x[lo, hi) with min segment size; returns
-    * (argmax τ as absolute index, maxQ). Incremental O(n²)/O(1).
+    * (argmax τ as absolute index, maxQ).
+    *
+    * For 1-D series with the |·| metric the pairwise-distance sums that
+    * feed Q are order statistics: Σ_{a<i}|x_a − x_i| is a rank query on
+    * a Fenwick tree of the prefix set. Two O(n log n) passes give the
+    * within-left / within-right sums for every τ (cross follows from
+    * the total), so the whole split scan is O(n log n) instead of the
+    * O(n²) incremental form — this sits inside a 50-permutation test
+    * inside a recursion, so it is the engine's hottest loop.
     */
   private def bestSplit(x: Array[Double], lo: Int, hi: Int, minSize: Int): (Int, Double) = {
     val n = hi - lo
     if (n < 2 * minSize) return (-1, 0.0)
-    // start with τ = lo + minSize: compute the three sums directly
-    var cross = 0.0; var left = 0.0; var right = 0.0
-    var tau = lo + minSize
-    var i = lo
-    while (i < hi) {
-      var j = i + 1
-      while (j < hi) {
-        val d = math.abs(x(i) - x(j))
-        if (j < tau) left += d
-        else if (i >= tau) right += d
-        else cross += d
-        j += 1
+    // rank = lower-bound position in the sorted values; equal values
+    // share a rank (they contribute zero distance either way)
+    val seg = java.util.Arrays.copyOfRange(x, lo, hi)
+    val sortedVals = seg.clone()
+    java.util.Arrays.sort(sortedVals)
+    val rank = new Array[Int](n)
+    var r = 0
+    while (r < n) {
+      var lb = 0; var ub = n
+      val v = seg(r)
+      while (lb < ub) {
+        val mid = (lb + ub) >>> 1
+        if (sortedVals(mid) < v) lb = mid + 1 else ub = mid
       }
+      rank(r) = lb
+      r += 1
+    }
+    // dLeft(i)  = Σ_{a<i} |x_a − x_i|;  dRight(i) = Σ_{b>i} |x_b − x_i|
+    val dLeft = new Array[Double](n)
+    val fwd = new L1Fenwick(n)
+    var i = 0
+    while (i < n) {
+      dLeft(i) = fwd.l1To(rank(i), seg(i))
+      fwd.insert(rank(i), seg(i))
       i += 1
     }
+    val dRight = new Array[Double](n)
+    val bwd = new L1Fenwick(n)
+    i = n - 1
+    while (i >= 0) {
+      dRight(i) = bwd.l1To(rank(i), seg(i))
+      bwd.insert(rank(i), seg(i))
+      i -= 1
+    }
+    // suffix sums of dRight: within-pairs of [τ, hi)
+    val rightAt = new Array[Double](n + 1)
+    i = n - 1
+    while (i >= 0) { rightAt(i) = rightAt(i + 1) + dRight(i); i -= 1 }
+    val total = rightAt(0) // all pairs within [lo, hi)
+    var left = 0.0 // within-pairs of [lo, τ), accumulated as τ advances
+    var j = 1
+    while (j < minSize) { left += dLeft(j); j += 1 }
     var bestTau = -1; var bestQ = Double.NegativeInfinity
+    var tau = lo + minSize
     while (tau <= hi - minSize) {
-      val m = (tau - lo).toDouble; val k = (hi - tau).toDouble
+      val t = tau - lo
+      val right = rightAt(t)
+      val cross = total - left - right
+      val m = t.toDouble; val k = (n - t).toDouble
       val t1 = cross * (2.0 / (m * k))
       val t2 = if (m > 1) left * (2.0 / (m * (m - 1))) else 0.0
       val t3 = if (k > 1) right * (2.0 / (k * (k - 1))) else 0.0
       val q = (m * k / (m + k)) * (t1 - t2 - t3)
       if (q > bestQ) { bestQ = q; bestTau = tau }
-      if (tau < hi - minSize) {
-        // advance τ: point p = x(tau) moves from right side to left side
-        val p = x(tau)
-        var sLeft = 0.0
-        var a = lo
-        while (a < tau) { sLeft += math.abs(x(a) - p); a += 1 }
-        var sRight = 0.0
-        var b = tau + 1
-        while (b < hi) { sRight += math.abs(x(b) - p); b += 1 }
-        cross += sRight - sLeft
-        left += sLeft
-        right -= sRight
-      }
+      left += dLeft(t)
       tau += 1
     }
     (bestTau, bestQ)
@@ -96,9 +146,14 @@ object EDivisive {
                           seed: Long): Boolean = {
     if (permutations <= 0) return true
     val seg = java.util.Arrays.copyOfRange(x, lo, hi)
+    // the test fails as soon as exceed+1 > pvalue·(permutations+1); most
+    // segments in the recursion are NOT significant, so they bail after
+    // a couple of permutations instead of running all of them — same
+    // verdict, remaining permutations can only add to exceed
+    val failAt = math.floor(pvalue * (permutations + 1)).toInt
     var exceed = 0
     var p = 0
-    while (p < permutations) {
+    while (p < permutations && exceed < failAt) {
       val perm = shuffled(seg, seed + p)
       val (_, q) = bestSplit(perm, 0, perm.length, minSize)
       if (q >= q0) exceed += 1

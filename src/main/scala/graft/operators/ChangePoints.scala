@@ -37,9 +37,26 @@ object ChangePoints {
       .toDF("name", "node", "cp_tsb", "qhat")
   }
 
-  /** Full reference decomposition (get_noise, metrics_advisor.py:51-62):
-    * trend = centered rolling median (w=5); detrended = x − trend;
+  /** trend = centered rolling median (w); detrended = x − trend;
     * seasonal = ideal lowpass of detrended; noise = detrended − seasonal.
+    * Raw (unrounded) components for one in-memory series.
+    */
+  private def decomposed(x: Array[Double], stepSec: Double, fMin: Double,
+                         w: Int): (Array[Double], Array[Double], Array[Double]) = {
+    val n = x.length
+    val h = w / 2
+    val trend = Array.tabulate(n) { i =>
+      val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
+      val win = java.util.Arrays.copyOfRange(x, lo, hi + 1).sorted
+      val m = win.length
+      if (m % 2 == 1) win(m / 2) else (win(m / 2 - 1) + win(m / 2)) / 2.0
+    }
+    val detr = Array.tabulate(n)(i => x(i) - trend(i))
+    val seas = Dsp.lowpass(detr, stepSec, fMin)
+    (trend, seas, detr)
+  }
+
+  /** Full reference decomposition (get_noise, metrics_advisor.py:51-62).
     * Output one row per grid cell with all four components.
     */
   def seasonalNoise(grid: DataFrame, stepSec: Double = 3600.0,
@@ -53,16 +70,7 @@ object ChangePoints {
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val x = pts.map(_._4)
-        val n = x.length
-        val h = w / 2
-        val trend = Array.tabulate(n) { i =>
-          val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
-          val win = java.util.Arrays.copyOfRange(x, lo, hi + 1).sorted
-          val m = win.length
-          if (m % 2 == 1) win(m / 2) else (win(m / 2 - 1) + win(m / 2)) / 2.0
-        }
-        val detr = Array.tabulate(n)(i => x(i) - trend(i))
-        val seas = Dsp.lowpass(detr, stepSec, fMin)
+        val (trend, seas, detr) = decomposed(x, stepSec, fMin, w)
         pts.indices.map { i =>
           (name, node, pts(i)._3, x(i), r4d(trend(i)), r4d(seas(i)),
             r4d(detr(i) - seas(i)))
@@ -73,23 +81,51 @@ object ChangePoints {
 
   /** Reference anomaly set (metrics_advisor.py:152): change points ∪
     * k-sigma outliers on the residual noise, tagged and bucketed.
+    *
+    * Fused single pass: the per-signal series is already materialized
+    * for the decomposition, so the k-sigma scan and the e-divisive
+    * permutation test run on it in the same task — one shuffle keyed by
+    * signal, versus decompose + stats-aggregate + join + a second
+    * decomposition for the change-point branch in the operator-composed
+    * form. At scale this halves the heavy per-series CPU and removes
+    * two exchanges.
     */
   def anomalyUnion(grid: DataFrame, level: Double = 2.5,
-                   bucket: Long = 86400L): DataFrame = {
-    // the grid feeds both the decomposition and the change-point scan —
-    // persist so the resample/ffill pipeline runs once
-    val g = grid.persist()
-    val sn = seasonalNoise(g)
-    val stats = sn.groupBy("name", "node")
-      .agg(avg("noise").as("mu"), stddev_samp(col("noise")).as("sigma"))
-      .filter(col("sigma") > 0)
-    val outliers = sn.join(stats, Seq("name", "node"))
-      .filter(graft.Num.r4(abs((col("noise") - col("mu")) / col("sigma"))) >= level)
-      .select(col("name"), col("node"), col("tsb"), lit("outlier").as("kind"))
-    val cps = eDivisive(g)
-      .select(col("name"), col("node"), col("cp_tsb").as("tsb"),
-        lit("changepoint").as("kind"))
-    outliers.unionByName(cps)
+                   bucket: Long = 86400L, stepSec: Double = 3600.0,
+                   fMin: Double = 1.0 / 86400.0, w: Int = 5,
+                   pvalue: Double = 0.05, permutations: Int = 50,
+                   minSize: Int = 5): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (name, node) = key
+        val pts = it.toArray.sortBy(_._3)
+        val x = pts.map(_._4)
+        val n = x.length
+        val (_, seas, detr) = decomposed(x, stepSec, fMin, w)
+        val noise = Array.tabulate(n)(i => r4d(detr(i) - seas(i)))
+        val out = Seq.newBuilder[(String, String, Long, String)]
+        val mu = noise.sum / n
+        val sigma =
+          if (n > 1) math.sqrt(noise.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+          else 0.0
+        if (sigma > 0) {
+          var i = 0
+          while (i < n) {
+            if (r4d(math.abs((noise(i) - mu) / sigma)) >= level)
+              out += ((name, node, pts(i)._3, "outlier"))
+            i += 1
+          }
+        }
+        EDivisive.changePoints(x, pvalue, permutations, minSize,
+            seed = name.hashCode.toLong * 1000003L + node.hashCode)
+          .foreach(cp => out += ((name, node, pts(cp.index)._3, "changepoint")))
+        out.result()
+      }
+      .toDF("name", "node", "tsb", "kind")
       .withColumn("b", expr(s"tsb div $bucket") * bucket)
   }
 }
