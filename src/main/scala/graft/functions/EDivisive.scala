@@ -11,10 +11,10 @@ package graft.functions
   * scaled energy statistic Q(τ); accept it if a seeded permutation test
   * deems it significant; recurse into both halves.
   *
-  * O(n²) time per segment with O(1) extra memory (incremental cross /
-  * within-sums as τ advances) — no n×n distance matrix, so a 10k-point
-  * series costs ~100M float ops and a few KB, fine for one executor task.
-  * Scale-out happens across signals (one series per task), not within.
+  * O(n log n) per split scan (Fenwick-tree rank queries over the 1-D L1
+  * distances — see bestSplit) with O(n) extra memory; no n×n distance
+  * matrix. Scale-out happens across signals (one series per task), not
+  * within — per-series cost is bounded by retention.
   */
 object EDivisive {
 
@@ -77,7 +77,7 @@ object EDivisive {
     * O(n²) incremental form — this sits inside a 50-permutation test
     * inside a recursion, so it is the engine's hottest loop.
     */
-  private def bestSplit(x: Array[Double], lo: Int, hi: Int, minSize: Int): (Int, Double) = {
+  private[graft] def bestSplit(x: Array[Double], lo: Int, hi: Int, minSize: Int): (Int, Double) = {
     val n = hi - lo
     if (n < 2 * minSize) return (-1, 0.0)
     // rank = lower-bound position in the sorted values; equal values

@@ -44,6 +44,45 @@ class AnalysisSpec extends SparkTestBase {
     assert(maxDev < 0.8, s"maxDev=$maxDev")
   }
 
+  test("fenwick bestSplit matches the quadratic reference on random series") {
+    // brute-force reference: direct triple-loop energy statistic
+    def naive(x: Array[Double], lo: Int, hi: Int, minSize: Int): (Int, Double) = {
+      val n = hi - lo
+      if (n < 2 * minSize) return (-1, 0.0)
+      var bestTau = -1; var bestQ = Double.NegativeInfinity
+      for (tau <- (lo + minSize) to (hi - minSize)) {
+        var cross = 0.0; var left = 0.0; var right = 0.0
+        for (i <- lo until hi; j <- (i + 1) until hi) {
+          val d = math.abs(x(i) - x(j))
+          if (j < tau) left += d
+          else if (i >= tau) right += d
+          else cross += d
+        }
+        val m = (tau - lo).toDouble; val k = (hi - tau).toDouble
+        val t1 = cross * (2.0 / (m * k))
+        val t2 = if (m > 1) left * (2.0 / (m * (m - 1))) else 0.0
+        val t3 = if (k > 1) right * (2.0 / (k * (k - 1))) else 0.0
+        val q = (m * k / (m + k)) * (t1 - t2 - t3)
+        if (q > bestQ) { bestQ = q; bestTau = tau }
+      }
+      (bestTau, bestQ)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val n = 12 + rnd.nextInt(60)
+      // mix of noise, level shifts, and ties to exercise the rank logic
+      val x = Array.tabulate(n) { i =>
+        val base = if (i < n / 2) 0.0 else (trial % 3).toDouble
+        math.rint((base + rnd.nextGaussian()) * 4) / 4
+      }
+      val (tExp, qExp) = naive(x, 0, n, 5)
+      val (tGot, qGot) = EDivisive.bestSplit(x, 0, n, 5)
+      assert(tGot == tExp, s"trial $trial tau: ${x.mkString(",")}")
+      assert(math.abs(qGot - qExp) <= 1e-9 * math.max(1.0, math.abs(qExp)),
+        s"trial $trial q")
+    }
+  }
+
   test("eDivisive operator emits change point per signal") {
     val rows = (0 until 30).map(i => ("m", "a", i * 3600L, 1.0)) ++
       (30 until 60).map(i => ("m", "a", i * 3600L, 50.0))
