@@ -76,6 +76,7 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("doc_id", "s", "n")
+      .persist() // both sides of the self-join — avoid building it twice
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
