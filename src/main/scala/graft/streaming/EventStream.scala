@@ -99,6 +99,65 @@ object EventStream {
     else withTs.dropDuplicates("event_id").drop("tstamp")
   }
 
+  final case class SignalAnomaly(name: String, node: String, tsec: Long,
+                                 value: Double, z: Double)
+
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** Streaming k-sigma anomaly detection — the streaming form of the
+    * reference's noise_outlier core: per-signal running mean/variance
+    * (Welford) held as three numbers of state per signal, scored on
+    * arrival. A point is emitted when |z| against the statistics of all
+    * PRIOR points reaches `level` (after a `minSamples` warmup); the
+    * point then folds into the state either way.
+    *
+    * State is O(signals), not O(points) — the property that keeps an
+    * unbounded feed bounded. Event-time timeout retires signals that go
+    * silent past the watermark, so decommissioned nodes don't leak
+    * state.
+    *
+    * Input: long signals (name, node, tsec, value), batch or stream.
+    */
+  def anomalyStream(signals: DataFrame, level: Double = 3.0,
+                    minSamples: Int = 8, lateness: String = "10 seconds",
+                    idleTimeoutSec: Long = 86400L): Dataset[SignalAnomaly] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val withTs = signals
+      .withColumn("tstamp", timestamp_seconds(col("tsec")))
+    val wm = if (signals.isStreaming) withTs.withWatermark("tstamp", lateness) else withTs
+    wm.select(col("name"), col("node"), col("tsec"), col("value"), col("tstamp"))
+      .as[(String, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[WelfordState, SignalAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[WelfordState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (name, node) = key
+            val pts = rows.toArray.sortBy(_._3)
+            var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+            val out = Seq.newBuilder[SignalAnomaly]
+            pts.foreach { case (_, _, tsec, v, _) =>
+              if (s.n >= minSamples && s.m2 > 0) {
+                val sigma = math.sqrt(s.m2 / (s.n - 1))
+                val z = (v - s.mean) / sigma
+                if (math.abs(z) >= level) out += SignalAnomaly(name, node, tsec, v, z)
+              }
+              val n1 = s.n + 1
+              val d = v - s.mean
+              val mean1 = s.mean + d / n1
+              s = WelfordState(n1, mean1, s.m2 + d * (v - mean1))
+            }
+            state.update(s)
+            if (pts.nonEmpty)
+              state.setTimeoutTimestamp((pts.last._3 + idleTimeoutSec) * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Batch-equivalent per-user hourly activity for parity testing. */
   def userActivity(events: DataFrame): DataFrame = {
     val withTs = events

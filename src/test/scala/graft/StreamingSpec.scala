@@ -51,6 +51,26 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("anomalyStream flags a spike against running per-signal stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val streamDF = mem.toDF().toDF("name", "node", "tsec", "value")
+    val q = EventStream.anomalyStream(streamDF, level = 3.0, minSamples = 8)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    // warmup: gentle oscillation around 10 on one signal; a second quiet
+    // signal proves state is keyed
+    val base = (0 until 20).map(i => ("cpu", "n0", i * 60L, 10.0 + (i % 3) * 0.1)) ++
+      (0 until 20).map(i => ("mem", "n0", i * 60L, 5.0))
+    mem.addData(base: _*)
+    q.processAllAvailable()
+    mem.addData(("cpu", "n0", 1300L, 99.0), ("mem", "n0", 1300L, 5.0))
+    q.processAllAvailable()
+    val flagged = spark.sql("SELECT name, tsec, value FROM anom")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(flagged == Seq(("cpu", 1300L, 99.0)))
+  }
+
   test("watermark drops state for closed windows (plan sanity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
