@@ -288,6 +288,48 @@ object SparkEntry {
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("q13_cube", (s, dir) => {
+      // CUBE: all 2^d aggregation granularities in one pass (partial
+      // aggregation expands grouping sets map-side — one shuffle)
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).as("gs"),
+          count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("price_sum"))
+        .select(col("gs"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("price_sum"))
+        .orderBy("gs", "status", "prio")
+    }, Some(
+      """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gs,
+        | coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+        | count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gs, status, prio""".stripMargin)),
+
+    Q("q14_range_window", (s, dir) => {
+      // RANGE-frame window: trailing 5-minute stats per event type — a
+      // value-range frame (time interval), not a row-count frame like
+      // B4/B5. count + max are order-free, so exact cross-engine.
+      val w = Window.partitionBy("event_type").orderBy("tsec")
+        .rangeBetween(-300L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("tsec"), col("value"))
+        .select(col("event_id"), col("event_type"), col("tsec"),
+          count(lit(1)).over(w).as("n_5m"), max(col("value")).over(w).as("peak_5m"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH ev AS (SELECT event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)
+        |SELECT event_id, event_type, tsec,
+        | count(*) OVER w AS n_5m, max(value) OVER w AS peak_5m
+        |FROM ev
+        |WINDOW w AS (PARTITION BY event_type ORDER BY tsec
+        |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
     // ================= B. time-series core =================
     Q("ts_melt", (s, dir) => {
       TimeSeries.melt(Tables.lineitem(s, dir),
