@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.VectorExpressions.DotProduct
+
+/** Session-extension installer for the engine's native expressions —
+  * the `SparkSessionExtensions` integration point, so pure-SQL users
+  * (spark-sql shell, JDBC, `spark.sql(...)`) get the same codegen
+  * kernels as the Column API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or programmatically via `.withExtensions(new GraftExtensions)`.
+  *
+  * Registered functions:
+  *  - `vec_dot(a, b)`  — native whole-stage-codegen dot product over
+  *    ARRAY<DOUBLE> (see VectorExpressions.DotProduct); the inner loop
+  *    of every ANN / cosine query in this engine.
+  *  - `vec_norm(a)`    — L2 norm, rewritten to `sqrt(vec_dot(a, a))`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.vecNormDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("vec_dot"),
+    info("vec_dot", "vec_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors."),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_dot expects exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    })
+
+  val vecNormDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("vec_norm"),
+    info("vec_norm", "vec_norm(a) - L2 norm of an ARRAY<DOUBLE> vector."),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "vec_norm expects exactly 1 argument")
+      org.apache.spark.sql.catalyst.expressions.Sqrt(
+        DotProduct(children.head, children.head))
+    })
+}

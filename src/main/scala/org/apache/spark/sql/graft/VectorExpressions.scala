@@ -33,6 +33,9 @@ object VectorExpressions {
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    // null on length mismatch even when both inputs are non-null — the
+    // default child-derived nullability would drop that null
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

@@ -1,0 +1,24 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("registered vec_dot / vec_norm work from pure SQL") {
+    val reg = spark.sessionState.functionRegistry
+    Seq(GraftExtensions.vecDotDescriptor, GraftExtensions.vecNormDescriptor)
+      .foreach { case (id, inf, builder) => reg.registerFunction(id, inf, builder) }
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_norm(array(3.0d, 4.0d)) AS n""".stripMargin).head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 5.0)
+    // length mismatch → null, not an error
+    assert(spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d))").head().isNullAt(0))
+  }
+
+  test("the extension installer wires both functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders validated above
+  }
+}
