@@ -513,7 +513,17 @@ object SparkEntry {
     Q("ts_ewma", (s, dir) => {
       TimeSeries.ewma(grid(s, dir), 0.3)
         .orderBy("name", "node", "tsb")
-    }, None),
+    }, Some(
+      // the recursion y_i = a·x_i + (1−a)·y_{i−1} as a left fold over the
+      // full-history window list — same operation order and the same
+      // (1 - 0.3) double as the Scala loop, so bit-identical before
+      // rounding. O(n²) per signal is oracle-only cost.
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round(list_reduce(list(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  (acc, x) -> 0.3 * x + (1 - 0.3) * acc) + 1e-9, 4) AS ewma
+         |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     // ================= C. anomaly & correlation =================
     Q("ad_ksigma", (s, dir) => {
@@ -874,7 +884,16 @@ object SparkEntry {
 
     Q("text_fingerprint", (s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
-    }, None),
+    }, Some(
+      // the rolling hash is mod-prime at every step, so the fold never
+      // leaves BIGINT range — expressible as the same left fold (0
+      // prepended as the seed, matching aggregate's lit(0L) init)
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (h, a) -> (h * 31 + a) % 1000000007) AS fp,
+        | length(text) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ================= G. multimodal & streaming =================
     Q("mm_binary_meta", (s, dir) => {
