@@ -756,6 +756,36 @@ object SparkEntry {
         |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin)),
 
+    Q("dedup_cluster", (s, dir) => {
+      // keyed sample like the other exact-Jaccard queries: the template
+      // corpus shares half its content across docs, so the exact pair
+      // graph at scale goes through minhash-LSH; this checks the exact
+      // clustering semantics
+      Dedup.clusters(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.5)
+        .orderBy("doc_id")
+    }, Some(
+      // closure of the near-dup graph: DuckDB reaches the same fixpoint
+      // recursively that the Spark side reaches iteratively
+      """WITH RECURSIVE
+        |docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs5),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM docs5
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id)
+        |SELECT doc_id, min(lab) AS canonical_id,
+        | CAST(doc_id != min(lab) AS INT) AS is_dup
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
     }, None),

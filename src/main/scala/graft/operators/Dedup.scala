@@ -172,6 +172,63 @@ object Dedup {
       .select("doc1", "doc2", "jac")
   }
 
+  /** Connected components of the near-dup graph: every document labeled
+    * with the minimum doc_id of its cluster (the canonical survivor a
+    * dedup pipeline keeps). Edges = word-shingle Jaccard ≥ threshold
+    * (prefix-filtered, see [[prefixJaccard]]).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own and its neighbors' labels — one join + one
+    * aggregate per round, converging in O(component diameter) rounds.
+    * Near-dup clusters are overwhelmingly tiny (pairs/triples), so this
+    * settles in 2–4 rounds; the loop stops as soon as a round changes
+    * nothing and is capped defensively. At 100 TB the edge list is the
+    * prefix-filtered candidate output — orders of magnitude smaller
+    * than the corpus — and each round is a single keyed shuffle.
+    */
+  def clusters(docs: DataFrame, threshold: Double = 0.5,
+               maxRounds: Int = 50): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold).select("doc1", "doc2")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist()
+    // only vertices with an edge can ever change label — iterate over
+    // the near-dup subgraph (a sliver of the corpus) and union the
+    // isolated documents back as their own canonical at the end. The
+    // seed already folds in each vertex's neighbor minimum (one round
+    // for free); each round then propagates labels one hop (join +
+    // keyed min) and carries the previous label so convergence is read
+    // off the same frame — two shuffles and one action per round.
+    var cached = edges.groupBy(col("doc1").as("doc_id"))
+      .agg(min("doc2").as("nbr0"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
+      .persist()
+    var labels = cached
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
+        .groupBy(col("doc2").as("doc_id"))
+        .agg(min("nlab").as("nbr_min"))
+      val next = labels.join(prop, "doc_id")
+        .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
+          col("lab").as("old"))
+        .persist()
+      changed = next.filter(col("lab") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "lab")
+      round += 1
+    }
+    val isolated = docs.select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    edges.unpersist()
+    labels.unionByName(isolated)
+      .select(col("doc_id"), col("lab").as("canonical_id"),
+        (col("doc_id") =!= col("lab")).cast("int").as("is_dup"))
+  }
+
   /** Char-trigram Jaccard near-dup pairs (robust to tokenization).
     * Prefix-filtered inverted index — see [[prefixJaccard]]: frequent
     * trigrams occur in every document, so one hot token alone would

@@ -50,6 +50,18 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("clusters propagates the canonical id across a similarity chain") {
+    // 1~2 and 2~3 but 1≁3: transitivity must still pull 3 into cluster 1
+    val out = Dedup.clusters(docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),
+      (3L, "c d e f x y z w"),
+      (9L, "q r s t u v n m")), 0.4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (9L, 9L, 0)))
+  }
+
   test("minhash LSH surfaces the same near-dup pair") {
     val out = Dedup.minhashLsh(docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
