@@ -1,0 +1,53 @@
+package graft
+
+import graft.report.AdvisorReport
+import graft.sources.{MetricsCsv, MetricsTar}
+import org.apache.spark.sql.SparkSession
+
+/** The CLI the reference exposes (`python metrics_advisor.py <bundle>`,
+  * metrics_advisor.py main): metrics bundle in → markdown advisor
+  * report out.
+  *
+  * Usage:
+  *   graft.Main <bundle.tar.gz | csv-dir> [out.md] [obj1,obj2,...]
+  *
+  * The bundle is read with MetricsTar (.tar.gz/.tgz) or MetricsCsv
+  * (directory of reshaped CSVs); the advisor pipeline runs distributed
+  * and only the final ranked rows are collected for rendering.
+  */
+object Main {
+
+  def run(spark: SparkSession, input: String, objNames: Seq[String]): String = {
+    val signals =
+      if (input.endsWith(".tar.gz") || input.endsWith(".tgz"))
+        MetricsTar.read(spark, input)
+      else MetricsCsv.read(spark, input)
+    val cfg = AdvisorReport.Config(objNames = objNames)
+    AdvisorReport.renderMarkdown(AdvisorReport.adviseSignals(signals, cfg))
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Main <bundle.tar.gz | csv-dir> [out.md] [obj1,obj2,...]")
+      sys.exit(2)
+    }
+    val input = args(0)
+    val outPath = if (args.length > 1) args(1) else "report.md"
+    val objNames =
+      if (args.length > 2) args(2).split(",").toSeq
+      else AdvisorReport.Config().objNames
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prepare(spark)
+    val report = run(spark, input, objNames)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), report)
+    println(s"wrote $outPath")
+    spark.stop()
+  }
+}

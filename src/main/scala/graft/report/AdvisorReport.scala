@@ -20,25 +20,35 @@ object AdvisorReport {
       nodeMod: Int = 4,
       topK: Int = 5)
 
-  /** Dense forward-filled grid from the events table. */
-  def buildGrid(events: DataFrame, cfg: Config = Config()): DataFrame = {
-    val g = TimeSeries.resample(
-      TimeSeries.signalsFromEvents(events, cfg.nodeMod), cfg.stepSec)
+  /** Dense forward-filled grid from long signals (name, node, tsec,
+    * value) — the shape every source module emits.
+    */
+  def buildGridFromSignals(signals: DataFrame, cfg: Config = Config()): DataFrame = {
+    val g = TimeSeries.resample(signals, cfg.stepSec)
     TimeSeries.indexed(
       TimeSeries.fillForward(g, cfg.stepSec)
         .select(col("name"), col("node"), col("tsb"), col("filled").as("gval")),
       cfg.stepSec, cfg.bucketSec)
   }
 
+  /** Dense forward-filled grid from the events table. */
+  def buildGrid(events: DataFrame, cfg: Config = Config()): DataFrame =
+    buildGridFromSignals(
+      TimeSeries.signalsFromEvents(events, cfg.nodeMod), cfg)
+
   /** The advisor answer: for each bucket where an objective signal is
     * anomalous, the top-k correlated candidate signals (reference
     * :177-230). One DataFrame, driver-collect-free until render.
     */
-  def advise(events: DataFrame, cfg: Config = Config()): DataFrame = {
+  def advise(events: DataFrame, cfg: Config = Config()): DataFrame =
+    adviseSignals(TimeSeries.signalsFromEvents(events, cfg.nodeMod), cfg)
+
+  /** advise over long signals — what the CSV/tar bundle sources emit. */
+  def adviseSignals(signals: DataFrame, cfg: Config = Config()): DataFrame = {
     // the grid feeds three independent analyses (outliers, change
     // points, correlation) — persist it so the ffill window pipeline
     // runs once
-    val grid = buildGrid(events, cfg).persist()
+    val grid = buildGridFromSignals(signals, cfg).persist()
     val anomalies = ChangePoints.anomalyUnion(
       grid.select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
     val anomalousObjBuckets = anomalies

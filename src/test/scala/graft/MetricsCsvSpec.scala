@@ -24,4 +24,24 @@ class MetricsCsvSpec extends SparkTestBase {
       .select("value").as[Double].head()
     assert(one == 0.0)
   }
+
+  test("Main.run produces a markdown report from a CSV bundle dir") {
+    val dir = Files.createTempDirectory("metrics_cli").toFile
+    // an objective signal with a step change plus two candidates; hourly
+    // points across 4 days so the advisor grid has substance
+    val hours = 0 until 96
+    def series(f: Int => Double) = hours.map(i => f(i))
+    val ts = hours.map(i => 1640563200L + i * 3600L)
+    val obj = series(i => if (i < 48) 10.0 + (i % 5) else 80.0 + (i % 7))
+    val cand = series(i => if (i < 48) 5.0 + (i % 3) else 40.0 + (i % 4))
+    val flat = series(_ => 7.0)
+    for ((nm, vals) <- Seq("qps" -> obj, "cpu" -> cand, "disk" -> flat)) {
+      val rows = ts.zip(vals).map { case (t, v) => s"$t,$v" }
+      Files.writeString(new java.io.File(dir, s"$nm.csv").toPath,
+        ("timestamp,n0" +: rows).mkString("\n"))
+    }
+    val report = Main.run(spark, dir.getAbsolutePath, objNames = Seq("qps"))
+    assert(report.startsWith("# Metrics advisor report"))
+    assert(report.contains("| bucket |"))
+  }
 }
