@@ -368,6 +368,35 @@ object SparkEntry {
          | CAST(gval IS NULL AS INT) AS was_missing
          |FROM j ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_interp_linear", (s, dir) => {
+      TimeSeries.interpLinear(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("interp")).as("val_li"), col("was_missing"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |spans AS (SELECT name, node, min(tsb) AS t0, max(tsb) AS t1 FROM grid GROUP BY 1, 2),
+         |dense AS (SELECT name, node, unnest(range(t0, t1 + 1, 900)) AS tsb FROM spans),
+         |j AS (SELECT d.name, d.node, d.tsb, g.gval
+         |  FROM dense d LEFT JOIN grid g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb),
+         |w AS (SELECT name, node, tsb, gval,
+         |  last_value(gval IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN gval IS NOT NULL THEN tsb END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(gval IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN gval IS NOT NULL THEN tsb END IGNORE NULLS) OVER wn AS nt
+         | FROM j
+         | WINDOW wp AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT name, node, tsb,
+         | round((CASE WHEN gval IS NOT NULL THEN gval
+         |   WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |    THEN pv + (nv - pv) * (CAST(tsb - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |   ELSE coalesce(pv, nv) END) + 1e-9, 4) AS val_li,
+         | CAST(gval IS NULL AS INT) AS was_missing
+         |FROM w ORDER BY name, node, tsb""".stripMargin)),
+
     Q("ts_moving_avg", (s, dir) => {
       TimeSeries.movingAvg(grid(s, dir), 5)
         .select(col("name"), col("node"), col("tsb"), r4(col("ma")).as("ma"))

@@ -73,6 +73,33 @@ object TimeSeries {
           .over(signalWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Densify the grid and linearly interpolate interior gaps between
+    * the surrounding observed points; leading/trailing gaps fall back
+    * to the nearest observed value. Same one-shuffle window shape as
+    * fillForward — prev/next observed value and time come from
+    * ignore-nulls frames over the signal key.
+    */
+  def interpLinear(grid: DataFrame, step: Long = StepSec): DataFrame = {
+    val spans = grid.groupBy("name", "node")
+      .agg(min("tsb").as("t0"), max("tsb").as("t1"))
+    val dense = spans.select(col("name"), col("node"),
+      explode(expr(s"sequence(t0, t1, $step)")).as("tsb"))
+    val j = dense.join(grid, Seq("name", "node", "tsb"), "left")
+    val wPrev = signalWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = signalWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("gval"), ignoreNulls = true).over(wPrev)
+    val pt = last(when(col("gval").isNotNull, col("tsb")), ignoreNulls = true).over(wPrev)
+    val nv = first(col("gval"), ignoreNulls = true).over(wNext)
+    val nt = first(when(col("gval").isNotNull, col("tsb")), ignoreNulls = true).over(wNext)
+    j.withColumn("interp",
+        when(col("gval").isNotNull, col("gval"))
+          .when(pv.isNotNull && nv.isNotNull,
+            pv + (nv - pv) *
+              ((col("tsb") - pt).cast("double") / (nt - pt).cast("double")))
+          .otherwise(coalesce(pv, nv)))
+      .withColumn("was_missing", col("gval").isNull.cast("int"))
+  }
+
   /** Centered rolling mean, window w (odd), edge-shrunk. */
   def movingAvg(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "ma"): DataFrame = {
     val h = w / 2

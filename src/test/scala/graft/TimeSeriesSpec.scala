@@ -48,6 +48,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == Seq("live"))
   }
 
+  test("interpLinear fills interior gaps proportionally, edges with nearest") {
+    // observed at 0 (v=10) and 300 (v=40); grid step 100 → two interior
+    // gaps; plus a leading-edge case on a second signal
+    val out = TimeSeries.interpLinear(grid(
+      ("m", "a", 0L, 10.0), ("m", "a", 300L, 40.0),
+      ("m", "b", 100L, 5.0), ("m", "b", 300L, 7.0)), 100L)
+      .orderBy("name", "node", "tsb")
+      .select("node", "tsb", "interp", "was_missing")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 10.0, 0), ("a", 100L, 20.0, 1), ("a", 200L, 30.0, 1), ("a", 300L, 40.0, 0),
+      ("b", 100L, 5.0, 0), ("b", 200L, 6.0, 1), ("b", 300L, 7.0, 0)))
+  }
+
   test("asOf join attaches the latest right row at or before each left row") {
     val clicks = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0), (2L, 50L, 12L, 3.0))
       .toDF("key", "tsec", "id", "value")
