@@ -694,6 +694,25 @@ object SparkEntry {
          |HAVING count(*) >= 8 AND corr(x.gval, y.gval) IS NOT NULL AND NOT isnan(corr(x.gval, y.gval))
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
+    Q("corr_spearman", (s, dir) => {
+      Correlate.spearmanMatrix(corrGrid(s, dir))
+        .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
+          col("b"), col("r"), col("n"))
+        .orderBy("a_name", "a_node", "b_name", "b_node", "b")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |rk AS (SELECT name, node, b, i,
+         |  rank() OVER (PARTITION BY name, node, b ORDER BY gval)
+         |   + (count(*) OVER (PARTITION BY name, node, b, gval) - 1) / 2.0 AS ar
+         | FROM g2)
+         |SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         | x.b AS b, round(corr(x.ar, y.ar) + 1e-9, 4) AS r, count(*) AS n
+         |FROM rk x JOIN rk y ON y.i = x.i AND y.b = x.b
+         | AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         |GROUP BY 1, 2, 3, 4, 5
+         |HAVING count(*) >= 8 AND corr(x.ar, y.ar) IS NOT NULL AND NOT isnan(corr(x.ar, y.ar))
+         |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
     Q("ad_edivisive", (s, dir) => {
       ChangePoints.eDivisive(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .orderBy("name", "node", "cp_tsb")

@@ -62,6 +62,22 @@ object Correlate {
   /** Full pairwise correlation matrix per bucket (zero lag), upper
     * triangle only. Self-join on (bucket, index) → one shuffle.
     */
+  /** Spearman rank-correlation matrix: Pearson over average ranks
+    * within each (signal, bucket) — the robust companion to
+    * [[corrMatrix]] (monotone association, insensitive to outliers the
+    * advisor itself flags). Average ranks for ties keep the statistic
+    * well-defined on plateaued metrics. Same join shape and shuffle
+    * profile as corrMatrix; ranking adds one window over the grid.
+    */
+  def spearmanMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy("name", "node", "b").orderBy("gval")
+    val ties = Window.partitionBy("name", "node", "b", "gval")
+    val ranked = indexedGrid.withColumn("ar",
+      rank().over(byVal) + (count(lit(1)).over(ties) - 1) / 2.0)
+    corrMatrix(ranked.drop("gval").withColumnRenamed("ar", "gval"), minOverlap)
+  }
+
   def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
     val a = indexedGrid.select(col("name").as("a_name"), col("node").as("a_node"),
       col("b"), col("i"), col("gval").as("av"))
