@@ -902,6 +902,14 @@ object SparkEntry {
         |   len(string_split_regex(lower(trim(text)), '\s+')) + 1e-9, 4) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_tokens_bpe", (s, dir) => {
+      TextAnalysis.bpeTokenCount(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        | CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_quality", (s, dir) => {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
     }, Some(
@@ -980,6 +988,12 @@ object SparkEntry {
 
     Q("mm_format_stats", (s, dir) => {
       Multimodal.formatStats(Multimodal.decodeMeta(Tables.documents(s, dir)))
+    }, None),
+
+    Q("mm_frame_sample", (s, dir) => {
+      Multimodal.frameSample(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          stride = 2)
+        .orderBy("doc_id", "frame_idx")
     }, None),
 
     Q("stream_window_agg", (s, dir) => {

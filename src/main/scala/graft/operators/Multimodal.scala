@@ -59,6 +59,22 @@ object Multimodal {
     spark.createDataFrame(rdd, MetaSchema)
   }
 
+  /** Frame sampling over "video" payloads (decode stubbed, like
+    * decodeMeta): each payload expands to its frame-index sequence and
+    * every `stride`-th frame is emitted with a per-frame digest — the
+    * input row fans out to frames inside the same task, no shuffle, so
+    * a 100 TB video corpus samples at scan speed. A real codec would
+    * replace the digest with the decoded frame tensor; frame count
+    * here derives deterministically from the payload size.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 10): DataFrame =
+    decodeMeta(docs)
+      .select(col("doc_id"), col("checksum"),
+        explode(expr("sequence(0, CAST(byte_len / 100 AS INT))")).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        xxhash64(col("checksum"), col("frame_idx")).as("frame_digest"))
+
   /** Downstream typed-metadata aggregation (the shape a curation pipeline
     * runs after decode): per format, count + size stats.
     */

@@ -30,6 +30,20 @@ object TextAnalysis {
         size(w)).as("mean_token_len"))
   }
 
+  /** BPE-style pre-tokenization count: letter runs, digit runs, and
+    * single punctuation marks — the split GPT-family pre-tokenizers
+    * apply before byte-pair merging, a much closer token-budget proxy
+    * than whitespace words (punctuation and numbers tokenize apart).
+    */
+  def bpeTokenCount(docs: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pieces).cast("bigint").as("n_bpeish"),
+      size(words(col("text"))).cast("bigint").as("n_words"))
+  }
+
   /** Quality scoring: punctuation/digit/stopword/short-token ratios and a
     * weighted composite — the standard cheap pre-filters for LLM corpora.
     */
