@@ -198,11 +198,15 @@ object Dedup {
     // for free); each round then propagates labels one hop (join +
     // keyed min) and carries the previous label so convergence is read
     // off the same frame — two shuffles and one action per round.
-    var cached = edges.groupBy(col("doc1").as("doc_id"))
+    // each round's frame is eagerly localCheckpoint-ed: the label table
+    // references its predecessor more than once, so an un-severed
+    // lineage grows exponentially with rounds (the analyzed plan, not
+    // the data) — checkpointing keeps every round's plan O(1), the
+    // requirement for any iterative dataflow at scale
+    var labels = edges.groupBy(col("doc1").as("doc_id"))
       .agg(min("doc2").as("nbr0"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
-      .persist()
-    var labels = cached
+      .localCheckpoint()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -213,10 +217,8 @@ object Dedup {
       val next = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("lab") =!= col("old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select("doc_id", "lab")
       round += 1
     }
