@@ -21,7 +21,8 @@ object Anomaly {
   private val bySignal = Seq("name", "node")
 
   /** k-sigma outliers on any value column. */
-  def ksigma(grid: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
+  def ksigma(grid0: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
+    val grid = grid0.persist() // stats aggregate + row join both consume it
     val stats = grid.groupBy(bySignal.map(col): _*)
       .agg(avg(in).as("mu"), stddev_samp(col(in)).as("sigma"), count(lit(1)).as("n"))
       .filter(col("n") >= 3 && col("sigma") > 0)
@@ -31,11 +32,15 @@ object Anomaly {
   }
 
   /** Median-absolute-deviation outliers (robust z via 0.6745·dev/MAD). */
-  def mad(grid: DataFrame, level: Double = 3.5, in: String = "gval"): DataFrame = {
+  def mad(grid0: DataFrame, level: Double = 3.5, in: String = "gval"): DataFrame = {
+    val grid = grid0.persist() // median aggregate + deviation join
     val med = grid.groupBy(bySignal.map(col): _*)
       .agg(expr(s"percentile($in, 0.5)").as("med"))
+    // deviations feed the MAD aggregate and the final row join — persist
+    // so the upstream pipeline isn't rebuilt per consumer
     val withDev = grid.join(med, bySignal)
       .withColumn("dev", abs(col(in) - col("med")))
+      .persist()
     val madAgg = withDev.groupBy(bySignal.map(col): _*)
       .agg(expr("percentile(dev, 0.5)").as("mad_v"))
       .filter(col("mad_v") > 0)
@@ -45,7 +50,8 @@ object Anomaly {
   }
 
   /** IQR fence outliers: outside [q1 - k·iqr, q3 + k·iqr]. */
-  def iqr(grid: DataFrame, k: Double = 1.5, in: String = "gval"): DataFrame = {
+  def iqr(grid0: DataFrame, k: Double = 1.5, in: String = "gval"): DataFrame = {
+    val grid = grid0.persist() // quantile aggregate + fence join
     val q = grid.groupBy(bySignal.map(col): _*)
       .agg(
         expr(s"percentile($in, 0.25)").as("q1"),
@@ -68,7 +74,10 @@ object Anomaly {
     * residual (get_noise, metrics_advisor.py:51-62).
     */
   def noiseOutlier(grid: DataFrame, level: Double = 3.0, w: Int = 5): DataFrame = {
+    // the decomposition (rolling-median windows) feeds the stats
+    // aggregate and the row join — compute it once
     val resid = decompose(grid, w).select("name", "node", "tsb", "gval", "trend", "resid")
+      .persist()
     val stats = resid.groupBy(bySignal.map(col): _*)
       .agg(avg("resid").as("mu"), stddev_samp(col("resid")).as("sigma"), count(lit(1)).as("n"))
       .filter(col("n") >= 3 && col("sigma") > 0)
