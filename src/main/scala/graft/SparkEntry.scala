@@ -990,6 +990,12 @@ object SparkEntry {
       Multimodal.formatStats(Multimodal.decodeMeta(Tables.documents(s, dir)))
     }, None),
 
+    Q("mm_resize", (s, dir) => {
+      Multimodal.resizePlan(
+          Multimodal.decodeMeta(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)))
+        .orderBy("doc_id")
+    }, None),
+
     Q("mm_frame_sample", (s, dir) => {
       Multimodal.frameSample(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
           stride = 2)

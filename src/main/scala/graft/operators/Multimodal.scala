@@ -75,6 +75,24 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         xxhash64(col("checksum"), col("frame_idx")).as("frame_digest"))
 
+  /** Resize planning over decoded metadata: aspect-preserving fit into
+    * `maxDim`×`maxDim` (integer floor arithmetic — deterministic). A
+    * codec-backed implementation would consume these target dims; the
+    * planning math and column plumbing are the real pipeline stage.
+    * Images already inside the box pass through untouched.
+    */
+  def resizePlan(meta: DataFrame, maxDim: Int = 256): DataFrame = {
+    val scaleNum = lit(maxDim)
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxDim
+    meta.select(col("doc_id"), col("format"), col("width"), col("height"),
+      when(needs, (col("width") * scaleNum / longest).cast("int"))
+        .otherwise(col("width")).as("out_width"),
+      when(needs, (col("height") * scaleNum / longest).cast("int"))
+        .otherwise(col("height")).as("out_height"),
+      needs.cast("int").as("resized"))
+  }
+
   /** Downstream typed-metadata aggregation (the shape a curation pipeline
     * runs after decode): per format, count + size stats.
     */

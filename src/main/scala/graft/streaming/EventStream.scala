@@ -158,6 +158,16 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (or periodically reloaded) dimension table. Spark broadcasts the
+    * static side into every micro-batch — the production shape for
+    * slowly-changing dimensions: no streaming state, no watermark, and
+    * the dimension can be swapped between batches by re-reading it.
+    */
+  def enriched(events: DataFrame, dim: DataFrame,
+               key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Batch-equivalent per-user hourly activity for parity testing. */
   def userActivity(events: DataFrame): DataFrame = {
     val withTs = events

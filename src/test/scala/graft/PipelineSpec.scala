@@ -125,4 +125,25 @@ class PipelineSpec extends SparkTestBase {
     assert(m1.toSeq == m2.toSeq)
     assert(m1.forall(_.getLong(1) > 0))
   }
+
+  test("resize plan fits into the box preserving aspect, passes small through") {
+    val meta = Seq(
+      (1L, 1024, 512),  // 2:1 landscape → 256×128
+      (2L, 100, 200),   // small portrait → untouched
+      (3L, 300, 900)    // 1:3 portrait → 85×256
+    ).toDF("doc_id", "width", "height")
+      .withColumn("format", lit("png"))
+    val out = Multimodal.resizePlan(meta, 256).orderBy("doc_id")
+      .select("out_width", "out_height", "resized")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(out == Seq((256, 128, 1), (100, 200, 0), (85, 256, 1)))
+  }
+
+  test("frame sampling strides deterministically from payload size") {
+    val d = docs((1L, "x" * 450), (2L, "y" * 90))
+    val out = Multimodal.frameSample(d, stride = 2).orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx").as[(Long, Long)].collect().toSeq
+    // 450 bytes → frames 0..4, stride 2 → 0,2,4; 90 bytes → frame 0
+    assert(out == Seq((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L)))
+  }
 }

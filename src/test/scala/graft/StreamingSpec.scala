@@ -71,6 +71,23 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged == Seq(("cpu", 1300L, 99.0)))
   }
 
+  test("stream-static enrichment broadcasts the dimension into each batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.enriched(streamDF, dim)
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    mem.addData((10L, 1L, 1L, "click", 1.0, "{}"), (11L, 2L, 2L, "view", 2.0, "{}"),
+      (12L, 3L, 7L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, tier FROM enrich ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    q.stop()
+    assert(rows == Seq((10L, Some("gold")), (11L, Some("basic")), (12L, None)))
+  }
+
   test("watermark drops state for closed windows (plan sanity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
