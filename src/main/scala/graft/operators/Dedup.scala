@@ -68,12 +68,13 @@ object Dedup {
   private def prefixJaccard(sets: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sets.persist() // feeds the prefix index and both verify sides
-    val toks = s.select(col("doc_id"), explode(col("tok")).as("s"))
+    // set size rides along from before the explode — no window needed
+    val toks = s.select(col("doc_id"), size(col("tok")).cast("long").as("n"),
+      explode(col("tok")).as("s"))
     val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
     val prefix = toks.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("doc_id", "s", "n")
       .persist() // both sides of the self-join — avoid building it twice
