@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty frames, constant signals, and
+  * single-point series must produce empty-or-sane results, never throw
+  * — at scale some partition or some signal always hits these.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def grid(rows: (String, String, Long, Double)*) =
+    rows.toDF("name", "node", "tsb", "gval")
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("anomaly detectors emit nothing on constant signals, never divide by zero") {
+    val flat = grid((0 until 20).map(i => ("m", "a", i * 900L, 5.0)): _*)
+    assert(Anomaly.ksigma(flat).count() == 0)
+    assert(Anomaly.mad(flat).count() == 0)
+    assert(Anomaly.iqr(flat).count() == 0)
+    assert(Anomaly.noiseOutlier(flat).count() == 0)
+  }
+
+  test("e-divisive returns no change points for short or constant series") {
+    assert(functions.EDivisive.changePoints(Array(1.0, 2.0, 3.0)).isEmpty)
+    assert(functions.EDivisive.changePoints(Array.fill(40)(7.0)).isEmpty)
+    assert(functions.EDivisive.changePoints(Array.empty[Double]).isEmpty)
+  }
+
+  test("clusters with no near-dups labels every doc as its own canonical") {
+    val out = Dedup.clusters(docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")), 0.5)
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0), (2L, 2L, 0)))
+  }
+
+  test("prefix jaccard on an empty corpus returns an empty frame") {
+    assert(Dedup.jaccardPairs(docs(), 0.5).count() == 0)
+    assert(Dedup.ngramCharPairs(docs(), 0.5).count() == 0)
+  }
+
+  test("interpLinear on a single-point signal returns the point") {
+    val out = TimeSeries.interpLinear(grid(("m", "a", 900L, 3.0)), 900L)
+      .select("tsb", "interp", "was_missing")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(out == Seq((900L, 3.0, 0)))
+  }
+
+  test("ewma and moving stats survive a one-row signal") {
+    val g = grid(("m", "a", 0L, 2.0))
+    assert(TimeSeries.ewma(g).count() == 1)
+    assert(TimeSeries.movingAvg(g).count() == 1)
+    assert(TimeSeries.movingMedian(g).count() == 1)
+  }
+
+  test("anomalyUnion on too-short series emits nothing and does not throw") {
+    val out = ChangePoints.anomalyUnion(grid(
+      ("m", "a", 0L, 1.0), ("m", "a", 3600L, 2.0)))
+    assert(out.count() == 0)
+  }
+}
