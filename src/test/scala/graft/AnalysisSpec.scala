@@ -44,6 +44,43 @@ class AnalysisSpec extends SparkTestBase {
     assert(maxDev < 0.8, s"maxDev=$maxDev")
   }
 
+  test("fft lowpass matches a naive DFT reference, padding included") {
+    // O(m²) direct DFT replicating lowpass's contract: pad to the next
+    // power of two with the last value, zero bins above the cutoff,
+    // inverse-transform, truncate back to n
+    def naiveLowpass(x: Array[Double], stepSec: Double, fMin: Double): Array[Double] = {
+      val n = x.length
+      var m = 1; while (m < n) m <<= 1
+      val xin = Array.tabulate(m)(i => if (i < n) x(i) else x(n - 1))
+      val re = new Array[Double](m); val im = new Array[Double](m)
+      for (k <- 0 until m; t <- 0 until m) {
+        val ang = -2 * math.Pi * k * t / m
+        re(k) += xin(t) * math.cos(ang); im(k) += xin(t) * math.sin(ang)
+      }
+      val cutoff = math.max(0, (fMin * stepSec * m).toInt)
+      for (k <- cutoff + 1 to m - 1 - cutoff) { re(k) = 0; im(k) = 0 }
+      Array.tabulate(n) { t =>
+        var acc = 0.0
+        for (k <- 0 until m) {
+          val ang = 2 * math.Pi * k * t / m
+          acc += re(k) * math.cos(ang) - im(k) * math.sin(ang)
+        }
+        acc / m
+      }
+    }
+    val rnd = new scala.util.Random(3)
+    for (trial <- 0 until 6) {
+      val n = 20 + rnd.nextInt(45) // non-power-of-2 exercises the padding
+      val x = Array.tabulate(n)(i => math.sin(i * 0.3) * 3 + rnd.nextGaussian())
+      val fMin = Seq(0.01, 0.05, 0.002)(trial % 3)
+      val got = Dsp.lowpass(x, 1.0, fMin)
+      val exp = naiveLowpass(x, 1.0, fMin)
+      got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) < 1e-6, s"trial $trial idx $i: $g vs $e")
+      }
+    }
+  }
+
   test("fenwick bestSplit matches the quadratic reference on random series") {
     // brute-force reference: direct triple-loop energy statistic
     def naive(x: Array[Double], lo: Int, hi: Int, minSize: Int): (Int, Double) = {
