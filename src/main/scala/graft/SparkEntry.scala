@@ -330,6 +330,19 @@ object SparkEntry {
         |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    Q("q15_set_ops", (s, dir) => {
+      // INTERSECT / EXCEPT (distinct set semantics on both engines)
+      val o = Tables.orders(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val big = o.filter(col("o_totalprice") > 200000.0).select("o_custkey")
+      val low = o.filter(col("o_totalprice") < 50000.0).select("o_custkey")
+      urgent.intersect(big).except(low).orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+        |ORDER BY o_custkey""".stripMargin)),
+
     // ================= B. time-series core =================
     Q("ts_melt", (s, dir) => {
       TimeSeries.melt(Tables.lineitem(s, dir),
@@ -429,6 +442,23 @@ object SparkEntry {
          |SELECT name, node, tsb,
          | round(gval - lag(gval) OVER w + 1e-9, 4) AS delta,
          | round((gval - lag(gval) OVER w) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
+         |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_rate_reset", (s, dir) => {
+      TimeSeries.counterRate(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("increase")).as("increase"), r6(col("rate")).as("rate"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb,
+         | round((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
+         |   WHEN gval >= lag(gval) OVER w THEN gval - lag(gval) OVER w
+         |   ELSE gval END) + 1e-9, 4) AS increase,
+         | round((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
+         |   WHEN gval >= lag(gval) OVER w THEN gval - lag(gval) OVER w
+         |   ELSE gval END) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |ORDER BY name, node, tsb""".stripMargin)),
 

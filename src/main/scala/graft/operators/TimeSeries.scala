@@ -100,6 +100,19 @@ object TimeSeries {
       .withColumn("was_missing", col("gval").isNull.cast("int"))
   }
 
+  /** Counter-reset-aware rate (the Prometheus `rate()` contract for
+    * monotone counters): a negative delta means the counter restarted,
+    * so the post-reset value itself is the increase for the interval.
+    */
+  def counterRate(grid: DataFrame): DataFrame = {
+    val w = signalWindow
+    val prev = lag(col("gval"), 1).over(w)
+    val dt = (col("tsb") - lag(col("tsb"), 1).over(w)).cast("double")
+    val inc = when(col("gval") >= prev, col("gval") - prev).otherwise(col("gval"))
+    grid.withColumn("increase", when(prev.isNull, lit(null)).otherwise(inc))
+      .withColumn("rate", col("increase") / dt)
+  }
+
   /** Centered rolling mean, window w (odd), edge-shrunk. */
   def movingAvg(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "ma"): DataFrame = {
     val h = w / 2
