@@ -330,6 +330,21 @@ object SparkEntry {
         |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    Q("q16_ntile", (s, dir) => {
+      // quantile bucketing; unique-key order makes tile assignment
+      // engine-deterministic
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_nationkey", "quartile", "c_custkey")
+    }, Some(
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_nationkey, quartile, c_custkey""".stripMargin)),
+
     Q("q15_set_ops", (s, dir) => {
       // INTERSECT / EXCEPT (distinct set semantics on both engines)
       val o = Tables.orders(s, dir)
