@@ -33,19 +33,22 @@ object Bench {
       })
     spark.catalog.clearCache()
 
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val d = (System.nanoTime() - t0) / 1e9
+      // operators persist intra-query intermediates; drop them so later
+      // runs aren't timed under earlier runs' cache pressure
+      spark.catalog.clearCache()
+      d
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of two: the steady-state cost of the plan, not whatever the
-      // host happened to be doing during one of the runs
-      val dt = (0 until 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val d = (System.nanoTime() - t0) / 1e9
-        // operators persist intra-query intermediates; drop them so later
-        // runs aren't timed under earlier runs' cache pressure
-        spark.catalog.clearCache()
-        d
-      }.min
-      name -> dt
+      // slow queries get a second run and report the min: on a shared
+      // host a single timing mixes the plan cost with whatever else the
+      // machine was doing, and the noise lands on the slow tail — while
+      // sub-second queries aren't worth doubling the suite's wall time
+      val first = timed(fn)
+      name -> (if (first > 0.75) math.min(first, timed(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
