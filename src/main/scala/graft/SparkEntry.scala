@@ -460,6 +460,22 @@ object SparkEntry {
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_winsorize", (s, dir) => {
+      TimeSeries.winsorize(grid(s, dir))
+        .select(col("name"), col("node"), col("tsb"),
+          r4(col("clamped")).as("clamped"), col("was_clamped"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |bounds AS (SELECT name, node,
+         |  quantile_cont(gval, 0.01) AS p_lo, quantile_cont(gval, 0.99) AS p_hi
+         | FROM grid GROUP BY 1, 2)
+         |SELECT g.name, g.node, g.tsb,
+         | round(least(greatest(g.gval, b.p_lo), b.p_hi) + 1e-9, 4) AS clamped,
+         | CAST(g.gval < b.p_lo OR g.gval > b.p_hi AS INT) AS was_clamped
+         |FROM grid g JOIN bounds b ON g.name = b.name AND g.node = b.node
+         |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
+
     Q("ts_rate_reset", (s, dir) => {
       TimeSeries.counterRate(grid(s, dir))
         .select(col("name"), col("node"), col("tsb"),
@@ -915,6 +931,33 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
         | FROM scored)
         |SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("embed_norm_stats", (s, dir) => {
+      // distribution of embedding L2 norms per label — the standard
+      // sanity scan before cosine work (un-normalized rows distort
+      // similarity). Norms are rounded to 6dp then summed as exact
+      // decimals so the mean is order-independent across engines.
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.select(col("label"),
+          org.apache.spark.sql.graft.VectorExpressions.vecNorm(col("v")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          r4(min("nrm")).as("min_n"), r4(max("nrm")).as("max_n"),
+          (sum(r6(col("nrm")).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_raw"))
+        .select(col("label"), col("n"), col("min_n"), col("max_n"),
+          r4(col("mean_raw")).as("mean_n"))
+        .orderBy("label")
+    }, Some(
+      """WITH e AS (SELECT label,
+        |  sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    x -> x * x))) AS nrm FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | round(min(nrm) + 1e-9, 4) AS min_n, round(max(nrm) + 1e-9, 4) AS max_n,
+        | round(CAST(sum(CAST(round(nrm + 1e-11, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_n
+        |FROM e GROUP BY label ORDER BY label""".stripMargin)),
 
     Q("ann_lsh", (s, dir) => {
       Similarity.lshAnn(Tables.embeddings(s, dir))

@@ -100,6 +100,22 @@ object TimeSeries {
       .withColumn("was_missing", col("gval").isNull.cast("int"))
   }
 
+  /** Winsorize per signal: clamp values into [p_lo, p_hi] of that
+    * signal's own distribution — the robust preprocessing step before
+    * means/correlations when spikes are measurement noise rather than
+    * signal. One percentile aggregate broadcast back onto the rows.
+    */
+  def winsorize(grid: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val g = grid.persist() // quantile aggregate + clamp join
+    val bounds = g.groupBy("name", "node")
+      .agg(expr(s"percentile(gval, $lo)").as("p_lo"),
+        expr(s"percentile(gval, $hi)").as("p_hi"))
+    g.join(bounds, Seq("name", "node"))
+      .withColumn("clamped", least(greatest(col("gval"), col("p_lo")), col("p_hi")))
+      .withColumn("was_clamped",
+        (col("gval") < col("p_lo") || col("gval") > col("p_hi")).cast("int"))
+  }
+
   /** Counter-reset-aware rate (the Prometheus `rate()` contract for
     * monotone counters): a negative delta means the counter restarted,
     * so the post-reset value itself is the increase for the interval.
