@@ -330,6 +330,23 @@ object SparkEntry {
         |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    Q("q17_corr_agg", (s, dir) => {
+      // statistical aggregate functions (Pearson corr + sample covariance)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("c_raw"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv_raw"))
+        .select(col("l_returnflag"), col("n"),
+          r4(col("c_raw")).as("qty_price_corr"),
+          r4(col("cv_raw")).as("qty_price_covar"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("q16_ntile", (s, dir) => {
       // quantile bucketing; unique-key order makes tile assignment
       // engine-deterministic
@@ -458,6 +475,27 @@ object SparkEntry {
          | round(gval - lag(gval) OVER w + 1e-9, 4) AS delta,
          | round((gval - lag(gval) OVER w) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_lag_features", (s, dir) => {
+      // supervised-learning feature prep: each grid cell with its own
+      // trailing lags — the wide matrix a forecaster trains on
+      val w = Window.partitionBy("name", "node").orderBy("tsb")
+      grid(s, dir)
+        .select(col("name"), col("node"), col("tsb"), r4(col("gval")).as("y"),
+          r4(lag("gval", 1).over(w)).as("lag1"),
+          r4(lag("gval", 2).over(w)).as("lag2"),
+          r4(lag("gval", 3).over(w)).as("lag3"))
+        .filter(col("lag3").isNotNull)
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID
+         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS y,
+         | round(lag(gval, 1) OVER w + 1e-9, 4) AS lag1,
+         | round(lag(gval, 2) OVER w + 1e-9, 4) AS lag2,
+         | round(lag(gval, 3) OVER w + 1e-9, 4) AS lag3
+         |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
+         |QUALIFY lag3 IS NOT NULL
          |ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_winsorize", (s, dir) => {
