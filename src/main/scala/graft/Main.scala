@@ -23,7 +23,12 @@ object Main {
         MetricsTar.read(spark, input)
       else MetricsCsv.read(spark, input)
     val cfg = AdvisorReport.Config(objNames = objNames)
-    AdvisorReport.renderMarkdown(AdvisorReport.adviseSignals(signals, cfg))
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg)
+    val report = AdvisorReport.renderMarkdown(advice, Some(grid))
+    // render collected everything it needs — release the cached grid
+    AdvisorReport.release(spark)
+    report
   }
 
   def main(args: Array[String]): Unit = {

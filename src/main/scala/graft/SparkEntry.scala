@@ -62,6 +62,31 @@ object SparkEntry {
       |   FROM dense36 d LEFT JOIN grid36 g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb) j),
       |g2 AS (SELECT name, node, tsb // 3600 AS i, tsb // 86400 * 86400 AS b, gval FROM ff36)""".stripMargin
 
+  /** Exact-integer-moment NCC cells (mirrors Correlate.nccLag: quantize
+    * gval to ×1e4 HUGEINT, exact order-independent sums, fixed IEEE
+    * Pearson sequence). `cr` = rounded r per (obj, cand, bucket, lag).
+    */
+  private val SQL_NCC_CR =
+    """mq AS (SELECT name, node, b, i,
+      |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM g2),
+      |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+      |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
+      |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
+      |   count(*) AS n,
+      |   CAST(sum(o.qv) AS DOUBLE) AS sx, CAST(sum(c.qv) AS DOUBLE) AS sy,
+      |   CAST(sum(o.qv * c.qv) AS DOUBLE) AS sxy,
+      |   CAST(sum(o.qv * o.qv) AS DOUBLE) AS sxx,
+      |   CAST(sum(c.qv * c.qv) AS DOUBLE) AS syy
+      | FROM mq o CROSS JOIN lags l JOIN mq c ON c.i = o.i + l.lag AND c.b = o.b
+      | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')
+      | GROUP BY 1, 2, 3, 4, 5, 6),
+      |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+      |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells),
+      |cr AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag,
+      |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+      |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
+      | FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0)""".stripMargin
+
   private val ObjSignals = Seq("click", "error")
 
   /** Flagship: the advisor's correlation ranking on sf0.001 (driver
@@ -331,21 +356,45 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin)),
 
     Q("q17_corr_agg", (s, dir) => {
-      // statistical aggregate functions (Pearson corr + sample covariance)
+      // statistical aggregates (Pearson corr + sample covariance) from
+      // exact integer moments: built-in corr/covar are parallel double
+      // co-moments whose noise is engine-specific; quantizing to ×1e2
+      // integers (2-dp source values — exact) makes every sum
+      // order-independent and the final formula a fixed IEEE sequence
+      // mirrored in the oracle. corr is scale-invariant; covar rescales
+      // by 1e4.
+      val nd = col("n").cast("double")
       Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), qint(col("l_quantity"), 1e2).as("qx"),
+          qint(col("l_extendedprice"), 1e2).as("qy"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("c_raw"),
-          covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv_raw"))
+          sum(col("qx")).cast("double").as("sx"),
+          sum(col("qy")).cast("double").as("sy"),
+          sum(col("qx") * col("qy")).cast("double").as("sxy"),
+          sum(col("qx") * col("qx")).cast("double").as("sxx"),
+          sum(col("qy") * col("qy")).cast("double").as("syy"))
         .select(col("l_returnflag"), col("n"),
-          r4(col("c_raw")).as("qty_price_corr"),
-          r4(col("cv_raw")).as("qty_price_covar"))
+          r4((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+              sqrt(nd * col("syy") - col("sy") * col("sy")))).as("qty_price_corr"),
+          r4((nd * col("sxy") - col("sx") * col("sy")) /
+            (nd * (nd - lit(1.0))) / lit(1e4)).as("qty_price_covar"))
         .orderBy("l_returnflag")
     }, Some(
-      """SELECT l_returnflag, count(*) AS n,
-        | round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
-        | round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_covar
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+      """WITH qq AS (SELECT l_returnflag,
+        |  CAST(floor((l_quantity + 1e-9) * 1e2 + 0.5) AS HUGEINT) AS qx,
+        |  CAST(floor((l_extendedprice + 1e-9) * 1e2 + 0.5) AS HUGEINT) AS qy FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+        |  CAST(sum(qx * qy) AS DOUBLE) AS sxy, CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+        |  CAST(sum(qy * qy) AS DOUBLE) AS syy FROM qq GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS qty_price_corr,
+        | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |   / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS qty_price_covar
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     Q("q16_ntile", (s, dir) => {
       // quantile bucketing; unique-key order makes tile assignment
@@ -392,7 +441,7 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID
-         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS gval FROM grid
+         |SELECT name, node, tsb, floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval FROM grid
          |ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_fill_forward", (s, dir) => {
@@ -408,8 +457,8 @@ object SparkEntry {
          |j AS (SELECT d.name, d.node, d.tsb, g.gval
          |  FROM dense d LEFT JOIN grid g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb)
          |SELECT name, node, tsb,
-         | round(last_value(gval IGNORE NULLS) OVER (PARTITION BY name, node ORDER BY tsb
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) AS val_ff,
+         | floor((last_value(gval IGNORE NULLS) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9) * 1e4 + 0.5) / 1e4 AS val_ff,
          | CAST(gval IS NULL AS INT) AS was_missing
          |FROM j ORDER BY name, node, tsb""".stripMargin)),
 
@@ -435,10 +484,10 @@ object SparkEntry {
          |  wn AS (PARTITION BY name, node ORDER BY tsb
          |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          |SELECT name, node, tsb,
-         | round((CASE WHEN gval IS NOT NULL THEN gval
+         | floor(((CASE WHEN gval IS NOT NULL THEN gval
          |   WHEN pv IS NOT NULL AND nv IS NOT NULL
          |    THEN pv + (nv - pv) * (CAST(tsb - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-         |   ELSE coalesce(pv, nv) END) + 1e-9, 4) AS val_li,
+         |   ELSE coalesce(pv, nv) END) + 1e-9) * 1e4 + 0.5) / 1e4 AS val_li,
          | CAST(gval IS NULL AS INT) AS was_missing
          |FROM w ORDER BY name, node, tsb""".stripMargin)),
 
@@ -449,8 +498,8 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round(avg(gval) OVER (PARTITION BY name, node ORDER BY tsb
-         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9, 4) AS ma
+         | floor((avg(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9) * 1e4 + 0.5) / 1e4 AS ma
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_moving_median", (s, dir) => {
@@ -460,8 +509,8 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round(median(gval) OVER (PARTITION BY name, node ORDER BY tsb
-         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9, 4) AS med
+         | floor((median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9) * 1e4 + 0.5) / 1e4 AS med
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_delta_rate", (s, dir) => {
@@ -472,8 +521,8 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round(gval - lag(gval) OVER w + 1e-9, 4) AS delta,
-         | round((gval - lag(gval) OVER w) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
+         | floor((gval - lag(gval) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS delta,
+         | floor(((gval - lag(gval) OVER w) / (tsb - lag(tsb) OVER w) + 1e-11) * 1e6 + 0.5) / 1e6 AS rate
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |ORDER BY name, node, tsb""".stripMargin)),
 
@@ -490,10 +539,10 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID
-         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS y,
-         | round(lag(gval, 1) OVER w + 1e-9, 4) AS lag1,
-         | round(lag(gval, 2) OVER w + 1e-9, 4) AS lag2,
-         | round(lag(gval, 3) OVER w + 1e-9, 4) AS lag3
+         |SELECT name, node, tsb, floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS y,
+         | floor((lag(gval, 1) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS lag1,
+         | floor((lag(gval, 2) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS lag2,
+         | floor((lag(gval, 3) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS lag3
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |QUALIFY lag3 IS NOT NULL
          |ORDER BY name, node, tsb""".stripMargin)),
@@ -509,7 +558,7 @@ object SparkEntry {
          |  quantile_cont(gval, 0.01) AS p_lo, quantile_cont(gval, 0.99) AS p_hi
          | FROM grid GROUP BY 1, 2)
          |SELECT g.name, g.node, g.tsb,
-         | round(least(greatest(g.gval, b.p_lo), b.p_hi) + 1e-9, 4) AS clamped,
+         | floor((least(greatest(g.gval, b.p_lo), b.p_hi) + 1e-9) * 1e4 + 0.5) / 1e4 AS clamped,
          | CAST(g.gval < b.p_lo OR g.gval > b.p_hi AS INT) AS was_clamped
          |FROM grid g JOIN bounds b ON g.name = b.name AND g.node = b.node
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
@@ -522,12 +571,12 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
+         | floor(((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
          |   WHEN gval >= lag(gval) OVER w THEN gval - lag(gval) OVER w
-         |   ELSE gval END) + 1e-9, 4) AS increase,
-         | round((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
+         |   ELSE gval END) + 1e-9) * 1e4 + 0.5) / 1e4 AS increase,
+         | floor(((CASE WHEN lag(gval) OVER w IS NULL THEN NULL
          |   WHEN gval >= lag(gval) OVER w THEN gval - lag(gval) OVER w
-         |   ELSE gval END) / (tsb - lag(tsb) OVER w) + 1e-11, 6) AS rate
+         |   ELSE gval END) / (tsb - lag(tsb) OVER w) + 1e-11) * 1e6 + 0.5) / 1e6 AS rate
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |ORDER BY name, node, tsb""".stripMargin)),
 
@@ -538,7 +587,7 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round((gval - avg(gval) OVER w) / stddev_samp(gval) OVER w + 1e-9, 4) AS z
+         | floor(((gval - avg(gval) OVER w) / stddev_samp(gval) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS z
          |FROM grid WINDOW w AS (PARTITION BY name, node)
          |ORDER BY name, node, tsb""".stripMargin)),
 
@@ -548,9 +597,9 @@ object SparkEntry {
         .orderBy("name", "node")
     }, Some(
       s"""$WITH_GRID
-         |SELECT name, node, round(max(gval) - min(gval) + 1e-9, 4) AS rng, count(*) AS n
+         |SELECT name, node, floor((max(gval) - min(gval) + 1e-9) * 1e4 + 0.5) / 1e4 AS rng, count(*) AS n
          |FROM grid GROUP BY name, node
-         |HAVING round(max(gval) - min(gval) + 1e-9, 4) > 0.005
+         |HAVING floor((max(gval) - min(gval) + 1e-9) * 1e4 + 0.5) / 1e4 > 0.005
          |ORDER BY name, node""".stripMargin)),
 
     Q("ts_relative", (s, dir) => {
@@ -560,7 +609,7 @@ object SparkEntry {
     }, Some(
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round(gval / (abs(max(gval) OVER (PARTITION BY name, node)) + 1e-10) + 1e-11, 6) AS rel
+         | floor((gval / (abs(max(gval) OVER (PARTITION BY name, node)) + 1e-10) + 1e-11) * 1e6 + 0.5) / 1e6 AS rel
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_bucket_agg", (s, dir) => {
@@ -571,7 +620,7 @@ object SparkEntry {
     }, Some(
       s"""WITH $SQL_SIG
          |SELECT name, node, tsec // 86400 * 86400 AS b, count(*) AS n,
-         | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_v,
+         | floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_v,
          | min(value) AS min_v, max(value) AS max_v
          |FROM signals GROUP BY name, node, b ORDER BY name, node, b""".stripMargin)),
 
@@ -586,9 +635,9 @@ object SparkEntry {
         .orderBy("event_type")
     }, Some(
       """SELECT event_type,
-        | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
-        | round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
-        | round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99,
+        | floor((quantile_cont(value, 0.5) + 1e-9) * 1e4 + 0.5) / 1e4 AS p50,
+        | floor((quantile_cont(value, 0.9) + 1e-9) * 1e4 + 0.5) / 1e4 AS p90,
+        | floor((quantile_cont(value, 0.99) + 1e-9) * 1e4 + 0.5) / 1e4 AS p99,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -648,9 +697,9 @@ object SparkEntry {
       // rounding. O(n²) per signal is oracle-only cost.
       s"""$WITH_GRID
          |SELECT name, node, tsb,
-         | round(list_reduce(list(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         | floor((list_reduce(list(gval) OVER (PARTITION BY name, node ORDER BY tsb
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |  (acc, x) -> 0.3 * x + (1 - 0.3) * acc) + 1e-9, 4) AS ewma
+         |  (acc, x) -> 0.3 * x + (1 - 0.3) * acc) + 1e-9) * 1e4 + 0.5) / 1e4 AS ewma
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     // ================= C. anomaly & correlation =================
@@ -663,10 +712,10 @@ object SparkEntry {
       s"""$WITH_GRID,
          |st AS (SELECT name, node, avg(gval) AS mu, stddev_samp(gval) AS sigma, count(*) AS n
          |  FROM grid GROUP BY 1, 2)
-         |SELECT g.name, g.node, g.tsb, round(g.gval + 1e-9, 4) AS gval,
-         | round((g.gval - mu) / sigma + 1e-9, 4) AS z
+         |SELECT g.name, g.node, g.tsb, floor((g.gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         | floor(((g.gval - mu) / sigma + 1e-9) * 1e4 + 0.5) / 1e4 AS z
          |FROM grid g JOIN st ON g.name = st.name AND g.node = st.node
-         |WHERE n >= 3 AND sigma > 0 AND round(abs((g.gval - mu) / sigma) + 1e-9, 4) >= 2.5
+         |WHERE n >= 3 AND sigma > 0 AND floor((abs((g.gval - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
 
     Q("ad_mad", (s, dir) => {
@@ -680,10 +729,10 @@ object SparkEntry {
          |dev AS (SELECT g.name, g.node, g.tsb, g.gval, g.gval - med.med AS d, abs(g.gval - med.med) AS ad
          |  FROM grid g JOIN med ON g.name = med.name AND g.node = med.node),
          |madv AS (SELECT name, node, quantile_cont(ad, 0.5) AS mad_v FROM dev GROUP BY 1, 2)
-         |SELECT dev.name, dev.node, dev.tsb, round(dev.gval + 1e-9, 4) AS gval,
-         | round(0.6745 * dev.d / mad_v + 1e-9, 4) AS rz
+         |SELECT dev.name, dev.node, dev.tsb, floor((dev.gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         | floor((0.6745 * dev.d / mad_v + 1e-9) * 1e4 + 0.5) / 1e4 AS rz
          |FROM dev JOIN madv ON dev.name = madv.name AND dev.node = madv.node
-         |WHERE mad_v > 0 AND round(abs(0.6745 * dev.d / mad_v) + 1e-9, 4) >= 3.0
+         |WHERE mad_v > 0 AND floor((abs(0.6745 * dev.d / mad_v) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0
          |ORDER BY dev.name, dev.node, dev.tsb""".stripMargin)),
 
     Q("ad_iqr", (s, dir) => {
@@ -695,8 +744,8 @@ object SparkEntry {
       s"""$WITH_GRID,
          |q AS (SELECT name, node, quantile_cont(gval, 0.25) AS q1, quantile_cont(gval, 0.75) AS q3
          |  FROM grid GROUP BY 1, 2)
-         |SELECT g.name, g.node, g.tsb, round(g.gval + 1e-9, 4) AS gval,
-         | round(q1 + 1e-9, 4) AS q1, round(q3 + 1e-9, 4) AS q3
+         |SELECT g.name, g.node, g.tsb, floor((g.gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         | floor((q1 + 1e-9) * 1e4 + 0.5) / 1e4 AS q1, floor((q3 + 1e-9) * 1e4 + 0.5) / 1e4 AS q3
          |FROM grid g JOIN q ON g.name = q.name AND g.node = q.node
          |WHERE g.gval < q1 - 1.5 * (q3 - q1) OR g.gval > q3 + 1.5 * (q3 - q1)
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
@@ -712,8 +761,8 @@ object SparkEntry {
          |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
          |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
          | FROM grid)
-         |SELECT name, node, tsb, round(gval + 1e-9, 4) AS gval, round(trend + 1e-9, 4) AS trend,
-         | round(gval - trend + 1e-9, 4) AS resid
+         |SELECT name, node, tsb, floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval, floor((trend + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
+         | floor((gval - trend + 1e-9) * 1e4 + 0.5) / 1e4 AS resid
          |FROM t ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ad_noise_outlier", (s, dir) => {
@@ -729,10 +778,10 @@ object SparkEntry {
          | FROM grid),
          |st AS (SELECT name, node, avg(resid) AS mu, stddev_samp(resid) AS sigma, count(*) AS n
          |  FROM t GROUP BY 1, 2)
-         |SELECT t.name, t.node, t.tsb, round(t.resid + 1e-9, 4) AS resid,
-         | round((t.resid - mu) / sigma + 1e-9, 4) AS z
+         |SELECT t.name, t.node, t.tsb, floor((t.resid + 1e-9) * 1e4 + 0.5) / 1e4 AS resid,
+         | floor(((t.resid - mu) / sigma + 1e-9) * 1e4 + 0.5) / 1e4 AS z
          |FROM t JOIN st ON t.name = st.name AND t.node = st.node
-         |WHERE n >= 3 AND sigma > 0 AND round(abs((t.resid - mu) / sigma) + 1e-9, 4) >= 2.5
+         |WHERE n >= 3 AND sigma > 0 AND floor((abs((t.resid - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
          |ORDER BY t.name, t.node, t.tsb""".stripMargin)),
 
     Q("corr_ncc_lag", (s, dir) => {
@@ -742,15 +791,9 @@ object SparkEntry {
         .orderBy("obj_name", "obj_node", "cand_name", "cand_node", "b", "lag")
     }, Some(
       s"""WITH $SQL_CORR_CTES,
-         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
-         |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
-         |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
-         |   corr(o.gval, c.gval) AS r_raw, count(*) AS n
-         | FROM g2 o CROSS JOIN lags l JOIN g2 c ON c.i = o.i + l.lag AND c.b = o.b
-         | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')
-         | GROUP BY 1, 2, 3, 4, 5, 6)
-         |SELECT obj_name, obj_node, cand_name, cand_node, b, lag, round(r_raw + 1e-9, 4) AS r, n
-         |FROM cells WHERE n >= 8 AND r_raw IS NOT NULL AND NOT isnan(r_raw)
+         |$SQL_NCC_CR
+         |SELECT obj_name, obj_node, cand_name, cand_node, b, lag, r, n
+         |FROM cr
          |ORDER BY obj_name, obj_node, cand_name, cand_node, b, lag""".stripMargin)),
 
     Q("corr_topk", (s, dir) => {
@@ -760,15 +803,7 @@ object SparkEntry {
         .orderBy("obj_name", "obj_node", "b", "rank")
     }, Some(
       s"""WITH $SQL_CORR_CTES,
-         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
-         |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
-         |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
-         |   corr(o.gval, c.gval) AS r_raw, count(*) AS n
-         | FROM g2 o CROSS JOIN lags l JOIN g2 c ON c.i = o.i + l.lag AND c.b = o.b
-         | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')
-         | GROUP BY 1, 2, 3, 4, 5, 6),
-         |cr AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag, round(r_raw + 1e-9, 4) AS r
-         | FROM cells WHERE n >= 8 AND r_raw IS NOT NULL AND NOT isnan(r_raw)),
+         |$SQL_NCC_CR,
          |best AS (SELECT *, row_number() OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node, b
          |   ORDER BY abs(r) DESC, lag ASC) AS rn FROM cr),
          |ranked AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag, r,
@@ -784,13 +819,24 @@ object SparkEntry {
           col("b"), col("r"), col("n"))
         .orderBy("a_name", "a_node", "b_name", "b_node", "b")
     }, Some(
-      s"""WITH $SQL_CORR_CTES
-         |SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
-         | x.b AS b, round(corr(x.gval, y.gval) + 1e-9, 4) AS r, count(*) AS n
-         |FROM g2 x JOIN g2 y ON y.i = x.i AND y.b = x.b
-         | AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
-         |GROUP BY 1, 2, 3, 4, 5
-         |HAVING count(*) >= 8 AND corr(x.gval, y.gval) IS NOT NULL AND NOT isnan(corr(x.gval, y.gval))
+      s"""WITH $SQL_CORR_CTES,
+         |mq AS (SELECT name, node, b, i,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM g2),
+         |cells AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, count(*) AS n,
+         |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
+         |   CAST(sum(x.qv * y.qv) AS DOUBLE) AS sxy,
+         |   CAST(sum(x.qv * x.qv) AS DOUBLE) AS sxx,
+         |   CAST(sum(y.qv * y.qv) AS DOUBLE) AS syy
+         | FROM mq x JOIN mq y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         | GROUP BY 1, 2, 3, 4, 5),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells)
+         |SELECT a_name, a_node, b_name, b_node, b,
+         | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
+         |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
     Q("corr_spearman", (s, dir) => {
@@ -803,13 +849,24 @@ object SparkEntry {
          |rk AS (SELECT name, node, b, i,
          |  rank() OVER (PARTITION BY name, node, b ORDER BY gval)
          |   + (count(*) OVER (PARTITION BY name, node, b, gval) - 1) / 2.0 AS ar
-         | FROM g2)
-         |SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
-         | x.b AS b, round(corr(x.ar, y.ar) + 1e-9, 4) AS r, count(*) AS n
-         |FROM rk x JOIN rk y ON y.i = x.i AND y.b = x.b
-         | AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
-         |GROUP BY 1, 2, 3, 4, 5
-         |HAVING count(*) >= 8 AND corr(x.ar, y.ar) IS NOT NULL AND NOT isnan(corr(x.ar, y.ar))
+         | FROM g2),
+         |mq AS (SELECT name, node, b, i,
+         |  CAST(floor((ar + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM rk),
+         |cells AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, count(*) AS n,
+         |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
+         |   CAST(sum(x.qv * y.qv) AS DOUBLE) AS sxy,
+         |   CAST(sum(x.qv * x.qv) AS DOUBLE) AS sxx,
+         |   CAST(sum(y.qv * y.qv) AS DOUBLE) AS syy
+         | FROM mq x JOIN mq y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         | GROUP BY 1, 2, 3, 4, 5),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells)
+         |SELECT a_name, a_node, b_name, b_node, b,
+         | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
+         |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
     Q("ad_edivisive", (s, dir) => {
@@ -879,9 +936,9 @@ object SparkEntry {
         |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc1, doc2, inter, n1.n AS n1, n2.n AS n2,
-        | round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) AS jac
+        | floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
         |FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
-        |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.1
+        |WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.1
         |ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_ngram_char", (s, dir) => {
@@ -898,9 +955,9 @@ object SparkEntry {
         |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
         | FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc1, doc2,
-        | round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) AS jac
+        | floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
         |FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
-        |WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.5
+        |WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5
         |ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_cluster", (s, dir) => {
@@ -923,7 +980,7 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |ed AS (SELECT doc1, doc2
         |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
-        |  WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9, 4) >= 0.5),
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
         |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
         |  UNION ALL SELECT doc2, doc1 FROM ed),
         |comp AS (SELECT doc_id, doc_id AS lab FROM docs5
@@ -948,9 +1005,9 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        | round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 4) AS cos_sim
+        | floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9, 4) >= 0.3
+        |WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3
         |ORDER BY id1, id2""".stripMargin)),
 
     // ================= E. similarity search =================
@@ -963,7 +1020,7 @@ object SparkEntry {
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
         |scored AS (SELECT qid, n.vec_id AS nid,
-        |  round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9, 4) AS cos_sim
+        |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         | FROM n CROSS JOIN q WHERE n.vec_id != qid),
         |ranked AS (SELECT qid, nid, cos_sim,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
@@ -993,8 +1050,8 @@ object SparkEntry {
         |  sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |    x -> x * x))) AS nrm FROM embeddings)
         |SELECT label, count(*) AS n,
-        | round(min(nrm) + 1e-9, 4) AS min_n, round(max(nrm) + 1e-9, 4) AS max_n,
-        | round(CAST(sum(CAST(round(nrm + 1e-11, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_n
+        | floor((min(nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS min_n, floor((max(nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS max_n,
+        | floor((CAST(sum(CAST(floor((nrm + 1e-11) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_n
         |FROM e GROUP BY label ORDER BY label""".stripMargin)),
 
     Q("ann_lsh", (s, dir) => {
@@ -1024,8 +1081,8 @@ object SparkEntry {
       """SELECT doc_id,
         | len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_calc,
-        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-        |   len(string_split_regex(lower(trim(text)), '\s+')) + 1e-9, 4) AS mean_token_len
+        | floor((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |   len(string_split_regex(lower(trim(text)), '\s+')) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("text_tokens_bpe", (s, dir) => {
@@ -1046,13 +1103,13 @@ object SparkEntry {
         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
         | FROM documents)
         |SELECT doc_id,
-        | round(punct / len + 1e-9, 4) AS punct_ratio,
-        | round(digits / len + 1e-9, 4) AS digit_ratio,
-        | round(CAST(len(list_intersect(list_distinct(w),
-        |   ['the','and','is','of','to','in','that','it','for','on'])) AS DOUBLE) / 10.0 + 1e-9, 4) AS stop_hit_ratio,
-        | round(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w) + 1e-9, 4) AS short_tok_ratio,
-        | round(1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
-        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9, 4) AS quality
+        | floor((punct / len + 1e-9) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+        | floor((digits / len + 1e-9) * 1e4 + 0.5) / 1e4 AS digit_ratio,
+        | floor((CAST(len(list_intersect(list_distinct(w),
+        |   ['the','and','is','of','to','in','that','it','for','on'])) AS DOUBLE) / 10.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS stop_hit_ratio,
+        | floor((CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w) + 1e-9) * 1e4 + 0.5) / 1e4 AS short_tok_ratio,
+        | floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
         |FROM t ORDER BY doc_id""".stripMargin)),
 
     Q("text_langid", (s, dir) => {

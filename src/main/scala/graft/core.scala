@@ -26,15 +26,39 @@ object Num {
   /** Exact average: decimal sum, then one double division. */
   def avgDec(c: Column): Column = sumDec(c) / count(lit(1))
 
-  /** Deterministic 4-dp rounding. The epsilon breaks exact decimal ties
-    * (x.xxxx5, common after dividing exact sums by 2^k counts) the same
-    * way in Spark (which rounds the shortest decimal string) and DuckDB
-    * (which rounds the binary double); it is far above double noise
-    * (~1e-13) and far below the rounding quantum, so nothing else moves.
+  /** Deterministic 4-dp rounding, bit-identical across engines.
+    *
+    * Engine-native `round` is NOT portable: DuckDB rounds half away from
+    * zero on the scaled double, Spark rounds the exact binary value via
+    * BigDecimal — measured divergence at x.xxxx5 boundaries even on
+    * bit-identical inputs (the r1 ts_delta_rate hash FAIL). So both the
+    * engine and every oracle compute the same IEEE-754 sequence
+    * `floor((x + eps) * 1e4 + 0.5) / 1e4`: add-mul-add-floor-div on
+    * doubles is bit-deterministic on any IEEE engine, so identical input
+    * doubles always round identically. The epsilon keeps exact decimal
+    * ties (x.xxxx5, common after dividing exact sums by 2^k counts) off
+    * the .5 boundary; it is far above double noise (~1e-13) and far
+    * below the rounding quantum, so nothing else moves.
+    *
+    * Spark's `floor` maps double→long (NaN→0, ±Inf→Long.Max), so
+    * non-finite values pass through unrounded.
     */
-  def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  def r4(c: Column): Column = rFloor(c, 1e-9, 1e4)
 
-  def r6(c: Column): Column = round(c + lit(1e-11), 6)
+  def r6(c: Column): Column = rFloor(c, 1e-11, 1e6)
+
+  /** value × `scale` as an exact integer (DECIMAL(18,0)) — the input to
+    * order-independent moment sums (see Correlate): integer sums are
+    * exact in any engine, and their int→double casts are correctly
+    * rounded on both Spark (BigDecimal) and DuckDB (HUGEINT).
+    */
+  def qint(c: Column, scale: Double, eps: Double = 1e-9): Column =
+    floor((c + lit(eps)) * lit(scale) + lit(0.5)).cast(DecimalType(18, 0))
+
+  private def rFloor(c: Column, eps: Double, scale: Double): Column =
+    when(isnan(c) || c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), c)
+      .otherwise(floor((c + lit(eps)) * lit(scale) + lit(0.5)) / lit(scale))
 }
 
 object GraftSession {

@@ -16,10 +16,13 @@ object ChangePoints {
 
   private def r4d(x: Double): Double = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
 
-  /** E-divisive change points per signal (metrics_advisor.py:148).
+  /** E-divisive change points per signal. Defaults mirror the reference
+    * call site: pvalue=0.05, permutations=100 (metrics_advisor.py:148);
+    * the early-exit in EDivisive keeps 100 permutations cheap (most
+    * splits resolve significance long before the full count).
     * Output: name, node, cp_tsb (grid time of the change), qhat.
     */
-  def eDivisive(grid: DataFrame, pvalue: Double = 0.05, permutations: Int = 50,
+  def eDivisive(grid: DataFrame, pvalue: Double = 0.05, permutations: Int = 100,
                 minSize: Int = 5): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
@@ -93,7 +96,7 @@ object ChangePoints {
   def anomalyUnion(grid: DataFrame, level: Double = 2.5,
                    bucket: Long = 86400L, stepSec: Double = 3600.0,
                    fMin: Double = 1.0 / 86400.0, w: Int = 5,
-                   pvalue: Double = 0.05, permutations: Int = 50,
+                   pvalue: Double = 0.05, permutations: Int = 100,
                    minSize: Int = 5): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._

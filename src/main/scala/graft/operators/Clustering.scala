@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions.vecDot
@@ -14,11 +13,9 @@ import org.apache.spark.sql.graft.VectorExpressions.vecDot
   */
 object Clustering {
 
-  private def withFeatures(embs: DataFrame): DataFrame = {
-    val toVec = udf((arr: Seq[Float]) =>
-      Vectors.dense(arr.map(_.toDouble).toArray))
-    embs.withColumn("features", toVec(col("embedding")))
-  }
+  private def withFeatures(embs: DataFrame): DataFrame =
+    embs.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
 
   private def train(embs: DataFrame, k: Int, seed: Long): (DataFrame, KMeansModel) = {
     val feat = withFeatures(embs)

@@ -188,8 +188,13 @@ object Dedup {
     * than the corpus — and each round is a single keyed shuffle.
     */
   def clusters(docs: DataFrame, threshold: Double = 0.5,
-               maxRounds: Int = 50): DataFrame = {
-    val pairs = jaccardPairs(docs, threshold).select("doc1", "doc2")
+               maxRounds: Int = 50,
+               precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    // a pipeline that already ran near-dup pair detection passes its
+    // edge list in — at corpus scale the candidate join is the dominant
+    // cost and must never run twice
+    val pairs = precomputedPairs.getOrElse(jaccardPairs(docs, threshold))
+      .select("doc1", "doc2")
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist()
     // only vertices with an edge can ever change label — iterate over

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,20 +43,25 @@ object Multimodal {
 
   /** Attach a binary payload column (here: utf-8 of text, standing in for
     * image bytes) and run the batch decode → metadata extraction.
+    *
+    * Typed `Dataset.mapPartitions` (not an RDD round-trip): the same
+    * one-decoder-init-per-partition contract, but the result stays in
+    * the Dataset engine — Tungsten rows in, Tungsten rows out, so the
+    * downstream mm_* aggregations keep whole-stage codegen.
     */
   def decodeMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val binDF = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val rdd = binDF.rdd.mapPartitions { rows =>
-      // one decoder init per partition in a real pipeline
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (fmt, wdt, hgt, sum) = fakeDecode(payload)
-        Row(id, payload.length.toLong, fmt, wdt, hgt, sum)
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one decoder init per partition in a real pipeline
+        rows.map { case (id, payload) =>
+          val (fmt, wdt, hgt, sum) = fakeDecode(payload)
+          (id, payload.length.toLong, fmt, wdt, hgt, sum)
+        }
       }
-    }
-    spark.createDataFrame(rdd, MetaSchema)
+      .toDF("doc_id", "byte_len", "format", "width", "height", "checksum")
   }
 
   /** Frame sampling over "video" payloads (decode stubbed, like

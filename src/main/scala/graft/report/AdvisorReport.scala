@@ -1,15 +1,24 @@
 package graft.report
 
+import graft.Num._
 import graft.operators.{ChangePoints, Correlate, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end advisor pipeline — the whole reference program
-  * (metrics_advisor.py main): ingest → grid → anomaly detection →
-  * bucket → correlate against objective signals → rank → report.
-  * The reference renders Jinja2 markdown + matplotlib PNGs
-  * (templates/report.tpl); here the analytic table is the product and a
-  * small markdown renderer summarizes it.
+  * (metrics_advisor.py main): ingest → grid → variance gate → anomaly
+  * detection → bucket → correlate against objective signals → rank →
+  * report. The reference renders Jinja2 markdown + matplotlib PNGs
+  * (templates/report.tpl); here the analytic table is the product and
+  * the markdown renderer carries the same content: the ranked
+  * correlation table plus the normalized per-bucket series the
+  * reference plots (metrics_advisor.py:198-224).
+  *
+  * Caching contract: `adviseSignals` persists the shared grid
+  * (MEMORY_AND_DISK). It is released on `spark.catalog.clearCache()`;
+  * batch callers (Main, Bench) clear after consuming the result, and a
+  * long-lived session can call [[release]] explicitly.
   */
 object AdvisorReport {
 
@@ -18,7 +27,8 @@ object AdvisorReport {
       stepSec: Long = 3600L,
       bucketSec: Long = 86400L,
       nodeMod: Int = 4,
-      topK: Int = 5)
+      topK: Int = 5,
+      minRange: Double = 0.005)
 
   /** Dense forward-filled grid from long signals (name, node, tsec,
     * value) — the shape every source module emits.
@@ -36,6 +46,27 @@ object AdvisorReport {
     buildGridFromSignals(
       TimeSeries.signalsFromEvents(events, cfg.nodeMod), cfg)
 
+  /** The reference's validity gate (metrics_advisor.py:146): drop
+    * signals whose whole-series range is ≤ minRange — flat signals
+    * carry no information and must not reach anomaly detection.
+    */
+  private def gateSignals(grid: DataFrame, cfg: Config): DataFrame =
+    grid.join(
+      TimeSeries.rangeGate(grid, cfg.minRange).select("name", "node"),
+      Seq("name", "node"), "left_semi")
+
+  /** The reference's second gate (metrics_advisor.py:185): candidates
+    * are re-checked per correlation window, so a signal that is flat
+    * within a bucket (even if it moved elsewhere) never ranks there.
+    */
+  private def gateBuckets(grid: DataFrame, cfg: Config): DataFrame = {
+    val live = grid.groupBy("name", "node", "b")
+      .agg((max("gval") - min("gval")).as("rng"))
+      .filter(r4(col("rng")) > cfg.minRange)
+      .select("name", "node", "b")
+    grid.join(live, Seq("name", "node", "b"), "left_semi")
+  }
+
   /** The advisor answer: for each bucket where an objective signal is
     * anomalous, the top-k correlated candidate signals (reference
     * :177-230). One DataFrame, driver-collect-free until render.
@@ -44,27 +75,62 @@ object AdvisorReport {
     adviseSignals(TimeSeries.signalsFromEvents(events, cfg.nodeMod), cfg)
 
   /** advise over long signals — what the CSV/tar bundle sources emit. */
-  def adviseSignals(signals: DataFrame, cfg: Config = Config()): DataFrame = {
-    // the grid feeds three independent analyses (outliers, change
-    // points, correlation) — persist it so the ffill window pipeline
-    // runs once
-    val grid = buildGridFromSignals(signals, cfg).persist()
+  def adviseSignals(signals: DataFrame, cfg: Config = Config()): DataFrame =
+    adviseOnGrid(gatedGrid(signals, cfg), cfg)
+
+  /** The gated, persisted grid the whole pipeline shares — exposed so a
+    * caller that also renders the per-bucket series (Main) reuses one
+    * grid instead of rebuilding the ffill pipeline.
+    */
+  def gatedGrid(signals: DataFrame, cfg: Config = Config()): DataFrame =
+    gateSignals(buildGridFromSignals(signals, cfg), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Advisor core over an already-gated grid: the grid feeds three
+    * independent analyses (outliers, change points, correlation), which
+    * is why callers persist it.
+    */
+  def adviseOnGrid(grid: DataFrame, cfg: Config = Config()): DataFrame = {
     val anomalies = ChangePoints.anomalyUnion(
       grid.select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
     val anomalousObjBuckets = anomalies
       .filter(col("name").isin(cfg.objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"), col("b"))
       .distinct()
-    val ranked = Correlate.topCorr(Correlate.nccLag(grid, cfg.objNames), cfg.topK)
+    val ranked = Correlate.topCorr(
+      Correlate.nccLag(gateBuckets(grid, cfg), cfg.objNames), cfg.topK)
     ranked.join(anomalousObjBuckets, Seq("obj_name", "obj_node", "b"))
       .orderBy("obj_name", "obj_node", "b", "rank")
   }
 
-  /** Small markdown report (the report.tpl analogue). Collects the
-    * ranked table — output is top-k rows per anomalous bucket, tiny by
-    * construction.
+  /** Normalized per-bucket series for the signals the report shows —
+    * the content of the reference's plots (metrics_advisor.py:198-224:
+    * objective + top candidates, each divided by |max|, per anomalous
+    * bucket). Bounded by construction: (top-k + objectives) × buckets ×
+    * samples-per-bucket.
     */
-  def renderMarkdown(advice: DataFrame, limit: Int = 500): String = {
+  def bucketSeries(grid: DataFrame, advice: DataFrame): DataFrame = {
+    val wanted = advice.select(col("obj_name").as("name"), col("obj_node").as("node"), col("b"))
+      .unionByName(advice.select(col("cand_name").as("name"), col("cand_node").as("node"), col("b")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node", "b")
+    grid.join(wanted, Seq("name", "node", "b"), "left_semi")
+      .withColumn("rel", r4(col("gval") / (abs(max("gval").over(w)) + lit(1e-10))))
+      .select("name", "node", "b", "i", "rel")
+  }
+
+  /** Release the pipeline's cached frames (library hook — Bench and
+    * Main use clearCache, which covers the same storage).
+    */
+  def release(spark: SparkSession): Unit = spark.catalog.clearCache()
+
+  /** Markdown report (the report.tpl analogue): ranked-candidate table
+    * plus, per anomalous bucket, the normalized series of the signals
+    * involved (what the reference's PNGs draw). Collects only the
+    * ranked table and the gated per-bucket series — both top-k-bounded.
+    */
+  def renderMarkdown(advice: DataFrame, grid: Option[DataFrame] = None,
+                     limit: Int = 500): String = {
     val rows = advice.limit(limit).collect()
     val sb = new StringBuilder
     sb.append("# Metrics advisor report\n\n")
@@ -74,6 +140,19 @@ object AdvisorReport {
       sb.append(s"| ${r.getAs[Long]("b")} | ${r.getAs[String]("obj_name")}/${r.getAs[String]("obj_node")} " +
         s"| ${r.getAs[String]("cand_name")}/${r.getAs[String]("cand_node")} " +
         s"| ${r.getAs[Long]("lag")} | ${r.getAs[Double]("r")} | ${r.getAs[Int]("rank")} |\n")
+    }
+    grid.foreach { g =>
+      sb.append("\n## Normalized series per anomalous bucket\n")
+      val series = bucketSeries(g, advice)
+        .orderBy("b", "name", "node", "i")
+        .limit(limit * 40).collect()
+      series.groupBy(r => (r.getAs[Long]("b"), r.getAs[String]("name"), r.getAs[String]("node")))
+        .toSeq.sortBy(_._1)
+        .foreach { case ((b, name, node), pts) =>
+          val vals = pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).mkString(", ")
+          sb.append(s"\n- bucket $b `$name/$node`: $vals")
+        }
+      sb.append("\n")
     }
     sb.toString
   }

@@ -17,6 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MetricsTar {
 
+  /** InputStream.skip returns 0 at EOF (never -1), so a bare skip loop
+    * spins forever on a truncated archive; a zero-progress skip falls
+    * back to a blocking read, which does signal EOF.
+    */
+  private def skipFully(in: DataInputStream, n: Long): Unit = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val s = in.skip(toSkip)
+      if (s > 0) toSkip -= s
+      else {
+        if (in.read() < 0) throw new EOFException("truncated tar archive")
+        toSkip -= 1
+      }
+    }
+  }
+
   /** Extract `*.csv` members under a `reshape/` directory to a temp dir;
     * returns the directory. AppleDouble `._*` entries are skipped.
     */
@@ -41,17 +57,21 @@ object MetricsTar {
             name.contains(s"/$subdir/") && base.endsWith(".csv") &&
             !base.startsWith("._")
           if (wanted) {
+            val target = out.resolve(base)
+            // entries are flattened by basename: a collision (same CSV
+            // name under two workload dirs) would silently drop one
+            // workload's data — fail loudly instead
+            if (Files.exists(target))
+              throw new IllegalStateException(
+                s"duplicate CSV basename '$base' in $tarGzPath — entries from " +
+                  "different workload dirs would overwrite each other")
             val buf = new Array[Byte](size.toInt)
             in.readFully(buf)
-            Files.write(out.resolve(base), buf, StandardOpenOption.CREATE,
-              StandardOpenOption.TRUNCATE_EXISTING)
+            Files.write(target, buf, StandardOpenOption.CREATE_NEW)
           } else {
-            var toSkip = size
-            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            skipFully(in, size)
           }
-          val pad = (512 - (size % 512)) % 512
-          var p = pad
-          while (p > 0) p -= in.skip(p)
+          skipFully(in, (512 - (size % 512)) % 512)
         }
       }
     } catch { case _: EOFException => () }
