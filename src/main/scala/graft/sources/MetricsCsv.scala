@@ -50,9 +50,15 @@ object MetricsCsv {
         .select("name", "node", "tsec", "value")
     }
     val all = parts.reduce(_.unionByName(_))
-    val keep = all.groupBy("name", "node").agg(count(lit(1)).as("n_samples"))
+    // the reference drops NaN cells on ingest (metrics_advisor.py:88):
+    // empty cells and non-numeric strings cast to NULL above, and a
+    // literal "NaN" casts to NaN — neither may reach downstream
+    // aggregates. Dropped BEFORE the sample gate so signal validity
+    // counts real samples only.
+    val clean = all.filter(col("value").isNotNull && !isnan(col("value")))
+    val keep = clean.groupBy("name", "node").agg(count(lit(1)).as("n_samples"))
       .filter(col("n_samples") > minSamples)
       .select("name", "node")
-    all.join(keep, Seq("name", "node"))
+    clean.join(keep, Seq("name", "node"))
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.report.AdvisorReport
+import org.apache.spark.sql.functions._
+
+/** End-to-end advisor pipeline semantics: the reference's variance
+  * gates (metrics_advisor.py:146 whole-series, :185 per correlation
+  * window) and the report content (ranked table + normalized series,
+  * the content of the reference's plots, :198-224).
+  */
+class AdvisorReportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val T0 = 1640563200L // midnight-aligned (86400 | T0)
+  private val cfg = AdvisorReport.Config(objNames = Seq("click"))
+
+  /** 4 days of hourly signals: a stepping objective, a correlated
+    * candidate, a dead-flat candidate, and one flat only in days 1-2.
+    */
+  private def signals = {
+    val hours = 0 until 96
+    def mk(name: String, f: Int => Double) =
+      hours.map(i => (name, "n0", T0 + i * 3600L, f(i)))
+    (mk("click", i => if (i < 48) 10.0 + (i % 5) else 90.0 + (i % 7)) ++
+      mk("cpu", i => if (i < 48) 5.0 + (i % 5) else 45.0 + (i % 7)) ++
+      mk("flatline", _ => 3.0) ++
+      mk("halfflat", i => if (i < 48) 50.0 else 50.0 + (i % 9)))
+      .toDF("name", "node", "tsec", "value")
+  }
+
+  test("flat signals never appear as ranked candidates") {
+    val advice = AdvisorReport.adviseSignals(signals, cfg).collect()
+    assert(advice.nonEmpty, "step change must produce an anomalous bucket")
+    val cands = advice.map(_.getAs[String]("cand_name")).toSet
+    assert(!cands.contains("flatline"), s"flat signal ranked: $cands")
+    assert(cands.contains("cpu"), s"correlated candidate missing: $cands")
+  }
+
+  test("a signal flat within a bucket is gated there but ranks where it moves") {
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg).collect()
+    val flatBuckets = Set(T0, T0 + 86400L) // halfflat constant in days 1-2
+    val halfflatRows = advice.filter(_.getAs[String]("cand_name") == "halfflat")
+    assert(halfflatRows.forall(r => !flatBuckets.contains(r.getAs[Long]("b"))),
+      "halfflat ranked in a bucket where it was flat")
+    // the whole-series gate must NOT drop it (its full range is > 0.005)
+    assert(grid.filter(col("name") === "halfflat").count() > 0)
+  }
+
+  test("renderMarkdown emits the ranked table and per-bucket normalized series") {
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg)
+    val md = AdvisorReport.renderMarkdown(advice, Some(grid))
+    assert(md.startsWith("# Metrics advisor report"))
+    assert(md.contains("| bucket | objective | candidate | lag | r | rank |"))
+    assert(md.contains("## Normalized series per anomalous bucket"))
+    assert(md.contains("`click/n0`"), "objective series missing from report")
+    assert(md.contains("`cpu/n0`"), "candidate series missing from report")
+    // normalized values are in [-1, 1]: spot the objective's plateau
+    assert(!md.contains("flatline"), "gated signal leaked into the report")
+  }
+
+  test("bucketSeries normalizes by |max| within (signal, bucket)") {
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg)
+    val series = AdvisorReport.bucketSeries(grid, advice)
+    val rels = series.select("rel").as[Double].collect()
+    assert(rels.nonEmpty)
+    assert(rels.forall(v => v >= -1.0001 && v <= 1.0001), "normalization out of range")
+  }
+}

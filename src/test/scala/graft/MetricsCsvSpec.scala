@@ -10,8 +10,11 @@ class MetricsCsvSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("metrics_csv").toFile
     val f1 = new java.io.File(dir, "node_cpu:by_instance.csv")
     val rows = (0 until 25).map(i => s"${1640588307 + i * 15},${i * 1.5},${i * 2.5}")
+    // NaN / empty cells are dropped on ingest (the reference's dropna):
+    // one extra row carrying only junk must change nothing downstream
+    val junk = s"${1640588307 + 25 * 15},NaN,"
     Files.writeString(f1.toPath,
-      ("timestamp,host1:9100,host2:9100" +: rows).mkString("\n"))
+      ("timestamp,host1:9100,host2:9100" +: rows :+ junk).mkString("\n"))
     // a file below the sample gate
     val f2 = new java.io.File(dir, "tiny.csv")
     Files.writeString(f2.toPath, "timestamp,h\n1,2\n3,4")
@@ -43,5 +46,10 @@ class MetricsCsvSpec extends SparkTestBase {
     val report = Main.run(spark, dir.getAbsolutePath, objNames = Seq("qps"))
     assert(report.startsWith("# Metrics advisor report"))
     assert(report.contains("| bucket |"))
+    // the reference's deliverable also carries the normalized series of
+    // every plotted signal, and its 0.005 variance gate must keep the
+    // flat candidate out of the whole report
+    assert(report.contains("## Normalized series per anomalous bucket"))
+    assert(!report.contains("disk"), "flat signal leaked into the report")
   }
 }
