@@ -411,6 +411,25 @@ object SparkEntry {
         |   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
         |FROM customer ORDER BY c_nationkey, quartile, c_custkey""".stripMargin)),
 
+    Q("q18_percent_rank", (s, dir) => {
+      // distribution-position window stats: percent_rank = (rank−1)/(n−1)
+      // and cume_dist are single divisions of identical integers on both
+      // engines; unique-key order makes positions deterministic
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          r4(percent_rank().over(w)).as("pr"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy("c_nationkey", "c_custkey")
+    }, Some(
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | floor((percent_rank() OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS pr,
+        | floor((cume_dist() OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS cd
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
     Q("q15_set_ops", (s, dir) => {
       // INTERSECT / EXCEPT (distinct set semantics on both engines)
       val o = Tables.orders(s, dir)
@@ -546,6 +565,81 @@ object SparkEntry {
          |FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)
          |QUALIFY lag3 IS NOT NULL
          |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_autocorr", (s, dir) => {
+      TimeSeries.autocorr(grid(s, dir))
+        .select(col("name"), col("node"), col("lag"), col("r"), col("n"))
+        .orderBy("name", "node", "lag")
+    }, Some(
+      s"""$WITH_GRID,
+         |ld AS (SELECT name, node, gval,
+         |  lead(gval, 1) OVER w AS y1, lead(gval, 2) OVER w AS y2, lead(gval, 3) OVER w AS y3
+         | FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)),
+         |pr AS (
+         | SELECT name, node, CAST(1 AS BIGINT) AS lag,
+         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qx,
+         |   CAST(floor((y1 + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qy FROM ld WHERE y1 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(2 AS BIGINT),
+         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT),
+         |   CAST(floor((y2 + 1e-9) * 1e4 + 0.5) AS HUGEINT) FROM ld WHERE y2 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(3 AS BIGINT),
+         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT),
+         |   CAST(floor((y3 + 1e-9) * 1e4 + 0.5) AS HUGEINT) FROM ld WHERE y3 IS NOT NULL),
+         |cells AS (SELECT name, node, lag, count(*) AS n,
+         |  CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         |  CAST(sum(qx * qy) AS DOUBLE) AS sxy, CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         |  CAST(sum(qy * qy) AS DOUBLE) AS syy
+         | FROM pr GROUP BY 1, 2, 3),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |  CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells)
+         |SELECT name, node, lag,
+         | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
+         |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
+         |ORDER BY name, node, lag""".stripMargin)),
+
+    Q("ts_cusum", (s, dir) => {
+      TimeSeries.cusum(grid(s, dir))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |st AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM qd GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sp AS (SELECT name, node,
+         |  CAST(floor(s1 / CAST(n AS DOUBLE) + 0.5) AS HUGEINT) AS mu_i,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st),
+         |cs AS (SELECT q.name, q.node, q.tsb,
+         |  sum(q.d - p.mu_i) OVER (PARTITION BY q.name, q.node ORDER BY q.tsb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_i, p.sigma_s
+         | FROM qd q JOIN sp p ON q.name = p.name AND q.node = p.node)
+         |SELECT name, node, tsb, CAST(cusum_i AS DOUBLE) / 1e4 AS cusum,
+         | CAST(abs(CAST(cusum_i AS DOUBLE)) > sigma_s * 5.0 AS INT) AS drift
+         |FROM cs ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ts_seasonal_naive_err", (s, dir) => {
+      // period 12 samples (3 h on the 15-min grid) so every SF's
+      // retention scores a meaningful point count (daily period = 96
+      // leaves the smallest SF with zero scored rows)
+      TimeSeries.seasonalNaiveError(grid(s, dir), period = 12)
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |ee AS (SELECT name, node,
+         |  d - lag(d, 12) OVER (PARTITION BY name, node ORDER BY tsb) AS e FROM qd),
+         |ag AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(abs(e)) AS DOUBLE) AS sae, CAST(sum(e * e) AS DOUBLE) AS sse
+         | FROM ee WHERE e IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 8)
+         |SELECT name, node, n,
+         | floor((sae / CAST(n AS DOUBLE) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mae,
+         | floor((sqrt(sse / CAST(n AS DOUBLE)) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS rmse
+         |FROM ag ORDER BY name, node""".stripMargin)),
 
     Q("ts_winsorize", (s, dir) => {
       TimeSeries.winsorize(grid(s, dir))
@@ -990,6 +1084,17 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_cluster_minhash", (s, dir) => {
+      // the scale-path composition: connected components over the
+      // MinHash-LSH candidate edges (bucketed, never all-pairs) via the
+      // precomputed-edge-list entry point — the pair graph is built
+      // exactly once for detection AND clustering
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(docs, precomputedPairs =
+          Some(Dedup.minhashLsh(docs, threshold = 0.5).select("doc1", "doc2")))
+        .orderBy("doc_id")
+    }, None),
+
     Q("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
     }, None),
@@ -1066,6 +1171,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }, None),
 
+    Q("ann_recall_eval", (s, dir) => {
+      // the honesty harness for the approximate paths: recall@5 of the
+      // LSH index against brute-force ground truth per query
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(Similarity.lshAnn(e),
+          Similarity.knnBruteCosine(e, nQueries = 10, k = 5), k = 5)
+        .orderBy("qid")
+    }, None),
+
     Q("embed_kmeans", (s, dir) => {
       Clustering.clusterStats(Tables.embeddings(s, dir), 8)
     }, None),
@@ -1134,6 +1248,40 @@ object SparkEntry {
         |      ELSE 'es' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("text_quality_gate", (s, dir) => {
+      TextAnalysis.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh
+        | FROM documents),
+        |h AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS quality,
+        |  zh,
+        |  len(list_intersect(list_distinct(w), ['the','and','is','of','to','in','that','it','for','on'])) AS en,
+        |  len(list_intersect(list_distinct(w), ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS de,
+        |  len(list_intersect(list_distinct(w), ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+        |  len(list_intersect(list_distinct(w), ['el','los','las','y','de','que','en','por','para','es'])) AS es
+        | FROM t),
+        |g AS (SELECT doc_id, n_tokens, quality,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+        | FROM h)
+        |SELECT doc_id, n_tokens, quality, lang_pred,
+        | CAST(lang_pred = 'en' AS INT) AS ok_lang,
+        | CAST(n_tokens >= 5 AND n_tokens <= 5000 AS INT) AS ok_len,
+        | CAST(quality >= 0.5 AS INT) AS ok_quality,
+        | CAST(lang_pred = 'en' AND n_tokens >= 5 AND n_tokens <= 5000
+        |   AND quality >= 0.5 AS INT) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     Q("text_ngram_freq", (s, dir) => {
       // corpus-wide word-bigram frequency, top 20 — the n-gram language
       // model building block
@@ -1195,7 +1343,28 @@ object SparkEntry {
       """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events)
         |SELECT event_type, tsec // 3600 * 3600 AS hour_start, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM ev GROUP BY event_type, hour_start ORDER BY event_type, hour_start""".stripMargin))
+        |FROM ev GROUP BY event_type, hour_start ORDER BY event_type, hour_start""".stripMargin)),
+
+    Q("stream_sliding_agg", (s, dir) => {
+      // batch equivalent of window(ts, "1 hour", slide "15 minutes"):
+      // each event lands in 4 overlapping windows (explode in-task, no
+      // extra shuffle beyond the aggregate); the streaming variant is
+      // the EventStream hourly agg with a slide — identical cells
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("value"))
+        .select(col("event_type"), col("tsec"), col("value"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .groupBy(col("event_type"),
+          ((expr("tsec div 900") - col("j")) * 900).as("ws"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy("event_type", "ws")
+    }, Some(
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
+        |sl AS (SELECT event_type, (tsec // 900 - j) * 900 AS ws, value
+        | FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js)
+        |SELECT event_type, ws, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sl GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -41,8 +41,9 @@ object Correlate {
   /** Exact integer moment aggregates over quantized columns x, y.
     * Sums are DECIMAL (order-independent, exact); the cast to double is
     * the single correctly-rounded conversion both engines share.
+    * Public: TimeSeries.autocorr reuses the same machinery.
     */
-  private def momentAggs(x: String, y: String): Seq[Column] = Seq(
+  def momentAggs(x: String, y: String): Seq[Column] = Seq(
     count(lit(1)).as("n"),
     sum(col(x)).cast("double").as("sx"),
     sum(col(y)).cast("double").as("sy"),
@@ -54,7 +55,7 @@ object Correlate {
     * the oracle SQL. Cells with zero variance on either side are dropped
     * (the built-in corr's NULL/NaN contract).
     */
-  private def pearsonFromMoments(cells: DataFrame, minOverlap: Int): DataFrame = {
+  def pearsonFromMoments(cells: DataFrame, minOverlap: Int): DataFrame = {
     val nd = col("n").cast("double")
     cells
       .withColumn("vx", nd * col("sxx") - col("sx") * col("sx"))

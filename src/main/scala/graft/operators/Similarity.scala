@@ -78,6 +78,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall@k of an ANN result against the brute-force ground truth —
+    * the honesty metric every approximate index ships with (an ANN
+    * operator without a recall harness can't be tuned). Both inputs
+    * are (qid, rank, nid) frames; queries the ANN missed entirely
+    * score 0. The truth side is top-k-bounded → the join is tiny.
+    */
+  def recallAtK(ann: DataFrame, truth: DataFrame, k: Int = 5): DataFrame = {
+    val a = ann.filter(col("rank") <= k).select(col("qid"), col("nid"))
+    val t = truth.filter(col("rank") <= k).select(col("qid"), col("nid"))
+    val hits = a.join(t, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    t.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        r4(coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus to deterministic seed
     * centroids (the first nCells vectors by id — a deterministic stand-in
     * for trained centroids), assign each vector to its nearest centroid,

@@ -44,6 +44,42 @@ object TextAnalysis {
       size(words(col("text"))).cast("bigint").as("n_words"))
   }
 
+  private def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+
+  private def digitCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+
+  /** The weighted composite quality score (shared by [[qualityScore]]
+    * and [[qualityGate]] so both report the identical number). */
+  private def qualityExpr(text: Column): Column = {
+    val w = words(text)
+    val nTok = size(w).cast("double")
+    val len = length(text).cast("double")
+    val shortToks = size(filter(w, t => length(t) <= 2)).cast("double")
+    lit(1.0) - least(punctCount(text) / len * 5.0, lit(0.3)) -
+      least(digitCount(text) / len * 5.0, lit(0.3)) -
+      least(shortToks / nTok, lit(0.3))
+  }
+
+  private def langHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(words(text)),
+      array(Stopwords(lang).map(lit): _*)))
+
+  private def cjkChars(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** The language verdict (shared by [[langId]] and [[qualityGate]]). */
+  private def langPredExpr(text: Column): Column = {
+    val en = langHits(text, "en"); val de = langHits(text, "de")
+    val fr = langHits(text, "fr"); val es = langHits(text, "es")
+    when(cjkChars(text) > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   /** Quality scoring: punctuation/digit/stopword/short-token ratios and a
     * weighted composite — the standard cheap pre-filters for LLM corpora.
     */
@@ -51,10 +87,8 @@ object TextAnalysis {
     val w = words(col("text"))
     val nTok = size(w).cast("double")
     val len = length(col("text")).cast("double")
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val digits = (length(col("text")) -
-      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val punct = punctCount(col("text"))
+    val digits = digitCount(col("text"))
     val stops = size(array_intersect(array_distinct(w),
       array(Stopwords("en").map(lit): _*))).cast("double")
     val shortToks = size(filter(w, t => length(t) <= 2)).cast("double")
@@ -64,34 +98,44 @@ object TextAnalysis {
       r4(digits / len).as("digit_ratio"),
       r4(stops / lit(10.0)).as("stop_hit_ratio"),
       r4(shortToks / nTok).as("short_tok_ratio"),
-      r4(
-        lit(1.0)
-          - least(punct / len * 5.0, lit(0.3))
-          - least(digits / len * 5.0, lit(0.3))
-          - least(shortToks / nTok, lit(0.3))).as("quality"))
+      r4(qualityExpr(col("text"))).as("quality"))
   }
 
   /** Heuristic language ID: distinct-stopword hits per language + CJK
     * character presence, deterministic priority on ties.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val w = array_distinct(words(col("text")))
-    def hits(lang: String): Column =
-      size(array_intersect(w, array(Stopwords(lang).map(lit): _*)))
-    val zh = length(col("text")) -
-      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
-    val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
+    val zh = cjkChars(col("text"))
     docs.select(
       col("doc_id"), col("lang").as("lang_true"),
-      en.cast("bigint").as("hits_en"), de.cast("bigint").as("hits_de"),
-      fr.cast("bigint").as("hits_fr"), es.cast("bigint").as("hits_es"),
+      langHits(col("text"), "en").cast("bigint").as("hits_en"),
+      langHits(col("text"), "de").cast("bigint").as("hits_de"),
+      langHits(col("text"), "fr").cast("bigint").as("hits_fr"),
+      langHits(col("text"), "es").cast("bigint").as("hits_es"),
       zh.cast("bigint").as("zh_chars"),
-      when(zh > 0, "zh")
-        .when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es").as("lang_pred"))
+      langPredExpr(col("text")).as("lang_pred"))
   }
+
+  /** Composite curation gate — the keep/drop decision an LLM ingest
+    * pipeline applies per document: English, token budget, quality
+    * threshold. Per-reason flags ride along because at corpus scale
+    * WHY a document dropped matters as much as that it dropped
+    * (rebalancing filters needs the reason histogram). Thresholds
+    * compare the rounded score → engine-deterministic row set.
+    */
+  def qualityGate(docs: DataFrame, minTokens: Long = 5, maxTokens: Long = 5000,
+                  minQuality: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"),
+        r4(qualityExpr(col("text"))).as("quality"),
+        langPredExpr(col("text")).as("lang_pred"))
+      .withColumn("ok_lang", (col("lang_pred") === "en").cast("int"))
+      .withColumn("ok_len",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("ok_quality", (col("quality") >= minQuality).cast("int"))
+      .withColumn("keep",
+        (col("ok_lang") === 1 && col("ok_len") === 1 && col("ok_quality") === 1)
+          .cast("int"))
 
   /** Rolling polynomial hash fingerprint over characters (mod a prime to
     * stay overflow-free): a cheap order-sensitive content digest.

@@ -4,6 +4,7 @@ import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Long-format time-series operators — the data model of the reference
   * (metrics_advisor.py:38-48 melts wide reshape CSVs into
@@ -198,6 +199,81 @@ object TimeSeries {
         }
       }
       .toDF("name", "node", "tsb", "ewma")
+  }
+
+  /** Autocorrelation per signal at trailing sample lags 1..maxLag
+    * (consecutive grid samples — the forecast-horizon diagnostic that
+    * tells an operator how much memory a metric has). Pearson comes
+    * from the exact integer-moment machinery (see [[Correlate]]) so
+    * the oracle matches bit-for-bit; one window pass + one keyed
+    * aggregate, no self-join.
+    */
+  def autocorr(grid: DataFrame, maxLag: Int = 3, minOverlap: Int = 8): DataFrame = {
+    val w = signalWindow
+    val withLeads = grid.select(
+      Seq(col("name"), col("node"), col("gval")) ++
+        (1 to maxLag).map(l => lead("gval", l).over(w).as(s"y$l")): _*)
+    val pairs = withLeads.select(col("name"), col("node"),
+        qint(col("gval"), 1e4).as("qx"),
+        posexplode(array((1 to maxLag).map(l => qint(col(s"y$l"), 1e4)): _*))
+          .as(Seq("l0", "qy")))
+      .filter(col("qy").isNotNull)
+      .withColumn("lag", (col("l0") + 1).cast("long"))
+    val moments = Correlate.momentAggs("qx", "qy")
+    Correlate.pearsonFromMoments(
+      pairs.groupBy("name", "node", "lag").agg(moments.head, moments.tail: _*),
+      minOverlap)
+  }
+
+  /** CUSUM drift detection per signal: running sum of deviations from
+    * the signal mean, flagged when |cusum| exceeds `h`·stddev. All
+    * arithmetic is exact scaled-integer (×1e4): the mean is quantized
+    * to the integer grid, deviations and their running sum are exact,
+    * and the only doubles (mean, stddev, the final rescale) follow the
+    * fixed IEEE sequence mirrored in the oracle.
+    */
+  def cusum(grid: DataFrame, h: Double = 5.0): DataFrame = {
+    val g = grid.withColumn("d", qint(col("gval"), 1e4))
+    val nd = col("n").cast("double")
+    val stats = g.groupBy("name", "node").agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).cast("double").as("s1"),
+        sum(col("d") * col("d")).cast("double").as("s2"))
+      .filter(col("n") >= 2)
+      .withColumn("mu_i",
+        floor(col("s1") / nd + lit(0.5)).cast(DecimalType(18, 0)))
+      .withColumn("sigma_s",
+        sqrt((nd * col("s2") - col("s1") * col("s1")) / (nd * (nd - lit(1.0)))))
+    val cw = signalWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(stats.select("name", "node", "mu_i", "sigma_s"), Seq("name", "node"))
+      .withColumn("cusum_i", sum(col("d") - col("mu_i")).over(cw))
+      .select(col("name"), col("node"), col("tsb"),
+        (col("cusum_i").cast("double") / lit(1e4)).as("cusum"),
+        (abs(col("cusum_i").cast("double")) > col("sigma_s") * lit(h))
+          .cast("int").as("drift"))
+  }
+
+  /** Seasonal-naive forecast baseline per signal: predict
+    * x_t = x_{t−period} (period in samples; one day on the 15-min
+    * grid), score MAE/RMSE over the points that have a prediction —
+    * the floor every forecaster must beat. Errors are exact scaled
+    * integers, so both aggregates are order-independent.
+    */
+  def seasonalNaiveError(grid: DataFrame, period: Int = 96,
+                         minScored: Int = 8): DataFrame = {
+    val nd = col("n").cast("double")
+    grid.withColumn("d", qint(col("gval"), 1e4))
+      .withColumn("p", lag("d", period).over(signalWindow))
+      .filter(col("p").isNotNull)
+      .withColumn("e", col("d") - col("p"))
+      .groupBy("name", "node").agg(
+        count(lit(1)).as("n"),
+        sum(abs(col("e"))).cast("double").as("sae"),
+        sum(col("e") * col("e")).cast("double").as("sse"))
+      .filter(col("n") >= minScored)
+      .select(col("name"), col("node"), col("n"),
+        r4(col("sae") / nd / lit(1e4)).as("mae"),
+        r4(sqrt(col("sse") / nd) / lit(1e4)).as("rmse"))
   }
 
   /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */

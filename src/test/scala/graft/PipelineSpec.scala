@@ -146,4 +146,39 @@ class PipelineSpec extends SparkTestBase {
     // 450 bytes → frames 0..4, stride 2 → 0,2,4; 90 bytes → frame 0
     assert(out == Seq((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L)))
   }
+
+  test("quality gate keeps clean english docs and records drop reasons") {
+    val d = Seq(
+      (1L, "the cat is on the mat and it is fine for sure today"),
+      (2L, "der hund ist nicht mit das ein zu den heute"),
+      (3L, "a b"),
+      (4L, "1,2,3!!! 4,5,6??? 7,8,9;;; the of to 0,1,2!!!")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(d, minTokens = 5, maxTokens = 50, minQuality = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "ok_lang", "ok_len", "ok_quality")
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    assert(out.head == ((1L, 1, 1, 1, 1)))
+    assert(out(1)._3 == 0, "german doc must fail the language gate")
+    assert(out(2)._4 == 0, "two-token doc must fail the length gate")
+    assert(out(3)._5 == 0, "punct/digit soup must fail the quality gate")
+    assert(out.drop(1).forall(_._2 == 0))
+  }
+
+  test("recallAtK is 1 when ANN returns the ground truth, 0 when it misses") {
+    val truth = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L), (1L, 2, 21L))
+      .toDF("qid", "rank", "nid")
+    val ann = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 99L), (1L, 2, 98L))
+      .toDF("qid", "rank", "nid")
+    val out = Similarity.recallAtK(ann, truth, k = 2).orderBy("qid")
+      .select("qid", "recall").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1.0), (1L, 0.0)))
+  }
+
+  test("clusters over a precomputed edge list skips pair detection") {
+    val d = docs((1L, "x"), (2L, "y"), (3L, "z"), (9L, "w"))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val out = Dedup.clusters(d, precomputedPairs = Some(edges))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (9L, 9L, 0)))
+  }
 }

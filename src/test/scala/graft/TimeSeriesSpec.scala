@@ -89,4 +89,44 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("measure").collect()
     assert(out.map(r => (r.getString(1), r.getDouble(2))).toSeq == Seq(("x", 2.0), ("y", 3.0)))
   }
+
+  test("autocorr matches a brute-force Pearson over lagged samples") {
+    // a short deterministic series with real autocorrelation structure
+    val vals = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0, 10.0, 13.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.autocorr(grid(rows: _*), maxLag = 2, minOverlap = 4)
+      .orderBy("lag").select("lag", "r").as[(Long, Double)].collect().toMap
+    def brute(l: Int): Double = {
+      val xs = vals.dropRight(l); val ys = vals.drop(l)
+      val n = xs.size.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(b => b * b).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    for (l <- 1 to 2)
+      assert(math.abs(out(l.toLong) - brute(l)) < 1e-3, s"lag $l: ${out(l.toLong)} vs ${brute(l)}")
+  }
+
+  test("cusum is an exact running deviation sum and flags a mean shift") {
+    // flat first half, shifted second half: cusum dips then recovers
+    val vals = (0 until 20).map(i => if (i < 10) 10.0 else 30.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.cusum(grid(rows: _*), h = 2.0)
+      .orderBy("tsb").select("cusum", "drift").as[(Double, Int)].collect()
+    val mu = 20.0 // quantized mean of the series
+    val expect = vals.scanLeft(0.0)((acc, v) => acc + (v - mu)).drop(1)
+    assert(out.map(_._1).toSeq == expect)
+    assert(out.exists(_._2 == 1), "mean shift must trip the drift flag")
+    assert(out.last._1 == 0.0) // deviations cancel by construction
+  }
+
+  test("seasonalNaiveError scores MAE/RMSE against the lag-period baseline") {
+    // period 4; second cycle = first cycle + 2 -> every error is 2
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0, 5.0, 6.0, 7.0, 8.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.seasonalNaiveError(grid(rows: _*), period = 4, minScored = 4)
+      .select("n", "mae", "rmse").as[(Long, Double, Double)].head()
+    assert(out == ((8L, 2.0, 2.0)))
+  }
 }
