@@ -138,13 +138,14 @@ object TextAnalysis {
           .cast("int"))
 
   /** Rolling polynomial hash fingerprint over characters (mod a prime to
-    * stay overflow-free): a cheap order-sensitive content digest.
+    * stay overflow-free): a cheap order-sensitive content digest. Native
+    * codegen expression (see VectorExpressions.RollingHash) — the HOF
+    * `aggregate(split(text, ''))` formulation is CodegenFallback and
+    * allocates a per-character array per row, which at corpus scale
+    * makes the fingerprint scan allocation-bound.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val chars = split(col("text"), "")
-    val fp = aggregate(chars, lit(0L),
-      (h, c) => (h * 31L + ascii(c)) % 1000000007L)
-    docs.select(col("doc_id"), fp.as("fp"),
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.VectorExpressions.textHash(col("text")).as("fp"),
       length(col("text")).cast("bigint").as("n_chars_calc"))
-  }
 }

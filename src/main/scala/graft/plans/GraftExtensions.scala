@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.VectorExpressions.DotProduct
+import org.apache.spark.sql.graft.VectorExpressions.{DotProduct, RollingHash}
 
 /** Session-extension installer for the engine's native expressions —
   * the `SparkSessionExtensions` integration point, so pure-SQL users
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.vecNormDescriptor)
+    ext.injectFunction(GraftExtensions.textHashDescriptor)
   }
 }
 
@@ -49,5 +50,13 @@ object GraftExtensions {
       require(children.size == 1, "vec_norm expects exactly 1 argument")
       org.apache.spark.sql.catalyst.expressions.Sqrt(
         DotProduct(children.head, children.head))
+    })
+
+  val textHashDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("text_hash"),
+    info("text_hash", "text_hash(s) - rolling code-point hash (h*31 + cp mod 1e9+7)."),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "text_hash expects exactly 1 argument")
+      RollingHash(children.head)
     })
 }

@@ -27,6 +27,26 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding windowed aggregate (window `length`, step `slide`): each
+    * event contributes to length/slide overlapping windows. Works on
+    * both batch and stream inputs; the streaming side drops a window's
+    * state once the watermark passes its end — at feed scale the state
+    * is (windows in flight × event types), not the event count. The
+    * batch-equivalent cells are the stream_sliding_agg query contract.
+    */
+  def slidingAgg(events: DataFrame, length: String = "1 hour",
+                 slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame = {
+    val withTs = events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+    val wm = if (events.isStreaming) withTs.withWatermark("tstamp", watermark) else withTs
+    wm.groupBy(window(col("tstamp"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   final case class SessionUpdate(user_id: Long, session_start: Long,
                                  session_end: Long, n_events: Long)
 

@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -75,6 +76,53 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Static kernel for [[RollingHash]] — generated code calls this via
+    * the object's static forwarder. Iterates Unicode code points (the
+    * definition DuckDB's `string_split('')` + `ascii` folds over);
+    * mod-prime at every step keeps the fold in BIGINT range.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Polynomial rolling hash over a STRING column's code points —
+    * h ← (h·31 + cp) mod 1e9+7. The HOF formulation
+    * `aggregate(split(text, ''), ...)` is CodegenFallback AND
+    * materializes a one-string-per-character array per row; at corpus
+    * scale the fingerprint scan IS the job, so it gets a native
+    * Expression: one pass over the string bytes inside whole-stage
+    * codegen, zero allocation beyond the fold.
+    */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "text_hash"
+
+    override protected def nullSafeEval(input: Any): Any =
+      rollingHash(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"org.apache.spark.sql.graft.VectorExpressions.rollingHash($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHash =
+      copy(child = newChild)
+  }
+
+  /** Column API: rolling code-point hash of a STRING column. */
+  def textHash(c: Column): Column = column(RollingHash(expression(c)))
 
   /** Column API: dot product of two ARRAY<DOUBLE> columns. */
   def vecDot(a: Column, b: Column): Column =

@@ -17,7 +17,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d))").head().isNullAt(0))
   }
 
-  test("the extension installer wires both functions") {
+  test("registered text_hash matches the HOF fold it replaces") {
+    val reg = spark.sessionState.functionRegistry
+    val (id, inf, builder) = GraftExtensions.textHashDescriptor
+    reg.registerFunction(id, inf, builder)
+    val row = spark.sql(
+      """SELECT text_hash('hello world!') AS native,
+        |  aggregate(split('hello world!', ''), 0L,
+        |    (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS hof""".stripMargin).head()
+    assert(row.getLong(0) == row.getLong(1))
+    assert(spark.sql("SELECT text_hash('')").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT text_hash(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
+  test("the extension installer wires all functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated above
   }

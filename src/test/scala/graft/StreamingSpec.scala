@@ -33,6 +33,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == Seq(("click", 2L, 5.0), ("view", 1L, 5.0)))
   }
 
+  test("slidingAgg over a stream matches batch, each event in 4 windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 3600L * 1000000000L, 1L, "click", 2.0, "{}"),
+      (2L, 4000L * 1000000000L, 2L, "click", 3.0, "{}"))
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.slidingAgg(streamDF).writeStream
+      .format("memory").queryName("sliding").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT ws, event_type, n, sum_value FROM sliding ORDER BY ws")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    val batch = EventStream.slidingAgg(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    // both events fall inside the same 4 sliding windows
+    // (starts 900..3600: start ≤ t < start+3600, aligned to 900)
+    assert(batch == Seq((900L, 2L, 5.0), (1800L, 2L, 5.0),
+      (2700L, 2L, 5.0), (3600L, 2L, 5.0)), s"got $batch")
+  }
+
   test("streaming dedup drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
