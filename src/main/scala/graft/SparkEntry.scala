@@ -430,6 +430,27 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin)),
 
+    Q("q19_grouped_topn", (s, dir) => {
+      // per-group top-N (the "top users per window" production pattern):
+      // partial-aggregated counts, then one ranked window per group
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("user_id"))
+      val counts = ev.groupBy(col("event_type"),
+          (expr("tsec div 3600") * 3600).as("hour_start"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type", "hour_start")
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .orderBy("event_type", "hour_start", "rk")
+    }, Some(
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, user_id FROM events),
+        |c AS (SELECT event_type, tsec // 3600 * 3600 AS hour_start, user_id, count(*) AS n
+        | FROM ev GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hour_start
+        |   ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type, hour_start, user_id, n, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY event_type, hour_start, rk""".stripMargin)),
+
     Q("q15_set_ops", (s, dir) => {
       // INTERSECT / EXCEPT (distinct set semantics on both engines)
       val o = Tables.orders(s, dir)
@@ -640,6 +661,34 @@ object SparkEntry {
          | floor((sae / CAST(n AS DOUBLE) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mae,
          | floor((sqrt(sse / CAST(n AS DOUBLE)) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS rmse
          |FROM ag ORDER BY name, node""".stripMargin)),
+
+    Q("ts_holt", (s, dir) => {
+      TimeSeries.holt(grid(s, dir)).orderBy("name", "node")
+    }, Some(
+      // recursive CTE, not a list_reduce struct fold: DuckDB's struct
+      // lambda evaluates fields sequentially with `acc` rebinding to the
+      // half-updated struct (measured), so a coupled 2-state recursion
+      // can't be expressed safely there; the recursive CTE has ordinary
+      // snapshot semantics and replays the identical IEEE fold
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2 HAVING count(*) >= 2),
+         |step AS (
+         |  SELECT a.name, a.node, CAST(2 AS BIGINT) AS i, a.gval AS l, b.gval - a.gval AS bt
+         |  FROM iv a JOIN iv b ON a.name = b.name AND a.node = b.node AND a.i = 1 AND b.i = 2
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    0.3 * v.gval + (1 - 0.3) * (s.l + s.bt),
+         |    0.2 * ((0.3 * v.gval + (1 - 0.3) * (s.l + s.bt)) - s.l) + (1 - 0.2) * s.bt
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node AND v.i = s.i + 1)
+         |SELECT s.name, s.node, nn.n,
+         | floor((s.l + 1e-9) * 1e4 + 0.5) / 1e4 AS level,
+         | floor((s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
+         | floor((s.l + s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS fc1,
+         | floor((s.l + 3.0 * s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS fc3
+         |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
+         |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
 
     Q("ts_winsorize", (s, dir) => {
       TimeSeries.winsorize(grid(s, dir))

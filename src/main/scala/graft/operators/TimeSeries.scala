@@ -276,6 +276,44 @@ object TimeSeries {
         r4(sqrt(col("sse") / nd) / lit(1e4)).as("rmse"))
   }
 
+  /** Holt's linear (double) exponential smoothing per signal: level +
+    * trend state folded over the series, emitting the final state and
+    * 1-/3-step-ahead forecasts — the trend-aware upgrade of [[ewma]].
+    * Seed: l₀ = x₀, b₀ = x₁ − x₀; fold from x₂. A whole-series
+    * recursion → typed per-signal loop (one shuffle, series bounded by
+    * retention); the oracle replays the identical IEEE fold as a DuckDB
+    * list_reduce over {l, b} structs.
+    */
+  def holt(grid: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        if (pts.length < 2) Iterator.empty
+        else {
+          var l = pts(0)._4
+          var b = pts(1)._4 - pts(0)._4
+          var i = 2
+          while (i < pts.length) {
+            val x = pts(i)._4
+            // identical expression order to the oracle lambda: l_new is
+            // written out twice there, which evaluates to the same double
+            val lNew = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+            i += 1
+          }
+          val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+          Iterator((key._1, key._2, pts.length.toLong, r4d(l), r4d(b),
+            r4d(l + b), r4d(l + 3.0 * b)))
+        }
+      }
+      .toDF("name", "node", "n", "level", "trend", "fc1", "fc3")
+  }
+
   /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */
   def bucketAgg(signals: DataFrame, bucket: Long = BucketSec): DataFrame =
     signals

@@ -129,4 +129,19 @@ class TimeSeriesSpec extends SparkTestBase {
       .select("n", "mae", "rmse").as[(Long, Double, Double)].head()
     assert(out == ((8L, 2.0, 2.0)))
   }
+
+  test("holt matches a hand-rolled level/trend recursion") {
+    val vals = Seq(10.0, 12.0, 13.0, 15.0, 16.0, 18.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.holt(grid(rows: _*), alpha = 0.3, beta = 0.2)
+      .select("n", "level", "trend", "fc1").as[(Long, Double, Double, Double)].head()
+    var l = vals(0); var b = vals(1) - vals(0)
+    vals.drop(2).foreach { x =>
+      val lNew = 0.3 * x + (1 - 0.3) * (l + b)
+      b = 0.2 * (lNew - l) + (1 - 0.2) * b
+      l = lNew
+    }
+    def r4d(v: Double) = math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+    assert(out == ((6L, r4d(l), r4d(b), r4d(l + b))))
+  }
 }
