@@ -61,4 +61,41 @@ class EdgeCaseSpec extends SparkTestBase {
       ("m", "a", 0L, 1.0), ("m", "a", 3600L, 2.0)))
     assert(out.count() == 0)
   }
+
+  test("autocorr drops constant signals (zero variance) and short series") {
+    val flat = grid((0 until 20).map(i => ("m", "a", i * 900L, 5.0)): _*)
+    assert(TimeSeries.autocorr(flat).count() == 0)
+    val short = grid(("m", "a", 0L, 1.0), ("m", "a", 900L, 2.0))
+    assert(TimeSeries.autocorr(short).count() == 0) // below minOverlap
+  }
+
+  test("cusum on a constant signal is zero everywhere and never drifts") {
+    val flat = grid((0 until 10).map(i => ("m", "a", i * 900L, 5.0)): _*)
+    val out = TimeSeries.cusum(flat).select("cusum", "drift")
+      .as[(Double, Int)].collect()
+    assert(out.forall(_ == ((0.0, 0))))
+    // a single point has no sample variance -> excluded, no throw
+    assert(TimeSeries.cusum(grid(("m", "a", 0L, 1.0))).count() == 0)
+  }
+
+  test("holt needs two points; seasonal-naive needs period+minScored") {
+    assert(TimeSeries.holt(grid(("m", "a", 0L, 1.0))).count() == 0)
+    val short = grid((0 until 5).map(i => ("m", "a", i * 900L, i * 1.0)): _*)
+    assert(TimeSeries.seasonalNaiveError(short, period = 12).count() == 0)
+  }
+
+  test("quality gate survives empty and whitespace-only documents") {
+    val out = TextAnalysis.qualityGate(docs((1L, ""), (2L, "   "), (3L, "ok fine the and is")))
+      .orderBy("doc_id").select("doc_id", "keep").as[(Long, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L)) // no rows lost, no throw
+    assert(out.take(2).forall(_._2 == 0))    // degenerate docs never kept
+  }
+
+  test("recallAtK with an empty ANN result scores zero for every query") {
+    val truth = Seq((0L, 1, 10L), (1L, 1, 20L)).toDF("qid", "rank", "nid")
+    val empty = Seq.empty[(Long, Int, Long)].toDF("qid", "rank", "nid")
+    val out = Similarity.recallAtK(empty, truth, k = 1).orderBy("qid")
+      .select("recall").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.0))
+  }
 }
