@@ -451,6 +451,61 @@ object SparkEntry {
         |SELECT event_type, hour_start, user_id, n, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY event_type, hour_start, rk""".stripMargin)),
 
+    Q("q20_interval_join", (s, dir) => {
+      // binned range join — the scale-safe plan for interval
+      // containment: explode each interval to the time bins it
+      // overlaps, equi-join on the bin (a hash join), refine with the
+      // exact range predicate. The naive theta-join degenerates to a
+      // broadcast-nested-loop at cluster scale; binning bounds the
+      // fan-out to interval_len/bin + 1 rows per interval.
+      val binSec = 600L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_type"), col("value"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("incident_id"), col("tsec").as("t0"),
+          (col("tsec") + binSec).as("t1"))
+      val binned = incidents.withColumn("bin",
+        explode(expr(s"sequence(t0 div $binSec, t1 div $binSec)")))
+      ev.withColumn("bin", expr(s"tsec div $binSec"))
+        .join(binned, Seq("bin"))
+        .filter(col("tsec") >= col("t0") && col("tsec") < col("t1"))
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+        .orderBy("incident_id")
+    }, Some(
+      """WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_type, value FROM events),
+        |inc AS (SELECT event_id AS incident_id, tsec AS t0, tsec + 600 AS t1
+        | FROM ev WHERE event_type = 'error' AND event_id % 50 = 0)
+        |SELECT i.incident_id, count(*) AS n_events,
+        | CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM inc i JOIN ev e ON e.tsec >= i.t0 AND e.tsec < i.t1
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q21_grouping_sets", (s, dir) => {
+      // arbitrary GROUPING SETS — the general machinery under
+      // ROLLUP/CUBE: mixed granularities in one pass with grouping_id
+      // disambiguating the super-aggregate rows
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
+          sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+        |  (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("q15_set_ops", (s, dir) => {
       // INTERSECT / EXCEPT (distinct set semantics on both engines)
       val o = Tables.orders(s, dir)

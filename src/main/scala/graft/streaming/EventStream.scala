@@ -178,6 +178,33 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream join: for every `leftType` event, the
+    * `rightType` events of the same user within `withinSec` after it —
+    * the "which errors followed this click" correlation. The event-time
+    * range condition is what lets Spark bound the join state: once the
+    * watermark passes `lt + withinSec`, the left row can never match
+    * again and its state is evicted. Works identically on batch inputs
+    * (plain range join).
+    */
+  def followedBy(events: DataFrame, leftType: String = "click",
+                 rightType: String = "error", withinSec: Long = 600L,
+                 lateness: String = "30 minutes"): DataFrame = {
+    def side(tpe: String, prefix: String): DataFrame = {
+      val withTs = events
+        .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      val wm = if (events.isStreaming) withTs.withWatermark("tstamp", lateness) else withTs
+      wm.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("tstamp").as(s"${prefix}_t"))
+    }
+    side(leftType, "l").join(side(rightType, "r"),
+      col("l_user") === col("r_user") &&
+        col("r_t") >= col("l_t") &&
+        col("r_t") <= col("l_t") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_t"), col("r_t"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * (or periodically reloaded) dimension table. Spark broadcasts the
     * static side into every micro-batch — the production shape for

@@ -58,6 +58,30 @@ class StreamingSpec extends SparkTestBase {
       (2700L, 2L, 5.0), (3600L, 2L, 5.0)), s"got $batch")
   }
 
+  test("stream-stream followedBy join matches batch and bounds by the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1000L * 1000000000L, 7L, "click", 1.0, "{}"),
+      (2L, 1300L * 1000000000L, 7L, "error", 1.0, "{}"),  // 300 s after → match
+      (3L, 1700L * 1000000000L, 7L, "error", 1.0, "{}"),  // 700 s after → outside
+      (4L, 1200L * 1000000000L, 8L, "error", 1.0, "{}"))  // other user → no match
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.followedBy(streamDF).writeStream
+      .format("memory").queryName("followed").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT user_id, l_id, r_id FROM followed ORDER BY l_id, r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    val batch = EventStream.followedBy(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(batch == Seq((7L, 1L, 2L)), s"got $batch")
+  }
+
   test("streaming dedup drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
