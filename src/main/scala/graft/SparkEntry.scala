@@ -591,11 +591,15 @@ object SparkEntry {
         .select(col("name"), col("node"), col("tsb"), r4(col("ma")).as("ma"))
         .orderBy("name", "node", "tsb")
     }, Some(
-      s"""$WITH_GRID
+      s"""$WITH_GRID,
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid)
          |SELECT name, node, tsb,
-         | floor((avg(gval) OVER (PARTITION BY name, node ORDER BY tsb
-         |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9) * 1e4 + 0.5) / 1e4 AS ma
-         |FROM grid ORDER BY name, node, tsb""".stripMargin)),
+         | floor((CAST(sum(d) OVER fr AS DOUBLE) / CAST(count(*) OVER fr AS DOUBLE) / 1e4
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS ma
+         |FROM qd WINDOW fr AS (PARTITION BY name, node ORDER BY tsb
+         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         |ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_moving_median", (s, dir) => {
       TimeSeries.movingMedian(grid(s, dir), 5)
@@ -783,11 +787,18 @@ object SparkEntry {
         .select(col("name"), col("node"), col("tsb"), r4(col("z")).as("z"))
         .orderBy("name", "node", "tsb")
     }, Some(
-      s"""$WITH_GRID
+      s"""$WITH_GRID,
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |st AS (SELECT name, node, tsb, d,
+         |  CAST(count(*) OVER w AS DOUBLE) AS nd,
+         |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
+         |  CAST(sum(d * d) OVER w AS DOUBLE) AS s2
+         | FROM qd WINDOW w AS (PARTITION BY name, node))
          |SELECT name, node, tsb,
-         | floor(((gval - avg(gval) OVER w) / stddev_samp(gval) OVER w + 1e-9) * 1e4 + 0.5) / 1e4 AS z
-         |FROM grid WINDOW w AS (PARTITION BY name, node)
-         |ORDER BY name, node, tsb""".stripMargin)),
+         | floor(((CAST(d AS DOUBLE) - s1 / nd)
+         |   / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))) + 1e-9) * 1e4 + 0.5) / 1e4 AS z
+         |FROM st ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ts_range_gate", (s, dir) => {
       TimeSeries.rangeGate(grid(s, dir))
@@ -908,12 +919,20 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
-         |st AS (SELECT name, node, avg(gval) AS mu, stddev_samp(gval) AS sigma, count(*) AS n
-         |  FROM grid GROUP BY 1, 2)
+         |qd AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0)
          |SELECT g.name, g.node, g.tsb, floor((g.gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
-         | floor(((g.gval - mu) / sigma + 1e-9) * 1e4 + 0.5) / 1e4 AS z
-         |FROM grid g JOIN st ON g.name = st.name AND g.node = st.node
-         |WHERE n >= 3 AND sigma > 0 AND floor((abs((g.gval - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         | floor(((CAST(g.d AS DOUBLE) - mu_s) / sigma_s + 1e-9) * 1e4 + 0.5) / 1e4 AS z
+         |FROM qd g JOIN st ON g.name = st.name AND g.node = st.node
+         |WHERE n >= 3 AND sigma_s > 0
+         | AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
 
     Q("ad_mad", (s, dir) => {
@@ -974,13 +993,21 @@ object SparkEntry {
          |  gval - median(gval) OVER (PARTITION BY name, node ORDER BY tsb
          |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS resid
          | FROM grid),
-         |st AS (SELECT name, node, avg(resid) AS mu, stddev_samp(resid) AS sigma, count(*) AS n
-         |  FROM t GROUP BY 1, 2)
-         |SELECT t.name, t.node, t.tsb, floor((t.resid + 1e-9) * 1e4 + 0.5) / 1e4 AS resid,
-         | floor(((t.resid - mu) / sigma + 1e-9) * 1e4 + 0.5) / 1e4 AS z
-         |FROM t JOIN st ON t.name = st.name AND t.node = st.node
-         |WHERE n >= 3 AND sigma > 0 AND floor((abs((t.resid - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
-         |ORDER BY t.name, t.node, t.tsb""".stripMargin)),
+         |qd AS (SELECT name, node, tsb, resid,
+         |  CAST(floor((resid + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM t),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0)
+         |SELECT q.name, q.node, q.tsb, floor((q.resid + 1e-9) * 1e4 + 0.5) / 1e4 AS resid,
+         | floor(((CAST(q.d AS DOUBLE) - mu_s) / sigma_s + 1e-9) * 1e4 + 0.5) / 1e4 AS z
+         |FROM qd q JOIN st ON q.name = st.name AND q.node = st.node
+         |WHERE n >= 3 AND sigma_s > 0
+         | AND floor((abs((CAST(q.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         |ORDER BY q.name, q.node, q.tsb""".stripMargin)),
 
     Q("corr_ncc_lag", (s, dir) => {
       Correlate.nccLag(corrGrid(s, dir), ObjSignals)

@@ -20,15 +20,28 @@ object Anomaly {
 
   private val bySignal = Seq("name", "node")
 
-  /** k-sigma outliers on any value column. */
+  /** k-sigma outliers on any value column. mu/sigma come from exact
+    * integer moments of the 4-dp-quantized value (see Correlate for
+    * the rationale: parallel double avg/stddev carry engine-specific
+    * summation noise); z is scale-invariant so the ×1e4 drops out.
+    */
   def ksigma(grid0: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
-    val grid = grid0.persist() // stats aggregate + row join both consume it
+    val grid = grid0.withColumn("dq", qint(col(in), 1e4))
+      .persist() // stats aggregate + row join both consume it
+    val nd = col("n").cast("double")
     val stats = grid.groupBy(bySignal.map(col): _*)
-      .agg(avg(in).as("mu"), stddev_samp(col(in)).as("sigma"), count(lit(1)).as("n"))
-      .filter(col("n") >= 3 && col("sigma") > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq")).cast("double").as("s1"),
+        sum(col("dq") * col("dq")).cast("double").as("s2"))
+      .withColumn("mu_s", col("s1") / nd)
+      .withColumn("sigma_s", sqrt((nd * col("s2") - col("s1") * col("s1")) /
+        (nd * (nd - lit(1.0)))))
+      .filter(col("n") >= 3 && col("sigma_s") > 0)
+      .select(col("name"), col("node"), col("mu_s"), col("sigma_s"))
     grid.join(stats, bySignal)
-      .withColumn("z", (col(in) - col("mu")) / col("sigma"))
+      .withColumn("z", (col("dq").cast("double") - col("mu_s")) / col("sigma_s"))
       .filter(r4(abs(col("z"))) >= level)
+      .drop("dq", "mu_s", "sigma_s")
   }
 
   /** Median-absolute-deviation outliers (robust z via 0.6745·dev/MAD). */
@@ -75,14 +88,25 @@ object Anomaly {
     */
   def noiseOutlier(grid: DataFrame, level: Double = 3.0, w: Int = 5): DataFrame = {
     // the decomposition (rolling-median windows) feeds the stats
-    // aggregate and the row join — compute it once
+    // aggregate and the row join — compute it once; the k-sigma gate
+    // runs on exact integer moments of the quantized residual (same
+    // determinism contract as ksigma)
     val resid = decompose(grid, w).select("name", "node", "tsb", "gval", "trend", "resid")
+      .withColumn("dq", qint(col("resid"), 1e4))
       .persist()
+    val nd = col("n").cast("double")
     val stats = resid.groupBy(bySignal.map(col): _*)
-      .agg(avg("resid").as("mu"), stddev_samp(col("resid")).as("sigma"), count(lit(1)).as("n"))
-      .filter(col("n") >= 3 && col("sigma") > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq")).cast("double").as("s1"),
+        sum(col("dq") * col("dq")).cast("double").as("s2"))
+      .withColumn("mu_s", col("s1") / nd)
+      .withColumn("sigma_s", sqrt((nd * col("s2") - col("s1") * col("s1")) /
+        (nd * (nd - lit(1.0)))))
+      .filter(col("n") >= 3 && col("sigma_s") > 0)
+      .select(col("name"), col("node"), col("mu_s"), col("sigma_s"))
     resid.join(stats, bySignal)
-      .withColumn("z", (col("resid") - col("mu")) / col("sigma"))
+      .withColumn("z", (col("dq").cast("double") - col("mu_s")) / col("sigma_s"))
       .filter(r4(abs(col("z"))) >= level)
+      .drop("dq", "mu_s", "sigma_s")
   }
 }

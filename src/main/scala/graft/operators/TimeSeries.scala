@@ -130,10 +130,18 @@ object TimeSeries {
       .withColumn("rate", col("increase") / dt)
   }
 
-  /** Centered rolling mean, window w (odd), edge-shrunk. */
+  /** Centered rolling mean, window w (odd), edge-shrunk. The mean is
+    * taken over 4-dp-quantized values via exact integer frame sums:
+    * engines disagree on frame summation order (Spark re-sums the
+    * frame linearly, DuckDB uses segment trees), so a raw double frame
+    * avg carries ulp noise that can cross a rounding boundary.
+    */
   def movingAvg(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "ma"): DataFrame = {
     val h = w / 2
-    grid.withColumn(out, avg(col(in)).over(signalWindow.rowsBetween(-h, h)))
+    val fr = signalWindow.rowsBetween(-h, h)
+    grid.withColumn(out,
+      sum(qint(col(in), 1e4)).over(fr).cast("double") /
+        count(lit(1)).over(fr).cast("double") / lit(1e4))
   }
 
   /** Centered rolling median, window w (odd), edge-shrunk — mathbox
@@ -158,13 +166,24 @@ object TimeSeries {
       .withColumn("delta", col("gval") - lag("gval", 1).over(signalWindow))
       .withColumn("rate", col("delta") / (col("tsb") - lag("tsb", 1).over(signalWindow)))
 
-  /** Per-signal global z-score. */
+  /** Per-signal global z-score, from exact integer moments of the
+    * 4-dp-quantized value (z is scale-invariant, so the ×1e4 factor
+    * drops out; mu/sigma are descaled for callers). Built-in
+    * avg/stddev are parallel double aggregations whose summation order
+    * — and therefore last-ulp value — is engine-specific.
+    */
   def zscore(grid: DataFrame): DataFrame = {
     val w = Window.partitionBy("name", "node")
-    grid
-      .withColumn("mu", avg("gval").over(w))
-      .withColumn("sigma", stddev_samp(col("gval")).over(w))
-      .withColumn("z", (col("gval") - col("mu")) / col("sigma"))
+    val nd = count(lit(1)).over(w).cast("double")
+    val g = grid.withColumn("dq", qint(col("gval"), 1e4))
+    val s1 = sum(col("dq")).over(w).cast("double")
+    val s2 = sum(col("dq") * col("dq")).over(w).cast("double")
+    g.withColumn("mu_s", s1 / nd)
+      .withColumn("sigma_s", sqrt((nd * s2 - s1 * s1) / (nd * (nd - lit(1.0)))))
+      .withColumn("z", (col("dq").cast("double") - col("mu_s")) / col("sigma_s"))
+      .withColumn("mu", col("mu_s") / lit(1e4))
+      .withColumn("sigma", col("sigma_s") / lit(1e4))
+      .drop("dq", "mu_s", "sigma_s")
   }
 
   /** Variance gate: keep signals with max-min above `minRange`
