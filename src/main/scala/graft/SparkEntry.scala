@@ -935,6 +935,40 @@ object SparkEntry {
          | AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
 
+    Q("ad_spc_rules", (s, dir) => {
+      Anomaly.spcRules(grid(s, dir))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |st AS (SELECT name, node, tsb, d,
+         |  CAST(count(*) OVER w AS DOUBLE) AS nd,
+         |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
+         |  CAST(sum(d * d) OVER w AS DOUBLE) AS s2
+         | FROM qd WINDOW w AS (PARTITION BY name, node)),
+         |zz AS (SELECT name, node, tsb,
+         |  (CAST(d AS DOUBLE) - s1 / nd)
+         |    / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))) AS z_raw FROM st),
+         |z4 AS (SELECT name, node, tsb,
+         |  floor((z_raw + 1e-9) * 1e4 + 0.5) / 1e4 AS z4
+         | FROM zz WHERE NOT isnan(z_raw)),
+         |r AS (SELECT name, node, tsb, z4,
+         |  CAST(abs(z4) > 3.0 AS INT) AS rule1,
+         |  CAST(sum(CASE WHEN z4 > 2.0 THEN 1 ELSE 0 END) OVER t3 >= 2
+         |    OR sum(CASE WHEN z4 < -2.0 THEN 1 ELSE 0 END) OVER t3 >= 2 AS INT) AS rule2,
+         |  CAST(sum(CASE WHEN z4 > 1.0 THEN 1 ELSE 0 END) OVER t5 >= 4
+         |    OR sum(CASE WHEN z4 < -1.0 THEN 1 ELSE 0 END) OVER t5 >= 4 AS INT) AS rule3,
+         |  CAST(sum(CASE WHEN z4 > 0.0 THEN 1 ELSE 0 END) OVER t8 >= 8
+         |    OR sum(CASE WHEN z4 < 0.0 THEN 1 ELSE 0 END) OVER t8 >= 8 AS INT) AS rule4
+         | FROM z4 WINDOW
+         |  t3 AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |  t5 AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  t8 AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT name, node, tsb, z4 AS z, rule1, rule2, rule3, rule4
+         |FROM r WHERE rule1 = 1 OR rule2 = 1 OR rule3 = 1 OR rule4 = 1
+         |ORDER BY name, node, tsb""".stripMargin)),
+
     Q("ad_mad", (s, dir) => {
       Anomaly.mad(grid(s, dir), 3.0)
         .select(col("name"), col("node"), col("tsb"),

@@ -75,6 +75,39 @@ object Anomaly {
               col(in) > col("q3") + lit(k) * col("iqr"))
   }
 
+  /** Western Electric SPC rules over the per-signal z-score series —
+    * the classic control-chart escalation ladder monitoring teams run
+    * on exactly this kind of metric grid:
+    * rule1: |z| > 3 (single extreme point);
+    * rule2: ≥2 of the trailing 3 points beyond ±2 on the same side;
+    * rule3: ≥4 of the trailing 5 beyond ±1 on the same side;
+    * rule4: 8 consecutive points on one side of the center line.
+    * Rules compare the ROUNDED z (deterministic via the exact-moment
+    * zscore) and integer window counts, so the flagged set is engine-
+    * exact. Zero-variance signals (z = NaN) are excluded explicitly —
+    * NaN comparison semantics differ across engines.
+    */
+  def spcRules(grid: DataFrame): DataFrame = {
+    val w = Window.partitionBy("name", "node").orderBy("tsb")
+    def trailing(cond: org.apache.spark.sql.Column, n: Int) =
+      sum(cond.cast("int")).over(w.rowsBetween(-(n - 1), 0))
+    val zed = TimeSeries.zscore(grid)
+      .filter(!isnan(col("z")))
+      .withColumn("z4", r4(col("z")))
+    zed
+      .withColumn("rule1", (abs(col("z4")) > 3.0).cast("int"))
+      .withColumn("rule2", (trailing(col("z4") > 2.0, 3) >= 2 ||
+        trailing(col("z4") < -2.0, 3) >= 2).cast("int"))
+      .withColumn("rule3", (trailing(col("z4") > 1.0, 5) >= 4 ||
+        trailing(col("z4") < -1.0, 5) >= 4).cast("int"))
+      .withColumn("rule4", (trailing(col("z4") > 0.0, 8) >= 8 ||
+        trailing(col("z4") < 0.0, 8) >= 8).cast("int"))
+      .filter(col("rule1") === 1 || col("rule2") === 1 ||
+        col("rule3") === 1 || col("rule4") === 1)
+      .select(col("name"), col("node"), col("tsb"), col("z4").as("z"),
+        col("rule1"), col("rule2"), col("rule3"), col("rule4"))
+  }
+
   /** Trend/residual decomposition: trend = centered rolling median (w=5),
     * residual = value − trend (get_noise step 1-2, metrics_advisor.py:52-54).
     */

@@ -146,4 +146,20 @@ class AnalysisSpec extends SparkTestBase {
     val kinds = out.select("kind").distinct().as[String].collect().toSet
     assert(kinds.contains("changepoint"))
   }
+
+  test("spc rules: a lone spike trips rule1, a sustained shift trips rule4") {
+    // oscillating baseline, one extreme spike, then a long run above
+    // the center line
+    val base = (0 until 24).map(i => ("m", "a", i * 900L, if (i % 2 == 0) 10.0 else 10.4))
+    val spike = Seq(("m", "a", 24 * 900L, 25.0))
+    val shifted = (25 until 35).map(i => ("m", "a", i * 900L, 11.0))
+    val out = Anomaly.spcRules((base ++ spike ++ shifted).toDF("name", "node", "tsb", "gval"))
+      .orderBy("tsb").collect()
+    val bySlot = out.map(r => r.getLong(2) -> r).toMap
+    assert(bySlot(24 * 900L).getInt(4) == 1, "spike must trip rule1")
+    // the 8th consecutive above-center point (slots 25..32) trips rule4
+    assert(bySlot.contains(32 * 900L) && bySlot(32 * 900L).getInt(7) == 1,
+      s"sustained shift must trip rule4: ${out.mkString(";")}")
+    assert(!bySlot.contains(900L), "calm baseline must not flag")
+  }
 }
