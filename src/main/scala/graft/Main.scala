@@ -27,7 +27,7 @@ object Main {
     val advice = AdvisorReport.adviseOnGrid(grid, cfg)
     val report = AdvisorReport.renderMarkdown(advice, Some(grid))
     // render collected everything it needs — release the cached grid
-    AdvisorReport.release(spark)
+    AdvisorReport.release(grid)
     report
   }
 

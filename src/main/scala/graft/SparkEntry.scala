@@ -67,8 +67,11 @@ object SparkEntry {
     * Pearson sequence). `cr` = rounded r per (obj, cand, bucket, lag).
     */
   private val SQL_NCC_CR =
-    """mq AS (SELECT name, node, b, i,
-      |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM g2),
+    """mx AS (SELECT name, node, b, i, gval,
+      |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+      |mq AS (SELECT name, node, b, i,
+      |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+      |    AS HUGEINT) AS qv FROM mx),
       |lags AS (SELECT unnest(range(-3, 4)) AS lag),
       |cells AS (SELECT o.name AS obj_name, o.node AS obj_node,
       |   c.name AS cand_name, c.node AS cand_node, o.b AS b, l.lag AS lag,
@@ -592,10 +595,14 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid)
+         |  CASE WHEN mr > 0 THEN mr ELSE 1.0 END AS m,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx)
          |SELECT name, node, tsb,
-         | floor((CAST(sum(d) OVER fr AS DOUBLE) / CAST(count(*) OVER fr AS DOUBLE) / 1e4
+         | floor((CAST(sum(d) OVER fr AS DOUBLE) / CAST(count(*) OVER fr AS DOUBLE) / 1e9 * m
          |   + 1e-9) * 1e4 + 0.5) / 1e4 AS ma
          |FROM qd WINDOW fr AS (PARTITION BY name, node ORDER BY tsb
          |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
@@ -652,19 +659,19 @@ object SparkEntry {
         .orderBy("name", "node", "lag")
     }, Some(
       s"""$WITH_GRID,
-         |ld AS (SELECT name, node, gval,
-         |  lead(gval, 1) OVER w AS y1, lead(gval, 2) OVER w AS y2, lead(gval, 3) OVER w AS y3
-         | FROM grid WINDOW w AS (PARTITION BY name, node ORDER BY tsb)),
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |mq AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |ld AS (SELECT name, node, qv,
+         |  lead(qv, 1) OVER w AS y1, lead(qv, 2) OVER w AS y2, lead(qv, 3) OVER w AS y3
+         | FROM mq WINDOW w AS (PARTITION BY name, node ORDER BY tsb)),
          |pr AS (
-         | SELECT name, node, CAST(1 AS BIGINT) AS lag,
-         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qx,
-         |   CAST(floor((y1 + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qy FROM ld WHERE y1 IS NOT NULL
-         | UNION ALL SELECT name, node, CAST(2 AS BIGINT),
-         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT),
-         |   CAST(floor((y2 + 1e-9) * 1e4 + 0.5) AS HUGEINT) FROM ld WHERE y2 IS NOT NULL
-         | UNION ALL SELECT name, node, CAST(3 AS BIGINT),
-         |   CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT),
-         |   CAST(floor((y3 + 1e-9) * 1e4 + 0.5) AS HUGEINT) FROM ld WHERE y3 IS NOT NULL),
+         | SELECT name, node, CAST(1 AS BIGINT) AS lag, qv AS qx, y1 AS qy
+         |  FROM ld WHERE y1 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(2 AS BIGINT), qv, y2 FROM ld WHERE y2 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(3 AS BIGINT), qv, y3 FROM ld WHERE y3 IS NOT NULL),
          |cells AS (SELECT name, node, lag, count(*) AS n,
          |  CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
          |  CAST(sum(qx * qy) AS DOUBLE) AS sxy, CAST(sum(qx * qx) AS DOUBLE) AS sxx,
@@ -683,8 +690,12 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |  CASE WHEN mr > 0 THEN mr ELSE 1.0 END AS m,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
          |st AS (SELECT name, node, count(*) AS n,
          |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
          | FROM qd GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -693,11 +704,11 @@ object SparkEntry {
          |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
          |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
          | FROM st),
-         |cs AS (SELECT q.name, q.node, q.tsb,
+         |cs AS (SELECT q.name, q.node, q.tsb, q.m,
          |  sum(q.d - p.mu_i) OVER (PARTITION BY q.name, q.node ORDER BY q.tsb
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_i, p.sigma_s
          | FROM qd q JOIN sp p ON q.name = p.name AND q.node = p.node)
-         |SELECT name, node, tsb, CAST(cusum_i AS DOUBLE) / 1e4 AS cusum,
+         |SELECT name, node, tsb, CAST(cusum_i AS DOUBLE) / 1e9 * m AS cusum,
          | CAST(abs(CAST(cusum_i AS DOUBLE)) > sigma_s * 5.0 AS INT) AS drift
          |FROM cs ORDER BY name, node, tsb""".stripMargin)),
 
@@ -709,16 +720,20 @@ object SparkEntry {
         .orderBy("name", "node")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
-         |ee AS (SELECT name, node,
+         |  CASE WHEN mr > 0 THEN mr ELSE 1.0 END AS m,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |ee AS (SELECT name, node, m,
          |  d - lag(d, 12) OVER (PARTITION BY name, node ORDER BY tsb) AS e FROM qd),
-         |ag AS (SELECT name, node, count(*) AS n,
+         |ag AS (SELECT name, node, m, count(*) AS n,
          |  CAST(sum(abs(e)) AS DOUBLE) AS sae, CAST(sum(e * e) AS DOUBLE) AS sse
-         | FROM ee WHERE e IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 8)
+         | FROM ee WHERE e IS NOT NULL GROUP BY 1, 2, 3 HAVING count(*) >= 8)
          |SELECT name, node, n,
-         | floor((sae / CAST(n AS DOUBLE) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mae,
-         | floor((sqrt(sse / CAST(n AS DOUBLE)) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS rmse
+         | floor((sae / CAST(n AS DOUBLE) / 1e9 * m + 1e-9) * 1e4 + 0.5) / 1e4 AS mae,
+         | floor((sqrt(sse / CAST(n AS DOUBLE)) / 1e9 * m + 1e-9) * 1e4 + 0.5) / 1e4 AS rmse
          |FROM ag ORDER BY name, node""".stripMargin)),
 
     Q("ts_holt", (s, dir) => {
@@ -788,8 +803,11 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
          |st AS (SELECT name, node, tsb, d,
          |  CAST(count(*) OVER w AS DOUBLE) AS nd,
          |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
@@ -919,8 +937,11 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb, gval,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
          |st0 AS (SELECT name, node, count(*) AS n,
          |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
          | FROM qd GROUP BY 1, 2),
@@ -940,8 +961,11 @@ object SparkEntry {
         .orderBy("name", "node", "tsb")
     }, Some(
       s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
          |qd AS (SELECT name, node, tsb,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM grid),
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
          |st AS (SELECT name, node, tsb, d,
          |  CAST(count(*) OVER w AS DOUBLE) AS nd,
          |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
@@ -1027,8 +1051,11 @@ object SparkEntry {
          |  gval - median(gval) OVER (PARTITION BY name, node ORDER BY tsb
          |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS resid
          | FROM grid),
+         |mx AS (SELECT name, node, tsb, resid,
+         |  max(abs(resid)) OVER (PARTITION BY name, node) AS mr FROM t),
          |qd AS (SELECT name, node, tsb, resid,
-         |  CAST(floor((resid + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS d FROM t),
+         |  CAST(floor((resid / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
          |st0 AS (SELECT name, node, count(*) AS n,
          |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
          | FROM qd GROUP BY 1, 2),
@@ -1079,8 +1106,11 @@ object SparkEntry {
         .orderBy("a_name", "a_node", "b_name", "b_node", "b")
     }, Some(
       s"""WITH $SQL_CORR_CTES,
+         |mx AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
          |mq AS (SELECT name, node, b, i,
-         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM g2),
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
          |cells AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
          |   x.b AS b, count(*) AS n,
          |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
@@ -1109,8 +1139,11 @@ object SparkEntry {
          |  rank() OVER (PARTITION BY name, node, b ORDER BY gval)
          |   + (count(*) OVER (PARTITION BY name, node, b, gval) - 1) / 2.0 AS ar
          | FROM g2),
+         |mx AS (SELECT name, node, b, i, ar,
+         |  max(abs(ar)) OVER (PARTITION BY name, node) AS mr FROM rk),
          |mq AS (SELECT name, node, b, i,
-         |  CAST(floor((ar + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv FROM rk),
+         |  CAST(floor((ar / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
          |cells AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
          |   x.b AS b, count(*) AS n,
          |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,

@@ -21,12 +21,15 @@ object Anomaly {
   private val bySignal = Seq("name", "node")
 
   /** k-sigma outliers on any value column. mu/sigma come from exact
-    * integer moments of the 4-dp-quantized value (see Correlate for
-    * the rationale: parallel double avg/stddev carry engine-specific
-    * summation noise); z is scale-invariant so the ×1e4 drops out.
+    * integer moments of the relative-quantized value (see Correlate
+    * for the rationale: parallel double avg/stddev carry engine-
+    * specific summation noise; relative quantization keeps small-
+    * magnitude signals resolved); z is scale-invariant so the
+    * per-signal magnitude and ×1e9 both drop out.
     */
   def ksigma(grid0: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
-    val grid = grid0.withColumn("dq", qint(col(in), 1e4))
+    val grid = grid0
+      .withColumn("dq", TimeSeries.quantRel(col(in), TimeSeries.signalScale(in)))
       .persist() // stats aggregate + row join both consume it
     val nd = col("n").cast("double")
     val stats = grid.groupBy(bySignal.map(col): _*)
@@ -125,7 +128,7 @@ object Anomaly {
     // runs on exact integer moments of the quantized residual (same
     // determinism contract as ksigma)
     val resid = decompose(grid, w).select("name", "node", "tsb", "gval", "trend", "resid")
-      .withColumn("dq", qint(col("resid"), 1e4))
+      .withColumn("dq", TimeSeries.quantRel(col("resid"), TimeSeries.signalScale("resid")))
       .persist()
     val nd = col("n").cast("double")
     val stats = resid.groupBy(bySignal.map(col): _*)

@@ -4,6 +4,7 @@ import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Lagged cross-correlation between "objective" and "candidate" signals,
   * per time bucket — the reference's core question ("which metrics move
@@ -33,10 +34,24 @@ import org.apache.spark.sql.functions._
   */
 object Correlate {
 
-  /** 4-dp integer quantization: value × 1e4 as an exact integer
-    * (DECIMAL(18,0) so products/sums stay exact decimals, never doubles).
+  /** Scale-invariant integer quantization: each signal's values are
+    * divided by that signal's magnitude M = max|x| (an exact selection
+    * — bit-identical on any engine) and quantized at 1e-9 RELATIVE
+    * resolution into DECIMAL(18,0). An absolute quantization grid
+    * would flatten small-magnitude signals (a 1e-4 grid cannot see a
+    * metric that lives in [0, 3e-4]); Pearson is invariant under
+    * per-variable positive scaling, so M and the 1e9 both drop out of
+    * r while every moment sum stays exact. All-zero signals get M = 1
+    * (they quantize to constant 0 and fall to the zero-variance
+    * filter on both engines).
     */
-  private def quant4(c: Column): Column = qint(c, 1e4)
+  private[operators] def withQuant(grid: DataFrame, out: String = "qv"): DataFrame = {
+    val w = Window.partitionBy("name", "node")
+    val mRaw = max(abs(col("gval"))).over(w)
+    val m = when(mRaw > 0, mRaw).otherwise(lit(1.0))
+    grid.withColumn(out,
+      floor((col("gval") / m) * lit(1e9) + lit(0.5)).cast(DecimalType(18, 0)))
+  }
 
   /** Exact integer moment aggregates over quantized columns x, y.
     * Sums are DECIMAL (order-independent, exact); the cast to double is
@@ -71,21 +86,27 @@ object Correlate {
     * aligned sample count is too small to be meaningful.
     */
   def nccLag(indexedGrid: DataFrame, objNames: Seq[String], lagMax: Int = 3,
-             minOverlap: Int = 8): DataFrame = {
-    val obj = indexedGrid.filter(col("name").isin(objNames: _*))
+             minOverlap: Int = 8, pinBroadcast: Boolean = true): DataFrame = {
+    val q = withQuant(indexedGrid)
+    val obj = q.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"),
-        col("b"), col("i"), quant4(col("gval")).as("ov"))
-    val cand = indexedGrid.filter(!col("name").isin(objNames: _*))
+        col("b"), col("i"), col("qv").as("ov"))
+    val cand = q.filter(!col("name").isin(objNames: _*))
       .select(col("name").as("cand_name"), col("node").as("cand_node"),
-        col("b").as("cb"), col("i").as("ci"), quant4(col("gval")).as("cv"))
+        col("b").as("cb"), col("i").as("ci"), col("qv").as("cv"))
     val lags = indexedGrid.sparkSession.range(-lagMax, lagMax + 1)
       .select(col("id").cast("long").as("lag"))
     val moments = momentAggs("ov", "cv")
     // the obj×lags side is a handful of signals (objNames × nodes ×
     // retention) — pin the broadcast so the plan stays a
     // BroadcastHashJoin with the candidate grid streaming regardless of
-    // what AQE estimates at 100× the data
-    val cells = broadcast(obj.crossJoin(broadcast(lags)))
+    // what AQE estimates at 100× the data. `pinBroadcast = false` is
+    // the escape hatch for deployments whose objective set × retention
+    // outgrows the broadcast limit (the hint would then OOM where an
+    // AQE-chosen sort-merge join completes).
+    val objLags = obj.crossJoin(broadcast(lags))
+    val build = if (pinBroadcast) broadcast(objLags) else objLags
+    val cells = build
       .join(cand, col("ci") === col("i") + col("lag") && col("cb") === col("b"))
       .groupBy("obj_name", "obj_node", "cand_name", "cand_node", "b", "lag")
       .agg(moments.head, moments.tail: _*)
@@ -138,8 +159,8 @@ object Correlate {
     * exact-integer-moment determinism as [[nccLag]].
     */
   def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
-    val q = indexedGrid.select(col("name"), col("node"), col("b"), col("i"),
-      quant4(col("gval")).as("qv"))
+    val q = withQuant(indexedGrid)
+      .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
     val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
       col("b"), col("i"), col("qv").as("av"))
     val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in batch per partition.
@@ -15,14 +14,6 @@ import org.apache.spark.sql.types._
   * production plumbing a codec would drop into.
   */
 object Multimodal {
-
-  val MetaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", LongType),
-    StructField("format", StringType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("checksum", LongType)))
 
   /** STUB decoder: a real implementation would hand `payload` to a codec;
     * this derives stable fake dimensions from the bytes so the pipeline

@@ -89,10 +89,14 @@ object Similarity {
     val t = truth.filter(col("rank") <= k).select(col("qid"), col("nid"))
     val hits = a.join(t, Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("hits"))
-    t.select("qid").distinct()
+    // normalize by the actual truth size, not k: a query whose ground
+    // truth has fewer than k neighbors (small bucket/corpus) must still
+    // be able to score recall 1.0
+    t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-        r4(coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+        r4(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus to deterministic seed

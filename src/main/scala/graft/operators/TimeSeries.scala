@@ -130,8 +130,22 @@ object TimeSeries {
       .withColumn("rate", col("increase") / dt)
   }
 
+  /** Per-signal magnitude M = max|x| (exact selection → bit-identical
+    * on any engine), floored to 1 for all-zero signals; the scale for
+    * relative integer quantization (1e-9 relative resolution keeps
+    * small-magnitude signals fully resolved where an absolute grid
+    * would flatten them).
+    */
+  private[operators] def signalScale(in: String): Column = {
+    val mRaw = max(abs(col(in))).over(Window.partitionBy("name", "node"))
+    when(mRaw > 0, mRaw).otherwise(lit(1.0))
+  }
+
+  private[operators] def quantRel(in: Column, m: Column): Column =
+    floor((in / m) * lit(1e9) + lit(0.5)).cast(DecimalType(18, 0))
+
   /** Centered rolling mean, window w (odd), edge-shrunk. The mean is
-    * taken over 4-dp-quantized values via exact integer frame sums:
+    * taken over relative-quantized values via exact integer frame sums:
     * engines disagree on frame summation order (Spark re-sums the
     * frame linearly, DuckDB uses segment trees), so a raw double frame
     * avg carries ulp noise that can cross a rounding boundary.
@@ -139,9 +153,10 @@ object TimeSeries {
   def movingAvg(grid: DataFrame, w: Int = 5, in: String = "gval", out: String = "ma"): DataFrame = {
     val h = w / 2
     val fr = signalWindow.rowsBetween(-h, h)
+    val m = signalScale(in)
     grid.withColumn(out,
-      sum(qint(col(in), 1e4)).over(fr).cast("double") /
-        count(lit(1)).over(fr).cast("double") / lit(1e4))
+      sum(quantRel(col(in), m)).over(fr).cast("double") /
+        count(lit(1)).over(fr).cast("double") / lit(1e9) * m)
   }
 
   /** Centered rolling median, window w (odd), edge-shrunk — mathbox
@@ -167,23 +182,26 @@ object TimeSeries {
       .withColumn("rate", col("delta") / (col("tsb") - lag("tsb", 1).over(signalWindow)))
 
   /** Per-signal global z-score, from exact integer moments of the
-    * 4-dp-quantized value (z is scale-invariant, so the ×1e4 factor
-    * drops out; mu/sigma are descaled for callers). Built-in
-    * avg/stddev are parallel double aggregations whose summation order
-    * — and therefore last-ulp value — is engine-specific.
+    * relative-quantized value (z is scale-invariant, so the per-signal
+    * magnitude and the ×1e9 factor both drop out; mu/sigma are
+    * descaled for callers). Built-in avg/stddev are parallel double
+    * aggregations whose summation order — and therefore last-ulp
+    * value — is engine-specific.
     */
   def zscore(grid: DataFrame): DataFrame = {
     val w = Window.partitionBy("name", "node")
     val nd = count(lit(1)).over(w).cast("double")
-    val g = grid.withColumn("dq", qint(col("gval"), 1e4))
+    val m = signalScale("gval")
+    val g = grid.withColumn("mm", m)
+      .withColumn("dq", quantRel(col("gval"), col("mm")))
     val s1 = sum(col("dq")).over(w).cast("double")
     val s2 = sum(col("dq") * col("dq")).over(w).cast("double")
     g.withColumn("mu_s", s1 / nd)
       .withColumn("sigma_s", sqrt((nd * s2 - s1 * s1) / (nd * (nd - lit(1.0)))))
       .withColumn("z", (col("dq").cast("double") - col("mu_s")) / col("sigma_s"))
-      .withColumn("mu", col("mu_s") / lit(1e4))
-      .withColumn("sigma", col("sigma_s") / lit(1e4))
-      .drop("dq", "mu_s", "sigma_s")
+      .withColumn("mu", col("mu_s") / lit(1e9) * col("mm"))
+      .withColumn("sigma", col("sigma_s") / lit(1e9) * col("mm"))
+      .drop("dq", "mm", "mu_s", "sigma_s")
   }
 
   /** Variance gate: keep signals with max-min above `minRange`
@@ -229,12 +247,14 @@ object TimeSeries {
     */
   def autocorr(grid: DataFrame, maxLag: Int = 3, minOverlap: Int = 8): DataFrame = {
     val w = signalWindow
-    val withLeads = grid.select(
-      Seq(col("name"), col("node"), col("gval")) ++
-        (1 to maxLag).map(l => lead("gval", l).over(w).as(s"y$l")): _*)
-    val pairs = withLeads.select(col("name"), col("node"),
-        qint(col("gval"), 1e4).as("qx"),
-        posexplode(array((1 to maxLag).map(l => qint(col(s"y$l"), 1e4)): _*))
+    // quantize once (relative, like Correlate) and lead the quantized
+    // column — x and its lead come from the same signal, so one scale
+    val g = grid.withColumn("qv", quantRel(col("gval"), signalScale("gval")))
+    val withLeads = g.select(
+      Seq(col("name"), col("node"), col("qv")) ++
+        (1 to maxLag).map(l => lead("qv", l).over(w).as(s"y$l")): _*)
+    val pairs = withLeads.select(col("name"), col("node"), col("qv").as("qx"),
+        posexplode(array((1 to maxLag).map(l => col(s"y$l")): _*))
           .as(Seq("l0", "qy")))
       .filter(col("qy").isNotNull)
       .withColumn("lag", (col("l0") + 1).cast("long"))
@@ -252,7 +272,8 @@ object TimeSeries {
     * fixed IEEE sequence mirrored in the oracle.
     */
   def cusum(grid: DataFrame, h: Double = 5.0): DataFrame = {
-    val g = grid.withColumn("d", qint(col("gval"), 1e4))
+    val g = grid.withColumn("mm", signalScale("gval"))
+      .withColumn("d", quantRel(col("gval"), col("mm")))
     val nd = col("n").cast("double")
     val stats = g.groupBy("name", "node").agg(
         count(lit(1)).as("n"),
@@ -267,7 +288,7 @@ object TimeSeries {
     g.join(stats.select("name", "node", "mu_i", "sigma_s"), Seq("name", "node"))
       .withColumn("cusum_i", sum(col("d") - col("mu_i")).over(cw))
       .select(col("name"), col("node"), col("tsb"),
-        (col("cusum_i").cast("double") / lit(1e4)).as("cusum"),
+        (col("cusum_i").cast("double") / lit(1e9) * col("mm")).as("cusum"),
         (abs(col("cusum_i").cast("double")) > col("sigma_s") * lit(h))
           .cast("int").as("drift"))
   }
@@ -281,18 +302,19 @@ object TimeSeries {
   def seasonalNaiveError(grid: DataFrame, period: Int = 96,
                          minScored: Int = 8): DataFrame = {
     val nd = col("n").cast("double")
-    grid.withColumn("d", qint(col("gval"), 1e4))
+    grid.withColumn("mm", signalScale("gval"))
+      .withColumn("d", quantRel(col("gval"), col("mm")))
       .withColumn("p", lag("d", period).over(signalWindow))
       .filter(col("p").isNotNull)
       .withColumn("e", col("d") - col("p"))
-      .groupBy("name", "node").agg(
+      .groupBy("name", "node", "mm").agg(
         count(lit(1)).as("n"),
         sum(abs(col("e"))).cast("double").as("sae"),
         sum(col("e") * col("e")).cast("double").as("sse"))
       .filter(col("n") >= minScored)
       .select(col("name"), col("node"), col("n"),
-        r4(col("sae") / nd / lit(1e4)).as("mae"),
-        r4(sqrt(col("sse") / nd) / lit(1e4)).as("rmse"))
+        r4(col("sae") / nd / lit(1e9) * col("mm")).as("mae"),
+        r4(sqrt(col("sse") / nd) / lit(1e9) * col("mm")).as("rmse"))
   }
 
   /** Holt's linear (double) exponential smoothing per signal: level +
@@ -300,8 +322,10 @@ object TimeSeries {
     * 1-/3-step-ahead forecasts — the trend-aware upgrade of [[ewma]].
     * Seed: l₀ = x₀, b₀ = x₁ − x₀; fold from x₂. A whole-series
     * recursion → typed per-signal loop (one shuffle, series bounded by
-    * retention); the oracle replays the identical IEEE fold as a DuckDB
-    * list_reduce over {l, b} structs.
+    * retention); the oracle replays the identical IEEE fold through a
+    * DuckDB RECURSIVE CTE — NOT a list_reduce struct fold, whose
+    * sequential field evaluation against a half-updated accumulator
+    * silently corrupts coupled recursions (see the verify skill notes).
     */
   def holt(grid: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession

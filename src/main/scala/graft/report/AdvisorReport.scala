@@ -2,7 +2,7 @@ package graft.report
 
 import graft.Num._
 import graft.operators.{ChangePoints, Correlate, TimeSeries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -109,20 +109,23 @@ object AdvisorReport {
     * bucket). Bounded by construction: (top-k + objectives) × buckets ×
     * samples-per-bucket.
     */
-  def bucketSeries(grid: DataFrame, advice: DataFrame): DataFrame = {
-    val wanted = advice.select(col("obj_name").as("name"), col("obj_node").as("node"), col("b"))
-      .unionByName(advice.select(col("cand_name").as("name"), col("cand_node").as("node"), col("b")))
-      .distinct()
+  def bucketSeries(grid: DataFrame, advice: DataFrame): DataFrame =
+    bucketSeriesFor(grid,
+      advice.select(col("obj_name").as("name"), col("obj_node").as("node"), col("b"))
+        .unionByName(advice.select(col("cand_name").as("name"), col("cand_node").as("node"), col("b")))
+        .distinct())
+
+  private def bucketSeriesFor(grid: DataFrame, wanted: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node", "b")
     grid.join(wanted, Seq("name", "node", "b"), "left_semi")
       .withColumn("rel", r4(col("gval") / (abs(max("gval").over(w)) + lit(1e-10))))
       .select("name", "node", "b", "i", "rel")
   }
 
-  /** Release the pipeline's cached frames (library hook — Bench and
-    * Main use clearCache, which covers the same storage).
+  /** Release the pipeline's cached grid — scoped to the frame the
+    * pipeline itself persisted, never the caller's session-wide cache.
     */
-  def release(spark: SparkSession): Unit = spark.catalog.clearCache()
+  def release(grid: DataFrame): Unit = { grid.unpersist(); () }
 
   /** Markdown report (the report.tpl analogue): ranked-candidate table
     * plus, per anomalous bucket, the normalized series of the signals
@@ -143,7 +146,18 @@ object AdvisorReport {
     }
     grid.foreach { g =>
       sb.append("\n## Normalized series per anomalous bucket\n")
-      val series = bucketSeries(g, advice)
+      // derive the wanted-signal set from the ALREADY-collected rows —
+      // re-using the advice DataFrame here would re-execute the whole
+      // advisor DAG (anomaly union + permutation tests) a second time,
+      // since only the input grid is cached
+      val spark = g.sparkSession
+      import spark.implicits._
+      val wanted = rows
+        .flatMap(r => Seq(
+          (r.getAs[String]("obj_name"), r.getAs[String]("obj_node"), r.getAs[Long]("b")),
+          (r.getAs[String]("cand_name"), r.getAs[String]("cand_node"), r.getAs[Long]("b"))))
+        .distinct.toSeq.toDF("name", "node", "b")
+      val series = bucketSeriesFor(g, wanted)
         .orderBy("b", "name", "node", "i")
         .limit(limit * 40).collect()
       series.groupBy(r => (r.getAs[Long]("b"), r.getAs[String]("name"), r.getAs[String]("node")))

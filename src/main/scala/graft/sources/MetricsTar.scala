@@ -44,8 +44,15 @@ object MetricsTar {
     try {
       var done = false
       while (!done) {
-        in.readFully(header)
-        if (header.forall(_ == 0)) done = true
+        // EOF at a HEADER boundary is a normal end-of-archive (some
+        // writers omit the two zero blocks); EOF inside an entry's data
+        // or padding means the archive is truncated and must propagate
+        // — silently returning partial data would feed the advisor an
+        // incomplete bundle with no warning
+        val gotHeader =
+          try { in.readFully(header); true }
+          catch { case _: EOFException => false }
+        if (!gotHeader || header.forall(_ == 0)) done = true
         else {
           val name = new String(header, 0, 100, "US-ASCII").takeWhile(_ != 0)
           val sizeStr = new String(header, 124, 12, "US-ASCII")
@@ -74,8 +81,7 @@ object MetricsTar {
           skipFully(in, (512 - (size % 512)) % 512)
         }
       }
-    } catch { case _: EOFException => () }
-    finally in.close()
+    } finally in.close()
     out
   }
 

@@ -114,11 +114,15 @@ class TimeSeriesSpec extends SparkTestBase {
     val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
     val out = TimeSeries.cusum(grid(rows: _*), h = 2.0)
       .orderBy("tsb").select("cusum", "drift").as[(Double, Int)].collect()
-    val mu = 20.0 // quantized mean of the series
+    val mu = 20.0 // mean of the series
     val expect = vals.scanLeft(0.0)((acc, v) => acc + (v - mu)).drop(1)
-    assert(out.map(_._1).toSeq == expect)
+    // cusum runs on 1e-9-relative-quantized values — exact integer
+    // arithmetic internally, but the descaled output is approximate
+    out.map(_._1).zip(expect).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-5, s"$a vs $e")
+    }
     assert(out.exists(_._2 == 1), "mean shift must trip the drift flag")
-    assert(out.last._1 == 0.0) // deviations cancel by construction
+    assert(math.abs(out.last._1) < 1e-5) // deviations cancel by construction
   }
 
   test("seasonalNaiveError scores MAE/RMSE against the lag-period baseline") {

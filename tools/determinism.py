@@ -18,6 +18,10 @@ OUTS = [f"/tmp/graft_det_{c}" for c in CPUS]
 
 
 def run_verify(cpus, out):
+    # fresh output dir: stale results from a previous run would make a
+    # query that failed this time compare as "identical"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {out}"],
@@ -28,19 +32,30 @@ def run_verify(cpus, out):
         sys.exit(1)
 
 
+def norm(rows):
+    # NaN != NaN would flag bit-identical outputs as different
+    return [tuple("NaN" if isinstance(v, float) and v != v else v for v in r)
+            for r in rows]
+
+
 def main():
     import duckdb
     for cpus, out in zip(CPUS, OUTS):
         run_verify(cpus, out)
     con = duckdb.connect()
+    names = set(os.listdir(OUTS[0])) | set(os.listdir(OUTS[1]))
+    names.discard("oracle_sql.json")
     ok, bad = 0, 0
-    for name in sorted(os.listdir(OUTS[0])):
-        if name == "oracle_sql.json":
+    for name in sorted(names):
+        try:
+            a = norm(con.execute(
+                f"SELECT * FROM read_parquet('{OUTS[0]}/{name}/*.parquet')").fetchall())
+            b = norm(con.execute(
+                f"SELECT * FROM read_parquet('{OUTS[1]}/{name}/*.parquet')").fetchall())
+        except Exception as e:
+            bad += 1
+            print(f"DIFF {name}: unreadable on one side ({e})")
             continue
-        a = con.execute(
-            f"SELECT * FROM read_parquet('{OUTS[0]}/{name}/*.parquet')").fetchall()
-        b = con.execute(
-            f"SELECT * FROM read_parquet('{OUTS[1]}/{name}/*.parquet')").fetchall()
         if a == b:
             ok += 1
         else:
