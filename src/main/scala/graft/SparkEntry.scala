@@ -1562,7 +1562,57 @@ object SparkEntry {
         | FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js)
         |SELECT event_type, ws, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM sl GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin))
+        |FROM sl GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin)),
+
+    // ================= H. deterministic sampling & mixing =================
+
+    Q("sample_stratified", (s, dir) => {
+      // keep-all English, half de/fr, a quarter es/zh — the per-source
+      // curation dial every corpus mix starts from; md5-hash Bernoulli
+      // so the sample is reproducible and nested across rate changes
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang",
+          col("doc_id").cast("string"),
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
+        |  CASE lang WHEN 'en' THEN 4294967296 WHEN 'de' THEN 2147483648
+        |    WHEN 'fr' THEN 2147483648 WHEN 'es' THEN 1073741824
+        |    WHEN 'zh' THEN 1073741824 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_mix_weighted", (s, dir) => {
+      // rebalance to a 2:1 weighting of the first four sources without
+      // upsampling: the scarcest weighted stratum pins the scale
+      val w = when(col("source").isin("src0", "src1", "src2", "src3"), lit(2.0))
+        .otherwise(lit(1.0))
+      Sampling.mixToTarget(Tables.documents(s, dir), "source",
+          col("doc_id").cast("string"), w)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt,
+        |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 2.0 ELSE 1.0 END AS w
+        | FROM documents GROUP BY source),
+        |k AS (SELECT min(cnt / w) AS k FROM c),
+        |r AS (SELECT source, CAST(floor(k.k * w / cnt * 4294967296.0) AS BIGINT) AS thr FROM c, k)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < r.thr
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("dedup_substring", (s, dir) => {
+      Dedup.substringPairs(Tables.documents(s, dir), width = 32)
+        .orderBy("doc1", "doc2")
+    }, Some(
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 32) AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 30)) AS p) ps
+        |  WHERE len(text) >= 32)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

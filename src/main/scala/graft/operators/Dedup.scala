@@ -310,4 +310,51 @@ object Dedup {
         r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Exact shared-substring detection: document pairs sharing at least
+    * one verbatim `width`-char substring, with the count of distinct
+    * shared windows — the "exact substring duplication" signal
+    * (verbatim boilerplate, quoted passages, template reuse) that
+    * token-set Jaccard is blind to, because shingle *sets* ignore
+    * ordering and contiguity.
+    *
+    * Plan: every starting offset yields one window; windows are
+    * deduplicated per document (DISTINCT on (doc_id, window)) and
+    * self-joined on window equality — an equi-join Catalyst executes
+    * as one hash shuffle on the window key. `n_shared` counts the
+    * distinct shared windows per pair. With `stride > 1` only every
+    * s-th offset anchors the join, probed against ALL offsets of the
+    * other document (striding BOTH sides would miss runs whose
+    * alignments differ mod s): any shared run of ≥ width+stride−1
+    * chars contains a stride-aligned window of each document, so the
+    * asymmetric join still finds the pair at 1/s the anchor rows. At
+    * 100 TB the join key additionally drops to an 8-byte
+    * `xxhash64(window)` with verbatim verification on hash-equal
+    * pairs — the bucket-then-verify shape the other near-dup paths
+    * here use. The offset sequence is exploded BEFORE the substring
+    * is cut, so exactly one window string materializes per row.
+    */
+  def substringPairs(docs: DataFrame, width: Int = 32, stride: Int = 1): DataFrame = {
+    def windows(step: Int): DataFrame = spread(docs)
+      .filter(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (width - 1),
+          lit(step))).as("p"), col("text"))
+      .select(col("doc_id"), col("text").substr(col("p"), lit(width)).as("s"))
+      .distinct()
+    val all = windows(1)
+    if (stride == 1)
+      all.as("a").join(all.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_shared"))
+    else
+      windows(stride).as("a").join(all.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"), col("a.s"))
+        .distinct()
+        .groupBy("doc1", "doc2")
+        .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (hash-based) sampling and dataset mixing — the
+  * reproducibility layer of a training-data pipeline. A corpus sample
+  * must be a pure function of the data, not of `rand()` seeds or
+  * partition layout: re-running the pipeline, re-partitioning the
+  * input, or re-sharding the cluster must select the *same rows*.
+  *
+  * Mechanism: the first 8 hex chars of `md5(key)` form a uniform
+  * 32-bit integer; a row is kept iff that integer < rate × 2³².
+  * Properties that matter at corpus scale:
+  *   - deterministic: same key → same verdict on any engine, any
+  *     partitioning, any day (md5 is endianness- and engine-stable);
+  *   - nested: the rate-0.25 sample is a strict subset of the
+  *     rate-0.5 sample (same hash, lower threshold), so growing a
+  *     data mix never churns previously-selected documents;
+  *   - a narrow codegen'd filter over the scan — no shuffle, no
+  *     state, trivially parallel at 100 TB.
+  *
+  * The same idea at (name, node) granularity is what the reference's
+  * ecosystem calls "signal sharding"; here it is applied to document
+  * curation (stratified keep-rates, weighted mixes).
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of a key column: first 8 md5 hex digits as a
+    * bigint in [0, 2³²). Cross-engine contract: Spark
+    * `conv(substring(md5(x), 1, 8), 16, 10)` ≡ DuckDB
+    * `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)` on identical
+    * UTF-8 bytes.
+    */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+  private val Two32 = 4294967296.0
+
+  /** Threshold literal for a keep-rate: floor(rate × 2³²). */
+  def threshold(rate: Double): Long = math.floor(rate * Two32).toLong
+
+  /** Stratified deterministic Bernoulli sample: per-stratum keep-rates
+    * (e.g. keep all wiki, a quarter of common-crawl). Unlisted strata
+    * fall to `defaultRate`. One filter over the scan; the stratum
+    * column must be present (no join).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(hash32(keyCol) < thr)
+  }
+
+  /** Mix a corpus to target stratum proportions `weights` without
+    * upsampling: the achievable scale is set by the scarcest stratum
+    * (k = min over strata of countₛ / wₛ); stratum s keeps
+    * k·wₛ / countₛ of its rows. Strata with no listed weight drop.
+    *
+    * Plan shape: one count aggregate over the stratum column (tiny),
+    * broadcast back as the per-stratum threshold, then the same
+    * narrow hash filter — at 100 TB the only shuffle is the
+    * stratum-count aggregate, whose output is |strata| rows.
+    *
+    * Determinism: countₛ are exact integers; k and the per-stratum
+    * rates are fixed IEEE double sequences over those integers —
+    * bit-identical on any engine, mirrored verbatim in the oracle.
+    */
+  def mixToTarget(df: DataFrame, strataCol: String, keyCol: Column,
+                  weights: Column): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("w", weights)
+      .filter(col("w") > 0)
+    val k = counts.agg(min(col("cnt") / col("w")).as("k"))
+    val rates = counts.crossJoin(broadcast(k))
+      .select(col(strataCol),
+        floor(col("k") * col("w") / col("cnt") * lit(Two32)).cast("bigint")
+          .as("thr"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hash32(keyCol) < col("thr"))
+      .drop("thr")
+  }
+}

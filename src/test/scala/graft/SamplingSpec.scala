@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    (1 to 400).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val src = s"src${i % 4}"
+      (i.toLong, s"document body number $i with filler text", lang, src)
+    }.toDF("doc_id", "text", "lang", "source")
+
+  test("stratifiedSample keeps per-stratum rates near target and is deterministic") {
+    val rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+    val once = Sampling.stratifiedSample(docs, "lang", $"doc_id".cast("string"), rates)
+    val twice = Sampling.stratifiedSample(docs, "lang", $"doc_id".cast("string"), rates)
+    assert(once.collect().map(_.getLong(0)).sorted
+      sameElements twice.collect().map(_.getLong(0)).sorted)
+
+    val kept = once.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 133)                  // rate 1.0 keeps every en row
+    assert(kept("de") > 30 && kept("de") < 100) // ~67 expected at 0.5
+    assert(kept("fr") > 10 && kept("fr") < 60)  // ~33 expected at 0.25
+  }
+
+  test("samples are nested: lower rate selects a subset of higher rate") {
+    def ids(rate: Double): Set[Long] =
+      Sampling.stratifiedSample(docs, "lang", $"doc_id".cast("string"),
+        Map("en" -> rate, "de" -> rate, "fr" -> rate))
+        .collect().map(_.getLong(0)).toSet
+    val quarter = ids(0.25)
+    val half = ids(0.5)
+    assert(quarter.subsetOf(half))
+    assert(quarter.nonEmpty && quarter.size < half.size)
+  }
+
+  test("stratifiedSample is invariant to input partitioning") {
+    val rates = Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5)
+    val a = Sampling.stratifiedSample(docs.repartition(7), "lang",
+      $"doc_id".cast("string"), rates).collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.coalesce(1), "lang",
+      $"doc_id".cast("string"), rates).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixToTarget hits the scarcest-stratum bound and weights the rest") {
+    // counts per source: src0 = src1 = src2 = src3 = 100
+    // weights: src0 → 3, others → 1; k = min(100/3, 100/1) = 33.33
+    // so src0 keeps everything (rate 1.0) and the rest target ~33 rows
+    val w = when($"source" === "src0", lit(3.0)).otherwise(lit(1.0))
+    val kept = Sampling.mixToTarget(docs, "source", $"doc_id".cast("string"), w)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 100)
+    Seq("src1", "src2", "src3").foreach { s =>
+      assert(kept(s) > 15 && kept(s) < 55, s"$s kept ${kept(s)}")
+    }
+  }
+
+  test("mixToTarget drops strata with zero weight") {
+    val w = when($"source" === "src0", lit(1.0)).otherwise(lit(0.0))
+    val kept = Sampling.mixToTarget(docs, "source", $"doc_id".cast("string"), w)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == Set("src0"))
+  }
+
+  test("substringPairs finds verbatim shared windows and counts them") {
+    val boiler = "SHARED-BOILERPLATE-TEXT-THAT-IS-LONG-ENOUGH-TO-MATCH-EXACTLY"
+    val d = Seq(
+      (1L, s"unique prefix one $boiler unique suffix one"),
+      (2L, s"different lead-in, $boiler and another tail"),
+      (3L, "no shared content in this document at all, entirely distinct prose")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(d, width = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1)
+    val (a, b, n) = pairs.head
+    assert(a == 1L && b == 2L)
+    // the shared run is " <boiler> " (both docs surround the 60-char
+    // boiler with spaces) = 62 chars → 62 - 32 + 1 = 31 windows
+    assert(n == 31L)
+  }
+
+  test("substringPairs with stride still catches long shared runs") {
+    val boiler = "SHARED-BOILERPLATE-TEXT-THAT-IS-LONG-ENOUGH-TO-MATCH-EXACTLY"
+    val d = Seq(
+      (1L, s"unique prefix one $boiler unique suffix one"),
+      (2L, s"different lead-in!! $boiler and another tail")
+    ).toDF("doc_id", "text")
+    // stride 4 with width 32 catches any shared run >= 35 chars
+    val pairs = Dedup.substringPairs(d, width = 32, stride = 4).collect()
+    assert(pairs.length == 1)
+  }
+
+  test("substringPairs ignores docs shorter than the window") {
+    val d = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.substringPairs(d, width = 32).count() == 0)
+  }
+}
