@@ -1612,7 +1612,56 @@ object SparkEntry {
         |  WHERE len(text) >= 32)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
         |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin)),
+
+    Q("text_pii_scrub", (s, dir) => {
+      // the synthetic corpus carries no PII, so deterministic PII-shaped
+      // spans (derived from doc_id) are grafted on first — the oracle
+      // then genuinely checks cross-engine regex redaction semantics
+      // via the scrubbed-text digest, not a vacuous all-zeros pass
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ref "),
+          lpad((col("doc_id") * 7919 % 10000000).cast("string"), 7, "0"))
+          .as("text"))
+      TextAnalysis.piiScrub(salted).orderBy("doc_id")
+    }, Some(
+      """WITH salted AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |  '.7 ref ' || lpad(CAST(doc_id * 7919 % 10000000 AS VARCHAR), 7, '0') AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text, '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digits,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<email>', 'g'),
+        |   '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<ipv4>', 'g'),
+        |   '[0-9]{7,}', '<digits>', 'g')) AS scrub_fp,
+        | CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<email>', 'g'),
+        |   '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<ipv4>', 'g'),
+        |   '[0-9]{7,}', '<digits>', 'g')) AS BIGINT) AS scrub_len
+        |FROM salted ORDER BY doc_id""".stripMargin)),
+
+    Q("text_tfidf_top", (s, dir) =>
+      TextAnalysis.tfidfTop(Tables.documents(s, dir), 5).orderBy("doc_id", "rk"),
+    Some(
+      """WITH terms AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |  CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+        | FROM tf t JOIN dfq d USING (term), n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term ASC) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM rk WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -118,6 +118,41 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq("en", "de"))
   }
 
+  test("pii scrub redacts emails, ips, and digit runs with counts") {
+    val d = Seq(
+      (1L, "mail alice.smith+x@corp.example.org or 192.168.1.200, card 41111111111"),
+      (2L, "nothing sensitive here at all"),
+      (3L, "two mails a@b.io c@d.net and ip 10.0.0.1")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).orderBy("doc_id")
+      .select("doc_id", "n_email", "n_ipv4", "n_digits")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, 1L), (2L, 0L, 0L, 0L), (3L, 2L, 1L, 0L)))
+  }
+
+  test("pii scrub leaves no pattern behind in the scrubbed digest") {
+    val d = Seq((1L, "x@y.com then 1.2.3.4 then 99999999")).toDF("doc_id", "text")
+    // re-scrubbing the scrubbed text must be a fixed point: counts all 0
+    val once = d.select(col("doc_id"),
+      graft.operators.TextAnalysis.PiiPatterns.foldLeft(col("text")) {
+        case (c, (kind, pat)) => regexp_replace(c, pat, s"<$kind>")
+      }.as("text"))
+    val counts = TextAnalysis.piiScrub(once).head()
+    assert(counts.getLong(1) == 0L && counts.getLong(2) == 0L && counts.getLong(3) == 0L)
+  }
+
+  test("tfidf top terms rank rare terms over common ones") {
+    val d = Seq(
+      (1L, "alpha alpha alpha shared shared common"),
+      (2L, "beta beta shared common common common"),
+      (3L, "gamma gamma common shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop(d, 2).orderBy("doc_id", "rk")
+      .select("doc_id", "rk", "term").as[(Long, Int, String)].collect().toSeq
+    // each doc's dominant unique term (df=1) outranks corpus-wide terms
+    assert(out.filter(_._2 == 1).map(_._3) == Seq("alpha", "beta", "gamma"))
+    // k bounds the output per doc
+    assert(out.groupBy(_._1).forall(_._2.size <= 2))
+  }
+
   test("multimodal decode meta is deterministic plumbing") {
     val d = docs((1L, "payload one"), (2L, "payload two"))
     val m1 = Multimodal.decodeMeta(d).orderBy("doc_id").collect()
