@@ -1661,7 +1661,41 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, term ASC) AS rk FROM scored)
         |SELECT doc_id, rk, term, tf, df, score FROM rk WHERE rk <= 5
-        |ORDER BY doc_id, rk""".stripMargin))
+        |ORDER BY doc_id, rk""".stripMargin)),
+
+    Q("ts_mannkendall", (s, dir) =>
+      Trend.mannKendall(corrGrid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |prs AS (SELECT a.name, a.node, sign(b.gval - a.gval) AS sg
+         | FROM ff36 a JOIN ff36 b ON a.name = b.name AND a.node = b.node AND a.tsb < b.tsb),
+         |sagg AS (SELECT name, node, CAST(sum(sg) AS BIGINT) AS s FROM prs GROUP BY 1, 2),
+         |nagg AS (SELECT name, node, count(*) AS n FROM ff36 GROUP BY 1, 2),
+         |tg AS (SELECT name, node, gval, count(*) AS t FROM ff36 GROUP BY 1, 2, 3),
+         |ties AS (SELECT name, node, sum(t * (t - 1) * (2 * t + 5)) AS tie_num
+         | FROM tg WHERE t > 1 GROUP BY 1, 2),
+         |fin AS (SELECT n.name, n.node, n.n, s.s,
+         |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie_num, 0) AS DOUBLE) / 18.0 AS var_s
+         | FROM nagg n JOIN sagg s ON n.name = s.name AND n.node = s.node
+         | LEFT JOIN ties t ON n.name = t.name AND n.node = t.node),
+         |zz AS (SELECT name, node, n, s,
+         |  floor((CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+         |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+         |    ELSE 0.0 END + 1e-9) * 1e4 + 0.5) / 1e4 AS z FROM fin)
+         |SELECT name, node, n, s, z,
+         | CASE WHEN z > 1.96 THEN 1 WHEN z < -1.96 THEN -1 ELSE 0 END AS trend
+         |FROM zz ORDER BY name, node""".stripMargin)),
+
+    Q("ts_theilsen", (s, dir) =>
+      Trend.theilSen(corrGrid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |prs AS (SELECT a.name, a.node,
+         |  (b.gval - a.gval) / (CAST(b.tsb - a.tsb AS DOUBLE) / 3600.0) AS slope
+         | FROM ff36 a JOIN ff36 b ON a.name = b.name AND a.node = b.node AND a.tsb < b.tsb)
+         |SELECT name, node, count(*) AS n_pairs,
+         | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
+         |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-signal trend detection — the monotone-drift companion to
+  * the advisor's change-point and outlier passes (a slow leak or a
+  * creeping queue never trips k-sigma or e-divisive, but is exactly
+  * what Mann-Kendall/Theil-Sen exist to flag; reference context:
+  * metrics_advisor.py:146-164 gates and detects level shifts, so a
+  * drift detector is the missing third verdict).
+  *
+  * Both statistics are pairwise over each signal's dense grid — a
+  * deliberate bounded quadratic: the 1-h resampled grid holds at most
+  * (retention / 3600) points per signal regardless of corpus size, so
+  * the per-signal pair count is a constant set by the retention
+  * window, not by data scale; signals parallelize embarrassingly. The
+  * self-join is an equi-join on the signal key (one shuffle), and the
+  * pair predicate `ta < tb` prunes inside each hash bucket.
+  *
+  * Determinism: S, n, and the tie correction are exact integers;
+  * slopes and z ride fixed IEEE sequences over bit-identical grid
+  * values (the grid is exact-decimal-derived), so both engines agree
+  * bit-for-bit before the final floor-formula rounding.
+  */
+object Trend {
+
+  private def pairs(grid: DataFrame): DataFrame = {
+    val a = grid.select(col("name"), col("node"), col("tsb").as("ta"),
+      col("gval").as("va"))
+    val b = grid.select(col("name"), col("node"), col("tsb").as("tb"),
+      col("gval").as("vb"))
+    a.join(b, Seq("name", "node")).filter(col("ta") < col("tb"))
+  }
+
+  /** Mann-Kendall trend test per signal: S = Σ_{i<j} sign(x_j − x_i),
+    * tie-corrected variance, and the standard normal statistic
+    * z = (S∓1)/√Var(S). `trend` classifies on the ROUNDED z against
+    * `zCrit` (two-sided 5% by default) so the verdict row set is
+    * engine-deterministic. Signals with fewer than two samples carry
+    * no pairs and drop out.
+    */
+  def mannKendall(grid: DataFrame, zCrit: Double = 1.96): DataFrame = {
+    val sAgg = pairs(grid).groupBy("name", "node")
+      .agg(sum(signum(col("vb") - col("va"))).cast("bigint").as("s"))
+    val nAgg = grid.groupBy("name", "node").agg(count(lit(1)).as("n"))
+    val ties = grid.groupBy("name", "node", "gval")
+      .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+      .groupBy("name", "node")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_num"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      coalesce(col("tie_num"), lit(0L))).cast("double") / lit(18.0)
+    val sd = col("s").cast("double")
+    val z = when(col("s") > 0, (sd - 1.0) / sqrt(col("var_s")))
+      .when(col("s") < 0, (sd + 1.0) / sqrt(col("var_s")))
+      .otherwise(lit(0.0))
+    nAgg.join(sAgg, Seq("name", "node"))
+      .join(ties, Seq("name", "node"), "left")
+      .withColumn("var_s", varS)
+      .withColumn("z", r4(z))
+      .withColumn("trend",
+        when(col("z") > zCrit, 1).when(col("z") < -zCrit, -1).otherwise(0))
+      .select("name", "node", "n", "s", "z", "trend")
+  }
+
+  /** Theil-Sen slope per signal: the median of all pairwise slopes —
+    * the robust trend-rate estimate (breakdown point ~29%, immune to
+    * the outliers the advisor itself flags). Median interpolation is
+    * the shared exact-selection convention (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). Slope in value-units per hour.
+    */
+  def theilSen(grid: DataFrame): DataFrame =
+    pairs(grid)
+      .withColumn("slope",
+        (col("vb") - col("va")) / ((col("tb") - col("ta")).cast("double") / lit(3600.0)))
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("n_pairs"),
+        r6(expr("percentile(slope, 0.5)")).as("slope_hr"))
+}

@@ -22,6 +22,44 @@ class AnalysisSpec extends SparkTestBase {
     assert(out.select("gval").as[Double].collect().toSeq == Seq(1000.0))
   }
 
+  test("mann-kendall flags monotone drift, not flat or alternating series") {
+    val up = (0 until 30).map(i => ("up", "a", i * 3600L, 10.0 + i * 0.5))
+    val flat = (0 until 30).map(i => ("flat", "a", i * 3600L, 7.0))
+    val alt = (0 until 30).map(i => ("alt", "a", i * 3600L, if (i % 2 == 0) 5.0 else 6.0))
+    val out = Trend.mannKendall(grid((up ++ flat ++ alt): _*))
+      .orderBy("name").select("name", "s", "trend")
+      .as[(String, Long, Int)].collect().toSeq
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("up")._2 == 435L)   // all 30*29/2 pairs concordant
+    assert(byName("up")._3 == 1)
+    assert(byName("alt")._3 == 0)
+    assert(!byName.contains("flat") || byName("flat")._2 == 0L)
+    // a fully tied signal has s = 0 and var 0 → z = 0, no trend
+    if (byName.contains("flat")) assert(byName("flat")._3 == 0)
+  }
+
+  test("mann-kendall tie correction shrinks variance vs naive formula") {
+    // 10 points, two tied triples: var = (n(n-1)(2n+5) - 2*3*2*11)/18
+    val vals = Seq(1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0, 6.0)
+    val g = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 3600L, v) }
+    val out = Trend.mannKendall(grid(g: _*)).select("s", "z").head()
+    // S: concordant-heavy increasing-with-ties series → s > 0, z finite
+    assert(out.getLong(0) > 0)
+    assert(!out.getDouble(1).isNaN && out.getDouble(1) > 0)
+  }
+
+  test("theil-sen recovers a linear slope exactly and shrugs one outlier") {
+    val lin = (0 until 20).map(i => ("lin", "a", i * 3600L, 3.0 + 2.5 * i))
+    val withOut = (0 until 20).map(i =>
+      ("dirty", "a", i * 3600L, if (i == 10) 1000.0 else 3.0 + 2.5 * i))
+    val out = Trend.theilSen(grid((lin ++ withOut): _*))
+      .orderBy("name").select("name", "slope_hr")
+      .as[(String, Double)].collect().toMap
+    assert(out("lin") == 2.5)
+    // the outlier perturbs only 19/190 slopes → median still 2.5
+    assert(out("dirty") == 2.5)
+  }
+
   test("e-divisive finds an obvious level shift") {
     val series = Array.fill(30)(1.0) ++ Array.fill(30)(10.0)
     val cps = EDivisive.changePoints(series, pvalue = 0.05, permutations = 30)
