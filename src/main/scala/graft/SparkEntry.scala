@@ -1695,7 +1695,25 @@ object SparkEntry {
          | FROM ff36 a JOIN ff36 b ON a.name = b.name AND a.node = b.node AND a.tsb < b.tsb)
          |SELECT name, node, count(*) AS n_pairs,
          | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
-         |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin))
+         |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin)),
+
+    Q("embed_centroid_sim", (s, dir) =>
+      Similarity.labelCentroidSim(Tables.embeddings(s, dir))
+        .orderBy("label_a", "label_b"),
+    Some(
+      """WITH cells AS (SELECT label, d,
+        |  CAST(floor((CAST(embedding[CAST(d AS INTEGER)] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS q
+        | FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) ds),
+        |sums AS (SELECT label, d, sum(q) AS sv FROM cells GROUP BY 1, 2),
+        |prs AS (SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(sum(a.sv * b.sv) AS DOUBLE) AS sxy,
+        |  CAST(sum(a.sv * a.sv) AS DOUBLE) AS sxx,
+        |  CAST(sum(b.sv * b.sv) AS DOUBLE) AS syy
+        | FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+        | GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+        |FROM prs ORDER BY label_a, label_b""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -127,4 +127,39 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Pairwise cosine similarity between per-label centroids — the
+    * class-separation diagnostic for an embedding space (labels whose
+    * centroids sit close are the ones a classifier or ANN index will
+    * confuse; near-1 rows flag label leakage / duplicate classes).
+    *
+    * Exactness: cosine is scale-invariant, so the centroid (sum / n)
+    * is replaced by the SUM vector and the division never happens.
+    * Components quantize to ×1e6 exact integers; per-(label, dim)
+    * sums and the cross-label dot/norm moments are exact DECIMAL
+    * (order-independent — the float-sum nondeterminism that plagues
+    * naive centroid code cannot arise); one fixed IEEE
+    * dot/(‖a‖·‖b‖) sequence at the end, mirrored in the oracle.
+    *
+    * Plan: posexplode to (label, dim) cells — the only shuffle is the
+    * (label, dim) aggregate (|labels|·|dims| output rows regardless of
+    * corpus size); the label-pair self-join runs on that tiny frame.
+    */
+  def labelCentroidSim(embs: DataFrame): DataFrame = {
+    val cells = embs.select(col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        qint(col("x").cast("double"), 1e6).as("q"))
+    val sums = cells.groupBy("label", "d")
+      .agg(sum(col("q")).cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("sv"))
+    val a = sums.select(col("label").as("label_a"), col("d"), col("sv").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("d").as("db"), col("sv").as("sb"))
+    a.join(b, col("d") === col("db") && col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).cast("double").as("sxy"),
+        sum(col("sa") * col("sa")).cast("double").as("sxx"),
+        sum(col("sb") * col("sb")).cast("double").as("syy"))
+      .select(col("label_a"), col("label_b"),
+        r4(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy")))).as("cos_sim"))
+  }
 }

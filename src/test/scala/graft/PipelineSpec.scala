@@ -100,6 +100,22 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("label centroid similarity flags clone classes, zeros orthogonal ones") {
+    val e = (0 until 30).map { i =>
+      val lbl = i % 3
+      val base = lbl match {
+        case 0 => Array(1.0f, 0.0f, 0.0f, 0.0f)
+        case 1 => Array(0.0f, 1.0f, 0.0f, 0.0f)
+        case _ => Array(1.0f, 0.0f, 0.0f, 0.0f) // label 2 duplicates label 0
+      }
+      (i.toLong, base, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSim(e).orderBy("label_a", "label_b")
+      .select("label_a", "label_b", "cos_sim")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out == Seq((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
+  }
+
   test("token stats and quality are sane") {
     val d = Seq((1L, "Hello world, this is a test!")).toDF("doc_id", "text")
     val t = TextAnalysis.tokenStats(d).head()
