@@ -1713,7 +1713,48 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT label_a, label_b,
         | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
-        |FROM prs ORDER BY label_a, label_b""".stripMargin))
+        |FROM prs ORDER BY label_a, label_b""".stripMargin)),
+
+    Q("corr_partial", (s, dir) =>
+      Correlate.partialCorr(corrGrid(s, dir), "error", "click")
+        .orderBy("cand_name", "node", "b"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mx AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mq AS (SELECT name, node, b, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |cells AS (SELECT x.name AS a_name, y.name AS b_name, x.node AS node,
+         |   x.b AS b, count(*) AS n,
+         |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
+         |   CAST(sum(x.qv * y.qv) AS DOUBLE) AS sxy,
+         |   CAST(sum(x.qv * x.qv) AS DOUBLE) AS sxx,
+         |   CAST(sum(y.qv * y.qv) AS DOUBLE) AS syy
+         | FROM mq x JOIN mq y ON y.i = x.i AND y.b = x.b AND x.node = y.node
+         |  AND x.name < y.name
+         | GROUP BY 1, 2, 3, 4),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells),
+         |rmat AS (SELECT a_name, b_name, node, b,
+         |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r
+         | FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0),
+         |sym AS (SELECT a_name AS x, b_name AS y, node, b, r FROM rmat
+         | UNION ALL SELECT b_name, a_name, node, b, r FROM rmat),
+         |rxy AS (SELECT x AS cand_name, node, b, r AS r_xy FROM sym
+         | WHERE y = 'error' AND x <> 'click'),
+         |rxz AS (SELECT x AS cand_name, node, b, r AS r_xz FROM sym
+         | WHERE y = 'click' AND x <> 'error'),
+         |ryz AS (SELECT node, b, r AS r_yz FROM sym WHERE x = 'error' AND y = 'click'),
+         |j AS (SELECT rxy.cand_name, rxy.node, rxy.b, r_xy, r_xz, r_yz,
+         |  (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) AS den
+         | FROM rxy JOIN rxz ON rxy.cand_name = rxz.cand_name
+         |   AND rxy.node = rxz.node AND rxy.b = rxz.b
+         |  JOIN ryz ON rxy.node = ryz.node AND rxy.b = ryz.b)
+         |SELECT cand_name, node, b, r_xy,
+         | floor(((r_xy - r_xz * r_yz) / sqrt(den) + 1e-9) * 1e4 + 0.5) / 1e4 AS r_partial
+         |FROM j WHERE den > 0 ORDER BY cand_name, node, b""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -157,8 +157,13 @@ object Correlate {
   /** Full pairwise correlation matrix per bucket (zero lag), upper
     * triangle only. Self-join on (bucket, index) → one shuffle. Same
     * exact-integer-moment determinism as [[nccLag]].
+    *
+    * `sameNodeOnly` restricts pairs to signals on the same node (the
+    * node becomes an extra equi-join key, so the cross-node cells are
+    * never generated, not generated-then-filtered).
     */
-  def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
+  def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8,
+                 sameNodeOnly: Boolean = false): DataFrame = {
     val q = withQuant(indexedGrid)
       .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
     val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
@@ -166,11 +171,59 @@ object Correlate {
     val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
       col("b").as("bb"), col("i").as("bi"), col("qv").as("bv"))
     val moments = momentAggs("av", "bv")
-    val cells = a.join(bdf, col("bi") === col("i") && col("bb") === col("b") &&
-        (col("a_name") < col("b_name") ||
-         (col("a_name") === col("b_name") && col("a_node") < col("b_node"))))
+    val base = col("bi") === col("i") && col("bb") === col("b")
+    val cond =
+      if (sameNodeOnly)
+        base && col("a_node") === col("b_node") && col("a_name") < col("b_name")
+      else
+        base && (col("a_name") < col("b_name") ||
+          (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
+    val cells = a.join(bdf, cond)
       .groupBy("a_name", "a_node", "b_name", "b_node", "b")
       .agg(moments.head, moments.tail: _*)
     pearsonFromMoments(cells, minOverlap)
+  }
+
+  /** First-order partial correlation per (candidate, node, bucket):
+    * r(cand, obj | ctrl) — does the candidate still move with the
+    * objective once a shared driver (load, traffic, the `ctrl`
+    * signal) is regressed out? The advisor's ranking question,
+    * sharpened: raw |r| surfaces everything the control drags along;
+    * the partial kills those spurious candidates.
+    *
+    * Computed from the same-node rounded correlation matrix via
+    * r_p = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — a fixed IEEE
+    * sequence over engine-identical rounded inputs, so the output is
+    * deterministic end-to-end. Cells where either control
+    * correlation is ±1 (zero denominator) are dropped.
+    *
+    * Plan: ONE matrix pass feeds all three correlation roles (the
+    * symmetric view is persisted — without it the whole
+    * grid→quantize→join→moment pipeline would run three times); the
+    * (node, bucket)-keyed obj-ctrl frame is a handful of rows and
+    * broadcasts.
+    */
+  def partialCorr(indexedGrid: DataFrame, objName: String, ctrlName: String,
+                  minOverlap: Int = 8): DataFrame = {
+    val m = corrMatrix(indexedGrid, minOverlap, sameNodeOnly = true)
+      .select(col("a_name").as("x"), col("b_name").as("y"),
+        col("a_node").as("node"), col("b"), col("r"))
+    val sym = m.union(m.select(col("y"), col("x"), col("node"), col("b"), col("r")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rxy = sym.filter(col("y") === objName && col("x") =!= ctrlName)
+      .select(col("x").as("cand_name"), col("node"), col("b"), col("r").as("r_xy"))
+    val rxz = sym.filter(col("y") === ctrlName && col("x") =!= objName)
+      .select(col("x").as("cand_name"), col("node"), col("b"), col("r").as("r_xz"))
+    val ryz = sym.filter(col("x") === objName && col("y") === ctrlName)
+      .select(col("node"), col("b"), col("r").as("r_yz"))
+    rxy.join(rxz, Seq("cand_name", "node", "b"))
+      .join(broadcast(ryz), Seq("node", "b"))
+      .withColumn("den",
+        (lit(1.0) - col("r_xz") * col("r_xz")) *
+        (lit(1.0) - col("r_yz") * col("r_yz")))
+      .filter(col("den") > 0)
+      .select(col("cand_name"), col("node"), col("b"), col("r_xy"),
+        r4((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(col("den")))
+          .as("r_partial"))
   }
 }

@@ -60,6 +60,23 @@ class AnalysisSpec extends SparkTestBase {
     assert(out("dirty") == 2.5)
   }
 
+  test("partial correlation keeps obj-driven candidates, drops ctrl clones") {
+    val obj = (1 to 12).map(_.toDouble)
+    val ctl = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0, 8.0, 7.0, 10.0, 9.0, 12.0, 11.0)
+    def sig(n: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (n, "a", i * 3600L, v) }
+    val g = TimeSeries.indexed(grid((
+      sig("obj", obj) ++ sig("ctrl", ctl) ++
+      sig("cand_obj", obj.map(_ * 2 + 5)) ++
+      sig("cand_ctrl", ctl.map(_ * 3 - 1))): _*), 3600L)
+    val out = Correlate.partialCorr(g, "obj", "ctrl")
+      .select("cand_name", "r_partial").as[(String, Double)].collect().toMap
+    // an affine copy of the objective survives with full partial corr
+    assert(out("cand_obj") == 1.0)
+    // an affine copy of the control has r_xz = 1 → zero denominator → dropped
+    assert(!out.contains("cand_ctrl"))
+  }
+
   test("e-divisive finds an obvious level shift") {
     val series = Array.fill(30)(1.0) ++ Array.fill(30)(10.0)
     val cps = EDivisive.changePoints(series, pvalue = 0.05, permutations = 30)
