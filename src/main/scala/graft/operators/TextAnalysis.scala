@@ -204,7 +204,10 @@ object TextAnalysis {
     val terms = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .as("term"))
+    // tf feeds both the score join and the df aggregate — persist it so
+    // the corpus tokenization scan runs once (released by clearCache)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Trend {
 
-  private def pairs(grid: DataFrame): DataFrame = {
-    val a = grid.select(col("name"), col("node"), col("tsb").as("ta"),
+  /** The grid projection fans out to both self-join sides (and, for
+    * Mann-Kendall, the n and tie aggregates) — persist it so the
+    * upstream events→resample→fill pipeline runs once, not once per
+    * consumer (same contract as spearmanMatrix: released by
+    * `spark.catalog.clearCache()`).
+    */
+  private def gridOnce(grid: DataFrame): DataFrame =
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def pairs(g: DataFrame): DataFrame = {
+    val a = g.select(col("name"), col("node"), col("tsb").as("ta"),
       col("gval").as("va"))
-    val b = grid.select(col("name"), col("node"), col("tsb").as("tb"),
+    val b = g.select(col("name"), col("node"), col("tsb").as("tb"),
       col("gval").as("vb"))
     a.join(b, Seq("name", "node")).filter(col("ta") < col("tb"))
   }
@@ -42,10 +52,11 @@ object Trend {
     * no pairs and drop out.
     */
   def mannKendall(grid: DataFrame, zCrit: Double = 1.96): DataFrame = {
-    val sAgg = pairs(grid).groupBy("name", "node")
+    val g = gridOnce(grid)
+    val sAgg = pairs(g).groupBy("name", "node")
       .agg(sum(signum(col("vb") - col("va"))).cast("bigint").as("s"))
-    val nAgg = grid.groupBy("name", "node").agg(count(lit(1)).as("n"))
-    val ties = grid.groupBy("name", "node", "gval")
+    val nAgg = g.groupBy("name", "node").agg(count(lit(1)).as("n"))
+    val ties = g.groupBy("name", "node", "gval")
       .agg(count(lit(1)).as("t")).filter(col("t") > 1)
       .groupBy("name", "node")
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_num"))
@@ -71,7 +82,7 @@ object Trend {
     * DuckDB `quantile_cont`). Slope in value-units per hour.
     */
   def theilSen(grid: DataFrame): DataFrame =
-    pairs(grid)
+    pairs(gridOnce(grid))
       .withColumn("slope",
         (col("vb") - col("va")) / ((col("tb") - col("ta")).cast("double") / lit(3600.0)))
       .groupBy("name", "node")
