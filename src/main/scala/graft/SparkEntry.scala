@@ -1715,6 +1715,10 @@ object SparkEntry {
         | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM prs ORDER BY label_a, label_b""".stripMargin)),
 
+    Q("ad_esd", (s, dir) =>
+      ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
+      None),
+
     Q("corr_partial", (s, dir) =>
       Correlate.partialCorr(corrGrid(s, dir), "error", "click")
         .orderBy("cand_name", "node", "b"),

@@ -40,6 +40,32 @@ object ChangePoints {
       .toDF("name", "node", "cp_tsb", "qhat")
   }
 
+  /** Rosner's generalized ESD outliers per signal (Stats.esdOutliers):
+    * the statistically-calibrated many-outlier test — unlike k-sigma,
+    * the t-based critical value adapts to series length, and the
+    * round-max removal is masking-robust (a cluster of outliers cannot
+    * hide itself by inflating the sd). kMax defaults to 5% of the
+    * series. Same per-signal typed-fold shape as [[eDivisive]]: one
+    * keyed shuffle, series bounded by retention, flagged rows return
+    * with their grid time and value.
+    */
+  def esd(grid: DataFrame, alpha: Double = 0.05, kFrac: Double = 0.05): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (name, node) = key
+        val pts = it.toArray.sortBy(_._3)
+        val kMax = math.max(1, math.ceil(pts.length * kFrac).toInt)
+        graft.functions.Stats.esdOutliers(pts.map(_._4), kMax, alpha)
+          .sorted
+          .map(i => (name, node, pts(i)._3, pts(i)._4))
+      }
+      .toDF("name", "node", "tsb", "gval")
+  }
+
   /** trend = centered rolling median (w); detrended = x − trend;
     * seasonal = ideal lowpass of detrended; noise = detrended − seasonal.
     * Raw (unrounded) components for one in-memory series.

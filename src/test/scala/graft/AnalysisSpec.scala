@@ -60,6 +60,44 @@ class AnalysisSpec extends SparkTestBase {
     assert(out("dirty") == 2.5)
   }
 
+  test("t quantiles match published tables to 4 dp") {
+    import graft.functions.Stats
+    // two-sided 5% critical values, standard t tables
+    assert(math.abs(Stats.tQuantile(0.975, 10) - 2.2281) < 5e-4)
+    assert(math.abs(Stats.tQuantile(0.975, 1) - 12.7062) < 5e-3)
+    assert(math.abs(Stats.tQuantile(0.975, 30) - 2.0423) < 5e-4)
+    assert(math.abs(Stats.tQuantile(0.95, 5) - 2.0150) < 5e-4)
+    // symmetry and median
+    assert(math.abs(Stats.tQuantile(0.025, 10) + Stats.tQuantile(0.975, 10)) < 1e-9)
+    // near t=0 the beta argument nu/(nu+t^2) rounds to 1.0 within
+    // ~3e-8 of the median — fine for the p≈0.997 quantiles ESD uses
+    assert(math.abs(Stats.tQuantile(0.5, 7)) < 1e-6)
+  }
+
+  test("generalized esd flags planted spikes and nothing in clean data") {
+    import graft.functions.Stats
+    val clean = Array.tabulate(60)(i => 10.0 + math.sin(i * 0.7) * 0.5)
+    assert(Stats.esdOutliers(clean, kMax = 6).isEmpty)
+    val dirty = clean.clone()
+    dirty(10) = 50.0; dirty(11) = 48.0; dirty(40) = -30.0
+    assert(Stats.esdOutliers(dirty, kMax = 6).sorted == Seq(10, 11, 40))
+    // adjacent spike pair would mask each other under single-pass grubbs;
+    // esd still catches both
+    val masked = clean.clone()
+    masked(20) = 100.0; masked(21) = 99.0
+    assert(Stats.esdOutliers(masked, kMax = 6).sorted == Seq(20, 21))
+    // constant series: sd = 0 → no verdict
+    assert(Stats.esdOutliers(Array.fill(30)(4.2), kMax = 3).isEmpty)
+  }
+
+  test("esd operator flags the planted grid spike per signal") {
+    val base = (0 until 40).map(i => ("m", "a", i * 900L, 10.0 + (i % 5) * 0.2))
+    val withSpike = base :+ (("m", "a", 40 * 900L, 500.0))
+    val out = ChangePoints.esd(grid(withSpike: _*))
+      .select("tsb").as[Long].collect().toSeq
+    assert(out == Seq(40 * 900L))
+  }
+
   test("partial correlation keeps obj-driven candidates, drops ctrl clones") {
     val obj = (1 to 12).map(_.toDouble)
     val ctl = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0, 8.0, 7.0, 10.0, 9.0, 12.0, 11.0)
