@@ -1715,6 +1715,11 @@ object SparkEntry {
         | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM prs ORDER BY label_a, label_b""".stripMargin)),
 
+    // rows-only: CMS estimates depend on the sketch's internal
+    // hashing, engine-specific by design
+    Q("sketch_heavy_hitters", (s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), 20), None),
+
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
       None),

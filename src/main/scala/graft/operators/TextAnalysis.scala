@@ -182,6 +182,34 @@ object TextAnalysis {
       length(scrubbed).cast("bigint").as("scrub_len"): _*)
   }
 
+  /** Heavy hitters via count-min sketch: the mergeable fixed-size
+    * frequency summary (exact term counts of a 100 TB corpus shuffle
+    * the whole vocabulary; the sketch is map-side state merged once).
+    * The exact top-k counts ride alongside to expose the sketch's
+    * overestimate envelope — CMS never underestimates. The only
+    * driver-side data is one sketch (KBs at eps=1e-3) and k rows.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 20, eps: Double = 0.001,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val cmsBytes = terms
+      .select(expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val topExact = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc).limit(k)
+      .as[(String, Long)].collect()
+    topExact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
+      .toDF("term", "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col("term").asc)
+  }
+
   /** Per-document top-k terms by TF-rarity — the TF-IDF ranking with
     * the idf's `ln` replaced by the raw rarity ratio N/df. Rationale:
     * `ln` is monotone, so for a FIXED term the ordering across

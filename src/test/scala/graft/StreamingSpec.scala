@@ -33,6 +33,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == Seq(("click", 2L, 5.0), ("view", 1L, 5.0)))
   }
 
+  test("hash sampling is stateless and stream/batch identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 200).map(i => (i.toLong, s"doc body $i", s"src${i % 3}"))
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val mem = MemoryStream[(Long, String, String)]
+    val streamDF = mem.toDF().toDF("doc_id", "text", "source")
+    val q = graft.operators.Sampling
+      .stratifiedSample(streamDF, "source", col("doc_id").cast("string"), rates)
+      .writeStream.format("memory").queryName("sampled").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id FROM sampled")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = graft.operators.Sampling
+      .stratifiedSample(rows.toDF("doc_id", "text", "source"), "source",
+        col("doc_id").cast("string"), rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sketch heavy hitters never underestimates and nails the top term") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, "alpha " * 10 + s"beta gamma delta word$i")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.heavyHitters(docs, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 == "alpha" && out.head._2 == 500L)
+    // CMS structurally never undercounts
+    assert(out.forall { case (_, exact, est) => est >= exact })
+    // at eps=1e-3 over this tiny vocabulary the estimates are exact
+    assert(out.forall { case (_, exact, est) => est == exact })
+  }
+
   test("slidingAgg over a stream matches batch, each event in 4 windows") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
