@@ -122,6 +122,17 @@ object AdvisorReport {
       .select("name", "node", "b", "i", "rel")
   }
 
+  /** Monotone-drift verdicts over the gated grid — the detector class
+    * the anomaly union cannot cover: k-sigma and e-divisive catch
+    * spikes and level shifts, but a slow leak or creeping queue trips
+    * neither; Mann-Kendall exists for exactly that. Most extreme
+    * drift first, deterministic tiebreaks.
+    */
+  def driftSignals(grid: DataFrame): DataFrame =
+    graft.operators.Trend.mannKendall(grid.select("name", "node", "tsb", "gval"))
+      .filter(col("trend") =!= 0)
+      .orderBy(abs(col("z")).desc, col("name").asc, col("node").asc)
+
   /** Release the pipeline's cached grid — scoped to the frame the
     * pipeline itself persisted, never the caller's session-wide cache.
     */
@@ -167,6 +178,19 @@ object AdvisorReport {
           sb.append(s"\n- bucket $b `$name/$node`: $vals")
         }
       sb.append("\n")
+    }
+    grid.foreach { g =>
+      val drifts = driftSignals(g).limit(50).collect()
+      if (drifts.nonEmpty) {
+        sb.append("\n## Drifting signals (Mann-Kendall)\n\n")
+        sb.append("| signal | n | z | direction |\n")
+        sb.append("| --- | --- | --- | --- |\n")
+        drifts.foreach { r =>
+          val dir = if (r.getAs[Int]("trend") > 0) "up" else "down"
+          sb.append(s"| ${r.getAs[String]("name")}/${r.getAs[String]("node")} " +
+            s"| ${r.getAs[Long]("n")} | ${r.getAs[Double]("z")} | $dir |\n")
+        }
+      }
     }
     sb.toString
   }

@@ -60,6 +60,19 @@ class AdvisorReportSpec extends SparkTestBase {
     assert(!md.contains("flatline"), "gated signal leaked into the report")
   }
 
+  test("drift section flags the stepping signals and skips gated ones") {
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val drifts = AdvisorReport.driftSignals(grid).collect()
+    val names = drifts.map(_.getAs[String]("name")).toSet
+    // the step-up signals are strong monotone drifts; flatline is gated
+    assert(names.contains("click") && names.contains("cpu"), s"missing: $names")
+    assert(!names.contains("flatline"))
+    assert(drifts.forall(_.getAs[Int]("trend") == 1))
+    val md = AdvisorReport.renderMarkdown(AdvisorReport.adviseOnGrid(grid, cfg), Some(grid))
+    assert(md.contains("## Drifting signals (Mann-Kendall)"))
+    assert(md.contains("click/n0"))
+  }
+
   test("bucketSeries normalizes by |max| within (signal, bucket)") {
     val grid = AdvisorReport.gatedGrid(signals, cfg)
     val advice = AdvisorReport.adviseOnGrid(grid, cfg)
