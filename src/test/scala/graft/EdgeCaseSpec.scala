@@ -15,6 +15,67 @@ class EdgeCaseSpec extends SparkTestBase {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("sampling handles empty frames, unknown strata, and rate edges") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Sampling.stratifiedSample(empty, "source",
+      $"doc_id".cast("string"), Map("a" -> 1.0)).count() == 0)
+    val d = (1 to 50).map(i => (i.toLong, "txt", "weird_source"))
+      .toDF("doc_id", "text", "source")
+    // unlisted stratum falls to defaultRate 0 → nothing kept
+    assert(Sampling.stratifiedSample(d, "source",
+      $"doc_id".cast("string"), Map("a" -> 1.0)).count() == 0)
+    // rate 1.0 keeps everything, rate 0.0 nothing
+    assert(Sampling.stratifiedSample(d, "source",
+      $"doc_id".cast("string"), Map("weird_source" -> 1.0)).count() == 50)
+    assert(Sampling.mixToTarget(empty, "source",
+      $"doc_id".cast("string"), lit(1.0)).count() == 0)
+  }
+
+  test("substring pairs and tfidf cope with empty and single-doc corpora") {
+    val empty = docs()
+    assert(Dedup.substringPairs(empty).count() == 0)
+    assert(TextAnalysis.tfidfTop(empty).count() == 0)
+    val single = docs((1L, "only one document here with some words"))
+    assert(Dedup.substringPairs(single, width = 8).count() == 0) // no pair with itself
+    val t = TextAnalysis.tfidfTop(single, 3).collect()
+    assert(t.nonEmpty && t.forall(_.getLong(0) == 1L))
+    assert(TextAnalysis.piiScrub(empty).count() == 0)
+    assert(TextAnalysis.heavyHitters(single, 3).count() == 3)
+  }
+
+  test("trend tests on tiny or constant series never throw") {
+    val single = grid(("m", "a", 0L, 5.0))
+    assert(Trend.mannKendall(single).count() == 0) // no pairs → drops out
+    assert(Trend.theilSen(single).count() == 0)
+    val two = grid(("m", "a", 0L, 5.0), ("m", "a", 3600L, 6.0))
+    val mk = Trend.mannKendall(two).head()
+    assert(mk.getAs[Long]("s") == 1L)
+    assert(Trend.theilSen(two).head().getAs[Double]("slope_hr") == 1.0)
+    val const = grid((0 until 10).map(i => ("m", "a", i * 3600L, 3.3)): _*)
+    val mkc = Trend.mannKendall(const).head()
+    assert(mkc.getAs[Long]("s") == 0L && mkc.getAs[Double]("z") == 0.0
+      && mkc.getAs[Int]("trend") == 0)
+  }
+
+  test("esd handles series too short for a verdict") {
+    import graft.functions.Stats
+    assert(Stats.esdOutliers(Array.empty[Double], 3).isEmpty)
+    assert(Stats.esdOutliers(Array(1.0), 3).isEmpty)
+    assert(Stats.esdOutliers(Array(1.0, 99.0), 3).isEmpty) // n-2 = 0 rounds
+  }
+
+  test("centroid sim with one label yields no pairs; partial corr without ctrl is empty") {
+    val e = (0 until 5).map(i => (i.toLong, Array(1.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelCentroidSim(e).count() == 0)
+    val g = TimeSeries.indexed(grid(
+      (0 until 12).flatMap(i => Seq(
+        ("obj", "a", i * 3600L, i.toDouble),
+        ("other", "a", i * 3600L, (i % 3).toDouble))): _*), 3600L)
+    // no 'ctrl' signal present → ryz empty → empty result, no error
+    assert(Correlate.partialCorr(g, "obj", "ctrl").count() == 0)
+  }
+
   test("anomaly detectors emit nothing on constant signals, never divide by zero") {
     val flat = grid((0 until 20).map(i => ("m", "a", i * 900L, 5.0)): _*)
     assert(Anomaly.ksigma(flat).count() == 0)
