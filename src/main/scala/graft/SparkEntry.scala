@@ -1720,6 +1720,14 @@ object SparkEntry {
     Q("sketch_heavy_hitters", (s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), 20), None),
 
+    // rows-only: the IVF cell structure (like ann_ivf's) is an
+    // engine-side construct; the within-cell pair set is pinned by
+    // spec against brute force on separated clusters
+    Q("dedup_embed_ivf", (s, dir) =>
+      Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
+          threshold = 0.3)
+        .orderBy("id1", "id2"), None),
+
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
       None),

@@ -311,6 +311,41 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding near-dup at scale: IVF-bucketed variant of
+    * [[embedCosinePairs]]. Every vector is assigned to its
+    * nearest-centroid cell (centroids broadcast — one pass, no
+    * shuffle of the corpus), then pairs are generated WITHIN cells
+    * only: the all-pairs quadratic becomes Σ|cell|², and the only
+    * shuffle is the cell-keyed exchange. Near-dup pairs whose members
+    * land in different cells are missed — the standard IVF recall
+    * trade, measured by ann_recall_eval on the ANN side; at
+    * cos ≥ 0.95 true near-dups co-assign almost surely.
+    *
+    * Cell assignment and cosine use the same rounded-cosine +
+    * id-tiebreak determinism as the rest of the embedding family.
+    */
+  def embedCosinePairsIvf(embs: DataFrame, nCells: Int = 8,
+                          threshold: Double = 0.9): DataFrame = {
+    val base = embs
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Exact shared-substring detection: document pairs sharing at least
     * one verbatim `width`-char substring, with the count of distinct
     * shared windows — the "exact substring duplication" signal

@@ -97,6 +97,27 @@ class SamplingSpec extends SparkTestBase {
     assert(pairs.length == 1)
   }
 
+  test("ivf-bucketed embed dedup matches brute force on separated clusters") {
+    // two tight, well-separated clusters: every true near-dup pair is
+    // within-cluster, so bucketing loses nothing and IVF == brute force
+    val e = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.05f * (i % 3))
+                 else Array(0.0f, 1.0f, 0.05f * (i % 3))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    // nCells = 2: centroids are vec 0 (cluster A) and vec 1 (cluster B),
+    // one per cluster — more cells would split a cluster across cells
+    // and demonstrate exactly the recall loss the scaladoc declares
+    val ivf = Dedup.embedCosinePairsIvf(e, nCells = 2, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embedCosinePairs(e, mod = 1, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(ivf == brute)
+    assert(ivf.nonEmpty)
+    // no cross-cluster pair can score >= 0.95 (clusters are orthogonal)
+    assert(ivf.forall { case (a, b) => a % 2 == b % 2 })
+  }
+
   test("substringPairs ignores docs shorter than the window") {
     val d = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
     assert(Dedup.substringPairs(d, width = 32).count() == 0)
