@@ -1728,6 +1728,44 @@ object SparkEntry {
           threshold = 0.3)
         .orderBy("id1", "id2"), None),
 
+    Q("ad_ensemble", (s, dir) =>
+      Anomaly.ensemble(grid(s, dir)).orderBy("name", "node", "tsb"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2,
+         |  quantile_cont(gval, 0.5) AS med,
+         |  quantile_cont(gval, 0.25) AS q1, quantile_cont(gval, 0.75) AS q3
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, med, q1, q3, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0),
+         |wd AS (SELECT g.name, g.node, g.tsb, g.gval, g.d, st.n, st.med, st.q1,
+         |  st.q3, st.mu_s, st.sigma_s, abs(g.gval - st.med) AS dev
+         | FROM qd g JOIN st ON g.name = st.name AND g.node = st.node),
+         |md AS (SELECT name, node, quantile_cont(dev, 0.5) AS mad_v
+         | FROM wd GROUP BY 1, 2),
+         |fl AS (SELECT wd.name, wd.node, wd.tsb, wd.gval,
+         |  CASE WHEN wd.n >= 3 AND wd.sigma_s > 0 AND
+         |    floor((abs((CAST(wd.d AS DOUBLE) - wd.mu_s) / wd.sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         |   THEN 1 ELSE 0 END AS ks_flag,
+         |  CASE WHEN md.mad_v > 0 AND
+         |    floor((abs(0.6745 * (wd.gval - wd.med) / md.mad_v) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0
+         |   THEN 1 ELSE 0 END AS mad_flag,
+         |  CASE WHEN wd.gval < wd.q1 - 1.5 * (wd.q3 - wd.q1)
+         |    OR wd.gval > wd.q3 + 1.5 * (wd.q3 - wd.q1) THEN 1 ELSE 0 END AS iqr_flag
+         | FROM wd JOIN md ON wd.name = md.name AND wd.node = md.node)
+         |SELECT name, node, tsb, floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         | ks_flag, mad_flag, iqr_flag, ks_flag + mad_flag + iqr_flag AS votes
+         |FROM fl WHERE ks_flag + mad_flag + iqr_flag >= 1
+         |ORDER BY name, node, tsb""".stripMargin)),
+
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
       None),

@@ -145,4 +145,54 @@ object Anomaly {
       .filter(r4(abs(col("z"))) >= level)
       .drop("dq", "mu_s", "sigma_s")
   }
+
+  /** Ensemble outlier verdict: k-sigma, MAD, and IQR flags per point
+    * in ONE pipeline — a single per-signal stats aggregate (moments +
+    * the three quantiles), one deviation pass for the MAD, and one
+    * row join, instead of three detectors' separate grid pipelines
+    * unioned. `votes` counts agreeing detectors; practitioners act on
+    * ≥ 2 (a single-detector flag is a threshold artifact as often as
+    * an anomaly — the robust pair vetoes the mean-based one and vice
+    * versa). Emits every point at least one detector flags, with the
+    * per-detector flags so the disagreement structure is visible.
+    */
+  def ensemble(grid0: DataFrame, ksLevel: Double = 2.5, madLevel: Double = 3.0,
+               iqrK: Double = 1.5, in: String = "gval"): DataFrame = {
+    val grid = grid0
+      .withColumn("dq", TimeSeries.quantRel(col(in), TimeSeries.signalScale(in)))
+      .persist() // stats aggregate + deviation pass + row join
+    val nd = col("n").cast("double")
+    val stats = grid.groupBy(bySignal.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq")).cast("double").as("s1"),
+        sum(col("dq") * col("dq")).cast("double").as("s2"),
+        expr(s"percentile($in, 0.5)").as("med"),
+        expr(s"percentile($in, 0.25)").as("q1"),
+        expr(s"percentile($in, 0.75)").as("q3"))
+      .withColumn("mu_s", col("s1") / nd)
+      .withColumn("sigma_s", sqrt((nd * col("s2") - col("s1") * col("s1")) /
+        (nd * (nd - lit(1.0)))))
+    val withDev = grid.join(stats, bySignal)
+      .withColumn("dev", abs(col(in) - col("med")))
+      .persist() // MAD aggregate + final row pass
+    val madAgg = withDev.groupBy(bySignal.map(col): _*)
+      .agg(expr("percentile(dev, 0.5)").as("mad_v"))
+    withDev.join(madAgg, bySignal)
+      .withColumn("ks_flag",
+        when(col("n") >= 3 && col("sigma_s") > 0 &&
+          r4(abs((col("dq").cast("double") - col("mu_s")) / col("sigma_s")))
+            >= ksLevel, 1).otherwise(0))
+      .withColumn("mad_flag",
+        when(col("mad_v") > 0 &&
+          r4(abs(lit(0.6745) * (col(in) - col("med")) / col("mad_v")))
+            >= madLevel, 1).otherwise(0))
+      .withColumn("iqr_flag",
+        when(col(in) < col("q1") - lit(iqrK) * (col("q3") - col("q1")) ||
+          col(in) > col("q3") + lit(iqrK) * (col("q3") - col("q1")), 1)
+          .otherwise(0))
+      .withColumn("votes", col("ks_flag") + col("mad_flag") + col("iqr_flag"))
+      .filter(col("votes") >= 1)
+      .select(col("name"), col("node"), col("tsb"), r4(col(in)).as(in),
+        col("ks_flag"), col("mad_flag"), col("iqr_flag"), col("votes"))
+  }
 }

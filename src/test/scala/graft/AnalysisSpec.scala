@@ -60,6 +60,18 @@ class AnalysisSpec extends SparkTestBase {
     assert(out("dirty") == 2.5)
   }
 
+  test("ensemble detectors agree on a blatant spike, quiet data stays quiet") {
+    val base = (0 until 30).map(i => ("m", "a", i * 900L, 10.0 + (i % 3)))
+    val out = Anomaly.ensemble(grid(base :+ (("m", "a", 30 * 900L, 500.0)): _*))
+      .collect()
+    val spike = out.filter(_.getAs[Long]("tsb") == 30 * 900L)
+    assert(spike.length == 1)
+    assert(spike.head.getAs[Int]("votes") == 3, "all three detectors must flag")
+    // a flat signal produces no votes at all
+    assert(Anomaly.ensemble(
+      grid((0 until 20).map(i => ("f", "a", i * 900L, 7.0)): _*)).count() == 0)
+  }
+
   test("t quantiles match published tables to 4 dp") {
     import graft.functions.Stats
     // two-sided 5% critical values, standard t tables
