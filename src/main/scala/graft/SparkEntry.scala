@@ -1697,6 +1697,39 @@ object SparkEntry {
          | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
          |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin)),
 
+    Q("ts_ols_trend", (s, dir) =>
+      Trend.olsTrend(corrGrid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mx AS (SELECT name, node, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr,
+         |  min(i) OVER (PARTITION BY name, node) AS x0 FROM g2),
+         |q AS (SELECT name, node,
+         |  CASE WHEN mr > 0 THEN mr ELSE 1.0 END AS mm,
+         |  CAST(i - x0 AS HUGEINT) AS xi,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |agg AS (SELECT name, node, count(*) AS n, max(mm) AS mm,
+         |  CAST(sum(xi) AS DOUBLE) AS sx, CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+         |  CAST(sum(qv) AS DOUBLE) AS sy, CAST(sum(qv * qv) AS DOUBLE) AS syy,
+         |  CAST(sum(xi * qv) AS DOUBLE) AS sxy
+         | FROM q GROUP BY 1, 2),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+         |  CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+         |  CAST(n AS DOUBLE) * sxy - sx * sy AS num
+         | FROM agg),
+         |fit AS (SELECT name, node, n, mm, den, vy, num,
+         |  num / den AS slope_q,
+         |  (sy - (num / den) * sx) / CAST(n AS DOUBLE) AS icept_q
+         | FROM fin WHERE n >= 3 AND den > 0)
+         |SELECT name, node, n,
+         | floor((slope_q * mm / 1e9 + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr,
+         | floor((icept_q * mm / 1e9 + 1e-11) * 1e6 + 0.5) / 1e6 AS icept,
+         | CASE WHEN vy > 0
+         |   THEN floor((num * num / (den * vy) + 1e-9) * 1e4 + 0.5) / 1e4
+         |   ELSE 0.0 END AS r2
+         |FROM fit ORDER BY name, node""".stripMargin)),
+
     Q("embed_centroid_sim", (s, dir) =>
       Similarity.labelCentroidSim(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b"),
@@ -1727,6 +1760,71 @@ object SparkEntry {
       Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
           threshold = 0.3)
         .orderBy("id1", "id2"), None),
+
+    Q("q22_funnel", (s, dir) => {
+      // strict-order funnel: first view, first click after it, first
+      // purchase after that — all within 24 h of the view. Three
+      // min-aggregates (one per step, each keyed by user) beat a
+      // 3-way event self-join: each aggregate is map-side
+      // combinable and the per-user frame is 3 longs, not the event
+      // history. LEFT joins keep drop-off visible per user.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts div 1000000000").as("tsec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsec").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tsec") > col("t_view") && col("tsec") <= col("t_view") + 86400)
+        .groupBy("user_id").agg(min("tsec").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v.join(c, "user_id"), "user_id")
+        .filter(col("tsec") > col("t_click") && col("tsec") <= col("t_view") + 86400)
+        .groupBy("user_id").agg(min("tsec").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .orderBy("user_id")
+    }, Some(
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |v AS (SELECT user_id, min(tsec) AS t_view FROM ev
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tsec) AS t_click FROM ev e JOIN v USING (user_id)
+        | WHERE e.event_type = 'click' AND e.tsec > v.t_view
+        |  AND e.tsec <= v.t_view + 86400 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tsec) AS t_purchase
+        | FROM ev e JOIN v USING (user_id) JOIN c USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.tsec > c.t_click
+        |  AND e.tsec <= v.t_view + 86400 GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
+    Q("q23_retention", (s, dir) => {
+      // cohort retention: users cohorted by first signup day; a cell
+      // (cohort_day, offset) counts distinct users active offset days
+      // later. Two aggregates + one join — the cohort frame is one row
+      // per user (broadcastable at any scale); the matrix is
+      // |cohorts| × |offsets| regardless of event volume.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(broadcast(cohort), "user_id")
+        .withColumn("day_offset", col("day") - col("cohort_day"))
+        .filter(col("day_offset") >= 0 && col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }, Some(
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev
+        | WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM ev e JOIN cohort c USING (user_id)
+        |WHERE e.day - c.cohort_day BETWEEN 0 AND 13
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("ad_ensemble", (s, dir) =>
       Anomaly.ensemble(grid(s, dir)).orderBy("name", "node", "tsb"),

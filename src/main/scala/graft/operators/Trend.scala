@@ -81,6 +81,54 @@ object Trend {
     * the shared exact-selection convention (Spark `percentile` ≡
     * DuckDB `quantile_cont`). Slope in value-units per hour.
     */
+  /** OLS linear trend per signal — slope (value-units/hour),
+    * intercept (fitted value at the series start), and r² — from
+    * exact integer moments: x = hours since the signal's first
+    * sample, y = the ×1e9 relative-quantized value (Correlate's
+    * scheme). Every sum is exact DECIMAL; slope/intercept/r² are
+    * fixed IEEE sequences rescaled by the (exactly-selected) signal
+    * magnitude, so the result is engine-deterministic end-to-end —
+    * the companion fit to [[theilSen]] (OLS is the efficient
+    * estimator when residuals are clean; Theil-Sen holds up when the
+    * advisor's own outliers contaminate them).
+    *
+    * One window for the per-signal scale/origin + one hash aggregate:
+    * map-side combinable, |signals| output rows.
+    */
+  def olsTrend(indexedGrid: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node")
+    val mRaw = max(abs(col("gval"))).over(w)
+    val m = when(mRaw > 0, mRaw).otherwise(lit(1.0))
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val q = indexedGrid.select(col("name"), col("node"), col("i"), col("gval"))
+      .withColumn("mm", m)
+      .withColumn("x0", min(col("i")).over(w))
+      .withColumn("qv",
+        floor((col("gval") / col("mm")) * lit(1e9) + lit(0.5)).cast(dec18))
+      .withColumn("xi", (col("i") - col("x0")).cast(dec18))
+    val agg = q.groupBy("name", "node")
+      .agg(count(lit(1)).as("n"), max("mm").as("mm"),
+        sum(col("xi")).cast("double").as("sx"),
+        sum(col("xi") * col("xi")).cast("double").as("sxx"),
+        sum(col("qv")).cast("double").as("sy"),
+        sum(col("qv") * col("qv")).cast("double").as("syy"),
+        sum(col("xi") * col("qv")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    agg
+      .withColumn("den", nd * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", nd * col("syy") - col("sy") * col("sy"))
+      .filter(col("n") >= 3 && col("den") > 0)
+      .withColumn("num", nd * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_q", col("num") / col("den"))
+      .withColumn("icept_q", (col("sy") - col("slope_q") * col("sx")) / nd)
+      .select(col("name"), col("node"), col("n"),
+        r6(col("slope_q") * col("mm") / lit(1e9)).as("slope_hr"),
+        r6(col("icept_q") * col("mm") / lit(1e9)).as("icept"),
+        when(col("vy") > 0,
+          r4(col("num") * col("num") / (col("den") * col("vy"))))
+          .otherwise(lit(0.0)).as("r2"))
+  }
+
   def theilSen(grid: DataFrame): DataFrame =
     pairs(gridOnce(grid))
       .withColumn("slope",

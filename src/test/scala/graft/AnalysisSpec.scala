@@ -48,6 +48,20 @@ class AnalysisSpec extends SparkTestBase {
     assert(!out.getDouble(1).isNaN && out.getDouble(1) > 0)
   }
 
+  test("ols trend recovers slope, intercept at series start, and r2") {
+    val lin = (0 until 20).map(i => ("lin", "a", i * 3600L, 3.0 + 2.5 * i))
+    val g = TimeSeries.indexed(grid(lin: _*), 3600L)
+    val out = Trend.olsTrend(g).head()
+    assert(out.getAs[Double]("slope_hr") == 2.5)
+    assert(out.getAs[Double]("icept") == 3.0)
+    assert(out.getAs[Double]("r2") == 1.0)
+    // constant series: den > 0 (x varies) but vy = 0 → r2 = 0, slope 0
+    val const = TimeSeries.indexed(
+      grid((0 until 10).map(i => ("c", "a", i * 3600L, 5.0)): _*), 3600L)
+    val c = Trend.olsTrend(const).head()
+    assert(c.getAs[Double]("slope_hr") == 0.0 && c.getAs[Double]("r2") == 0.0)
+  }
+
   test("theil-sen recovers a linear slope exactly and shrugs one outlier") {
     val lin = (0 until 20).map(i => ("lin", "a", i * 3600L, 3.0 + 2.5 * i))
     val withOut = (0 until 20).map(i =>
