@@ -1697,6 +1697,12 @@ object SparkEntry {
          | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
          |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin)),
 
+    // rows-only: the banded DP has no SQL analogue; the kernel is
+    // spec-pinned on hand-checkable alignments
+    Q("corr_dtw", (s, dir) =>
+      Correlate.dtwDist(corrGrid(s, dir), ObjSignals)
+        .orderBy("obj_name", "cand_name", "node"), None),
+
     Q("ts_ols_trend", (s, dir) =>
       Trend.olsTrend(corrGrid(s, dir)).orderBy("name", "node"),
     Some(

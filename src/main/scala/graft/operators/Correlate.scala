@@ -184,6 +184,44 @@ object Correlate {
     pearsonFromMoments(cells, minOverlap)
   }
 
+  /** DTW distance obj×candidate per node — shape similarity that
+    * tolerates local time distortion (a ramp taking 3 samples on one
+    * node and 5 on another still matches), which fixed-lag NCC
+    * structurally cannot express. Series are z-normalized (shape, not
+    * scale) and compared under a Sakoe-Chiba band: O(n·band) per
+    * pair, not O(n²).
+    *
+    * Plan: each signal's series is collected ONCE in its own task
+    * (bounded by retention, the repo's per-signal contract), the
+    * tiny obj side broadcasts, and each pair's DP runs in a typed
+    * map — no driver involvement, parallelism = pair count.
+    */
+  def dtwDist(grid: DataFrame, objNames: Seq[String], band: Int = 6): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val series = grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        (k._1, k._2, graft.functions.Dtw.znorm(pts.map(_._4)))
+      }.toDF("name", "node", "series")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obj = series.filter(col("name").isin(objNames: _*))
+      .select(col("name").as("obj_name"), col("node"), col("series").as("os"))
+    val cand = series.filter(!col("name").isin(objNames: _*))
+      .select(col("name").as("cand_name"), col("node").as("cnode"),
+        col("series").as("cs"))
+    broadcast(obj).join(cand, col("node") === col("cnode"))
+      .select(col("obj_name"), col("cand_name"), col("node"), col("os"), col("cs"))
+      .as[(String, String, String, Array[Double], Array[Double])]
+      .map { case (o, c, nd, os, cs) =>
+        val d = graft.functions.Dtw.distance(os, cs, band)
+        (o, c, nd, math.floor((d + 1e-9) * 1e4 + 0.5) / 1e4, os.length)
+      }
+      .toDF("obj_name", "cand_name", "node", "dtw", "n")
+  }
+
   /** First-order partial correlation per (candidate, node, bucket):
     * r(cand, obj | ctrl) — does the candidate still move with the
     * objective once a shared driver (load, traffic, the `ctrl`

@@ -48,6 +48,34 @@ class AnalysisSpec extends SparkTestBase {
     assert(!out.getDouble(1).isNaN && out.getDouble(1) > 0)
   }
 
+  test("dtw kernel: identity is zero, warping absorbs stretches, band gates") {
+    import graft.functions.Dtw
+    val a = Array(1.0, 2.0, 3.0)
+    assert(Dtw.distance(a, a, 2) == 0.0)
+    // a duplicated middle sample aligns at zero cost (the point of DTW)
+    assert(Dtw.distance(a, Array(1.0, 2.0, 2.0, 3.0), 2) == 0.0)
+    // a genuinely different value costs its squared diff
+    assert(Dtw.distance(Array(0.0, 0.0), Array(0.0, 3.0), 2) == 3.0)
+    // band too narrow to connect endpoints → infinity
+    assert(Dtw.distance(a, Array.fill(10)(1.0), 2).isPosInfinity)
+    // znorm removes scale: shape-identical ramps become identical
+    assert(Dtw.distance(Dtw.znorm(Array(1.0, 2.0, 3.0, 4.0)),
+      Dtw.znorm(Array(10.0, 20.0, 30.0, 40.0)), 1) == 0.0)
+  }
+
+  test("dtw operator ranks the shape-matched candidate closest") {
+    val base = (0 until 24).map(i => math.sin(i * 0.5) * 5)
+    val sig = (n: String, f: Int => Double) =>
+      (0 until 24).map(i => (n, "a", i * 3600L, f(i)))
+    val g = grid((
+      sig("obj", i => base(i)) ++
+      sig("warped", i => base(math.max(0, i - 1)) * 3 + 40) ++ // shifted+scaled shape
+      sig("noiselike", i => ((i * 7919) % 13).toDouble)): _*)
+    val out = Correlate.dtwDist(g, Seq("obj"), band = 4)
+      .select("cand_name", "dtw").as[(String, Double)].collect().toMap
+    assert(out("warped") < out("noiselike"))
+  }
+
   test("ols trend recovers slope, intercept at series start, and r2") {
     val lin = (0 until 20).map(i => ("lin", "a", i * 3600L, 3.0 + 2.5 * i))
     val g = TimeSeries.indexed(grid(lin: _*), 3600L)
