@@ -1697,6 +1697,12 @@ object SparkEntry {
          | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
          |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin)),
 
+    // rows-only: LTTB's triangle selection has no SQL analogue; the
+    // kernel is spec-pinned (endpoints, spike survival, count bound)
+    Q("ts_downsample_lttb", (s, dir) =>
+      TimeSeries.downsampleLttb(grid(s, dir), 50)
+        .orderBy("name", "node", "tsb"), None),
+
     // rows-only: the banded DP has no SQL analogue; the kernel is
     // spec-pinned on hand-checkable alignments
     Q("corr_dtw", (s, dir) =>

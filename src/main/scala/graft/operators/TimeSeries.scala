@@ -221,6 +221,30 @@ object TimeSeries {
   /** Exponentially-weighted moving average per signal (recursive — a
     * whole-series op, so a typed per-signal loop like e-divisive).
     */
+  /** LTTB downsampling to `nOut` points per signal — the shape-
+    * preserving decimation a dashboard/report layer runs before
+    * plotting (the reference renders every signal as a PNG; at real
+    * retention that is thousands of points per chart). Spikes and
+    * peaks survive by construction (largest-triangle selection);
+    * endpoints always kept. Per-signal typed fold like [[ewma]]:
+    * output is |signals| × nOut regardless of retention.
+    */
+  def downsampleLttb(grid: DataFrame, nOut: Int = 200): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        val ts = pts.map(_._3.toDouble)
+        val vs = pts.map(_._4)
+        graft.functions.Lttb.indices(ts, vs, nOut)
+          .map(i => (key._1, key._2, pts(i)._3, pts(i)._4))
+      }
+      .toDF("name", "node", "tsb", "gval")
+  }
+
   def ewma(grid: DataFrame, alpha: Double = 0.3): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._

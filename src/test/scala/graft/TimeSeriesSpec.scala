@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class TimeSeriesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("lttb keeps endpoints, the spike, and exactly nOut points") {
+    import graft.functions.Lttb
+    val n = 100
+    val vs = Array.tabulate(n)(i => if (i == 37) 500.0 else 10.0 + (i % 3))
+    val ts = Array.tabulate(n)(_.toDouble)
+    val kept = Lttb.indices(ts, vs, 12)
+    assert(kept.size == 12)
+    assert(kept.head == 0 && kept.last == n - 1)
+    assert(kept.contains(37), "the spike must survive downsampling")
+    // short series pass through untouched
+    assert(Lttb.indices(ts.take(5), vs.take(5), 12) == (0 until 5))
+  }
+
+  test("downsampleLttb bounds per-signal output and keeps grid columns") {
+    val rows = (0 until 80).map(i => ("m", "a", i * 900L, if (i == 40) 99.0 else 1.0)) ++
+      (0 until 10).map(i => ("m", "b", i * 900L, i.toDouble))
+    val out = operators.TimeSeries.downsampleLttb(
+      rows.toDF("name", "node", "tsb", "gval"), 20)
+    val counts = out.groupBy("name", "node").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("m", "a")) == 20)
+    assert(counts(("m", "b")) == 10) // already below the budget
+    assert(out.filter(col("gval") === 99.0).count() == 1)
+  }
+  import spark.implicits._
+
   private def sig(rows: (String, String, Long, Double)*) =
     rows.toDF("name", "node", "tsec", "value")
 
