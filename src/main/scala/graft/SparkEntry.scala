@@ -1742,6 +1742,25 @@ object SparkEntry {
          |   ELSE 0.0 END AS r2
          |FROM fit ORDER BY name, node""".stripMargin)),
 
+    Q("embed_quantize_int8", (s, dir) =>
+      Similarity.int8QuantStats(Tables.embeddings(s, dir)).orderBy("vec_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, label, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |s2 AS (SELECT vec_id, label, v, mn, mx, (mx - mn) / 255.0 AS scale FROM s),
+        |s3 AS (SELECT vec_id, label, mn, mx, scale,
+        |  CASE WHEN scale > 0 THEN list_max(list_transform(v, x ->
+        |    abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))) ELSE 0.0 END
+        |   AS max_abs_err
+        | FROM s2)
+        |SELECT vec_id, label,
+        | floor((mn + 1e-11) * 1e6 + 0.5) / 1e6 AS mn,
+        | floor((mx + 1e-11) * 1e6 + 0.5) / 1e6 AS mx,
+        | floor((scale + 1e-11) * 1e6 + 0.5) / 1e6 AS scale,
+        | floor((max_abs_err + 1e-11) * 1e6 + 0.5) / 1e6 AS max_abs_err
+        |FROM s3 ORDER BY vec_id""".stripMargin)),
+
     Q("embed_centroid_sim", (s, dir) =>
       Similarity.labelCentroidSim(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b"),

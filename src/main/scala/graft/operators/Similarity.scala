@@ -128,6 +128,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Int8 quantization audit per vector — the compression-planning
+    * pass before storing an embedding corpus quantized (4× smaller
+    * than float32, the standard ANN-index trade): per-vector min/max
+    * range, the resulting scale, and the worst reconstruction error
+    * under round-to-nearest affine quantization (bounded by scale/2
+    * by construction — the spec pins it). Pure per-row array
+    * expressions: no shuffle at all, scan-bound at any corpus size.
+    * Constant vectors (scale 0) reconstruct exactly.
+    */
+  def int8QuantStats(embs: DataFrame): DataFrame = {
+    // materialize the double array first: expressions inlined into
+    // transform lambdas are re-evaluated per element (no CSE across
+    // the lambda boundary)
+    embs.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("max_abs_err",
+        when(col("scale") > 0,
+          array_max(transform(col("v"), x =>
+            abs(x - (col("mn") +
+              floor((x - col("mn")) / col("scale") + lit(0.5)) * col("scale"))))))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("label"),
+        r6(col("mn")).as("mn"), r6(col("mx")).as("mx"),
+        r6(col("scale")).as("scale"), r6(col("max_abs_err")).as("max_abs_err"))
+  }
+
   /** Pairwise cosine similarity between per-label centroids — the
     * class-separation diagnostic for an embedding space (labels whose
     * centroids sit close are the ones a classifier or ANN index will

@@ -100,6 +100,23 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("int8 quantization error is bounded by scale/2; constants are exact") {
+    val e = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f, 0.25f), 0),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f), 1), // constant → scale 0, exact
+      (3L, Array(-2.0f, 2.0f, 0.1f, -0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.int8QuantStats(e).orderBy("vec_id").collect()
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      assert(err <= scale / 2 + 1e-9, s"err $err exceeds scale/2 ${scale / 2}")
+    }
+    val const = out(1)
+    assert(const.getAs[Double]("scale") == 0.0 && const.getAs[Double]("max_abs_err") == 0.0)
+    assert(out(2).getAs[Double]("mn") == -2.0 && out(2).getAs[Double]("mx") == 2.0)
+  }
+
   test("label centroid similarity flags clone classes, zeros orthogonal ones") {
     val e = (0 until 30).map { i =>
       val lbl = i % 3
