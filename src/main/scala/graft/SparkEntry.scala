@@ -1166,6 +1166,11 @@ object SparkEntry {
         .orderBy("name", "node", "cp_tsb")
     }, None),
 
+    Q("ad_pelt", (s, dir) => {
+      ChangePoints.pelt(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node", "cp_tsb")
+    }, None),
+
     Q("ad_lowpass_seasonal", (s, dir) => {
       ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .select(col("name"), col("node"), col("tsb"),
@@ -1205,6 +1210,36 @@ object SparkEntry {
           r4(expr("percentile(value, 0.5)")).as("p50_exact"))
         .orderBy("event_type")
     }, None),
+
+    Q("sketch_bloom_semi", (s, dir) => {
+      // bloom-prefiltered semi-join — the runtime-filter pattern at the
+      // library level: build Spark's mergeable bloom sketch over the
+      // small side's join keys (one fixed-size binary reaches the
+      // driver), probe it as a codegen'd constant predicate on the big
+      // side's scan, then verify the survivors with the exact semi-join.
+      // At 100 TB the probe prunes the big side before the shuffle —
+      // the join only sees rows that might match — and false positives
+      // are removed by the verify join, so the result is exactly the
+      // semi-join (hence the SQL oracle).
+      import org.apache.spark.sql.graft.VectorExpressions
+      val keys = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_custkey")
+      val sketch = keys
+        .agg(VectorExpressions.bloomAgg(col("o_custkey"), 100000L, 800000L)
+          .as("bf")).head().getAs[Array[Byte]](0)
+      val c = Tables.customer(s, dir)
+      val pre = c.filter(
+        VectorExpressions.bloomMightContain(lit(sketch), col("c_custkey")))
+      pre.join(keys, pre("c_custkey") === keys("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("bal_sum"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+        |FROM customer WHERE c_custkey IN
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     // ================= D. dedup =================
     Q("dedup_exact", (s, dir) => {
@@ -1382,6 +1417,10 @@ object SparkEntry {
       Clustering.clusterStats(Tables.embeddings(s, dir), 8)
     }, None),
 
+    Q("embed_pca", (s, dir) => {
+      Clustering.pcaStats(Tables.embeddings(s, dir), 4)
+    }, None),
+
     Q("embed_dist_outliers", (s, dir) => {
       Clustering.distanceOutliers(Tables.embeddings(s, dir), 8, 20)
     }, None),
@@ -1510,6 +1549,30 @@ object SparkEntry {
         | length(text) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_repetition", (s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 2
+        |   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+        |   ELSE [] END AS g2,
+        |  CASE WHEN len(w) >= 3
+        |   THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+        |   ELSE [] END AS g3,
+        |  list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS topn
+        | FROM t)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(topn AS BIGINT) AS top_word_n,
+        | floor((CAST(topn AS DOUBLE) / len(w) + 1e-9) * 1e4 + 0.5) / 1e4 AS top_word_frac,
+        | CASE WHEN len(g2) > 0
+        |  THEN floor((CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) + 1e-9) * 1e4 + 0.5) / 1e4
+        |  ELSE 0.0 END AS dup_bigram_frac,
+        | CASE WHEN len(g3) > 0
+        |  THEN floor((CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) + 1e-9) * 1e4 + 0.5) / 1e4
+        |  ELSE 0.0 END AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ================= G. multimodal & streaming =================
     Q("mm_binary_meta", (s, dir) => {
       Multimodal.decodeMeta(Tables.documents(s, dir)).orderBy("doc_id")
@@ -1529,6 +1592,10 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
           stride = 2)
         .orderBy("doc_id", "frame_idx")
+    }, None),
+
+    Q("mm_phash", (s, dir) => {
+      Multimodal.phashPairs(Tables.documents(s, dir))
     }, None),
 
     Q("stream_window_agg", (s, dir) => {
@@ -1856,6 +1923,74 @@ object SparkEntry {
         |FROM ev e JOIN cohort c USING (user_id)
         |WHERE e.day - c.cohort_day BETWEEN 0 AND 13
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q24_pivot", (s, dir) => {
+      // dynamic pivot via Spark's relational pivot operator. The value
+      // list is explicit — at scale, pivot without values runs a
+      // distinct-discovery job over the full table first; pinning the
+      // list keeps it a single pass. Missing cells coalesce to 0 so
+      // the frame is dense regardless of which statuses a year saw.
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("int").as("oyear"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumDec(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+        .select(col("oyear"),
+          coalesce(col("F_rev"), lit(0.0)).as("rev_f"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_rev"), lit(0.0)).as("rev_o"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("P_rev"), lit(0.0)).as("rev_p"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"))
+        .orderBy("oyear")
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS rev_f,
+        | CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS rev_o,
+        | CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS rev_p,
+        | CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY oyear ORDER BY oyear""".stripMargin)),
+
+    Q("q25_median_mode", (s, dir) => {
+      // exact per-group median + deterministic mode. Median is the
+      // exact interpolated percentile (both engines interpolate between
+      // the same two order statistics of identical inputs — at 100 TB
+      // swap for approx_percentile, the mergeable-sketch path, D8).
+      // Mode recomputes deterministically: (type, user) counts, then
+      // max-by with min-user tie-break — the heavy aggregate is
+      // map-side combinable; the ranked window reads |types × users|
+      // pre-aggregated rows, never raw events.
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type").agg(
+        r4(expr("percentile(value, 0.5)")).as("med_value"),
+        count(lit(1)).as("n_events"))
+      val counts = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id").asc)
+      val mode = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("user_id").as("mode_user"),
+          col("n").as("mode_n"))
+      med.join(mode, "event_type").orderBy("event_type")
+    }, Some(
+      """WITH med AS (SELECT event_type,
+        |  floor((quantile_cont(value, 0.5) + 1e-9) * 1e4 + 0.5) / 1e4 AS med_value,
+        |  count(*) AS n_events
+        | FROM events GROUP BY event_type),
+        |cnt AS (SELECT event_type, user_id, count(*) AS n FROM events
+        | GROUP BY event_type, user_id),
+        |md AS (SELECT event_type, user_id AS mode_user, n AS mode_n,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id)
+        |    AS rk FROM cnt)
+        |SELECT m.event_type, m.med_value, m.n_events, d.mode_user, d.mode_n
+        |FROM med m JOIN md d ON m.event_type = d.event_type AND d.rk = 1
+        |ORDER BY m.event_type""".stripMargin)),
 
     Q("ad_ensemble", (s, dir) =>
       Anomaly.ensemble(grid(s, dir)).orderBy("name", "node", "tsb"),

@@ -40,6 +40,39 @@ object ChangePoints {
       .toDF("name", "node", "cp_tsb", "qhat")
   }
 
+  /** PELT changepoints per signal (functions.Pelt): penalized-SSE
+    * optimal partitioning — the deterministic, seedless complement to
+    * [[eDivisive]] (mean shifts under a BIC-style penalty vs
+    * permutation-tested distributional change). Same distributed shape:
+    * one shuffle keyed by signal, the expected-O(n) pruned DP runs on
+    * the retention-bounded series in-task. Output one row per
+    * changepoint with the segment means either side — the quantities a
+    * drift report shows.
+    */
+  def pelt(grid: DataFrame, minSize: Int = 5): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (name, node) = key
+        val pts = it.toArray.sortBy(_._3)
+        val x = pts.map(_._4)
+        val cps = graft.functions.Pelt.changePoints(
+          x, graft.functions.Pelt.autoPenalty(x), minSize)
+        val bounds = 0 +: cps :+ x.length
+        cps.indices.map { j =>
+          val cp = cps(j)
+          val lo = bounds(j); val hi = bounds(j + 2)
+          val meanL = x.slice(lo, cp).sum / (cp - lo)
+          val meanR = x.slice(cp, hi).sum / (hi - cp)
+          (name, node, pts(cp)._3, r4d(meanL), r4d(meanR))
+        }
+      }
+      .toDF("name", "node", "cp_tsb", "mean_before", "mean_after")
+  }
+
   /** Rosner's generalized ESD outliers per signal (Stats.esdOutliers):
     * the statistically-calibrated many-outlier test — unlike k-sigma,
     * the t-based critical value adapts to series length, and the

@@ -42,6 +42,48 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** PCA diagnostics over the embedding column: per-component explained
+    * variance ratio plus the projection's actual variance — the
+    * dimensionality audit run before quantizing or truncating vectors.
+    * MLlib PCA is one distributed Gramian pass + a driver-side SVD of
+    * the d×d matrix (d = embedding width, tiny); the projection is a
+    * broadcast matrix multiply on the scan. The projection variance is
+    * computed from exact quantized-integer moment sums (the repo-wide
+    * order-independent pattern), never the parallel `variance`
+    * aggregate.
+    */
+  def pcaStats(embs: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.linalg.Vector
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val feat = withFeatures(embs)
+    val model = new PCA().setK(k)
+      .setInputCol("features").setOutputCol("proj").fit(feat)
+    val ev = model.explainedVariance.toArray
+    val projected = model.transform(feat)
+      .select(col("vec_id"), col("proj"))
+      .as[(Long, Vector)]
+      .flatMap { case (_, v) => v.toArray.zipWithIndex.map {
+        case (x, c) => (c, x) } }
+      .toDF("component", "x")
+    val stats = projected
+      .select(col("component"), graft.Num.qint(col("x"), 1e6).as("qx"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx")).cast("double").as("s1"),
+        sum(col("qx") * col("qx")).cast("double").as("s2"))
+      .select(col("component"), col("n"),
+        graft.Num.r4((col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n").cast("double") * (col("n") - 1)) / lit(1e12)).as("proj_var"))
+    stats.join(
+        ev.toSeq.zipWithIndex.map { case (r, c) =>
+            (c, math.floor((r + 1e-9) * 1e4 + 0.5) / 1e4) }
+          .toDF("component", "explained_var_ratio"),
+        "component")
+      .orderBy("component")
+  }
+
   /** Distance-to-nearest-centroid anomaly score (the MLlib analogue of
     * k-sigma): the topN vectors farthest from every centroid. Centroids
     * are broadcast as literals; the distance is `vec_dot` codegen, so

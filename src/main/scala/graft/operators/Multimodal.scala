@@ -89,6 +89,71 @@ object Multimodal {
       needs.cast("int").as("resized"))
   }
 
+  /** STUB perceptual hash: a real implementation would decode the image,
+    * downscale to an 8×8 luma grid, and threshold at the mean (aHash).
+    * Here the 64 "luma" samples derive deterministically from the
+    * payload via an LCG — identical payloads hash identically, distinct
+    * ones decorrelate, which is exactly what the pair-join plumbing
+    * needs to be testable.
+    */
+  private def fakePhash(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val luma = new Array[Int](64)
+    var s = h
+    var sum = 0L
+    i = 0
+    while (i < 64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      luma(i) = ((s >>> 56) & 0xff).toInt
+      sum += luma(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (luma(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the media corpus — the
+    * multimodal leg of dedup: decode → 64-bit aHash in the same
+    * per-partition batch pass as [[decodeMeta]], then pair by the
+    * pigeonhole block join (hamming ≤ 3 over 4 disjoint 16-bit blocks
+    * forces at least one identical block — the SimHash banding argument,
+    * Dedup.scala:253), verified with an exact codegen'd
+    * `bit_count(xor)`. The only shuffle is the block-bucket join;
+    * all-pairs never materializes.
+    */
+  def phashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, fakePhash(p)) })
+      .toDF("doc_id", "phash")
+    val blocks = hashed.select(col("doc_id"), col("phash"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS blk, " +
+          "shiftright(phash, i * 16) & 65535 AS bval))")).as("e"))
+      .select(col("doc_id"), col("phash"),
+        col("e.blk").as("blk"), col("e.bval").as("bval"))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+
   /** Downstream typed-metadata aggregation (the shape a curation pipeline
     * runs after decode): per format, count + size stats.
     */

@@ -182,6 +182,46 @@ object TextAnalysis {
       length(scrubbed).cast("bigint").as("scrub_len"): _*)
   }
 
+  /** Repetition diagnostics per document — the Gopher-rule family
+    * (Rae et al. 2021 §A1.1): fraction of tokens taken by the single
+    * most frequent word, and the fraction of word bigrams / trigrams
+    * that are repeats of an earlier occurrence. Highly repetitive
+    * documents (boilerplate, keyword stuffing, generation loops) are
+    * the canonical drop class these rules exist for.
+    *
+    * All counts are exact integers computed in-task with array
+    * expressions — a single narrow map over the corpus scan, zero
+    * shuffles (the explode + groupBy(doc_id, gram) formulation would
+    * shuffle the whole tokenized corpus for a per-document statistic).
+    * The top-word scan is O(distinct × n) per document, bounded by
+    * document length; for book-length documents switch the top-word
+    * term to the explode path and keep the n-gram terms as-is.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val w = col("w")
+    val topN = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x)))).cast("bigint")
+    // sequence(1, n-k+1) flips to a descending range when n < k — gate
+    // short documents to an empty gram list instead
+    def grams(k: Int): Column =
+      when(size(w) >= k, expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $k)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        r4((size(g) - size(array_distinct(g))).cast("double") / size(g)))
+        .otherwise(lit(0.0))
+    base.select(
+      col("doc_id"),
+      size(w).cast("bigint").as("n_words"),
+      topN.as("top_word_n"),
+      r4(topN.cast("double") / size(w)).as("top_word_frac"),
+      dupFrac(grams(2)).as("dup_bigram_frac"),
+      dupFrac(grams(3)).as("dup_trigram_frac"))
+  }
+
   /** Heavy hitters via count-min sketch: the mergeable fixed-size
     * frequency summary (exact term counts of a 100 TB corpus shuffle
     * the whole vocabulary; the sketch is map-side state merged once).

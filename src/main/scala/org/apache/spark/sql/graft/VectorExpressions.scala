@@ -124,6 +124,30 @@ object VectorExpressions {
   /** Column API: rolling code-point hash of a STRING column. */
   def textHash(c: Column): Column = column(RollingHash(expression(c)))
 
+  /** Bloom-filter aggregate over a LONG column — Spark's own mergeable
+    * sketch (the one InjectRuntimeFilter builds for runtime row-level
+    * pruning; spark.sql.optimizer.runtime.bloomFilter.*), exposed
+    * through the Column API since `bloom_filter_agg` is not in the
+    * public registry. Map-side state is one fixed-size bit array per
+    * task; merge is a bitwise OR — the sketch reaches the driver as a
+    * single binary regardless of input size.
+    */
+  def bloomAgg(c: Column, estimatedNumItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    column(new BloomFilterAggregate(expression(c),
+      Literal(estimatedNumItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Probe of a serialized bloom filter (constant binary) against a LONG
+    * column — the codegen'd `might_contain` the runtime-filter rewrite
+    * uses, sharing put/probe hashing with [[bloomAgg]] by construction.
+    */
+  def bloomMightContain(sketch: Column, value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    column(BloomFilterMightContain(expression(sketch), expression(value)))
+  }
+
   /** Column API: dot product of two ARRAY<DOUBLE> columns. */
   def vecDot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))

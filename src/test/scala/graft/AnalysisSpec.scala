@@ -169,6 +169,65 @@ class AnalysisSpec extends SparkTestBase {
     assert(!out.contains("cand_ctrl"))
   }
 
+  test("pelt matches the unpruned optimal-partition DP on random series") {
+    import graft.functions.Pelt
+    val rng = new scala.util.Random(7)
+    // brute force: the same DP over ALL candidates (no pruning)
+    def brute(x: Array[Double], beta: Double, minSize: Int): Array[Int] = {
+      val n = x.length
+      val ps = x.scanLeft(0.0)(_ + _)
+      val ps2 = x.scanLeft(0.0)((a, v) => a + v * v)
+      def cost(s: Int, e: Int) = {
+        val su = ps(e) - ps(s); ps2(e) - ps2(s) - su * su / (e - s)
+      }
+      val f = Array.fill(n + 1)(Double.MaxValue)
+      val prev = new Array[Int](n + 1)
+      f(0) = -beta
+      for (t <- minSize to n) {
+        for (s <- 0 to t - minSize if s == 0 || s >= minSize) {
+          val v = f(s) + cost(s, t) + beta
+          if (v < f(t)) { f(t) = v; prev(t) = s }
+        }
+      }
+      var cps = List.empty[Int]; var at = n
+      while (prev(at) > 0) { cps = prev(at) :: cps; at = prev(at) }
+      cps.toArray
+    }
+    for (_ <- 1 to 10) {
+      val shift = 3 + rng.nextInt(3)
+      val x = Array.tabulate(60) { i =>
+        (if (i < 20) 0.0 else if (i < 40) shift.toDouble else 1.0) +
+          rng.nextGaussian() * 0.3
+      }
+      val beta = Pelt.autoPenalty(x)
+      assert(Pelt.changePoints(x, beta, 5).toSeq == brute(x, beta, 5).toSeq)
+    }
+  }
+
+  test("pelt finds planted level shifts and nothing in noise") {
+    import graft.functions.Pelt
+    val rng = new scala.util.Random(11)
+    val x = Array.tabulate(90) { i =>
+      (if (i < 30) 1.0 else if (i < 60) 6.0 else 2.0) + rng.nextGaussian() * 0.2
+    }
+    val cps = Pelt.changePoints(x, Pelt.autoPenalty(x), 5)
+    assert(cps.length == 2 && math.abs(cps(0) - 30) <= 2 && math.abs(cps(1) - 60) <= 2)
+    val flat = Array.tabulate(90)(_ => rng.nextGaussian() * 0.2)
+    assert(Pelt.changePoints(flat, Pelt.autoPenalty(flat), 5).isEmpty)
+  }
+
+  test("pelt operator reports segment means per signal") {
+    val rows = (0 until 40).map { i =>
+      ("m", "a", i * 3600L, if (i < 20) 1.0 else 9.0)
+    } ++ (0 until 40).map(i => ("m2", "b", i * 3600L, 5.0))
+    val out = ChangePoints.pelt(rows.toDF("name", "node", "tsb", "gval"), 5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "m" && r.getLong(2) == 20 * 3600L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 9.0)
+  }
+
   test("e-divisive finds an obvious level shift") {
     val series = Array.fill(30)(1.0) ++ Array.fill(30)(10.0)
     val cps = EDivisive.changePoints(series, pvalue = 0.05, permutations = 30)

@@ -32,6 +32,22 @@ class ClusteringSpec extends SparkTestBase {
     assert(out1.toSeq == out2.toSeq, "must be deterministic")
   }
 
+  test("pca finds the dominant axis of an elongated blob") {
+    // points spread along x (variance ~dozens), tiny y jitter, zero z:
+    // the first component must carry nearly all the variance
+    val d = (0 until 30).map { i =>
+      (i.toLong, Array(i.toFloat, (i % 3) * 0.01f, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Clustering.pcaStats(d, 2).collect()
+    assert(out.length == 2)
+    val ratios = out.map(_.getAs[Double]("explained_var_ratio"))
+    assert(ratios(0) > 0.99 && ratios(0) >= ratios(1))
+    val v = out.map(_.getAs[Double]("proj_var"))
+    assert(v(0) > 70.0 && v(1) < 0.1)
+    // explained ratios from MLlib and projection variances must agree
+    assert(math.abs(v(0) / v.sum - ratios(0)) < 0.01)
+  }
+
   test("streaming sessionize closes sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]

@@ -242,6 +242,52 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((0L, 1.0), (1L, 0.0)))
   }
 
+  test("phash pairs identical payloads at distance 0 and skips distinct ones") {
+    val d = docs(
+      (1L, "identical payload body"),
+      (2L, "identical payload body"),
+      (5L, "identical payload body"),
+      (9L, "something else entirely which will not collide"))
+    val out = Multimodal.phashPairs(d).as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)))
+    // partition-count invariant (the bucket join must not depend on layout)
+    val out4 = Multimodal.phashPairs(d.repartition(4)).as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(out4 == out)
+  }
+
+  test("repetition stats expose loops and stay zero on clean text") {
+    val d = docs(
+      (1L, "spam spam spam spam"),
+      (2L, "every word here is different today"),
+      (3L, "one"))
+    val out = TextAnalysis.repetitionStats(d).orderBy("doc_id")
+      .select("n_words", "top_word_n", "top_word_frac",
+        "dup_bigram_frac", "dup_trigram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // 4×"spam": 3 identical bigrams → 2/3 dups; 2 identical trigrams → 1/2
+    assert(out.head == ((4L, 4L, 1.0, 0.6667, 0.5)))
+    assert(out(1) == ((6L, 1L, 0.1667, 0.0, 0.0)))
+    // single word: no n-grams — fractions are 0, not null
+    assert(out(2) == ((1L, 1L, 1.0, 0.0, 0.0)))
+  }
+
+  test("bloom sketch probe admits every member; verify join stays exact") {
+    import org.apache.spark.sql.graft.VectorExpressions._
+    val keys = (1L to 500L).filter(_ % 3 == 0).toDF("k")
+    val sketch = keys.agg(bloomAgg($"k", 1000L, 8000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = (1L to 500L).toDF("x")
+      .filter(bloomMightContain(lit(sketch), $"x"))
+    val probed = probe.as[Long].collect().toSet
+    // no false negatives, ever
+    assert((1L to 500L).filter(_ % 3 == 0).toSet.subsetOf(probed))
+    // prefilter + exact semi-join == plain semi-join
+    val viaBloom = probe.join(keys, probe("x") === keys("k"), "left_semi")
+      .as[Long].collect().toSet
+    assert(viaBloom == (1L to 500L).filter(_ % 3 == 0).toSet)
+  }
+
   test("clusters over a precomputed edge list skips pair detection") {
     val d = docs((1L, "x"), (2L, "y"), (3L, "z"), (9L, "w"))
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
