@@ -1573,6 +1573,10 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_trigram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    Q("text_perplexity", (s, dir) => {
+      TextAnalysis.bigramEntropy(Tables.documents(s, dir)).orderBy("doc_id")
+    }, None),
+
     // ================= G. multimodal & streaming =================
     Q("mm_binary_meta", (s, dir) => {
       Multimodal.decodeMeta(Tables.documents(s, dir)).orderBy("doc_id")
@@ -1774,6 +1778,10 @@ object SparkEntry {
     // spec-pinned on hand-checkable alignments
     Q("corr_dtw", (s, dir) =>
       Correlate.dtwDist(corrGrid(s, dir), ObjSignals)
+        .orderBy("obj_name", "cand_name", "node"), None),
+
+    Q("corr_granger", (s, dir) =>
+      Correlate.grangerF(corrGrid(s, dir), ObjSignals)
         .orderBy("obj_name", "cand_name", "node"), None),
 
     Q("ts_ols_trend", (s, dir) =>

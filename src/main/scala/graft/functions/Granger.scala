@@ -1,0 +1,145 @@
+package graft.functions
+
+/** Granger-causality F-test (Granger 1969): does adding the candidate's
+  * lags to an autoregression of the objective reduce the residual sum
+  * of squares more than chance? The advisor's correlation ranking
+  * answers "moves together"; this answers "its past predicts the
+  * objective's future" — the sharper root-cause question, and the
+  * classical nested-model F-test makes it cheap:
+  *
+  *   restricted:   y_t ~ 1 + y_{t-1..t-p}
+  *   unrestricted: y_t ~ 1 + y_{t-1..t-p} + x_{t-1..t-p}
+  *   F = ((RSS_r − RSS_u)/p) / (RSS_u/(n_eff − 2p − 1))
+  *
+  * Runs per (objective, candidate) pair inside one task on aligned
+  * retention-bounded series. Everything is deterministic: fixed
+  * Gaussian-elimination pivot order, fixed summation order, the
+  * p-value from [[Stats.fSf]]'s continued fraction.
+  */
+object Granger {
+
+  final case class Result(fStat: Double, pValue: Double, nEff: Int)
+
+  /** Solve the symmetric normal-equation system A·b = c in place by
+    * Gaussian elimination with partial pivoting; None when singular
+    * (collinear or constant regressors).
+    */
+  private def solve(a: Array[Array[Double]], c: Array[Double]): Option[Array[Double]] = {
+    val k = c.length
+    var col = 0
+    while (col < k) {
+      var piv = col
+      var best = math.abs(a(col)(col))
+      var r = col + 1
+      while (r < k) {
+        val v = math.abs(a(r)(col))
+        if (v > best) { best = v; piv = r }
+        r += 1
+      }
+      if (best < 1e-10) return None
+      if (piv != col) {
+        val tmp = a(piv); a(piv) = a(col); a(col) = tmp
+        val t2 = c(piv); c(piv) = c(col); c(col) = t2
+      }
+      r = col + 1
+      while (r < k) {
+        val factor = a(r)(col) / a(col)(col)
+        var j = col
+        while (j < k) { a(r)(j) -= factor * a(col)(j); j += 1 }
+        c(r) -= factor * c(col)
+        r += 1
+      }
+      col += 1
+    }
+    val b = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var s = c(i)
+      var j = i + 1
+      while (j < k) { s -= a(i)(j) * b(j); j += 1 }
+      b(i) = s / a(i)(i)
+      i -= 1
+    }
+    Some(b)
+  }
+
+  /** OLS residual sum of squares of y ~ rows (each row one observation's
+    * regressor vector), via the normal equations — the design is tiny
+    * (k ≤ 2p+1), so XᵀX is k×k regardless of series length.
+    */
+  private def rss(rows: Array[Array[Double]], y: Array[Double]): Option[Double] = {
+    val n = rows.length
+    val k = rows(0).length
+    val xtx = Array.fill(k)(new Array[Double](k))
+    val xty = new Array[Double](k)
+    var t = 0
+    while (t < n) {
+      val row = rows(t)
+      var i = 0
+      while (i < k) {
+        xty(i) += row(i) * y(t)
+        var j = 0
+        while (j < k) { xtx(i)(j) += row(i) * row(j); j += 1 }
+        i += 1
+      }
+      t += 1
+    }
+    solve(xtx, xty).map { b =>
+      var acc = 0.0
+      t = 0
+      while (t < n) {
+        val row = rows(t)
+        var pred = 0.0
+        var i = 0
+        while (i < k) { pred += b(i) * row(i); i += 1 }
+        val e = y(t) - pred
+        acc += e * e
+        t += 1
+      }
+      acc
+    }
+  }
+
+  /** Test whether x Granger-causes y at lag order p. None when the
+    * series is too short for the unrestricted model's degrees of
+    * freedom or either regression is singular (constant/collinear).
+    */
+  def test(y: Array[Double], x: Array[Double], p: Int): Option[Result] = {
+    val n = y.length
+    if (x.length != n) return None
+    val nEff = n - p
+    val df2 = nEff - (2 * p + 1)
+    if (df2 < 1) return None
+    val target = new Array[Double](nEff)
+    val restr = new Array[Array[Double]](nEff)
+    val unrestr = new Array[Array[Double]](nEff)
+    var t = 0
+    while (t < nEff) {
+      val at = t + p
+      target(t) = y(at)
+      val r = new Array[Double](p + 1)
+      val u = new Array[Double](2 * p + 1)
+      r(0) = 1.0; u(0) = 1.0
+      var l = 1
+      while (l <= p) {
+        r(l) = y(at - l)
+        u(l) = y(at - l)
+        u(p + l) = x(at - l)
+        l += 1
+      }
+      restr(t) = r
+      unrestr(t) = u
+      t += 1
+    }
+    for {
+      rssR <- rss(restr, target)
+      rssU <- rss(unrestr, target)
+    } yield {
+      // a perfect unrestricted fit (rssU ~ 0) means maximal evidence
+      val f =
+        if (rssU <= 1e-12 * math.max(rssR, 1.0)) Double.MaxValue
+        else math.max(0.0, ((rssR - rssU) / p) / (rssU / df2))
+      Result(f, Stats.fSf(f, p.toDouble, df2.toDouble), nEff)
+    }
+  }
+}

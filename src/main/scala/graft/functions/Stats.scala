@@ -104,6 +104,13 @@ object Stats {
     0.5 * (lo + hi)
   }
 
+  /** F-distribution survival function P(F > f) with (d1, d2) degrees of
+    * freedom, via the beta identity 1 − CDF(f) = I_{d2/(d2+d1·f)}(d2/2, d1/2).
+    */
+  def fSf(f: Double, d1: Double, d2: Double): Double =
+    if (f <= 0) 1.0
+    else regIncBeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
   /** Rosner's generalized ESD: indices of up to `kMax` outliers in
     * `xs`, at significance `alpha`. Each round removes the point with
     * the largest |x − mean|/sd (first index on ties); the verdict is

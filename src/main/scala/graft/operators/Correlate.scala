@@ -222,6 +222,47 @@ object Correlate {
       .toDF("obj_name", "cand_name", "node", "dtw", "n")
   }
 
+  /** Granger-causality F-test obj×candidate per node: does the
+    * candidate's past improve an autoregression of the objective
+    * (functions.Granger)? Correlation ranks "moves together"; this
+    * ranks "its past predicts the objective" — direction-aware, so a
+    * metric that merely reacts to the objective scores low where NCC
+    * scores it the same as a driver.
+    *
+    * Same plan shape as [[dtwDist]]: per-signal series collected once
+    * in their own tasks (retention-bounded), the tiny objective side
+    * broadcast, each pair's two small OLS solves running in a typed
+    * map — parallelism = pair count, one keyed shuffle total.
+    */
+  def grangerF(grid: DataFrame, objNames: Seq[String], p: Int = 2): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val series = grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        (k._1, k._2, pts.map(_._4))
+      }.toDF("name", "node", "series")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obj = series.filter(col("name").isin(objNames: _*))
+      .select(col("name").as("obj_name"), col("node"), col("series").as("os"))
+    val cand = series.filter(!col("name").isin(objNames: _*))
+      .select(col("name").as("cand_name"), col("node").as("cnode"),
+        col("series").as("cs"))
+    broadcast(obj).join(cand, col("node") === col("cnode"))
+      .select(col("obj_name"), col("cand_name"), col("node"), col("os"), col("cs"))
+      .as[(String, String, String, Array[Double], Array[Double])]
+      .flatMap { case (o, c, nd, os, cs) =>
+        if (os.length != cs.length) None
+        else graft.functions.Granger.test(os, cs, p).map { r =>
+          val r4d = (x: Double) => math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+          (o, c, nd, r4d(math.min(r.fStat, 1e6)), r4d(r.pValue), r.nEff)
+        }
+      }
+      .toDF("obj_name", "cand_name", "node", "f_stat", "p_value", "n_eff")
+  }
+
   /** First-order partial correlation per (candidate, node, bucket):
     * r(cand, obj | ctrl) — does the candidate still move with the
     * objective once a shared driver (load, traffic, the `ctrl`

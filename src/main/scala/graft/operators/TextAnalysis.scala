@@ -222,6 +222,43 @@ object TextAnalysis {
       dupFrac(grams(3)).as("dup_trigram_frac"))
   }
 
+  /** Per-document cross-entropy under a corpus-trained character-bigram
+    * language model — the cheap stand-in for the LM-perplexity filter
+    * (CCNet / Gopher style): text whose character transitions are
+    * unlike the corpus (mojibake, key-mash, foreign-script leakage)
+    * scores high and gets dropped.
+    *
+    * Model: P(c₂|c₁) = (count(c₁c₂)+1) / (count(c₁·)+V), Laplace
+    * smoothing over the observed vocabulary V. Plan: the gram table is
+    * bounded by charset² regardless of corpus size → broadcast into the
+    * scoring join; the per-doc aggregate sums ×1e6-quantized integer
+    * log-probs (exact, order-independent — a raw double sum over
+    * shuffled gram rows would be partition-order noise).
+    */
+  def bigramEntropy(docs: DataFrame): DataFrame = {
+    val grams = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), " +
+          "i -> substring(lower(text), i, 2))")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = grams.groupBy("g").agg(count(lit(1)).as("cg"))
+    val ctx = lm.groupBy(expr("substring(g, 1, 1)").as("c1"))
+      .agg(sum(col("cg")).as("cctx"))
+    val v = lm.select(expr("substring(g, 2, 1)")).distinct().count()
+    val table = lm.withColumn("c1", expr("substring(g, 1, 1)"))
+      .join(ctx, "c1")
+      .select(col("g"),
+        qint(-log2((col("cg") + 1).cast("double") /
+          (col("cctx") + lit(v.toDouble))), 1e6).as("qbits"))
+    grams.join(broadcast(table), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("qbits")).cast("double").as("qsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("qsum") / col("n_bigrams") / lit(1e6)).as("entropy_bits"))
+      .withColumn("ppl", r4(pow(lit(2.0), col("entropy_bits"))))
+  }
+
   /** Heavy hitters via count-min sketch: the mergeable fixed-size
     * frequency summary (exact term counts of a 100 TB corpus shuffle
     * the whole vocabulary; the sketch is map-side state merged once).

@@ -228,6 +228,69 @@ class AnalysisSpec extends SparkTestBase {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 9.0)
   }
 
+  test("granger: lagged driver is detected, independent noise is not") {
+    import graft.functions.Granger
+    val rng = new scala.util.Random(3)
+    val n = 200
+    val x = Array.tabulate(n)(_ => rng.nextGaussian())
+    // y is driven by x two steps back plus its own inertia
+    val y = new Array[Double](n)
+    for (t <- 2 until n)
+      y(t) = 0.4 * y(t - 1) + 0.8 * x(t - 2) + rng.nextGaussian() * 0.1
+    val fwd = Granger.test(y, x, 2).get
+    assert(fwd.pValue < 1e-6, s"driver must be detected, p=${fwd.pValue}")
+    // independent noise must not "cause" y
+    val z = Array.tabulate(n)(_ => rng.nextGaussian())
+    val nul = Granger.test(y, z, 2).get
+    assert(nul.pValue > 0.01, s"independent noise p=${nul.pValue}")
+    // reverse direction: y's past adds little about x beyond x's own
+    val rev = Granger.test(x, y, 2).get
+    assert(rev.fStat < fwd.fStat / 5)
+    // too-short and constant series degrade to None, never throw
+    assert(Granger.test(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), 2).isEmpty)
+    assert(Granger.test(Array.fill(50)(3.0), Array.fill(50)(3.0), 2).isEmpty)
+  }
+
+  test("granger f-test p-values are calibrated under the null") {
+    import graft.functions.Granger
+    val rng = new scala.util.Random(17)
+    // two independent AR(1) series: p-values should be ~uniform — check
+    // the rejection rate at alpha=0.1 over 200 trials is in a sane band
+    var rejected = 0
+    for (_ <- 1 to 200) {
+      val n = 120
+      val x = new Array[Double](n); val y = new Array[Double](n)
+      for (t <- 1 until n) {
+        x(t) = 0.5 * x(t - 1) + rng.nextGaussian()
+        y(t) = 0.5 * y(t - 1) + rng.nextGaussian()
+      }
+      if (Granger.test(y, x, 2).get.pValue < 0.1) rejected += 1
+    }
+    assert(rejected >= 8 && rejected <= 40, s"rejections at 10%: $rejected/200")
+  }
+
+  test("granger operator flags the planted driver pair per node") {
+    val rng = new scala.util.Random(5)
+    val n = 120
+    val x = Array.tabulate(n)(_ => rng.nextGaussian())
+    val y = new Array[Double](n)
+    for (t <- 2 until n)
+      y(t) = 0.3 * y(t - 1) + 0.9 * x(t - 2) + rng.nextGaussian() * 0.1
+    val w = Array.tabulate(n)(_ => rng.nextGaussian())
+    val rows =
+      (0 until n).map(t => ("error", "a", t * 3600L, y(t))) ++
+      (0 until n).map(t => ("driver", "a", t * 3600L, x(t))) ++
+      (0 until n).map(t => ("bystander", "a", t * 3600L, w(t)))
+    val out = Correlate.grangerF(rows.toDF("name", "node", "tsb", "gval"),
+        Seq("error"), 2)
+      .orderBy("cand_name").collect()
+    assert(out.length == 2)
+    val driver = out.find(_.getString(1) == "driver").get
+    val bystander = out.find(_.getString(1) == "bystander").get
+    assert(driver.getAs[Double]("p_value") < 0.001)
+    assert(driver.getAs[Double]("f_stat") > bystander.getAs[Double]("f_stat"))
+  }
+
   test("e-divisive finds an obvious level shift") {
     val series = Array.fill(30)(1.0) ++ Array.fill(30)(10.0)
     val cps = EDivisive.changePoints(series, pvalue = 0.05, permutations = 30)

@@ -256,6 +256,22 @@ class PipelineSpec extends SparkTestBase {
     assert(out4 == out)
   }
 
+  test("bigram entropy ranks corpus-unlike text above typical text") {
+    val typical = (1L to 8L).map(i => (i, "the cat sat on the mat and the hat"))
+    val weird = Seq((99L, "zqxj qzxw jxqz wqjx zzqq"))
+    val d = (typical ++ weird).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramEntropy(d).orderBy("doc_id")
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect()
+    val typicalBits = out.filter(_._1 <= 8L).map(_._2)
+    val weirdBits = out.find(_._1 == 99L).get._2
+    assert(weirdBits > typicalBits.max + 1.0,
+      s"corpus-unlike text must score high: $weirdBits vs ${typicalBits.max}")
+    // partition-count invariant (quantized integer sums, no double noise)
+    val out4 = TextAnalysis.bigramEntropy(d.repartition(7)).orderBy("doc_id")
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect()
+    assert(out4.toSeq == out.toSeq)
+  }
+
   test("repetition stats expose loops and stay zero on clean text") {
     val d = docs(
       (1L, "spam spam spam spam"),
