@@ -43,6 +43,18 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(TextAnalysis.heavyHitters(single, 3).count() == 3)
   }
 
+  test("new text/media/changepoint ops cope with empty and tiny inputs") {
+    val empty = docs()
+    assert(TextAnalysis.repetitionStats(empty).count() == 0)
+    assert(TextAnalysis.bigramEntropy(empty).count() == 0)
+    assert(Multimodal.phashPairs(docs((1L, "only"))).count() == 0)
+    // one-char text has no bigrams → drops out, never divides by zero
+    assert(TextAnalysis.bigramEntropy(docs((1L, "x"))).count() == 0)
+    val tiny = Seq(("m", "a", 0L, 1.0), ("m", "a", 3600L, 2.0))
+      .toDF("name", "node", "tsb", "gval")
+    assert(ChangePoints.pelt(tiny).count() == 0)
+  }
+
   test("trend tests on tiny or constant series never throw") {
     val single = grid(("m", "a", 0L, 5.0))
     assert(Trend.mannKendall(single).count() == 0) // no pairs → drops out
