@@ -1413,6 +1413,12 @@ object SparkEntry {
         .orderBy("qid")
     }, None),
 
+    Q("ann_pq", (s, dir) => {
+      Similarity.pqAnn(Tables.embeddings(s, dir))
+        .select(col("qid"), col("rank"), col("nid"), col("adist"))
+        .orderBy("qid", "rank")
+    }, None),
+
     Q("embed_kmeans", (s, dir) => {
       Clustering.clusterStats(Tables.embeddings(s, dir), 8)
     }, None),

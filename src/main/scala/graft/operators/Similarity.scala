@@ -128,6 +128,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011): split each
+    * vector into `m` subvectors, quantize each against a per-subspace
+    * codebook of `kCent` centroids, and search with asymmetric distance
+    * — the query stays exact, each corpus vector is approximated by its
+    * code, and dist²(q, x) ≈ Σ_s table_s[code_s(x)] where table_s is
+    * the query's distance to every centroid of subspace s.
+    *
+    * Why this is the memory-scale path: a 64-dim float corpus is 256
+    * bytes/vector; its PQ codes are `m` bytes — at 100 TB of
+    * embeddings the codes fit where the vectors cannot, and the scan
+    * per query costs m table lookups instead of d multiplies. Codebooks
+    * here are the subvectors of the first `kCent` ids — the same
+    * deterministic stand-in for trained centroids as [[ivfAnn]]
+    * (k-means training would drop in without changing any plan shape;
+    * determinism of the stand-in keeps codes partition-invariant).
+    *
+    * Plan: codebooks are driver-side constants (m·kCent·(d/m) doubles,
+    * KBs); encoding is one typed pass over the corpus; the query scan
+    * broadcasts nQueries distance tables and streams the codes — the
+    * only shuffle is the final per-query top-k window.
+    */
+  def pqAnn(embs: DataFrame, m: Int = 4, kCent: Int = 16, nQueries: Int = 10,
+            k: Int = 5): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    // Column filters, not typed lambdas: these reach the parquet scan
+    // as pushed predicates; a lambda filter would deserialize the corpus
+    val seedRows = embs.filter(col("vec_id") < kCent)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(seedRows.nonEmpty, "corpus smaller than one codebook")
+    val dim = seedRows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // codebooks(s)(c) = centroid c of subspace s
+    val codebooks = Array.tabulate(m, seedRows.length) { (s, c) =>
+      java.util.Arrays.copyOfRange(seedRows(c)._2, s * sub, (s + 1) * sub)
+    }
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < codebooks(s).length) {
+        val cent = codebooks(s)(c)
+        var d2 = 0.0; var j = 0
+        while (j < sub) {
+          val diff = v(s * sub + j) - cent(j); d2 += diff * diff; j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // first argmin: deterministic
+        c += 1
+      }
+      best
+    }
+    val queries = embs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // per query: distance table to every centroid of every subspace
+    val tables = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(m, codebooks(0).length) { (s, c) =>
+        val cent = codebooks(s)(c)
+        var d2 = 0.0; var j = 0
+        while (j < sub) {
+          val diff = qv(s * sub + j) - cent(j); d2 += diff * diff; j += 1
+        }
+        d2
+      })
+    }
+    val scored = base.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        val code = encode(v)
+        tables.iterator.filter(_._1 != id).map { case (qid, dt) =>
+          var d2 = 0.0; var s = 0
+          while (s < m) { d2 += dt(s)(code(s)); s += 1 }
+          (qid, id, math.floor((d2 + 1e-9) * 1e4 + 0.5) / 1e4)
+        }
+      }
+    }.toDF("qid", "nid", "adist")
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Int8 quantization audit per vector — the compression-planning
     * pass before storing an embedding corpus quantized (4× smaller
     * than float32, the standard ANN-index trade): per-vector min/max

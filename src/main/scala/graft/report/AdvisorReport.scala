@@ -133,6 +133,21 @@ object AdvisorReport {
       .filter(col("trend") =!= 0)
       .orderBy(abs(col("z")).desc, col("name").asc, col("node").asc)
 
+  /** Granger-causality verdicts over the gated grid: candidates whose
+    * PAST improves prediction of an objective beyond the objective's
+    * own autoregression (Correlate.grangerF). Correlation ranks
+    * co-movement and is symmetric; this is the direction-aware
+    * follow-up question — "which of the correlated candidates looks
+    * like a driver rather than a fellow victim". Significant pairs
+    * only, strongest evidence first, deterministic tiebreaks.
+    */
+  def causalSignals(grid: DataFrame, cfg: Config = Config(),
+                    alpha: Double = 0.05): DataFrame =
+    Correlate.grangerF(grid.select("name", "node", "tsb", "gval"), cfg.objNames)
+      .filter(col("p_value") < alpha)
+      .orderBy(col("p_value").asc, col("f_stat").desc,
+        col("obj_name").asc, col("cand_name").asc, col("node").asc)
+
   /** Release the pipeline's cached grid — scoped to the frame the
     * pipeline itself persisted, never the caller's session-wide cache.
     */
@@ -180,6 +195,17 @@ object AdvisorReport {
       sb.append("\n")
     }
     grid.foreach { g =>
+      val causal = causalSignals(g).limit(50).collect()
+      if (causal.nonEmpty) {
+        sb.append("\n## Likely drivers (Granger)\n\n")
+        sb.append("| objective | candidate | F | p |\n")
+        sb.append("| --- | --- | --- | --- |\n")
+        causal.foreach { r =>
+          sb.append(s"| ${r.getAs[String]("obj_name")}/${r.getAs[String]("node")} " +
+            s"| ${r.getAs[String]("cand_name")}/${r.getAs[String]("node")} " +
+            s"| ${r.getAs[Double]("f_stat")} | ${r.getAs[Double]("p_value")} |\n")
+        }
+      }
       val drifts = driftSignals(g).limit(50).collect()
       if (drifts.nonEmpty) {
         sb.append("\n## Drifting signals (Mann-Kendall)\n\n")

@@ -73,6 +73,29 @@ class AdvisorReportSpec extends SparkTestBase {
     assert(md.contains("click/n0"))
   }
 
+  test("causal section names the lagged driver, not the bystander") {
+    val rng = new scala.util.Random(23)
+    val n = 96
+    val drv = Array.tabulate(n)(_ => rng.nextGaussian() * 5.0)
+    val obj = new Array[Double](n)
+    for (t <- 2 until n)
+      obj(t) = 0.3 * obj(t - 1) + 0.9 * drv(t - 2) + rng.nextGaussian() * 0.2
+    def mk(name: String, xs: Array[Double]) =
+      (0 until n).map(i => (name, "n0", T0 + i * 3600L, xs(i)))
+    val sig = (mk("click", obj) ++ mk("queue", drv) ++
+      mk("noisefloor", Array.tabulate(n)(_ => rng.nextGaussian() * 5.0)))
+      .toDF("name", "node", "tsec", "value")
+    val grid = AdvisorReport.gatedGrid(sig, cfg)
+    val causal = AdvisorReport.causalSignals(grid, cfg).collect()
+    val names = causal.map(_.getAs[String]("cand_name"))
+    assert(names.contains("queue"), s"driver missing: ${names.toSeq}")
+    assert(names.headOption.contains("queue"), "driver must rank first")
+    val md = AdvisorReport.renderMarkdown(
+      AdvisorReport.adviseOnGrid(grid, cfg), Some(grid))
+    assert(md.contains("## Likely drivers (Granger)"))
+    assert(md.contains("| click/n0 | queue/n0 |"))
+  }
+
   test("bucketSeries normalizes by |max| within (signal, bucket)") {
     val grid = AdvisorReport.gatedGrid(signals, cfg)
     val advice = AdvisorReport.adviseOnGrid(grid, cfg)

@@ -32,6 +32,28 @@ class ClusteringSpec extends SparkTestBase {
     assert(out1.toSeq == out2.toSeq, "must be deterministic")
   }
 
+  test("pq ann retrieves same-blob neighbors and is layout-invariant") {
+    import graft.operators.Similarity
+    // two tight 64-dim blobs; ids interleave so codebook seeds (first
+    // 16 ids) and queries (first 4) cover both blobs
+    val d = (0 until 40).map { i =>
+      val base = Array.tabulate(64)(j =>
+        if (i % 2 == 0) (if (j < 32) 10.0f else 0.0f)
+        else (if (j < 32) 0.0f else 10.0f))
+      (i.toLong, base.map(_ + (i % 7) * 0.05f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqAnn(d, m = 4, kCent = 16, nQueries = 4, k = 5)
+    val rows = out.select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    // every retrieved neighbor shares the query's blob parity
+    assert(rows.forall { case (q, _, n) => q % 2 == n % 2 },
+      s"cross-blob neighbor: ${rows.filterNot { case (q, _, n) => q % 2 == n % 2 }.toSeq}")
+    val out4 = Similarity.pqAnn(d.repartition(8), m = 4, kCent = 16,
+      nQueries = 4, k = 5).select("qid", "rank", "nid")
+      .as[(Long, Int, Long)].collect()
+    assert(out4.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("pca finds the dominant axis of an elongated blob") {
     // points spread along x (variance ~dozens), tiny y jitter, zero z:
     // the first component must carry nearly all the variance
