@@ -62,7 +62,7 @@ object Similarity {
   def lshAnn(embs: DataFrame, nPlanes: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val dim = 64
     val planes = hyperplanes(nPlanes, dim)
-    val planeCols = planes.map(p => array(p.map(lit): _*))
+    val planeCols = planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*))
     val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val bucketed = base.withColumn("bucket",

@@ -33,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     FunctionIdentifier("vec_dot"),
