@@ -1171,6 +1171,11 @@ object SparkEntry {
         .orderBy("name", "node", "cp_tsb")
     }, None),
 
+    Q("ts_period_detect", (s, dir) => {
+      ChangePoints.periodDetect(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node")
+    }, None),
+
     Q("ad_lowpass_seasonal", (s, dir) => {
       ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .select(col("name"), col("node"), col("tsb"),

@@ -62,6 +62,43 @@ object Dsp {
     p
   }
 
+  /** Dominant seasonality period of a series, in samples: remove the
+    * mean (DC), FFT over the mean-padded power-of-two window, take the
+    * positive-frequency bin with maximal power among periods that fit
+    * at least `minCycles` times into the observed window. Returns
+    * (periodSamples, strength) where strength = peak power / total
+    * positive-frequency power — near 1 for a clean sinusoid, near 0
+    * for white noise. None when the series is too short or carries no
+    * variance. The reference hardcodes its seasonal cutoff
+    * (f_min, metrics_advisor.py:57); this measures it instead.
+    */
+  def dominantPeriod(x: Array[Double], minCycles: Int = 3): Option[(Double, Double)] = {
+    val n = x.length
+    if (n < 8) return None
+    val mean = x.sum / n
+    val m = nextPow2(n)
+    val re = new Array[Double](m)
+    val im = new Array[Double](m)
+    var i = 0
+    while (i < n) { re(i) = x(i) - mean; i += 1 }
+    fft(re, im, invert = false)
+    // period = m/k samples; require k ≥ minCycles·m/n so the window saw
+    // the cycle at least minCycles times (longer "periods" are trend)
+    val kMin = math.max(1, math.ceil(minCycles.toDouble * m / n).toInt)
+    var total = 0.0
+    var best = -1
+    var bestP = 0.0
+    var k = 1
+    while (k <= m / 2) {
+      val p = re(k) * re(k) + im(k) * im(k)
+      total += p
+      if (k >= kMin && p > bestP) { bestP = p; best = k } // first argmax
+      k += 1
+    }
+    if (best < 0 || total <= 0) None
+    else Some((m.toDouble / best, bestP / total))
+  }
+
   /** Ideal lowpass: keep frequency bins with |f| <= fMin (f in Hz given
     * sample interval `stepSec`), zero the rest. Returns the filtered
     * series (the "seasonality"); `x - lowpass(x)` is the noise.

@@ -99,6 +99,30 @@ object ChangePoints {
       .toDF("name", "node", "tsb", "gval")
   }
 
+  /** Dominant seasonality period per signal (Dsp.dominantPeriod): the
+    * measured counterpart of the reference's hardcoded seasonal cutoff
+    * — an operator a user runs to discover each metric's cycle before
+    * configuring decomposition. Same per-signal typed-task shape as the
+    * rest of the file; emits period in seconds plus spectral strength
+    * (share of positive-frequency power in the peak bin).
+    */
+  def periodDetect(grid: DataFrame, stepSec: Double = 3600.0,
+                   minCycles: Int = 3): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (name, node) = key
+        val pts = it.toArray.sortBy(_._3)
+        Dsp.dominantPeriod(pts.map(_._4), minCycles).map { case (period, strength) =>
+          (name, node, r4d(period * stepSec), r4d(strength), pts.length.toLong)
+        }
+      }
+      .toDF("name", "node", "period_sec", "strength", "n")
+  }
+
   /** trend = centered rolling median (w); detrended = x − trend;
     * seasonal = ideal lowpass of detrended; noise = detrended − seasonal.
     * Raw (unrounded) components for one in-memory series.

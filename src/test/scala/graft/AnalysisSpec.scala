@@ -302,6 +302,37 @@ class AnalysisSpec extends SparkTestBase {
     assert(cps.isEmpty)
   }
 
+  test("dominant period finds a planted cycle, reports weak strength on noise") {
+    import graft.functions.Dsp
+    // clean 24-sample cycle over 96 points: bin resolution on the padded
+    // 128-window puts the peak within ~2 samples of the truth
+    val x = Array.tabulate(96)(i => 10.0 + 5.0 * math.sin(2 * math.Pi * i / 24.0))
+    val (period, strength) = Dsp.dominantPeriod(x).get
+    assert(math.abs(period - 24.0) <= 4.0, s"period $period")
+    assert(strength > 0.5, s"strength $strength")
+    val rng = new scala.util.Random(9)
+    val noise = Array.tabulate(96)(_ => rng.nextGaussian())
+    val (_, ns) = Dsp.dominantPeriod(noise).get
+    assert(ns < 0.3, s"noise strength $ns")
+    assert(Dsp.dominantPeriod(Array(1.0, 2.0)).isEmpty)
+    assert(Dsp.dominantPeriod(Array.fill(32)(7.0)).isEmpty)
+  }
+
+  test("period operator reports seconds per signal, daily cycle strongest") {
+    val rows = (0 until 96).flatMap { i =>
+      Seq(("cyclic", "a", i * 3600L, math.sin(2 * math.Pi * i / 24.0)),
+        ("noisy", "b", i * 3600L, new scala.util.Random(i).nextGaussian()))
+    }
+    val out = ChangePoints.periodDetect(rows.toDF("name", "node", "tsb", "gval"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("period_sec"), r.getAs[Double]("strength"))).toMap
+    val (cp, cs) = out("cyclic")
+    // 24 h ± the padded-FFT bin resolution
+    assert(math.abs(cp - 86400.0) <= 4 * 3600.0, s"period $cp")
+    assert(cs > 0.5 && cs > out("noisy")._2)
+  }
+
   test("lowpass keeps DC and removes fast oscillation") {
     val n = 64
     val slow = Array.tabulate(n)(_ => 5.0)
