@@ -1648,6 +1648,23 @@ object SparkEntry {
 
     // ================= H. deterministic sampling & mixing =================
 
+    Q("sample_split", (s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment by doc hash —
+      // appending data never reassigns existing rows
+      Sampling.splitAssign(Tables.documents(s, dir),
+          col("doc_id").cast("string"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id, lang,
+         | CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |        < ${Sampling.threshold(0.8)} THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |        < ${Sampling.threshold(0.8 + 0.1)} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("sample_stratified", (s, dir) => {
       // keep-all English, half de/fr, a quarter es/zh — the per-source
       // curation dial every corpus mix starts from; md5-hash Bernoulli
@@ -1877,6 +1894,70 @@ object SparkEntry {
       Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
           threshold = 0.3)
         .orderBy("id1", "id2"), None),
+
+    Q("dedup_embed_cluster", (s, dir) => {
+      // the embedding-side composition the minhash path already has:
+      // IVF-bucketed near-dup edges feed the connected-components pass
+      // directly, so detection and clustering share one candidate join
+      val embs = Tables.embeddings(s, dir)
+      val pairs = Dedup.embedCosinePairsIvf(embs, nCells = 8, threshold = 0.3)
+        .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
+          precomputedPairs = Some(pairs))
+        .orderBy("doc_id")
+    }, None),
+
+    Q("q26_conversion_rate", (s, dir) => {
+      // daily conversion funnel: of the users whose first view fell on
+      // day d, how many clicked / purchased within 24 h of that view —
+      // the cohort-level readout of q22's per-user frame. All counts
+      // exact integers; the ratios are single divisions of those
+      // integers (engine-exact), rounded with the shared IEEE formula.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts div 1000000000").as("tsec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsec").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tsec") > col("t_view") && col("tsec") <= col("t_view") + 86400)
+        .select("user_id").distinct()
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("tsec") > col("t_view") && col("tsec") <= col("t_view") + 86400)
+        .select("user_id").distinct()
+      v.withColumn("day", expr("t_view div 86400") * 86400)
+        .join(c.withColumn("clicked", lit(1)), Seq("user_id"), "left")
+        .join(p.withColumn("purchased", lit(1)), Seq("user_id"), "left")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(coalesce(col("clicked"), lit(0))).cast("bigint").as("n_clickers"),
+          sum(coalesce(col("purchased"), lit(0))).cast("bigint").as("n_purchasers"))
+        .select(col("day"), col("n_viewers"), col("n_clickers"), col("n_purchasers"),
+          r4(col("n_clickers").cast("double") / col("n_viewers")).as("click_rate"),
+          r4(col("n_purchasers").cast("double") / col("n_viewers")).as("purchase_rate"))
+        .orderBy("day")
+    }, Some(
+      """WITH ev AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |v AS (SELECT user_id, min(tsec) AS t_view FROM ev
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT DISTINCT e.user_id FROM ev e JOIN v USING (user_id)
+        | WHERE e.event_type = 'click' AND e.tsec > v.t_view
+        |  AND e.tsec <= v.t_view + 86400),
+        |p AS (SELECT DISTINCT e.user_id FROM ev e JOIN v USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.tsec > v.t_view
+        |  AND e.tsec <= v.t_view + 86400),
+        |f AS (SELECT v.user_id, v.t_view // 86400 * 86400 AS day,
+        |  CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS clicked,
+        |  CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS purchased
+        | FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT day, count(*) AS n_viewers,
+        | CAST(sum(clicked) AS BIGINT) AS n_clickers,
+        | CAST(sum(purchased) AS BIGINT) AS n_purchasers,
+        | floor((CAST(sum(clicked) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS click_rate,
+        | floor((CAST(sum(purchased) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS purchase_rate
+        |FROM f GROUP BY day ORDER BY day""".stripMargin)),
 
     Q("q22_funnel", (s, dir) => {
       // strict-order funnel: first view, first click after it, first

@@ -54,6 +54,29 @@ object Sampling {
     df.filter(hash32(keyCol) < thr)
   }
 
+  /** Deterministic train/validation/test assignment: the key's hash
+    * falls into one of the cumulative fraction ranges, the last split
+    * absorbing the rounding remainder so every row gets exactly one
+    * label. Re-running, re-partitioning, or appending new data never
+    * reassigns an existing row (its hash doesn't move) — the property
+    * that keeps eval sets honest as a corpus grows. Same narrow
+    * codegen'd projection over the scan as [[stratifiedSample]].
+    */
+  def splitAssign(df: DataFrame, keyCol: Column,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val h = hash32(keyCol)
+    val label = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), c)) =>
+        when(h < lit(threshold(c)), lit(name)).otherwise(acc)
+      }
+    // the fold nests WHENs so ranges stay cumulative: h < t1 → s1,
+    // else h < t2 → s2, …, else last
+    df.withColumn("split", label)
+  }
+
   /** Mix a corpus to target stratum proportions `weights` without
     * upsampling: the achievable scale is set by the scarcest stratum
     * (k = min over strata of countₛ / wₛ); stratum s keeps

@@ -69,6 +69,27 @@ class SamplingSpec extends SparkTestBase {
     assert(kept == Set("src0"))
   }
 
+  test("splitAssign labels every row once, near fractions, append-stable") {
+    val out = Sampling.splitAssign(docs, $"doc_id".cast("string"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == 400)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 280 && byLabel("train") < 360,
+      s"train share off: $byLabel")
+    // appending rows must not move existing assignments
+    val more = (401 to 500).map(i =>
+      (i.toLong, "extra", "en", "src0")).toDF("doc_id", "text", "lang", "source")
+    val grown = Sampling.splitAssign(docs.unionByName(more),
+        $"doc_id".cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter($"doc_id" <= 400)
+    val before = out.select("doc_id", "split").as[(Long, String)].collect().sorted
+    val after = grown.select("doc_id", "split").as[(Long, String)].collect().sorted
+    assert(before.toSeq == after.toSeq)
+  }
+
   test("substringPairs finds verbatim shared windows and counts them") {
     val boiler = "SHARED-BOILERPLATE-TEXT-THAT-IS-LONG-ENOUGH-TO-MATCH-EXACTLY"
     val d = Seq(
