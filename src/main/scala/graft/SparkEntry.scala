@@ -316,6 +316,38 @@ object SparkEntry {
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("q27_salted_join", (s, dir) => {
+      // salted skew join: events joined on event_type — 5 hot keys, the
+      // worst-case shuffle skew (every row of one key lands on one
+      // task). The salt replicates the SMALL side across 8 salt values
+      // and spreads the big side by a row-derived salt, so each hot key
+      // fans out over 8 tasks; results are identical to the plain join,
+      // which is exactly what the oracle checks. (AQE's skew-join split
+      // covers sort-merge joins after the fact; explicit salting is the
+      // shape that works for any join type and any engine.)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(8)).as("salt"))
+      val dim = Tables.events(s, dir).select("event_type").distinct()
+        .withColumn("weight",
+          when(col("event_type") === "purchase", 10).otherwise(1))
+      val saltedDim = dim.crossJoin(
+        Tables.events(s, dir).sparkSession.range(0, 8)
+          .select(col("id").cast("int").as("salt")))
+      ev.join(broadcast(saltedDim), Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value")) * col("weight")).cast("double").as("weighted_sum"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |  CASE WHEN event_type = 'purchase' THEN 10 ELSE 1 END AS weight
+        | FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(12,2)) * d.weight) AS DOUBLE) AS weighted_sum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
       // aggregation expands grouping sets map-side — one shuffle)
