@@ -796,6 +796,32 @@ object SparkEntry {
          |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
          |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
 
+    Q("ts_kalman", (s, dir) => {
+      TimeSeries.kalman(grid(s, dir)).orderBy("name", "node")
+    }, Some(
+      // same recursive-CTE technique as ts_holt: the coupled (level,
+      // variance, gain) recursion replays the identical IEEE fold
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2 HAVING count(*) >= 2),
+         |step AS (
+         |  SELECT name, node, CAST(1 AS BIGINT) AS i, gval AS l,
+         |    CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k
+         |  FROM iv WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    s.l + ((s.p + 0.05) / ((s.p + 0.05) + 1.0)) * (v.gval - s.l),
+         |    (1 - (s.p + 0.05) / ((s.p + 0.05) + 1.0)) * (s.p + 0.05),
+         |    (s.p + 0.05) / ((s.p + 0.05) + 1.0)
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node AND v.i = s.i + 1)
+         |SELECT s.name, s.node, nn.n,
+         | floor((s.l + 1e-9) * 1e4 + 0.5) / 1e4 AS level,
+         | floor((s.k + 1e-9) * 1e4 + 0.5) / 1e4 AS gain,
+         | floor((s.p + 1e-9) * 1e4 + 0.5) / 1e4 AS p_var
+         |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
+         |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
+
     Q("ts_winsorize", (s, dir) => {
       TimeSeries.winsorize(grid(s, dir))
         .select(col("name"), col("node"), col("tsb"),

@@ -381,6 +381,45 @@ object TimeSeries {
       .toDF("name", "node", "n", "level", "trend", "fc1", "fc3")
   }
 
+  /** Local-level Kalman filter per signal: the optimal (under Gaussian
+    * noise) recursive smoother — like EWMA but with a gain that adapts
+    * to its own uncertainty (high after gaps/starts, converging to the
+    * steady state fixed point of P = (1−K)(P+Q)). Same per-signal
+    * sequential-fold determinism class as [[holt]]: every engine
+    * replays the identical IEEE op sequence, so the oracle is a
+    * recursive CTE mirroring the fold verbatim. Emits the final level,
+    * the final gain (≈ steady-state), and the error variance.
+    */
+  def kalman(grid: DataFrame, q: Double = 0.05, r: Double = 1.0): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(x => (x._1, x._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        if (pts.length < 2) Iterator.empty
+        else {
+          var l = pts(0)._4
+          var p = 1.0
+          var k = 0.0
+          var i = 1
+          while (i < pts.length) {
+            val x = pts(i)._4
+            // op order mirrored verbatim in the oracle CTE
+            val pp = p + q
+            k = pp / (pp + r)
+            l = l + k * (x - l)
+            p = (1 - k) * pp
+            i += 1
+          }
+          val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+          Iterator((key._1, key._2, pts.length.toLong, r4d(l), r4d(k), r4d(p)))
+        }
+      }
+      .toDF("name", "node", "n", "level", "gain", "p_var")
+  }
+
   /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */
   def bucketAgg(signals: DataFrame, bucket: Long = BucketSec): DataFrame =
     signals

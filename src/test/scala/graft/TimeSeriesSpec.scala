@@ -160,6 +160,22 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == ((8L, 2.0, 2.0)))
   }
 
+  test("kalman tracks a constant exactly and converges its gain") {
+    val const = (0 until 50).map(i => ("m", "a", i * 900L, 7.5))
+    val out = TimeSeries.kalman(grid(const: _*))
+      .select("n", "level", "gain", "p_var")
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 50L && out._2 == 7.5, s"level must stay put: $out")
+    // steady state of P = (1-K)(P+Q) with Q=0.05, R=1: P* ≈ 0.2 → K* ≈ 0.2
+    assert(math.abs(out._3 - 0.2016) < 0.01, s"gain not converged: $out")
+    // level shift: the filter ends near the new level, lagging slightly
+    val step = (0 until 60).map(i =>
+      ("m2", "b", i * 900L, if (i < 30) 0.0 else 10.0))
+    val s = TimeSeries.kalman(grid(step: _*))
+      .filter($"name" === "m2").select("level").as[Double].head()
+    assert(s > 9.5 && s <= 10.0, s"level after step: $s")
+  }
+
   test("holt matches a hand-rolled level/trend recursion") {
     val vals = Seq(10.0, 12.0, 13.0, 15.0, 16.0, 18.0)
     val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
