@@ -989,7 +989,8 @@ object SparkEntry {
 
     // ================= C. anomaly & correlation =================
     Q("ad_ksigma", (s, dir) => {
-      Anomaly.ksigma(grid(s, dir), 2.5)
+      // level=3 mirrors the reference call site (metrics_advisor.py:150)
+      Anomaly.ksigma(grid(s, dir), 3.0)
         .select(col("name"), col("node"), col("tsb"),
           r4(col("gval")).as("gval"), r4(col("z")).as("z"))
         .orderBy("name", "node", "tsb")
@@ -1011,7 +1012,7 @@ object SparkEntry {
          | floor(((CAST(g.d AS DOUBLE) - mu_s) / sigma_s + 1e-9) * 1e4 + 0.5) / 1e4 AS z
          |FROM qd g JOIN st ON g.name = st.name AND g.node = st.node
          |WHERE n >= 3 AND sigma_s > 0
-         | AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         | AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0
          |ORDER BY g.name, g.node, g.tsb""".stripMargin)),
 
     Q("ad_spc_rules", (s, dir) => {
@@ -1099,7 +1100,8 @@ object SparkEntry {
          |FROM t ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ad_noise_outlier", (s, dir) => {
-      Anomaly.noiseOutlier(grid(s, dir), 2.5)
+      // level=3 mirrors the reference call site (metrics_advisor.py:150)
+      Anomaly.noiseOutlier(grid(s, dir), 3.0)
         .select(col("name"), col("node"), col("tsb"),
           r4(col("resid")).as("resid"), r4(col("z")).as("z"))
         .orderBy("name", "node", "tsb")
@@ -1125,7 +1127,7 @@ object SparkEntry {
          | floor(((CAST(q.d AS DOUBLE) - mu_s) / sigma_s + 1e-9) * 1e4 + 0.5) / 1e4 AS z
          |FROM qd q JOIN st ON q.name = st.name AND q.node = st.node
          |WHERE n >= 3 AND sigma_s > 0
-         | AND floor((abs((CAST(q.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         | AND floor((abs((CAST(q.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0
          |ORDER BY q.name, q.node, q.tsb""".stripMargin)),
 
     Q("corr_ncc_lag", (s, dir) => {
@@ -1220,7 +1222,10 @@ object SparkEntry {
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
     Q("ad_edivisive", (s, dir) => {
-      ChangePoints.eDivisive(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+      // medianW=5: the reference detects on moving_median(data, 5)
+      // (metrics_advisor.py:147-148), never the raw series
+      ChangePoints.eDivisive(corrGrid(s, dir).select("name", "node", "tsb", "gval"),
+          medianW = 5)
         .orderBy("name", "node", "cp_tsb")
     }, None),
 

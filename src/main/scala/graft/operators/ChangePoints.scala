@@ -16,14 +16,32 @@ object ChangePoints {
 
   private def r4d(x: Double): Double = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
 
+  /** Centered rolling median, window w (odd), edge-shrunk — mathbox
+    * `moving_median` as pinned in SURVEY §4 (min_periods=1).
+    */
+  private def movingMedian(x: Array[Double], w: Int): Array[Double] = {
+    val n = x.length
+    val h = w / 2
+    Array.tabulate(n) { i =>
+      val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
+      val win = java.util.Arrays.copyOfRange(x, lo, hi + 1).sorted
+      val m = win.length
+      if (m % 2 == 1) win(m / 2) else (win(m / 2 - 1) + win(m / 2)) / 2.0
+    }
+  }
+
   /** E-divisive change points per signal. Defaults mirror the reference
     * call site: pvalue=0.05, permutations=100 (metrics_advisor.py:148);
     * the early-exit in EDivisive keeps 100 permutations cheap (most
     * splits resolve significance long before the full count).
+    * `medianW > 0` first smooths the series with the centered rolling
+    * median of that window — the reference always detects on
+    * `moving_median(data, 5)` (metrics_advisor.py:147-148), so single-
+    * sample spikes never register as distributional change.
     * Output: name, node, cp_tsb (grid time of the change), qhat.
     */
   def eDivisive(grid: DataFrame, pvalue: Double = 0.05, permutations: Int = 100,
-                minSize: Int = 5): DataFrame = {
+                minSize: Int = 5, medianW: Int = 0): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
@@ -32,7 +50,8 @@ object ChangePoints {
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
-        val series = pts.map(_._4)
+        val raw = pts.map(_._4)
+        val series = if (medianW > 0) movingMedian(raw, medianW) else raw
         EDivisive.changePoints(series, pvalue, permutations, minSize,
             seed = name.hashCode.toLong * 1000003L + node.hashCode)
           .map(cp => (name, node, pts(cp.index)._3, r4d(cp.qhat)))
@@ -123,30 +142,51 @@ object ChangePoints {
       .toDF("name", "node", "period_sec", "strength", "n")
   }
 
+  /** Per-signal measured lowpass cutoff: when the detrended series has a
+    * confident dominant period (spectral strength ≥ strengthMin), the
+    * seasonal cutoff is set 25% above that period's frequency — safely
+    * past integer-bin rounding, still below the first harmonic — so the
+    * measured cycle lands in the seasonal channel instead of the noise.
+    * Falls back to `default` (the reference hardcodes its cutoff,
+    * metrics_advisor.py:57; ts_period_detect measures it — this is the
+    * composition of the two).
+    */
+  private def measuredFmin(x: Array[Double], stepSec: Double, default: Double,
+                           strengthMin: Double, minCycles: Int): Double =
+    Dsp.dominantPeriod(x, minCycles) match {
+      case Some((periodSamples, strength)) if strength >= strengthMin =>
+        1.25 / (periodSamples * stepSec)
+      case _ => default
+    }
+
   /** trend = centered rolling median (w); detrended = x − trend;
     * seasonal = ideal lowpass of detrended; noise = detrended − seasonal.
     * Raw (unrounded) components for one in-memory series.
     */
   private def decomposed(x: Array[Double], stepSec: Double, fMin: Double,
-                         w: Int): (Array[Double], Array[Double], Array[Double]) = {
+                         w: Int, autoFmin: Boolean = false,
+                         strengthMin: Double = 0.2, minCycles: Int = 3)
+      : (Array[Double], Array[Double], Array[Double]) = {
     val n = x.length
-    val h = w / 2
-    val trend = Array.tabulate(n) { i =>
-      val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
-      val win = java.util.Arrays.copyOfRange(x, lo, hi + 1).sorted
-      val m = win.length
-      if (m % 2 == 1) win(m / 2) else (win(m / 2 - 1) + win(m / 2)) / 2.0
-    }
+    val trend = movingMedian(x, w)
     val detr = Array.tabulate(n)(i => x(i) - trend(i))
-    val seas = Dsp.lowpass(detr, stepSec, fMin)
+    // the cutoff is measured on the RAW series — the same series
+    // ts_period_detect reports on — so the two operators compose; a
+    // trend-dominated spectrum fails the strength gate and falls back
+    val f = if (autoFmin) measuredFmin(x, stepSec, fMin, strengthMin, minCycles)
+            else fMin
+    val seas = Dsp.lowpass(detr, stepSec, f)
     (trend, seas, detr)
   }
 
   /** Full reference decomposition (get_noise, metrics_advisor.py:51-62).
     * Output one row per grid cell with all four components.
+    * `autoFmin` switches the seasonal cutoff to the per-signal measured
+    * dominant period (see [[measuredFmin]]).
     */
   def seasonalNoise(grid: DataFrame, stepSec: Double = 3600.0,
-                    fMin: Double = 1.0 / 86400.0, w: Int = 5): DataFrame = {
+                    fMin: Double = 1.0 / 86400.0, w: Int = 5,
+                    autoFmin: Boolean = false): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
@@ -156,7 +196,7 @@ object ChangePoints {
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val x = pts.map(_._4)
-        val (trend, seas, detr) = decomposed(x, stepSec, fMin, w)
+        val (trend, seas, detr) = decomposed(x, stepSec, fMin, w, autoFmin)
         pts.indices.map { i =>
           (name, node, pts(i)._3, x(i), r4d(trend(i)), r4d(seas(i)),
             r4d(detr(i) - seas(i)))
@@ -167,6 +207,16 @@ object ChangePoints {
 
   /** Reference anomaly set (metrics_advisor.py:152): change points ∪
     * k-sigma outliers on the residual noise, tagged and bucketed.
+    * E-divisive runs on the MEDIAN-FILTERED series (the decomposition's
+    * trend — metrics_advisor.py:147-148 detects on
+    * `moving_median(data, 5)`), so single-sample spikes are the outlier
+    * branch's job and never register as distributional change. Outlier
+    * level defaults to 3 (the reference's `get_noise(..., level=3)`
+    * call, metrics_advisor.py:150). With `autoFmin` (default on) the
+    * seasonal cutoff is the per-signal measured dominant period
+    * ([[measuredFmin]]) instead of the fixed `fMin`, so a signal with a
+    * confident non-default cycle has that cycle removed from the noise
+    * channel before outlier detection.
     *
     * Fused single pass: the per-signal series is already materialized
     * for the decomposition, so the k-sigma scan and the e-divisive
@@ -174,13 +224,14 @@ object ChangePoints {
     * signal, versus decompose + stats-aggregate + join + a second
     * decomposition for the change-point branch in the operator-composed
     * form. At scale this halves the heavy per-series CPU and removes
-    * two exchanges.
+    * two exchanges (the trend the change-point branch consumes is the
+    * decomposition's own intermediate, computed once).
     */
-  def anomalyUnion(grid: DataFrame, level: Double = 2.5,
+  def anomalyUnion(grid: DataFrame, level: Double = 3.0,
                    bucket: Long = 86400L, stepSec: Double = 3600.0,
                    fMin: Double = 1.0 / 86400.0, w: Int = 5,
                    pvalue: Double = 0.05, permutations: Int = 100,
-                   minSize: Int = 5): DataFrame = {
+                   minSize: Int = 5, autoFmin: Boolean = true): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
@@ -191,7 +242,7 @@ object ChangePoints {
         val pts = it.toArray.sortBy(_._3)
         val x = pts.map(_._4)
         val n = x.length
-        val (_, seas, detr) = decomposed(x, stepSec, fMin, w)
+        val (trend, seas, detr) = decomposed(x, stepSec, fMin, w, autoFmin)
         val noise = Array.tabulate(n)(i => r4d(detr(i) - seas(i)))
         val out = Seq.newBuilder[(String, String, Long, String)]
         val mu = noise.sum / n
@@ -206,7 +257,7 @@ object ChangePoints {
             i += 1
           }
         }
-        EDivisive.changePoints(x, pvalue, permutations, minSize,
+        EDivisive.changePoints(trend, pvalue, permutations, minSize,
             seed = name.hashCode.toLong * 1000003L + node.hashCode)
           .foreach(cp => out += ((name, node, pts(cp.index)._3, "changepoint")))
         out.result()

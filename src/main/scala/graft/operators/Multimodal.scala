@@ -90,32 +90,42 @@ object Multimodal {
   }
 
   /** STUB perceptual hash: a real implementation would decode the image,
-    * downscale to an 8×8 luma grid, and threshold at the mean (aHash).
-    * Here the 64 "luma" samples derive deterministically from the
-    * payload via an LCG — identical payloads hash identically, distinct
-    * ones decorrelate, which is exactly what the pair-join plumbing
-    * needs to be testable.
+    * downscale to an 8×8 luma grid, and threshold each cell at the mean
+    * (aHash). Here the 64 "luma" cells are length-normalized frequencies
+    * of 64 hashed 4-byte-shingle classes of the payload — CONTENT-LOCAL
+    * the way downscaling is: a localized edit perturbs only the touched
+    * shingles' classes, so near-identical payloads land within small
+    * hamming distance (the property the pair join exists to exploit),
+    * while unrelated payloads sit ~half the profile apart. Everything
+    * downstream of the 64-cell grid — mean threshold, 64-bit pack,
+    * pigeonhole block join — is exactly what a codec-backed aHash runs.
     */
   private def fakePhash(payload: Array[Byte]): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val luma = new Array[Int](64)
-    var s = h
-    var sum = 0L
-    i = 0
-    while (i < 64) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      luma(i) = ((s >>> 56) & 0xff).toInt
-      sum += luma(i)
+    val n = payload.length
+    val luma = new Array[Long](64)
+    var i = 3
+    while (i < n) {
+      var h = ((payload(i - 3) & 0xff) * 131 + (payload(i - 2) & 0xff)) * 131 +
+        (payload(i - 1) & 0xff)
+      h = h * 131 + (payload(i) & 0xff)
+      luma((h ^ (h >>> 7)) & 63) += 1
       i += 1
+    }
+    // ×1000 fixed-point density (per-length normalization) so payloads
+    // of different sizes threshold on comparable scales
+    var c = 0
+    var sum = 0L
+    while (c < 64) {
+      luma(c) = luma(c) * 1000L / math.max(1, n)
+      sum += luma(c)
+      c += 1
     }
     val mean = sum / 64
     var bits = 0L
-    i = 0
-    while (i < 64) {
-      if (luma(i) > mean) bits |= (1L << i)
-      i += 1
+    c = 0
+    while (c < 64) {
+      if (luma(c) > mean) bits |= (1L << c)
+      c += 1
     }
     bits
   }

@@ -49,22 +49,31 @@ object AdvisorReport {
   /** The reference's validity gate (metrics_advisor.py:146): drop
     * signals whose whole-series range is ≤ minRange — flat signals
     * carry no information and must not reach anomaly detection.
+    * A window max/min over (name, node) instead of aggregate +
+    * semi-join: the ffill grid is already hash-partitioned by signal,
+    * so the gate is one in-partition pass with no extra exchange and
+    * no second execution of the grid-build pipeline for the join's
+    * build side (same rounding contract as TimeSeries.rangeGate).
     */
-  private def gateSignals(grid: DataFrame, cfg: Config): DataFrame =
-    grid.join(
-      TimeSeries.rangeGate(grid, cfg.minRange).select("name", "node"),
-      Seq("name", "node"), "left_semi")
+  private def gateSignals(grid: DataFrame, cfg: Config): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node")
+    grid.withColumn("_rng", r4(max("gval").over(w) - min("gval").over(w)))
+      .filter(col("_rng") > cfg.minRange)
+      .drop("_rng")
+  }
 
   /** The reference's second gate (metrics_advisor.py:185): candidates
     * are re-checked per correlation window, so a signal that is flat
     * within a bucket (even if it moved elsewhere) never ranks there.
+    * Same window-not-join shape as [[gateSignals]]: (name, node)
+    * partitioning satisfies the (name, node, b) clustering, so this is
+    * a sort within the cached partitions, not a shuffle.
     */
   private def gateBuckets(grid: DataFrame, cfg: Config): DataFrame = {
-    val live = grid.groupBy("name", "node", "b")
-      .agg((max("gval") - min("gval")).as("rng"))
-      .filter(r4(col("rng")) > cfg.minRange)
-      .select("name", "node", "b")
-    grid.join(live, Seq("name", "node", "b"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node", "b")
+    grid.withColumn("_rng", r4(max("gval").over(w) - min("gval").over(w)))
+      .filter(col("_rng") > cfg.minRange)
+      .drop("_rng")
   }
 
   /** The advisor answer: for each bucket where an objective signal is

@@ -96,6 +96,31 @@ class AdvisorReportSpec extends SparkTestBase {
     assert(md.contains("| click/n0 | queue/n0 |"))
   }
 
+  test("outlier-only anomalies assign buckets (cp ∪ outliers semantics, SURVEY §4)") {
+    // the objective spikes once in day 2 — an outlier with NO
+    // distributional change. The reference gates anomalies on
+    // cp ∪ outliers but assigns buckets from change-point timestamps
+    // only (metrics_advisor.py:152-155, with a comment that the two are
+    // not yet distinguished); this engine deliberately buckets BOTH
+    // kinds, so a spike-only objective still gets correlation advice.
+    val hours = 0 until 96
+    def mk(name: String, f: Int => Double) =
+      hours.map(i => (name, "n0", T0 + i * 3600L, f(i)))
+    val sig = (mk("click", i => 10.0 + (i % 5) + (if (i == 30) 500.0 else 0.0)) ++
+      mk("cpu", i => 5.0 + (i % 5)))
+      .toDF("name", "node", "tsec", "value")
+    val grid = AdvisorReport.gatedGrid(sig, cfg)
+    val anomalies = graft.operators.ChangePoints.anomalyUnion(
+      grid.select("name", "node", "tsb", "gval"))
+      .filter(col("name") === "click")
+      .select("kind").as[String].collect().toSet
+    assert(anomalies == Set("outlier"), s"fixture must be outlier-only: $anomalies")
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg).collect()
+    assert(advice.nonEmpty, "outlier-only anomaly must still produce advice")
+    assert(advice.forall(_.getAs[Long]("b") == T0 + 86400L),
+      "advice must land in the spike's bucket")
+  }
+
   test("bucketSeries normalizes by |max| within (signal, bucket)") {
     val grid = AdvisorReport.gatedGrid(signals, cfg)
     val advice = AdvisorReport.adviseOnGrid(grid, cfg)

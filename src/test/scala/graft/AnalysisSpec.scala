@@ -447,6 +447,66 @@ class AnalysisSpec extends SparkTestBase {
     assert(kinds.contains("changepoint"))
   }
 
+  test("e-divisive detects on the median-filtered series: spikes suppressed, shifts kept") {
+    // reference parity (metrics_advisor.py:147-148): detection runs on
+    // moving_median(data, 5). Spike-heavy second half: the raw series
+    // has a distributional difference between halves (heavy tail), the
+    // filtered one does not.
+    // flat base: every 5-sample window holds at most two spikes, so the
+    // centered median is exactly the base everywhere — the filtered
+    // series is constant by construction
+    val spiky = (0 until 60).map { i =>
+      ("spiky", "a", i * 3600L, if (i >= 30 && i % 3 == 0) 210.0 else 10.0)
+    }
+    val raw = ChangePoints.eDivisive(grid(spiky: _*), permutations = 50)
+    val filtered = ChangePoints.eDivisive(grid(spiky: _*), permutations = 50, medianW = 5)
+    assert(filtered.count() == 0,
+      s"median filter must suppress spike-only change: ${filtered.collect().mkString(";")}")
+    assert(raw.count() > 0, "fixture must be spiky enough to fool the unfiltered detector")
+    // a genuine level shift survives the filter
+    val step = (0 until 30).map(i => ("step", "a", i * 3600L, 1.0)) ++
+      (30 until 60).map(i => ("step", "a", i * 3600L, 50.0))
+    val stepCps = ChangePoints.eDivisive(grid(step: _*), permutations = 50, medianW = 5)
+      .select("cp_tsb").as[Long].collect().toSeq
+    assert(stepCps == Seq(30 * 3600L), s"level shift lost: $stepCps")
+  }
+
+  test("anomalyUnion: an isolated spike is an outlier, never a changepoint") {
+    val rows = (0 until 48).map { i =>
+      val base = 12.0 + (i % 5)
+      ("m", "a", i * 3600L, if (i == 30) base + 500.0 else base)
+    }
+    val out = ChangePoints.anomalyUnion(grid(rows: _*), permutations = 50)
+      .select("tsb", "kind").as[(Long, String)].collect().toSeq
+    assert(out.exists(r => r._1 == 30 * 3600L && r._2 == "outlier"),
+      s"spike must be flagged as outlier: $out")
+    assert(!out.exists(_._2 == "changepoint"),
+      s"spike must not register as distributional change: $out")
+  }
+
+  test("autoFmin removes a planted short cycle from the noise channel") {
+    // period-4 cycle, 32 full periods: too fast for the w=5 median to
+    // track (the detrended residual IS the cycle), far above the fixed
+    // default cutoff (1/86400 Hz = 24 h period at 1 h steps) — so with
+    // the fixed config the whole cycle lands in the noise channel. With
+    // autoFmin the measured dominant period moves the cutoff and the
+    // cycle is classified seasonal. n=128 keeps the tone bin-aligned so
+    // the assertion is about the operator, not FFT padding leakage.
+    val rows = (0 until 128).map(i =>
+      ("cyc", "a", i * 3600L, 10.0 + 5.0 * math.sin(2 * math.Pi * i / 4.0)))
+    def noiseAbsMax(auto: Boolean): Double =
+      ChangePoints.seasonalNoise(grid(rows: _*), autoFmin = auto)
+        .agg(max(abs(col("noise")))).head().getDouble(0)
+    val fixed = noiseAbsMax(auto = false)
+    val auto = noiseAbsMax(auto = true)
+    assert(auto < 0.1 * fixed,
+      s"measured cutoff must absorb the cycle: auto=$auto fixed=$fixed")
+    // and the anomaly pass raises no outliers on the clean cycle
+    val anomalies = ChangePoints.anomalyUnion(grid(rows: _*), permutations = 50)
+    assert(anomalies.count() == 0,
+      s"clean cycle must not alarm: ${anomalies.collect().mkString(";")}")
+  }
+
   test("spc rules: a lone spike trips rule1, a sustained shift trips rule4") {
     // oscillating baseline, one extreme spike, then a long run above
     // the center line

@@ -256,6 +256,23 @@ class PipelineSpec extends SparkTestBase {
     assert(out4 == out)
   }
 
+  test("phash is content-local: near-identical payloads pair, unrelated do not") {
+    // the stub derives luma cells from byte-range means, so a localized
+    // edit perturbs only the touched cells — the property a real aHash
+    // has and the pair join exists to exploit
+    val base = (0 until 256).map(i => ('a' + (i * 13 + i / 7) % 26).toChar).mkString
+    // swap two distant characters: two cells change, corpus mean doesn't
+    val arr = base.toCharArray
+    val t = arr(10); arr(10) = arr(200); arr(200) = t
+    val near = new String(arr)
+    val unrelated = (0 until 256).map(i => ('A' + (i * 31 + 5) % 26).toChar).mkString
+    val out = Multimodal.phashPairs(docs((1L, base), (2L, near), (3L, unrelated)))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"near-dup must pair, unrelated must not: $out")
+    assert(out.head._3 <= 3)
+  }
+
   test("bigram entropy ranks corpus-unlike text above typical text") {
     val typical = (1L to 8L).map(i => (i, "the cat sat on the mat and the hat"))
     val weird = Seq((99L, "zqxj qzxw jxqz wqjx zzqq"))
