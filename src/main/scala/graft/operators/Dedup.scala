@@ -3,7 +3,7 @@ package graft.operators
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.VectorExpressions.{vecDot, vecNorm}
+import org.apache.spark.sql.graft.VectorExpressions.{sortedIntersect, vecDot, vecNorm}
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -24,13 +24,15 @@ object Dedup {
     * index it. Inlining `split` into the transform lambda makes every
     * `element_at` re-run the regex split (no CSE across lambda
     * boundaries) — measured ~10× slower on the shingle stage.
+    * Sorted ONCE per document so every downstream pair verification is
+    * an allocation-free merge scan (see sorted_intersect_count).
     */
   private def withShingles(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+        sort_array(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
           i => concat(element_at(col("w"), i), lit(" "),
-            element_at(col("w"), i + 1)))).as("sh"))
+            element_at(col("w"), i + 1))))).as("sh"))
 
   /** A text corpus often arrives as few large files; per-doc expression
     * work (shingling, hashing) is CPU-bound, so spread it across all
@@ -89,7 +91,7 @@ object Dedup {
     cands
       .join(s.select(col("doc_id").as("doc1"), col("tok").as("t1")), "doc1")
       .join(s.select(col("doc_id").as("doc2"), col("tok").as("t2")), "doc2")
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("inter", sortedIntersect(col("t1"), col("t2")))
       .withColumn("n1", size(col("t1")).cast("long"))
       .withColumn("n2", size(col("t2")).cast("long"))
       .withColumn("jac", r4(col("inter").cast("double") /
@@ -166,7 +168,7 @@ object Dedup {
     candidates
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", sortedIntersect(col("sh1"), col("sh2")))
       .withColumn("jac", r4(col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter"))))
       .filter(col("jac") >= threshold)
@@ -243,10 +245,11 @@ object Dedup {
     * yield |corpus|² candidate rows in a naive self-join.
     */
   def ngramCharPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // same gram construction as the oracle: distinct char trigrams
+    // same gram construction as the oracle: distinct char trigrams,
+    // sorted once per doc for the merge-scan verify
     val grams = spread(docs).select(col("doc_id"),
-      array_distinct(expr(
-        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("tok"))
+      sort_array(array_distinct(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))).as("tok"))
     prefixJaccard(grams, threshold).select("doc1", "doc2", "jac")
   }
 

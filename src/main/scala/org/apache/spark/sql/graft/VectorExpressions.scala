@@ -148,6 +148,60 @@ object VectorExpressions {
     column(BloomFilterMightContain(expression(sketch), expression(value)))
   }
 
+  /** Static kernel for [[SortedIntersectCount]]: two-pointer merge count
+    * over ascending-sorted (UTF8 binary order) distinct string arrays.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n1 && j < n2) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** |A ∩ B| of two ascending-sorted distinct ARRAY<STRING> columns.
+    *
+    * The dedup verify stage computes exact Jaccard for every candidate
+    * pair; `size(array_intersect(...))` builds and probes a hash set of
+    * UTF8Strings per PAIR — measured ~27 µs/pair on trigram sets, and at
+    * corpus scale the verify join IS the query. Sorting each document's
+    * token set ONCE (amortized over all its candidate pairs) turns the
+    * per-pair cost into an allocation-free two-pointer scan of binary
+    * string compares. Exact — no hashing, so no collision caveat against
+    * the string-Jaccard oracle. Callers must pass `sort_array`-ed
+    * distinct arrays; unsorted input silently undercounts.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"org.apache.spark.sql.graft.VectorExpressions.sortedIntersectCount($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: merge-count intersection of two sorted ARRAY<STRING>. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
   /** Column API: dot product of two ARRAY<DOUBLE> columns. */
   def vecDot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))

@@ -257,9 +257,9 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("phash is content-local: near-identical payloads pair, unrelated do not") {
-    // the stub derives luma cells from byte-range means, so a localized
-    // edit perturbs only the touched cells — the property a real aHash
-    // has and the pair join exists to exploit
+    // the stub derives luma cells from hashed shingle-class frequencies,
+    // so a localized edit perturbs only the touched cells — the property
+    // a real aHash has and the pair join exists to exploit
     val base = (0 until 256).map(i => ('a' + (i * 13 + i / 7) % 26).toChar).mkString
     // swap two distant characters: two cells change, corpus mean doesn't
     val arr = base.toCharArray
