@@ -1776,6 +1776,89 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin)),
 
+    Q("dedup_passage", (s, dir) => {
+      // passage-level (8-word chunk) cross-corpus duplication audit —
+      // the paragraph/line dedup of a pretraining pipeline on a corpus
+      // with no newline structure
+      Curation.passageDupStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_passages"), col("n_dup"), col("dup_frac"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1),
+        |  i -> md5(array_to_string(w[((i - 1) * 8 + 1):(i * 8)], ' ')))) AS ph FROM d),
+        |f AS (SELECT ph, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY ph)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        | CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | floor((CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS dup_frac
+        |FROM ch JOIN f USING (ph) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("decontaminate", (s, dir) => {
+      // benchmark-leak check: overlapping 4-word shingle collisions
+      // between the train split and the doc_id%97 eval set (4-word
+      // shingles suit this synthetic corpus's short template docs; real
+      // corpora use 8-13)
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), w = 4)
+        .select(col("doc_id"), col("eval_doc_id"), col("n_shared"))
+        .orderBy("doc_id", "eval_doc_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |  i -> md5(array_to_string(w[i:(i + 3)], ' '))))) AS ph FROM d WHERE len(w) >= 4)
+        |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN sh e ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("text_containment", (s, dir) => {
+      // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
+      // smaller bigram-shingle set — catches the quoted/template-wrapper
+      // duplication Jaccard is blind to
+      Curation.containmentPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("inner_id", "outer_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT
+        |  CASE WHEN na.n <= nb.n THEN da ELSE db END AS inner_id,
+        |  CASE WHEN na.n <= nb.n THEN db ELSE da END AS outer_id,
+        |  inter,
+        |  CASE WHEN na.n <= nb.n THEN na.n ELSE nb.n END AS n_inner
+        | FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id)
+        |SELECT inner_id, outer_id, CAST(inter AS BIGINT) AS inter,
+        | CAST(n_inner AS BIGINT) AS n_inner,
+        | floor((CAST(inter AS DOUBLE) / n_inner + 1e-9) * 1e4 + 0.5) / 1e4 AS containment
+        |FROM j
+        |WHERE floor((CAST(inter AS DOUBLE) / n_inner + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.8
+        |ORDER BY inner_id, outer_id""".stripMargin)),
+
+    Q("sample_temperature", (s, dir) => {
+      // α=0.5 temperature mix over languages at half the corpus mass —
+      // the multilingual head-flattening rule, md5-deterministic
+      Curation.temperatureSample(Tables.documents(s, dir), "lang",
+          col("doc_id").cast("string"), beta = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(CAST(cnt AS BIGINT)) AS DOUBLE) AS tot FROM c),
+        |wq AS (SELECT lang, cnt, tot,
+        |  CAST(floor(sqrt(cnt / tot) * 1e9) AS BIGINT) AS wq FROM c, t),
+        |ws AS (SELECT sum(wq) AS wsum FROM wq),
+        |r AS (SELECT lang,
+        |  least(1.0, (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)) * 0.5 * tot / cnt) AS rate
+        | FROM wq, ws),
+        |thr AS (SELECT lang, CAST(floor(rate * 4294967296.0) AS BIGINT) AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < thr
+        |ORDER BY d.doc_id""".stripMargin)),
+
     Q("text_pii_scrub", (s, dir) => {
       // the synthetic corpus carries no PII, so deterministic PII-shaped
       // spans (derived from doc_id) are grafted on first — the oracle

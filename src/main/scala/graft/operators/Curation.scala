@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Num._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.sortedIntersect
+
+/** Corpus-curation operators a pretraining-data pipeline runs between
+  * raw ingestion and sampling: passage-level duplication audit,
+  * benchmark decontamination, and containment (doc-inside-doc) dedup.
+  *
+  * Scale design notes (100 TB):
+  *   - Raw text never shuffles. Passages/shingles are reduced to md5
+  *     digests in-task (the projection right after the chunk/shingle
+  *     build), so every exchange carries 32-byte digests.
+  *   - Passage stats are two keyed shuffles (by digest, then by doc).
+  *   - Decontamination joins the corpus digest stream against the EVAL
+  *     set's digests — the eval side is benchmark-sized (thousands of
+  *     docs), so the join is a broadcast and contamination detection
+  *     rides the corpus scan.
+  *   - Containment reuses the AllPairs prefix-filter machinery
+  *     (rarest-token index) with the asymmetric containment bound and
+  *     the sorted merge-scan verify kernel.
+  */
+object Curation {
+
+  private def words(c: org.apache.spark.sql.Column) = split(lower(c), "\\s+")
+
+  /** Cross-document passage duplication stats (the passage/paragraph
+    * analogue of CCNet's line dedup — this corpus has no newlines, so
+    * the unit is the non-overlapping `w`-word chunk). A passage is
+    * "duplicated" iff it occurs in ≥ 2 DISTINCT documents; every
+    * occurrence position counts toward its document's duplicated-passage
+    * tally. Output per doc: passage count, duplicated-passage count,
+    * duplicated fraction.
+    */
+  def passageDupStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, int(ceil(size(w) / ${w}.0))), " +
+          s"i -> array_join(slice(w, (i - 1) * $w + 1, $w), ' '))")).as("p"))
+      .select(col("doc_id"), md5(col("p")).as("ph"))
+    val docFreq = chunks.select("doc_id", "ph").distinct()
+      .groupBy("ph").agg(count(lit(1)).as("ndocs"))
+    chunks.join(docFreq, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum((col("ndocs") >= 2).cast("long")).as("n_dup"))
+      .withColumn("dup_frac", r4(col("n_dup").cast("double") / col("n_passages")))
+  }
+
+  /** Benchmark decontamination: overlapping `w`-word shingle collisions
+    * between the training corpus and an evaluation set. One row per
+    * (train doc, eval doc) pair sharing ≥ 1 shingle, with the count of
+    * DISTINCT shared shingles — the standard n-gram-overlap leak check
+    * run before any training job. Documents shorter than `w` words
+    * cannot form a shingle and are clean by definition.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, w: Int = 8): DataFrame = {
+    def shingles(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), words(col("text")).as("w"))
+      .filter(size(col("w")) >= w)
+      .select(col(idAs),
+        explode(array_distinct(expr(s"transform(sequence(1, size(w) - ${w - 1}), " +
+          s"i -> array_join(slice(w, i, $w), ' '))"))).as("p"))
+      .select(col(idAs), md5(col("p")).as("ph"))
+    shingles(train, "doc_id")
+      .join(broadcast(shingles(eval, "eval_doc_id")), "ph")
+      .groupBy("doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Containment (doc-inside-doc) near-dup pairs: |A ∩ B| / |A| ≥ t
+    * over word-bigram shingle sets, A the smaller side. Catches the
+    * quoted-passage / template-wrapper duplication Jaccard is blind to
+    * (a doc fully embedded in a 10× larger one has J ≈ 0.1 but
+    * containment 1.0).
+    *
+    * Prefix filter, asymmetric: C(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so at
+    * least one of A's rarest |A| − ⌈t·|A|⌉ + 1 tokens must be in B —
+    * only that prefix of the SMALLER side is indexed; the candidate
+    * join probes it with EVERY token of the larger side (containment
+    * admits no length filter — B may be arbitrarily large). Candidates
+    * are verified exactly with the sorted merge-scan kernel.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("wd"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(sequence(lit(1), size(col("wd")) - 1),
+          i => concat(element_at(col("wd"), i), lit(" "),
+            element_at(col("wd"), i + 1))))).as("tok"))
+      .persist()
+    val toks = sets.select(col("doc_id"), size(col("tok")).cast("long").as("n"),
+      explode(col("tok")).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefixSmall = toks.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id").as("inner_id"), col("s"), col("n").as("ni"))
+    val allToks = toks.select(col("doc_id").as("outer_id"), col("s"),
+      col("n").as("no"))
+    val cands = prefixSmall
+      .join(allToks,
+        prefixSmall("s") === allToks("s") &&
+          (col("ni") < col("no") ||
+            (col("ni") === col("no") && col("inner_id") < col("outer_id"))))
+      .select("inner_id", "outer_id")
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("inner_id"), col("tok").as("ti")), "inner_id")
+      .join(sets.select(col("doc_id").as("outer_id"), col("tok").as("to")), "outer_id")
+      .withColumn("inter", sortedIntersect(col("ti"), col("to")))
+      .withColumn("containment", r4(col("inter").cast("double") / size(col("ti"))))
+      .filter(col("containment") >= threshold)
+      .select(col("inner_id"), col("outer_id"), col("inter"),
+        size(col("ti")).cast("long").as("n_inner"), col("containment"))
+  }
+
+  /** Temperature-reweighted corpus sampling (the multilingual mixing
+    * rule: stratum probability ∝ p^α with α < 1 flattens the head so
+    * low-resource strata keep more of their mass). With α = 0.5 the
+    * weight is √p — `sqrt` is IEEE-correctly-rounded on every engine,
+    * unlike `pow`, so the rates are bit-deterministic. `beta` scales
+    * the total kept mass; a stratum whose target exceeds its size keeps
+    * everything (no upsampling). One tiny count aggregate, a broadcast
+    * of |strata| thresholds, then the md5 Bernoulli filter riding the
+    * scan — the [[Sampling]] machinery's determinism contract.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String,
+                        keyCol: org.apache.spark.sql.Column,
+                        beta: Double = 0.5): DataFrame = {
+    // weights quantized to exact integers (×1e9 floor of √p) BEFORE the
+    // cross-strata sum: a double sum's order is engine/partitioning
+    // dependent, an integer sum is not — the standard determinism
+    // device here (SURVEY §2 note), mirrored verbatim in the oracle
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt").cast("long")).cast("double").as("tot"))
+    val wq = counts.crossJoin(broadcast(total))
+      .withColumn("wq", floor(sqrt(col("cnt") / col("tot")) * lit(1e9)).cast("long"))
+    val wsum = wq.agg(sum("wq").as("wsum"))
+    val rates = wq.crossJoin(broadcast(wsum))
+      .select(col(strataCol),
+        least(lit(1.0),
+          (col("wq").cast("double") / col("wsum").cast("double")) *
+            lit(beta) * col("tot") / col("cnt")).as("rate"))
+      .select(col(strataCol),
+        floor(col("rate") * lit(4294967296.0)).cast("bigint").as("thr"))
+    df.join(broadcast(rates), strataCol)
+      .filter(Sampling.hash32(keyCol) < col("thr"))
+      .drop("thr")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("passage dup stats count cross-doc duplicated chunks, not within-doc repeats") {
+    // docs 1 and 2 share their first 8-word passage; doc 3 repeats its
+    // own passage twice (n_chars 16 words) but shares with nobody
+    val shared = "a b c d e f g h"
+    val d = docs(
+      (1L, s"$shared i j k l m n o p"),
+      (2L, s"$shared q r s t u v w x"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8"))
+    val out = Curation.passageDupStats(d).orderBy("doc_id")
+      .select("doc_id", "n_passages", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 1L, 0.5)))
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    // within-doc repetition: the passage occurs in ONE distinct doc →
+    // not duplicated by the cross-corpus definition
+    assert(out(2) == ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("decontaminate flags train docs sharing an n-gram run with eval, ignores clean ones") {
+    val leak = "alpha beta gamma delta"
+    val train = docs(
+      (10L, s"start words then $leak and more text here"),
+      (11L, "totally clean document with no overlap at all"))
+    val eval = docs((97L, s"eval set doc containing $leak inside"))
+    val out = Curation.decontaminate(train, eval, w = 4)
+      .select("doc_id", "eval_doc_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 97L, 1L)), s"got $out")
+  }
+
+  test("containment catches a doc embedded in a larger one that Jaccard misses") {
+    val inner = "p q r s t u v w"
+    val filler = (0 until 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, inner),
+      (2L, s"$filler $inner"),
+      (3L, "unrelated words entirely different from everything else"))
+    val out = Curation.containmentPairs(d, 0.8)
+      .select("inner_id", "outer_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $out")
+    assert(out.head._3 >= 0.85, s"doc 1's bigrams are nearly all in doc 2: ${out.head}")
+    // Jaccard on the same pair is far below any dedup threshold
+    val jac = graft.operators.Dedup.jaccardPairs(d, 0.0)
+      .filter(col("doc1") === 1 && col("doc2") === 2)
+      .select("jac").as[Double].collect()
+    assert(jac.isEmpty || jac.head < 0.2)
+  }
+
+  test("temperature sampling flattens the head: rare strata keep a larger fraction") {
+    val d = (0 until 800).map(i => (i.toLong, if (i < 640) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.temperatureSample(d, "lang", col("doc_id").cast("string"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val keepEn = kept.getOrElse("en", 0L).toDouble / 640
+    val keepXx = kept.getOrElse("xx", 0L).toDouble / 160
+    assert(keepXx > keepEn, s"rare stratum must keep a larger share: en=$keepEn xx=$keepXx")
+    // determinism: partition layout must not change the sample
+    val kept2 = Curation.temperatureSample(d.repartition(7), "lang",
+        col("doc_id").cast("string"))
+      .select("doc_id").as[Long].collect().toSet
+    val kept1 = Curation.temperatureSample(d, "lang", col("doc_id").cast("string"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == kept2)
+  }
+}
