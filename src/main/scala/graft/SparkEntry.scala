@@ -1676,6 +1676,16 @@ object SparkEntry {
       Multimodal.phashPairs(Tables.documents(s, dir))
     }, None),
 
+    Q("mm_dedup_cluster", (s, dir) => {
+      // the multimodal leg of the shared-edge-list composition: phash
+      // near-dup pairs feed connected components directly, so the
+      // pigeonhole block join runs exactly once for detection + clustering
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(docs, precomputedPairs =
+          Some(Multimodal.phashPairs(docs).select("doc1", "doc2")))
+        .orderBy("doc_id")
+    }, None),
+
     Q("stream_window_agg", (s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("value"))
@@ -1812,6 +1822,24 @@ object SparkEntry {
         |FROM sh t JOIN sh e ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("decontaminate_bloom", (s, dir) => {
+      // the scale path of `decontaminate`: eval digests as a mergeable
+      // bloom sketch probed on the corpus scan, exact md5 join on the
+      // survivors — identical output, hence the shared oracle
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), w = 4)
+        .select(col("doc_id"), col("eval_doc_id"), col("n_shared"))
+        .orderBy("doc_id", "eval_doc_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |  i -> md5(array_to_string(w[i:(i + 3)], ' '))))) AS ph FROM d WHERE len(w) >= 4)
+        |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN sh e ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
       // smaller bigram-shingle set — catches the quoted/template-wrapper
@@ -1837,6 +1865,47 @@ object SparkEntry {
         |FROM j
         |WHERE floor((CAST(inter AS DOUBLE) / n_inner + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.8
         |ORDER BY inner_id, outer_id""".stripMargin)),
+
+    Q("dedup_canonical_quality", (s, dir) => {
+      // quality-aware survivor selection per near-dup cluster — the
+      // curation decision dedup exists to feed (keep the best copy,
+      // not the lowest-id copy)
+      Curation.canonicalByQuality(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.5)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH RECURSIVE
+        |docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs5),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM docs5
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id),
+        |cl AS (SELECT doc_id, min(lab) AS cluster_id FROM comp GROUP BY doc_id),
+        |t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM docs5),
+        |q AS (SELECT doc_id,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
+        | FROM t),
+        |r AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, cl.doc_id ASC) AS rn
+        | FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        |SELECT doc_id, cluster_id, quality, CAST(rn = 1 AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)),
 
     Q("sample_temperature", (s, dir) => {
       // α=0.5 temperature mix over languages at half the corpus mass —

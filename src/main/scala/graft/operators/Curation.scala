@@ -57,16 +57,44 @@ object Curation {
     * run before any training job. Documents shorter than `w` words
     * cannot form a shingle and are clean by definition.
     */
-  def decontaminate(train: DataFrame, eval: DataFrame, w: Int = 8): DataFrame = {
-    def shingles(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs), words(col("text")).as("w"))
-      .filter(size(col("w")) >= w)
-      .select(col(idAs),
-        explode(array_distinct(expr(s"transform(sequence(1, size(w) - ${w - 1}), " +
-          s"i -> array_join(slice(w, i, $w), ' '))"))).as("p"))
-      .select(col(idAs), md5(col("p")).as("ph"))
-    shingles(train, "doc_id")
-      .join(broadcast(shingles(eval, "eval_doc_id")), "ph")
+  /** Distinct `w`-word shingle digests per doc: 128-bit md5 (exact join
+    * identity) + 64-bit xxhash (bloom key). Raw shingle strings die
+    * inside the task.
+    */
+  private def shingleDigests(df: DataFrame, idAs: String, w: Int): DataFrame = df
+    .select(col("doc_id").as(idAs), words(col("text")).as("w"))
+    .filter(size(col("w")) >= w)
+    .select(col(idAs),
+      explode(array_distinct(expr(s"transform(sequence(1, size(w) - ${w - 1}), " +
+        s"i -> array_join(slice(w, i, $w), ' '))"))).as("p"))
+    .select(col(idAs), md5(col("p")).as("ph"), xxhash64(col("p")).as("h64"))
+
+  def decontaminate(train: DataFrame, eval: DataFrame, w: Int = 8): DataFrame =
+    shingleDigests(train, "doc_id", w)
+      .join(broadcast(shingleDigests(eval, "eval_doc_id", w).select("eval_doc_id", "ph")), "ph")
+      .groupBy("doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** [[decontaminate]] at eval-set sizes past the broadcast limit: the
+    * eval shingle digests fold into Spark's mergeable bloom sketch (one
+    * fixed-size binary reaches the driver regardless of eval size), the
+    * corpus digest stream is pruned by the codegen'd probe ON THE SCAN,
+    * and only probable hits enter the exact md5 join — false positives
+    * die there, so the result is exactly [[decontaminate]]'s (hence the
+    * shared SQL oracle). The same runtime-filter pattern as
+    * sketch_bloom_semi, applied to contamination checking.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, w: Int = 8,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val ev = shingleDigests(eval, "eval_doc_id", w)
+    val sketch = ev
+      .agg(VectorExpressions.bloomAgg(col("h64"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    shingleDigests(train, "doc_id", w)
+      .filter(VectorExpressions.bloomMightContain(lit(sketch), col("h64")))
+      .join(ev.select("eval_doc_id", "ph"), "ph")
       .groupBy("doc_id", "eval_doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -119,6 +147,29 @@ object Curation {
       .filter(col("containment") >= threshold)
       .select(col("inner_id"), col("outer_id"), col("inter"),
         size(col("ti")).cast("long").as("n_inner"), col("containment"))
+  }
+
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * keep the HIGHEST-QUALITY document (tie → lowest doc_id), not the
+    * lowest-id one — the decision a curation pipeline actually wants
+    * from dedup ("of these N copies, which survives?"). Composes the
+    * connected-components clustering with the quality score; the
+    * per-cluster argmax is one window over the cluster labels, and the
+    * cluster table is |corpus| rows of (id, label) — the text never
+    * re-shuffles.
+    */
+  def canonicalByQuality(docs: DataFrame, threshold: Double = 0.5,
+                         precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = Dedup.clusters(docs, threshold, precomputedPairs = precomputedPairs)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val byQuality = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    cl.join(q, "doc_id")
+      .withColumn("rn", row_number().over(byQuality))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rn") === 1).cast("int").as("keep"))
   }
 
   /** Temperature-reweighted corpus sampling (the multilingual mixing

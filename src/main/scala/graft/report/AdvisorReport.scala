@@ -162,9 +162,44 @@ object AdvisorReport {
     */
   def release(grid: DataFrame): Unit = { grid.unpersist(); () }
 
+  /** Inline SVG line chart of normalized series — the rendered artifact
+    * counterpart of the reference's matplotlib PNGs
+    * (metrics_advisor.py:198-226), with no plotting dependency: one
+    * polyline per signal over the bucket's sample grid, y ∈ [-1, 1]
+    * (the |max|-normalized range), deterministic color cycle and
+    * ordering. Markdown renderers pass inline SVG through, so the .md
+    * report is self-contained.
+    */
+  private[graft] def svgChart(series: Seq[(String, Seq[Double])],
+                               w: Int = 480, h: Int = 120): String = {
+    val colors = Seq("#1f77b4", "#d62728", "#2ca02c", "#9467bd", "#ff7f0e",
+      "#8c564b", "#17becf", "#7f7f7f")
+    val padL = 4; val padR = 120; val padY = 6
+    val plotW = w - padL - padR
+    val plotH = h - 2 * padY
+    def yPix(v: Double): Double = padY + (1.0 - (v + 1.0) / 2.0) * plotH
+    val n = series.map(_._2.size).maxOption.getOrElse(0)
+    val sb = new StringBuilder
+    sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">""")
+    // zero line
+    sb.append(s"""<line x1="$padL" y1="${yPix(0)}" x2="${padL + plotW}" y2="${yPix(0)}" stroke="#ddd" stroke-width="1"/>""")
+    series.sortBy(_._1).zipWithIndex.foreach { case ((name, vals), idx) =>
+      val color = colors(idx % colors.size)
+      val pts = vals.zipWithIndex.map { case (v, i) =>
+        val x = if (n <= 1) padL else padL + i.toDouble * plotW / (n - 1)
+        f"$x%.1f,${yPix(v)}%.1f"
+      }.mkString(" ")
+      sb.append(s"""<polyline fill="none" stroke="$color" stroke-width="1.5" points="$pts"/>""")
+      sb.append(s"""<text x="${padL + plotW + 6}" y="${14 + idx * 14}" font-size="11" fill="$color">${name.take(18)}</text>""")
+    }
+    sb.append("</svg>")
+    sb.toString
+  }
+
   /** Markdown report (the report.tpl analogue): ranked-candidate table
     * plus, per anomalous bucket, the normalized series of the signals
-    * involved (what the reference's PNGs draw). Collects only the
+    * involved, both as data lines and as a rendered inline-SVG chart
+    * (what the reference's PNGs draw). Collects only the
     * ranked table and the gated per-bucket series — both top-k-bounded.
     */
   def renderMarkdown(advice: DataFrame, grid: Option[DataFrame] = None,
@@ -195,13 +230,23 @@ object AdvisorReport {
       val series = bucketSeriesFor(g, wanted)
         .orderBy("b", "name", "node", "i")
         .limit(limit * 40).collect()
-      series.groupBy(r => (r.getAs[Long]("b"), r.getAs[String]("name"), r.getAs[String]("node")))
+      val bySignal = series
+        .groupBy(r => (r.getAs[Long]("b"), r.getAs[String]("name"), r.getAs[String]("node")))
         .toSeq.sortBy(_._1)
-        .foreach { case ((b, name, node), pts) =>
-          val vals = pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).mkString(", ")
-          sb.append(s"\n- bucket $b `$name/$node`: $vals")
-        }
+      bySignal.foreach { case ((b, name, node), pts) =>
+        val vals = pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).mkString(", ")
+        sb.append(s"\n- bucket $b `$name/$node`: $vals")
+      }
       sb.append("\n")
+      // one rendered chart per bucket — the reference's per-bucket PNG
+      bySignal.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (b, sigs) =>
+        val lines = sigs.map { case ((_, name, node), pts) =>
+          (s"$name/$node", pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).toSeq)
+        }
+        sb.append(s"\n### bucket $b\n\n")
+        sb.append(svgChart(lines))
+        sb.append("\n")
+      }
     }
     grid.foreach { g =>
       val causal = causalSignals(g).limit(50).collect()

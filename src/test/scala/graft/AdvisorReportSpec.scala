@@ -58,6 +58,19 @@ class AdvisorReportSpec extends SparkTestBase {
     assert(md.contains("`cpu/n0`"), "candidate series missing from report")
     // normalized values are in [-1, 1]: spot the objective's plateau
     assert(!md.contains("flatline"), "gated signal leaked into the report")
+    // the rendered chart (the reference's PNG analogue) is inline SVG
+    assert(md.contains("<svg "), "per-bucket chart missing")
+    assert(md.contains("<polyline "), "chart has no series lines")
+    assert(md.contains(">click/n0</text>"), "chart legend missing the objective")
+  }
+
+  test("svgChart is deterministic and bounds the plot to the viewBox") {
+    val s = Seq("b" -> Seq(1.0, -1.0, 0.5), "a" -> Seq(0.0, 0.25, -0.25))
+    val svg = AdvisorReport.svgChart(s)
+    assert(svg == AdvisorReport.svgChart(s.reverse), "legend order must not depend on input order")
+    // all plotted y coordinates stay inside the 120px height
+    val ys = """,(\d+\.?\d*)""".r.findAllMatchIn(svg).map(_.group(1).toDouble)
+    assert(ys.forall(y => y >= 0 && y <= 120), svg)
   }
 
   test("drift section flags the stepping signals and skips gated ones") {

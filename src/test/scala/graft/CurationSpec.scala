@@ -57,6 +57,38 @@ class CurationSpec extends SparkTestBase {
     assert(jac.isEmpty || jac.head < 0.2)
   }
 
+  test("bloom decontamination is exactly the broadcast decontamination") {
+    val leak = "alpha beta gamma delta"
+    val train = docs(
+      (10L, s"start words then $leak and more text here"),
+      (11L, "totally clean document with no overlap at all"),
+      (12L, s"another leaky one $leak again $leak repeated"))
+    val eval = docs((97L, s"eval set doc containing $leak inside"))
+    val exact = Curation.decontaminate(train, eval, w = 4)
+      .select("doc_id", "eval_doc_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Curation.decontaminateBloom(train, eval, w = 4)
+      .select("doc_id", "eval_doc_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact, s"bloom path must be exact: $bloom vs $exact")
+    assert(exact.nonEmpty)
+  }
+
+  test("canonical-by-quality keeps the cleanest cluster member, not the lowest id") {
+    // docs 1 and 2 near-dup; doc 1 (lower id) is polluted with digits
+    // and punctuation, doc 2 is clean — quality must override the id
+    val d = docs(
+      (1L, "a b c d e f g h 1,2,3!!! 4,5,6??? 99 88 77"),
+      (2L, "a b c d e f g h i j k"),
+      (9L, "totally separate island document here"))
+    val out = Curation.canonicalByQuality(d, 0.3).orderBy("doc_id")
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 1L, 9L), s"clustering wrong: $out")
+    assert(out.map(_._3) == Seq(0, 1, 1),
+      s"clean doc 2 must survive over polluted doc 1: $out")
+  }
+
   test("temperature sampling flattens the head: rare strata keep a larger fraction") {
     val d = (0 until 800).map(i => (i.toLong, if (i < 640) "en" else "xx"))
       .toDF("doc_id", "lang")
