@@ -1481,6 +1481,21 @@ object SparkEntry {
         .orderBy("qid")
     }, None),
 
+    Q("ann_recall_ivf_pq", (s, dir) => {
+      // the same honesty harness for the OTHER two approximate rungs:
+      // recall@5 of the IVF and PQ indexes vs the identical brute
+      // truth, one labeled row set per method — measured retrieval
+      // quality, not just plumbing, for the full ANN ladder
+      val e = Tables.embeddings(s, dir)
+      val truth = Similarity.knnBruteCosine(e, nQueries = 10, k = 5)
+      Similarity.recallAtK(Similarity.ivfAnn(e, nQueries = 10, k = 5), truth, k = 5)
+        .withColumn("method", lit("ivf"))
+        .unionByName(
+          Similarity.recallAtK(Similarity.pqAnn(e, nQueries = 10, k = 5), truth, k = 5)
+            .withColumn("method", lit("pq")))
+        .orderBy("method", "qid")
+    }, None),
+
     Q("ann_pq", (s, dir) => {
       Similarity.pqAnn(Tables.embeddings(s, dir))
         .select(col("qid"), col("rank"), col("nid"), col("adist"))
@@ -1843,11 +1858,15 @@ object SparkEntry {
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
       // smaller bigram-shingle set — catches the quoted/template-wrapper
-      // duplication Jaccard is blind to
-      Curation.containmentPairs(Tables.documents(s, dir), 0.8)
+      // duplication Jaccard is blind to. Keyed sample like the other
+      // exact-quadratic-verify paths (this template corpus is
+      // pathologically dense; the prefix filter's candidate bound is
+      // Σ df², which the sample keeps proportionate to its siblings)
+      Curation.containmentPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.8)
         .orderBy("inner_id", "outer_id")
     }, Some(
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents WHERE doc_id % 3 = 0),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
         |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

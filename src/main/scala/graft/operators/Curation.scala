@@ -117,6 +117,9 @@ object Curation {
     val sets = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), words(col("text")).as("wd"))
+      // single-word docs have no bigrams; without the guard
+      // sequence(1, 0) DESCENDS and element_at(wd, 0) throws
+      .filter(size(col("wd")) >= 2)
       .select(col("doc_id"),
         sort_array(array_distinct(transform(sequence(lit(1), size(col("wd")) - 1),
           i => concat(element_at(col("wd"), i), lit(" "),

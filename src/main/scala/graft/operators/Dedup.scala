@@ -29,6 +29,9 @@ object Dedup {
     */
   private def withShingles(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), words(col("text")).as("w"))
+      // single-word docs have no bigrams; without the guard
+      // sequence(1, 0) DESCENDS and element_at(w, 0) throws
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         sort_array(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
           i => concat(element_at(col("w"), i), lit(" "),

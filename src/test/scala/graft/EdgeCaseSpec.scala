@@ -171,4 +171,29 @@ class EdgeCaseSpec extends SparkTestBase {
       .select("recall").as[Double].collect().toSeq
     assert(out == Seq(0.0, 0.0))
   }
+
+  test("curation ops survive degenerate documents") {
+    // passage stats: a doc shorter than the chunk width is one partial
+    // chunk; a single-word doc still yields one passage row
+    val p = Curation.passageDupStats(docs((1L, "one"), (2L, "a b c")))
+      .orderBy("doc_id").select("doc_id", "n_passages", "n_dup")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(p == Seq((1L, 1L, 0L), (2L, 1L, 0L)))
+    // decontaminate: docs below the shingle width are clean by definition
+    assert(Curation.decontaminate(
+      docs((1L, "too short")), docs((97L, "also very short here")), w = 8).count() == 0)
+    // containment: a single-word doc has no bigrams and never pairs
+    assert(Curation.containmentPairs(
+      docs((1L, "word"), (2L, "word other things here now")), 0.5).count() == 0)
+    // temperature sampling over one stratum keeps ~beta of it
+    val one = (0 until 100).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val kept = Curation.temperatureSample(one, "lang", col("doc_id").cast("string"),
+      beta = 0.5).count()
+    assert(kept > 30 && kept < 70, s"single-stratum keep should be ~beta: $kept")
+    // empty corpus: every op returns empty, never throws
+    val empty = docs()
+    assert(Curation.passageDupStats(empty).count() == 0)
+    assert(Curation.containmentPairs(empty).count() == 0)
+    assert(Curation.canonicalByQuality(empty).count() == 0)
+  }
 }
