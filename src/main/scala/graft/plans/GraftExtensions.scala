@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.VectorExpressions.{DotProduct, RollingHash}
+import org.apache.spark.sql.graft.VectorExpressions.{DotProduct, RollingHash, SortedIntersectCount}
 
 /** Session-extension installer for the engine's native expressions —
   * the `SparkSessionExtensions` integration point, so pure-SQL users
@@ -20,6 +20,10 @@ import org.apache.spark.sql.graft.VectorExpressions.{DotProduct, RollingHash}
   *    ARRAY<DOUBLE> (see VectorExpressions.DotProduct); the inner loop
   *    of every ANN / cosine query in this engine.
   *  - `vec_norm(a)`    — L2 norm, rewritten to `sqrt(vec_dot(a, a))`.
+  *  - `text_hash(s)`   — rolling code-point hash (fingerprint scan).
+  *  - `sorted_intersect_count(a, b)` — merge-count |A ∩ B| of two
+  *    ascending-sorted distinct ARRAY<STRING> (the dedup verify
+  *    kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.vecNormDescriptor)
     ext.injectFunction(GraftExtensions.textHashDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
   }
 }
 
@@ -59,5 +64,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "text_hash expects exactly 1 argument")
       RollingHash(children.head)
+    })
+
+  val sortedIntersectDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    info("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A ∩ B| of two ascending-sorted distinct ARRAY<STRING>."),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "sorted_intersect_count expects exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1))
     })
 }

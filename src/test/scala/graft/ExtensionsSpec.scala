@@ -30,6 +30,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT text_hash(CAST(NULL AS STRING))").head().isNullAt(0))
   }
 
+  test("registered sorted_intersect_count agrees with array_intersect on sorted input") {
+    val reg = spark.sessionState.functionRegistry
+    val (id, inf, builder) = GraftExtensions.sortedIntersectDescriptor
+    reg.registerFunction(id, inf, builder)
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(sort_array(array('b', 'a', 'c')),
+        |         sort_array(array('c', 'x', 'a'))) AS native,
+        |  size(array_intersect(array('b', 'a', 'c'), array('c', 'x', 'a'))) AS builtin""".stripMargin)
+      .head()
+    assert(row.getLong(0) == 2L && row.getInt(1) == 2)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(CAST(array() AS ARRAY<STRING>), array('a'))")
+      .head().getLong(0) == 0L)
+  }
+
   test("the extension installer wires all functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated above
