@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Streaming leg of the curation layer: gate an unbounded DOCUMENT feed
+  * (ingestion-time curation) with the same deterministic semantics as
+  * the batch operators — every filter here is a stateless projection,
+  * so the stream never accumulates state and batch/stream outputs are
+  * identical row sets (StreamingSpec pins the parity).
+  *
+  * Contamination at stream time is a PRE-FILTER, not an adjudication:
+  * the eval set's shingle digests live in a bloom sketch (fixed-size
+  * binary broadcast with the plan), a document is flagged when ANY of
+  * its shingles might be in the sketch — no false negatives by the
+  * bloom contract, rare false positives. Flagged docs go to the exact
+  * batch check (Curation.decontaminate) instead of being dropped
+  * blind; clean docs stream through with zero joins and zero state.
+  * This is the standard sketch-at-ingest / exact-at-rest split for a
+  * 100 TB/day feed.
+  */
+object CurationStream {
+
+  /** Build the eval-set shingle sketch (driver-side, once per eval-set
+    * version): `w`-word shingle digests folded into Spark's mergeable
+    * bloom filter. The binary is KB-to-MB scale regardless of eval
+    * size and ships to executors as a literal.
+    */
+  def evalSketch(eval: DataFrame, w: Int = 4,
+                 expectedItems: Long = 1000000L,
+                 numBits: Long = 8000000L): Array[Byte] = {
+    val sh = eval
+      .select(split(lower(col("text")), "\\s+").as("wd"))
+      .filter(size(col("wd")) >= w)
+      .select(explode(expr(s"transform(sequence(1, size(wd) - ${w - 1}), " +
+        s"i -> xxhash64(array_join(slice(wd, i, $w), ' ')))")).as("h64"))
+    sh.agg(VectorExpressions.bloomAgg(col("h64"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Gate a document stream (or batch frame — same code path): emits
+    * every input row with per-reason flags and the combined verdict.
+    *   - `ok_len`: token count within [minTokens, maxTokens]
+    *   - `maybe_contaminated`: any shingle possibly in the eval sketch
+    *   - `keep`: length ok AND not flagged
+    * One stateless projection over the feed; the shingle array and its
+    * probes live and die inside the task.
+    */
+  def gate(docs: DataFrame, sketch: Array[Byte], w: Int = 4,
+           minTokens: Int = 5, maxTokens: Int = 100000): DataFrame = {
+    val wd = split(lower(col("text")), "\\s+")
+    val probes = expr(
+      s"transform(sequence(1, greatest(size(_wd) - ${w - 1}, 1)), " +
+        s"i -> xxhash64(array_join(slice(_wd, i, $w), ' ')))")
+    docs
+      .withColumn("_wd", wd)
+      .withColumn("n_tokens", size(col("_wd")).cast("long"))
+      .withColumn("ok_len",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("maybe_contaminated",
+        when(col("n_tokens") < w, lit(0)).otherwise(
+          exists(probes,
+            h => VectorExpressions.bloomMightContain(lit(sketch), h)).cast("int")))
+      .withColumn("keep",
+        (col("ok_len") === 1 && col("maybe_contaminated") === 0).cast("int"))
+      .drop("_wd")
+  }
+}

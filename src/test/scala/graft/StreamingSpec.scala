@@ -171,6 +171,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq((10L, Some("gold")), (11L, Some("basic")), (12L, None)))
   }
 
+  test("streaming curation gate flags leaks and short docs, passes clean ones; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CurationStream
+    val leak = "alpha beta gamma delta"
+    val eval = Seq((97L, s"benchmark doc holding $leak secretly")).toDF("doc_id", "text")
+    val sketch = CurationStream.evalSketch(eval, w = 4)
+    val docRows = Seq(
+      (1L, s"train doc that copied $leak verbatim from the benchmark"),
+      (2L, "perfectly clean training document with enough words here"),
+      (3L, "too short"))
+    val mem = MemoryStream[(Long, String)]
+    val streamDF = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.gate(streamDF, sketch, w = 4)
+      .select("doc_id", "ok_len", "maybe_contaminated", "keep")
+      .writeStream.format("memory").queryName("gated").outputMode("append").start()
+    mem.addData(docRows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM gated ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    q.stop()
+    assert(streamed == Seq((1L, 1, 1, 0), (2L, 1, 0, 1), (3L, 0, 0, 0)), s"$streamed")
+    // batch parity: the gate is a stateless projection, same rows out
+    val batch = CurationStream.gate(docRows.toDF("doc_id", "text"), sketch, w = 4)
+      .select("doc_id", "ok_len", "maybe_contaminated", "keep")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(batch == streamed)
+  }
+
   test("watermark drops state for closed windows (plan sanity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
