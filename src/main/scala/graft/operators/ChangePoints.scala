@@ -142,7 +142,7 @@ object ChangePoints {
       .toDF("name", "node", "period_sec", "strength", "n")
   }
 
-  /** Per-signal measured lowpass cutoff: when the detrended series has a
+  /** Per-signal measured lowpass cutoff: when the RAW series has a
     * confident dominant period (spectral strength ≥ strengthMin), the
     * seasonal cutoff is set 25% above that period's frequency — safely
     * past integer-bin rounding, still below the first harmonic — so the

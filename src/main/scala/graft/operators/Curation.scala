@@ -35,12 +35,16 @@ object Curation {
     * duplicated fraction.
     */
   def passageDupStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    // the digest table feeds both sides of its own self-join (positions
+    // + doc-frequency); persisted so the chunk build + md5 pass over
+    // the raw text runs once (the prefixJaccard convention)
     val chunks = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, int(ceil(size(w) / ${w}.0))), " +
           s"i -> array_join(slice(w, (i - 1) * $w + 1, $w), ' '))")).as("p"))
       .select(col("doc_id"), md5(col("p")).as("ph"))
+      .persist()
     val docFreq = chunks.select("doc_id", "ph").distinct()
       .groupBy("ph").agg(count(lit(1)).as("ndocs"))
     chunks.join(docFreq, "ph")
@@ -191,14 +195,21 @@ object Curation {
     // weights quantized to exact integers (×1e9 floor of √p) BEFORE the
     // cross-strata sum: a double sum's order is engine/partitioning
     // dependent, an integer sum is not — the standard determinism
-    // device here (SURVEY §2 note), mirrored verbatim in the oracle
-    val counts = df.groupBy(col(strataCol))
+    // device here (SURVEY §2 note), mirrored verbatim in the oracle.
+    // All cross-strata terms (tot, wsum) are unpartitioned windows over
+    // the ONE counts aggregate — separate agg+crossJoin derivations
+    // would each embed another copy of the corpus scan in the plan
+    // (measured: 5 scans; projections differ, so ReuseExchange never
+    // fires). The single-task window is over |strata| rows, bounded by
+    // definition; its long sums are order-independent.
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("double").as("cnt"))
-    val total = counts.agg(sum(col("cnt").cast("long")).cast("double").as("tot"))
-    val wq = counts.crossJoin(broadcast(total))
+      .withColumn("tot", sum(col("cnt").cast("long")).over(all).cast("double"))
       .withColumn("wq", floor(sqrt(col("cnt") / col("tot")) * lit(1e9)).cast("long"))
-    val wsum = wq.agg(sum("wq").as("wsum"))
-    val rates = wq.crossJoin(broadcast(wsum))
+      .withColumn("wsum", sum(col("wq")).over(all))
       .select(col(strataCol),
         least(lit(1.0),
           (col("wq").cast("double") / col("wsum").cast("double")) *

@@ -45,14 +45,19 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** Exact dedup: group by md5(text), canonical = min doc_id per group. */
+  /** Exact dedup: canonical = min doc_id among docs sharing md5(text).
+    * Window over the digest, not aggregate + join-back: the join form
+    * embeds TWO copies of the corpus scan in the plan (each md5-ing the
+    * full text), the window form is one scan + one digest-keyed
+    * exchange — at corpus scale the md5 pass over the raw text is the
+    * dominant cost and must run once.
+    */
   def exact(docs: DataFrame): DataFrame = {
-    val canon = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy("h")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("h")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(canon, "h")
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("canonical_id"), col("group_size"),
         (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
   }

@@ -93,12 +93,20 @@ object Sampling {
     */
   def mixToTarget(df: DataFrame, strataCol: String, keyCol: Column,
                   weights: Column): DataFrame = {
-    val counts = df.groupBy(col(strataCol))
+    // k = min over strata is an unpartitioned window over the ONE
+    // counts aggregate, not a separate agg + crossJoin — the latter
+    // embeds a second copy of the corpus scan in the plan (projections
+    // differ between the copies, so ReuseExchange never fires). The
+    // single-task window is over |strata| rows, bounded by definition;
+    // min is an exact order-independent selection.
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .withColumn("w", weights)
       .filter(col("w") > 0)
-    val k = counts.agg(min(col("cnt") / col("w")).as("k"))
-    val rates = counts.crossJoin(broadcast(k))
+      .withColumn("k", min(col("cnt") / col("w")).over(all))
       .select(col(strataCol),
         floor(col("k") * col("w") / col("cnt") * lit(Two32)).cast("bigint")
           .as("thr"))
