@@ -1487,7 +1487,9 @@ object SparkEntry {
       // truth, one labeled row set per method — measured retrieval
       // quality, not just plumbing, for the full ANN ladder
       val e = Tables.embeddings(s, dir)
-      val truth = Similarity.knnBruteCosine(e, nQueries = 10, k = 5)
+      // the brute truth feeds BOTH recall evaluations — persisted so
+      // the exhaustive scan runs once, not once per method
+      val truth = Similarity.knnBruteCosine(e, nQueries = 10, k = 5).persist()
       Similarity.recallAtK(Similarity.ivfAnn(e, nQueries = 10, k = 5), truth, k = 5)
         .withColumn("method", lit("ivf"))
         .unionByName(

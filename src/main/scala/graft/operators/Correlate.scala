@@ -87,7 +87,9 @@ object Correlate {
     */
   def nccLag(indexedGrid: DataFrame, objNames: Seq[String], lagMax: Int = 3,
              minOverlap: Int = 8, pinBroadcast: Boolean = true): DataFrame = {
-    val q = withQuant(indexedGrid)
+    // obj and cand branches split the same quantized grid; persisted so
+    // the grid-build pipeline runs once, not once per branch
+    val q = withQuant(indexedGrid).persist()
     val obj = q.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"),
         col("b"), col("i"), col("qv").as("ov"))
@@ -164,8 +166,12 @@ object Correlate {
     */
   def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8,
                  sameNodeOnly: Boolean = false): DataFrame = {
+    // both sides of the self-join read the same quantized grid; without
+    // the persist each side embeds its own copy of the grid-build
+    // pipeline (events scan + resample + ffill) in the plan
     val q = withQuant(indexedGrid)
       .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
+      .persist()
     val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
       col("b"), col("i"), col("qv").as("av"))
     val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
