@@ -177,7 +177,13 @@ object AdvisorReport {
     val padL = 4; val padR = 120; val padY = 6
     val plotW = w - padL - padR
     val plotH = h - 2 * padY
-    def yPix(v: Double): Double = padY + (1.0 - (v + 1.0) / 2.0) * plotH
+    // |max|-normalization (the reference's get_relative divides by the
+    // abs of the MAX, not the max of abs) can leave an all-negative
+    // series below -1 — clamp so the polyline stays inside the viewBox
+    def yPix(v: Double): Double = {
+      val vc = math.max(-1.0, math.min(1.0, v))
+      padY + (1.0 - (vc + 1.0) / 2.0) * plotH
+    }
     val n = series.map(_._2.size).maxOption.getOrElse(0)
     val sb = new StringBuilder
     sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">""")

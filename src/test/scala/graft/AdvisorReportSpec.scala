@@ -71,6 +71,11 @@ class AdvisorReportSpec extends SparkTestBase {
     // all plotted y coordinates stay inside the 120px height
     val ys = """,(\d+\.?\d*)""".r.findAllMatchIn(svg).map(_.group(1).toDouble)
     assert(ys.forall(y => y >= 0 && y <= 120), svg)
+    // an all-negative series normalizes below -1 (abs-of-max contract);
+    // the chart clamps instead of drawing outside the viewBox
+    val neg = AdvisorReport.svgChart(Seq("n" -> Seq(-0.5, -2.0, -1.2)))
+    val negYs = """,(-?\d+\.?\d*)""".r.findAllMatchIn(neg).map(_.group(1).toDouble)
+    assert(negYs.forall(y => y >= 0 && y <= 120), neg)
   }
 
   test("drift section flags the stepping signals and skips gated ones") {
