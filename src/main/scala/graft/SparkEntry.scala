@@ -348,6 +348,50 @@ object SparkEntry {
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    Q("q28_dedup_latest", (s, dir) => {
+      // latest-state extraction per (user, event_type) — the CDC /
+      // upsert-compaction pattern: one ranked window over the keyed
+      // shuffle, deterministic (ts, id) tiebreak; at scale this is the
+      // standard "current snapshot from an append log" query
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("tsec"), col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tsec").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id", "event_type")
+    }, Some(
+      """WITH ev AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY tsec DESC, event_id DESC) AS rn FROM ev)
+        |SELECT user_id, event_type, tsec, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("ts_crossover", (s, dir) => {
+      TimeSeries.crossover(grid(s, dir), 5)
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |sg AS (SELECT name, node, tsb,
+         |  CASE WHEN d * count(*) OVER fr - sum(d) OVER fr > 0 THEN 1
+         |       WHEN d * count(*) OVER fr - sum(d) OVER fr < 0 THEN -1
+         |       ELSE 0 END AS sgn
+         | FROM qd WINDOW fr AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         |lg AS (SELECT name, node, tsb, sgn,
+         |  lag(sgn) OVER (PARTITION BY name, node ORDER BY tsb) AS prev FROM sg)
+         |SELECT name, node, tsb,
+         | CASE WHEN sgn > 0 THEN 'up' ELSE 'down' END AS direction
+         |FROM lg WHERE sgn != 0 AND prev IS NOT NULL AND prev != sgn
+         |ORDER BY name, node, tsb""".stripMargin)),
+
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
       // aggregation expands grouping sets map-side — one shuffle)

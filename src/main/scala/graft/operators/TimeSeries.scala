@@ -175,6 +175,32 @@ object TimeSeries {
           element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
   }
 
+  /** Crossing points of a signal against its trailing `w`-sample mean —
+    * the alert-edge detector (a value crossing above/below its own
+    * baseline is the moment a rule fires, not the samples on either
+    * side). The test is exact-integer: sign(q·n − Σq) over the frame
+    * with the relative-quantized values (scale cancels, no division,
+    * no doubles), so engines that sum window frames in different orders
+    * still agree bit-for-bit on every crossing. Emits one row per sign
+    * flip with the crossing direction.
+    */
+  def crossover(grid: DataFrame, w: Int = 5): DataFrame = {
+    val fr = signalWindow.rowsBetween(-(w - 1), 0)
+    val m = signalScale("gval")
+    val q = quantRel(col("gval"), m)
+    val diff = q * count(lit(1)).over(fr) - sum(q).over(fr)
+    grid
+      .withColumn("sgn",
+        when(diff > 0, 1).when(diff < 0, -1).otherwise(0))
+      .withColumn("prev", lag("sgn", 1).over(signalWindow))
+      // a crossing is ENTERING a nonzero regime the previous sample was
+      // not in — sgn 0 (value exactly on its mean) ends a regime but is
+      // never itself an edge
+      .filter(col("sgn") =!= 0 && col("prev").isNotNull && col("prev") =!= col("sgn"))
+      .select(col("name"), col("node"), col("tsb"),
+        when(col("sgn") > 0, lit("up")).otherwise(lit("down")).as("direction"))
+  }
+
   /** Lag difference and per-second rate (counter → gauge). */
   def deltaRate(grid: DataFrame): DataFrame =
     grid

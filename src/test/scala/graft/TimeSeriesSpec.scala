@@ -176,6 +176,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(s > 9.5 && s <= 10.0, s"level after step: $s")
   }
 
+  test("crossover flags the mean-crossing edges, not the plateau") {
+    // ramp up past the trailing mean, plateau, then drop below it:
+    // exactly one 'up' edge on the rise and one 'down' edge on the fall
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 30.0, 30.0, 30.0, 30.0, 30.0,
+      5.0, 5.0, 5.0, 5.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.crossover(grid(rows: _*), 5)
+      .select("tsb", "direction").as[(Long, String)].collect().toSeq
+    assert(out == Seq((5 * 900L, "up"), (10 * 900L, "down")), s"got $out")
+    // a constant signal never crosses anything
+    val flat = (0 until 12).map(i => ("f", "a", i * 900L, 7.0))
+    assert(TimeSeries.crossover(grid(flat: _*), 5).count() == 0)
+  }
+
   test("holt matches a hand-rolled level/trend recursion") {
     val vals = Seq(10.0, 12.0, 13.0, 15.0, 16.0, 18.0)
     val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
