@@ -392,6 +392,24 @@ object SparkEntry {
          |FROM lg WHERE sgn != 0 AND prev IS NOT NULL AND prev != sgn
          |ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_gap_stats", (s, dir) => {
+      TimeSeries.gapStats(grid(s, dir))
+        .select("name", "node", "n_obs", "n_cells", "max_gap", "n_missing",
+          "missing_frac")
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |l AS (SELECT name, node, tsb,
+         |  lag(tsb) OVER (PARTITION BY name, node ORDER BY tsb) AS p FROM grid),
+         |a AS (SELECT name, node, CAST(count(*) AS BIGINT) AS n_obs,
+         |  (max(tsb) - min(tsb)) // 900 + 1 AS n_cells,
+         |  coalesce(max(CASE WHEN p IS NOT NULL THEN (tsb - p) // 900 - 1 END), 0) AS max_gap
+         | FROM l GROUP BY 1, 2)
+         |SELECT name, node, n_obs, n_cells, max_gap,
+         | n_cells - n_obs AS n_missing,
+         | floor((CAST(n_cells - n_obs AS DOUBLE) / n_cells + 1e-9) * 1e4 + 0.5) / 1e4 AS missing_frac
+         |FROM a ORDER BY name, node""".stripMargin)),
+
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
       // aggregation expands grouping sets map-side — one shuffle)

@@ -175,6 +175,28 @@ object TimeSeries {
           element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
   }
 
+  /** Missing-data audit per signal — the data-quality question asked
+    * BEFORE trusting any gap-filled series: how sparse is this signal,
+    * and how long is its worst outage? Computed from consecutive
+    * observation deltas (lag over the signal key — no dense spine is
+    * materialized): n_cells = the span's grid capacity, n_missing its
+    * unobserved cells, max_gap the longest run of consecutive missing
+    * cells. Integer arithmetic throughout (tsb is step-aligned by
+    * resample), one keyed window + one aggregate.
+    */
+  def gapStats(grid: DataFrame, step: Long = StepSec): DataFrame = {
+    val d = grid.withColumn("prev_tsb", lag("tsb", 1).over(signalWindow))
+    d.groupBy("name", "node")
+      .agg(count(lit(1)).as("n_obs"),
+        ((max("tsb") - min("tsb")) / step + 1).cast("long").as("n_cells"),
+        coalesce(max(when(col("prev_tsb").isNotNull,
+            (col("tsb") - col("prev_tsb")) / step - 1)), lit(0))
+          .cast("long").as("max_gap"))
+      .withColumn("n_missing", col("n_cells") - col("n_obs"))
+      .withColumn("missing_frac",
+        graft.Num.r4(col("n_missing").cast("double") / col("n_cells")))
+  }
+
   /** Crossing points of a signal against its trailing `w`-sample mean —
     * the alert-edge detector (a value crossing above/below its own
     * baseline is the moment a rule fires, not the samples on either

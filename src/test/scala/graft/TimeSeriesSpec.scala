@@ -190,6 +190,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(TimeSeries.crossover(grid(flat: _*), 5).count() == 0)
   }
 
+  test("gap stats report span capacity, missing cells, and the worst outage") {
+    // observations at steps 0,1,2, 6,7, 10 of a 900s grid:
+    // capacity 11, missing 5, worst run = steps 3-5 (3 cells)
+    val obs = Seq(0, 1, 2, 6, 7, 10).map(i => ("m", "a", i * 900L, 1.0 * i))
+    val full = (0 until 8).map(i => ("f", "a", i * 900L, 2.0))
+    val out = TimeSeries.gapStats(grid((obs ++ full): _*))
+      .orderBy("name")
+      .select("name", "n_obs", "n_cells", "max_gap", "n_missing", "missing_frac")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("f", 8L, 8L, 0L, 0L, 0.0),
+      ("m", 6L, 11L, 3L, 5L, 0.4545)), s"got $out")
+  }
+
   test("holt matches a hand-rolled level/trend recursion") {
     val vals = Seq(10.0, 12.0, 13.0, 15.0, 16.0, 18.0)
     val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
