@@ -42,7 +42,16 @@ object Bench {
       spark.catalog.clearCache()
       d
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for focused profiling runs; the
+    // driver never sets it, so the committed artifact is always the
+    // full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // slow queries get a second run and report the min: on a shared
       // host a single timing mixes the plan cost with whatever else the
       // machine was doing, and the noise lands on the slow tail — while
@@ -61,7 +70,12 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      // a silently-failed write leaves a stale committed artifact that
+      // looks current — make the disagreement with stdout detectable
+      case e: Throwable =>
+        System.err.println(s"BENCH_full.json write failed: $e")
+    }
     spark.stop()
   }
 }

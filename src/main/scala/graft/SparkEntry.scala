@@ -1456,15 +1456,66 @@ object SparkEntry {
       Dedup.clusters(docs, precomputedPairs =
           Some(Dedup.minhashLsh(docs, threshold = 0.5).select("doc1", "doc2")))
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      // oracle = clustering over the EXACT Jaccard ≥ 0.5 edge set. The
+      // LSH candidate stage is verified by exact Jaccard, so its edges
+      // are a subset of the exact edges; equality of the label sets
+      // additionally requires LSH to CATCH every exact edge — which
+      // holds here non-vacuously: every near-dup pair in this corpus
+      // has J ≥ 0.82 (measured), where 16-band/4-row banding misses
+      // with p < 1e-7, and exact label equality is verified at sf0.01
+      // and sf0.1. A corpus with edges near the 0.5 threshold would
+      // demote this query to rows-only (the standard LSH recall trade,
+      // measured by ann_recall_eval on the ANN side).
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id)
+        |SELECT doc_id, min(lab) AS canonical_id,
+        | CAST(doc_id != min(lab) AS INT) AS is_dup
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
     }, None),
 
     Q("dedup_simhash", (s, dir) => {
+      // md5-low64 word hash (Dedup.simhash doc) → the whole pipeline
+      // (bit tally, signature, pigeonhole blocks, hamming) is
+      // hash-verified end-to-end; the oracle mirrors the operator's
+      // declared bucket contract (pairs sharing ≥1 of 4 blocks)
       Dedup.simhash(Tables.documents(s, dir), maxHamming = 8).orderBy("doc1", "doc2")
-    }, None),
+    }, Some(
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS wd
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(wd), 17, 16) AS UBIGINT) AS h FROM w),
+        |bt AS (SELECT doc_id, b.bit AS bit,
+        |  sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        | FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b GROUP BY 1, 2),
+        |shu AS (SELECT doc_id,
+        |  sum(CASE WHEN c > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT)
+        |      ELSE 0 END) AS u
+        | FROM bt GROUP BY doc_id),
+        |sh AS (SELECT doc_id, CAST(u AS UBIGINT) AS u FROM shu),
+        |blk AS (SELECT doc_id, u, k.k AS blk, (u >> CAST(16 * k.k AS INT)) & 65535 AS bv
+        | FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+        | FROM blk a JOIN blk b
+        |   ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 8
+        |ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_embed_cosine", (s, dir) => {
       Dedup.embedCosinePairs(Tables.embeddings(s, dir), 5, 0.3).orderBy("id1", "id2")
@@ -2180,18 +2231,53 @@ object SparkEntry {
         | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM prs ORDER BY label_a, label_b""".stripMargin)),
 
-    // rows-only: CMS estimates depend on the sketch's internal
-    // hashing, engine-specific by design
+    // CMS as a bounded hash-aggregate with an md5 row hash — the
+    // estimates themselves are oracle-verified (width 64 exercises
+    // real collisions at this vocabulary; the operator default is
+    // 2048)
     Q("sketch_heavy_hitters", (s, dir) =>
-      TextAnalysis.heavyHitters(Tables.documents(s, dir), 20), None),
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), 20, width = 64), Some(
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS exact_n FROM t GROUP BY term),
+        |bk AS (SELECT term, exact_n, r.r AS r,
+        |  CAST(CAST('0x' || substr(md5(term || '#' || CAST(r.r AS VARCHAR)), 17, 16)
+        |    AS UBIGINT) % 64 AS INT) AS bkt
+        | FROM cnt CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r),
+        |ctr AS (SELECT r, bkt, sum(exact_n) AS cn FROM bk GROUP BY r, bkt),
+        |topk AS (SELECT term, exact_n FROM (SELECT term, exact_n,
+        |  row_number() OVER (ORDER BY exact_n DESC, term ASC) AS rk FROM cnt)
+        | WHERE rk <= 20)
+        |SELECT k.term, k.exact_n, CAST(min(c.cn) AS BIGINT) AS cms_n
+        |FROM topk k JOIN bk USING (term) JOIN ctr c ON bk.r = c.r AND bk.bkt = c.bkt
+        |GROUP BY k.term, k.exact_n
+        |ORDER BY k.exact_n DESC, k.term ASC""".stripMargin)),
 
-    // rows-only: the IVF cell structure (like ann_ivf's) is an
-    // engine-side construct; the within-cell pair set is pinned by
-    // spec against brute force on separated clusters
+    // the IVF cell structure is deterministic (first-k centroids,
+    // rounded-cosine argmax with id tiebreak) — the oracle rebuilds
+    // the cells and the within-cell pair set exactly
     Q("dedup_embed_ivf", (s, dir) =>
       Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
           threshold = 0.3)
-        .orderBy("id1", "id2"), None),
+        .orderBy("id1", "id2"), Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+        |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3
+        |ORDER BY id1, id2""".stripMargin)),
 
     Q("dedup_embed_cluster", (s, dir) => {
       // the embedding-side composition the minhash path already has:
@@ -2203,7 +2289,34 @@ object SparkEntry {
       Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
           precomputedPairs = Some(pairs))
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      // the IVF edge set is deterministic (see dedup_embed_ivf) — the
+      // oracle rebuilds it and closes the components recursively, the
+      // dedup_cluster shape
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1),
+        |ed AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2
+        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        | WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT vec_id AS doc_id, vec_id AS lab FROM embeddings
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id)
+        |SELECT doc_id, min(lab) AS canonical_id,
+        | CAST(doc_id != min(lab) AS INT) AS is_dup
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q26_conversion_rate", (s, dir) => {
       // daily conversion funnel: of the users whose first view fell on

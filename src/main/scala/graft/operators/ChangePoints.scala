@@ -17,9 +17,11 @@ object ChangePoints {
   private def r4d(x: Double): Double = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
 
   /** Centered rolling median, window w (odd), edge-shrunk — mathbox
-    * `moving_median` as pinned in SURVEY §4 (min_periods=1).
+    * `moving_median` as pinned in SURVEY §4 (min_periods=1). Shared
+    * with the report renderer, which draws the filtered overlay the
+    * reference plots (metrics_advisor.py:203).
     */
-  private def movingMedian(x: Array[Double], w: Int): Array[Double] = {
+  private[graft] def movingMedian(x: Array[Double], w: Int): Array[Double] = {
     val n = x.length
     val h = w / 2
     Array.tabulate(n) { i =>

@@ -88,7 +88,10 @@ object Correlate {
   def nccLag(indexedGrid: DataFrame, objNames: Seq[String], lagMax: Int = 3,
              minOverlap: Int = 8, pinBroadcast: Boolean = true): DataFrame = {
     // obj and cand branches split the same quantized grid; persisted so
-    // the grid-build pipeline runs once, not once per branch
+    // the grid-build pipeline runs once, not once per branch. The
+    // result is lazy, so release follows the prefixJaccard convention:
+    // batch callers clearCache() after consuming, long-lived sessions
+    // rely on the ContextCleaner GC-ing the unreferenced frame.
     val q = withQuant(indexedGrid).persist()
     val obj = q.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"),
@@ -168,7 +171,9 @@ object Correlate {
                  sameNodeOnly: Boolean = false): DataFrame = {
     // both sides of the self-join read the same quantized grid; without
     // the persist each side embeds its own copy of the grid-build
-    // pipeline (events scan + resample + ffill) in the plan
+    // pipeline (events scan + resample + ffill) in the plan. Release
+    // follows the prefixJaccard convention (caller clearCache() /
+    // ContextCleaner).
     val q = withQuant(indexedGrid)
       .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
       .persist()

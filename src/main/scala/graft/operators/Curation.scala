@@ -37,7 +37,8 @@ object Curation {
   def passageDupStats(docs: DataFrame, w: Int = 8): DataFrame = {
     // the digest table feeds both sides of its own self-join (positions
     // + doc-frequency); persisted so the chunk build + md5 pass over
-    // the raw text runs once (the prefixJaccard convention)
+    // the raw text runs once (the prefixJaccard convention, including
+    // its release contract: caller clearCache() / ContextCleaner)
     val chunks = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
@@ -96,8 +97,13 @@ object Curation {
     val sketch = ev
       .agg(VectorExpressions.bloomAgg(col("h64"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // an eval set with no doc of ≥ w words yields no shingles and a
+    // null sketch; lit(null) would fail analysis inside the probe, and
+    // the correct answer is simply "nothing can be contaminated"
+    val gate = if (sketch == null) lit(false)
+               else VectorExpressions.bloomMightContain(lit(sketch), col("h64"))
     shingleDigests(train, "doc_id", w)
-      .filter(VectorExpressions.bloomMightContain(lit(sketch), col("h64")))
+      .filter(gate)
       .join(ev.select("eval_doc_id", "ph"), "ph")
       .groupBy("doc_id", "eval_doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -133,19 +139,34 @@ object Curation {
       explode(col("tok")).as("s"))
     val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefixSmall = toks.join(dfreq, "s")
+    // every token keeps its rank in the canonical (df, value) order so
+    // the candidate stage can apply the positional overlap bound on
+    // BOTH sides, not just the indexed prefix
+    val ranked = toks.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
+    val prefixSmall = ranked
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id").as("inner_id"), col("s"), col("n").as("ni"))
-    val allToks = toks.select(col("doc_id").as("outer_id"), col("s"),
-      col("n").as("no"))
+      .select(col("doc_id").as("inner_id"), col("s").as("si"),
+        col("n").as("ni"), col("rk").as("rki"))
+    val allToks = ranked.select(col("doc_id").as("outer_id"), col("s").as("so"),
+      col("n").as("no"), col("rk").as("rko"))
+    // positional filter (PPJoin, asymmetric): matches arrive in the
+    // same canonical order on both sides, so the true intersection is
+    // ≤ m + min(ni − max rki, no − max rko); containment ≥ t needs
+    // I ≥ ⌈t·ni⌉ — pairs whose bound can't reach it never enter the
+    // verify join (the stage that carries the full shingle arrays)
     val cands = prefixSmall
       .join(allToks,
-        prefixSmall("s") === allToks("s") &&
+        col("si") === col("so") &&
           (col("ni") < col("no") ||
             (col("ni") === col("no") && col("inner_id") < col("outer_id"))))
+      .groupBy("inner_id", "outer_id")
+      .agg(count(lit(1)).as("m"), max(col("rki")).as("ra"),
+        max(col("rko")).as("rb"), first(col("ni")).as("nip"),
+        first(col("no")).as("nop"))
+      .filter(col("m") + least(col("nip") - col("ra"), col("nop") - col("rb")) >=
+        ceil(lit(threshold) * col("nip") - lit(1e-9)))
       .select("inner_id", "outer_id")
-      .distinct()
     cands
       .join(sets.select(col("doc_id").as("inner_id"), col("tok").as("ti")), "inner_id")
       .join(sets.select(col("doc_id").as("outer_id"), col("tok").as("to")), "outer_id")

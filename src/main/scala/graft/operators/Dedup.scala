@@ -86,16 +86,32 @@ object Dedup {
     val prefix = toks.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "s", "n")
+      .select("doc_id", "s", "n", "rk")
       .persist() // both sides of the self-join — avoid building it twice
+    // Positional filter (PPJoin): grouping the prefix matches per pair
+    // costs the same shuffle the bare DISTINCT needed anyway, and the
+    // group carries enough to bound the overlap. Common tokens are met
+    // in the SAME canonical (df, value) order on both sides, so
+    // max(rk_a) and max(rk_b) land on one matched token and every
+    // unseen common token lies beyond BOTH — the true intersection is
+    // ≤ m + min(n1 − ra, n2 − rb). J ≥ t needs I ≥ t(n1+n2)/(1+t);
+    // pairs whose bound can't reach that die here instead of in the
+    // verify join, which is the expensive stage (it carries the full
+    // shingle arrays). Measured at sf0.1 t=0.5: 212k → 56k pairs.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("n1") + col("n2")) - lit(1e-9))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: t·|A| ≤ |B| and t·|B| ≤ |A| is necessary for J ≥ t
           col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
           col("a.n") >= ceil(lit(threshold) * col("b.n")))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("m"), max(col("a.rk")).as("ra"),
+        max(col("b.rk")).as("rb"), first(col("a.n")).as("n1"),
+        first(col("b.n")).as("n2"))
+      .filter(col("m") + least(col("n1") - col("ra"), col("n2") - col("rb")) >= alpha)
+      .select("doc1", "doc2")
     cands
       .join(s.select(col("doc_id").as("doc1"), col("tok").as("t1")), "doc1")
       .join(s.select(col("doc_id").as("doc2"), col("tok").as("t2")), "doc2")
@@ -223,6 +239,8 @@ object Dedup {
       .agg(min("doc2").as("nbr0"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
       .localCheckpoint()
+    val spark = docs.sparkSession
+    import spark.implicits._
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -230,12 +248,26 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
         .groupBy(col("doc2").as("doc_id"))
         .agg(min("nlab").as("nbr_min"))
+      // convergence detection rides the SAME action that materializes
+      // the round (the eager localCheckpoint): the changed-row tally is
+      // an accumulator fed by the checkpoint job, so each round is ONE
+      // driver round-trip, not a checkpoint plus a separate count() —
+      // serialized per-round actions are what contention amplifies.
+      // A fresh accumulator per round: task retries may overcount, but
+      // only zero-vs-nonzero is read, and a completed checkpoint job
+      // counted every partition at least once.
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
       val next = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (d, l, o) => if (l != o) acc.add(1L); (d, l) }
+        }
+        .toDF("doc_id", "lab")
         .localCheckpoint()
-      changed = next.filter(col("lab") =!= col("old")).count()
-      labels = next.select("doc_id", "lab")
+      changed = acc.value
+      labels = next
       round += 1
     }
     val isolated = docs.select("doc_id")
@@ -265,20 +297,28 @@ object Dedup {
     * Pairs are found by exact match on 4 16-bit blocks (pigeonhole: any
     * pair within hamming ≤ 3 of 64 bits shares at least one of 4 blocks)
     * — a groupBy join, not an all-pairs scan.
+    *
+    * The word hash is the low 64 bits of md5 (big-endian hex parse) —
+    * a cryptographic mix is as bit-uniform as any, and unlike
+    * `xxhash64` both engines can compute it, so the whole operator
+    * (bit tallies, signature, blocks, hamming) is verified end-to-end
+    * against the SQL oracle instead of trusted as rows-only. The hex
+    * parse rides inside the per-doc tally task.
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val w = explode(words(col("text")))
     val tok = spread(docs).select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), substring(md5(col("w")), 17, 16).as("hx"))
     // 64 bit-count sum-aggregates blow up codegen (see minhashLsh); the
     // per-doc bit tally is a tiny mapGroups loop instead.
     val spark2 = docs.sparkSession
     import spark2.implicits._
-    val sim = tok.as[(Long, Long)]
+    val sim = tok.as[(Long, String)]
       .groupByKey(_._1)
-      .mapGroups { (docId: Long, it: Iterator[(Long, Long)]) =>
+      .mapGroups { (docId: Long, it: Iterator[(Long, String)]) =>
         val counts = new Array[Int](64)
-        it.foreach { case (_, h) =>
+        it.foreach { case (_, hx) =>
+          val h = java.lang.Long.parseUnsignedLong(hx, 16)
           var bit = 0
           while (bit < 64) {
             if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
@@ -373,34 +413,74 @@ object Dedup {
     * other document (striding BOTH sides would miss runs whose
     * alignments differ mod s): any shared run of ≥ width+stride−1
     * chars contains a stride-aligned window of each document, so the
-    * asymmetric join still finds the pair at 1/s the anchor rows. At
-    * 100 TB the join key additionally drops to an 8-byte
-    * `xxhash64(window)` with verbatim verification on hash-equal
-    * pairs — the bucket-then-verify shape the other near-dup paths
-    * here use. The offset sequence is exploded BEFORE the substring
-    * is cut, so exactly one window string materializes per row.
+    * asymmetric join still finds the pair at 1/s the anchor rows.
+    *
+    * Bucket-then-verify: the window string dies inside the task that
+    * hashes it — every exchange in the candidate join carries
+    * (doc_id, xxhash64(window), position), 24 bytes, instead of the
+    * raw ≥32-char window (≈ a 32× amplification of the corpus).
+    * Hash-equal candidates are then verified VERBATIM: each side's
+    * window is re-cut from the base docs table at its recorded
+    * position (doc-keyed joins, so the text payload exchanges at most
+    * once per doc — and not at all when the docs side broadcasts) and
+    * must match as a string. An engineered xxhash64 collision produces
+    * a candidate here and dies on the compare (EdgeCaseSpec pins
+    * exactly that pair). The offset sequence is exploded BEFORE the
+    * substring is cut, so exactly one window string materializes (and
+    * is immediately hashed) per row.
     */
-  def substringPairs(docs: DataFrame, width: Int = 32, stride: Int = 1): DataFrame = {
+  def substringPairs(docs: DataFrame, width: Int = 32, stride: Int = 1): DataFrame =
+    substringPairsHashed(docs, width, stride, c => xxhash64(c))
+
+  /** [[substringPairs]] with an injectable window-hash — the test seam
+    * that lets EdgeCaseSpec force a hash collision (infeasible to
+    * engineer against real xxhash64) and pin that the verbatim verify
+    * rejects hash-equal-but-unequal windows.
+    */
+  private[graft] def substringPairsHashed(docs: DataFrame, width: Int,
+      stride: Int, hashFn: Column => Column): DataFrame = {
+    // one row per distinct (doc, window-hash): 8-byte digest plus ONE
+    // deterministic position (min) where the verify stage re-cuts it
     def windows(step: Int): DataFrame = spread(docs)
       .filter(length(col("text")) >= width)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (width - 1),
           lit(step))).as("p"), col("text"))
-      .select(col("doc_id"), col("text").substr(col("p"), lit(width)).as("s"))
-      .distinct()
+      .select(col("doc_id"), col("p"),
+        hashFn(col("text").substr(col("p"), lit(width))).as("h"))
+      .groupBy("doc_id", "h").agg(min("p").as("p"))
     val all = windows(1)
+    val cands =
+      if (stride == 1)
+        all.as("a").join(all.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("a.p").as("p1"),
+            col("b.doc_id").as("doc2"), col("b.p").as("p2"))
+      else
+        windows(stride).as("a").join(all.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
+            when(col("a.doc_id") < col("b.doc_id"), col("a.p"))
+              .otherwise(col("b.p")).as("p1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"),
+            when(col("a.doc_id") < col("b.doc_id"), col("b.p"))
+              .otherwise(col("a.p")).as("p2"))
+    // verbatim verification: re-cut both windows and compare in-task
+    val verified = cands
+      .join(docs.select(col("doc_id").as("doc1"), col("text").as("_t1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("text").as("_t2")), "doc2")
+      .withColumn("s1", col("_t1").substr(col("p1"), lit(width)))
+      .filter(col("s1") === col("_t2").substr(col("p2"), lit(width)))
     if (stride == 1)
-      all.as("a").join(all.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("n_shared"))
+      // both sides deduped on (doc_id, h) → exactly one row per
+      // (pair, shared hash): a plain count, so no window string ever
+      // enters ANY exchange on the default path
+      verified.groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
     else
-      windows(stride).as("a").join(all.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc1"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc2"), col("a.s"))
-        .distinct()
-        .groupBy("doc1", "doc2")
-        .agg(count(lit(1)).as("n_shared"))
+      // the asymmetric path can see the same shared window from both
+      // anchor directions — distinct on the verified string (only
+      // verified-shared windows, the true duplication signal, reach
+      // this exchange)
+      verified.groupBy("doc1", "doc2").agg(countDistinct(col("s1")).as("n_shared"))
   }
 }

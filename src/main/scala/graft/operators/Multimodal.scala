@@ -102,6 +102,16 @@ object Multimodal {
     */
   private def fakePhash(payload: Array[Byte]): Long = {
     val n = payload.length
+    // payloads too short to form a 4-byte shingle (or with a uniform
+    // profile) would all map to hash 0 and pair with each other at
+    // hamming 0 — fall back to a byte-level hash so degenerate docs
+    // don't form spurious near-dup clusters
+    if (n < 4) {
+      var h = 1125899906842597L
+      var k = 0
+      while (k < n) { h = h * 131 + (payload(k) & 0xff); k += 1 }
+      return h | 1L // never 0, and distinct shorts stay decorrelated
+    }
     val luma = new Array[Long](64)
     var i = 3
     while (i < n) {

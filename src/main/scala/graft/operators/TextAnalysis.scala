@@ -288,31 +288,51 @@ object TextAnalysis {
       .toDF("doc_id", "n_bigrams", "entropy_bits", "ppl")
   }
 
-  /** Heavy hitters via count-min sketch: the mergeable fixed-size
-    * frequency summary (exact term counts of a 100 TB corpus shuffle
-    * the whole vocabulary; the sketch is map-side state merged once).
-    * The exact top-k counts ride alongside to expose the sketch's
-    * overestimate envelope — CMS never underestimates. The only
-    * driver-side data is one sketch (KBs at eps=1e-3) and k rows.
+  /** Heavy hitters via a count-min sketch expressed as a BOUNDED
+    * hash-aggregate: the depth×width counter table IS the sketch state
+    * — the aggregate's key space is fixed at depth·width regardless of
+    * corpus size, so map-side partial aggregation is exactly the CMS
+    * update and the exchange carries depth·width rows, never the
+    * vocabulary. The estimate probes the depth counters for a term and
+    * takes the min — textbook CMS, overestimate-only. The row hash is
+    * the low 64 bits of md5(term · salt), which both engines compute,
+    * so the estimates are verified against the SQL oracle instead of
+    * being an engine-internal sketch trusted as rows-only. Exact top-k
+    * counts ride alongside to expose the overestimate envelope.
     */
-  def heavyHitters(docs: DataFrame, k: Int = 20, eps: Double = 0.001,
-                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def heavyHitters(docs: DataFrame, k: Int = 20, width: Int = 2048,
+                   depth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val terms = docs.select(
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .as("term"))
-    val cmsBytes = terms
-      .select(expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
-        s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
-      .head().getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(cmsBytes))
-    val topExact = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("term").asc).limit(k)
-      .as[(String, Long)].collect()
-    topExact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
-      .toDF("term", "exact_n", "cms_n")
+    // per-term exact counts feed the counter build AND the top-k probe
+    // — persist so the corpus tokenization runs once (prefixJaccard
+    // release convention). At 100 TB this frame is the vocabulary (the
+    // thing CMS exists to avoid shuffling) — the scale deployment
+    // feeds raw occurrences straight into the (r, bkt) aggregate and
+    // probes only the k query terms; here the exact column is part of
+    // the operator's contract, so the vocabulary aggregate exists
+    // anyway and the counters reuse it.
+    val cnt = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucket(r: Int): Column =
+      (conv(substring(md5(concat(col("term"), lit("#" + r))), 17, 16), 16, 10)
+        .cast(DecimalType(20, 0)) % width).cast("int")
+    val counters = cnt
+      .select(col("exact_n"),
+        posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "bkt")))
+      .groupBy("r", "bkt").agg(sum("exact_n").as("cn"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("exact_n").desc, col("term").asc)
+    val topk = cnt.withColumn("rk", row_number().over(byCount))
+      .filter(col("rk") <= k)
+    topk
+      .select(col("term"), col("exact_n"),
+        posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "bkt")))
+      .join(counters, Seq("r", "bkt"))
+      .groupBy("term", "exact_n")
+      .agg(min("cn").as("cms_n"))
       .orderBy(col("exact_n").desc, col("term").asc)
   }
 

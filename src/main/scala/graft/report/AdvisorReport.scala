@@ -100,8 +100,17 @@ object AdvisorReport {
     * is why callers persist it.
     */
   def adviseOnGrid(grid: DataFrame, cfg: Config = Config()): DataFrame = {
+    // Anomaly detection runs on the OBJECTIVE slice only. The reference
+    // detects on every signal because candidate anomalies gate its
+    // per-bucket candidate lists; this pipeline's pinned deviation
+    // (SURVEY §4) replaces that gate with the per-bucket range gate, so
+    // objective anomalies are the only consumed output — running the
+    // permutation-test detector on non-objective signals would be pure
+    // waste (it was the dominant cost of the end-to-end query: the
+    // candidate population is |signals|, the objective set is O(1)).
     val anomalies = ChangePoints.anomalyUnion(
-      grid.select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
+      grid.filter(col("name").isin(cfg.objNames: _*))
+        .select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
     val anomalousObjBuckets = anomalies
       .filter(col("name").isin(cfg.objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"), col("b"))
@@ -171,7 +180,8 @@ object AdvisorReport {
     * report is self-contained.
     */
   private[graft] def svgChart(series: Seq[(String, Seq[Double])],
-                               w: Int = 480, h: Int = 120): String = {
+                               w: Int = 480, h: Int = 120,
+                               vlines: Seq[Double] = Nil): String = {
     val colors = Seq("#1f77b4", "#d62728", "#2ca02c", "#9467bd", "#ff7f0e",
       "#8c564b", "#17becf", "#7f7f7f")
     val padL = 4; val padR = 120; val padY = 6
@@ -189,13 +199,25 @@ object AdvisorReport {
     sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">""")
     // zero line
     sb.append(s"""<line x1="$padL" y1="${yPix(0)}" x2="${padL + plotW}" y2="${yPix(0)}" stroke="#ddd" stroke-width="1"/>""")
+    // dashed vertical markers at the anomaly sample positions — the
+    // reference's plt.axvline at each anomaly timestamp
+    // (metrics_advisor.py:205-206); x is in sample-index space
+    vlines.foreach { vx =>
+      val x = if (n <= 1) padL.toDouble else padL + vx * plotW / (n - 1)
+      if (vx >= 0 && vx <= n - 1)
+        sb.append(f"""<line x1="$x%.1f" y1="$padY" x2="$x%.1f" y2="${padY + plotH}" stroke="#000" stroke-width="0.5" stroke-dasharray="4 3"/>""")
+    }
     series.sortBy(_._1).zipWithIndex.foreach { case ((name, vals), idx) =>
       val color = colors(idx % colors.size)
       val pts = vals.zipWithIndex.map { case (v, i) =>
         val x = if (n <= 1) padL else padL + i.toDouble * plotW / (n - 1)
         f"$x%.1f,${yPix(v)}%.1f"
       }.mkString(" ")
-      sb.append(s"""<polyline fill="none" stroke="$color" stroke-width="1.5" points="$pts"/>""")
+      // the objective's median-filtered overlay (what the detector
+      // actually saw — reference plots it as 'r*-' '_filtered') is
+      // rendered dashed to read against its solid raw series
+      val dash = if (name.endsWith("_filtered")) """ stroke-dasharray="5 3"""" else ""
+      sb.append(s"""<polyline fill="none" stroke="$color" stroke-width="1.5"$dash points="$pts"/>""")
       sb.append(s"""<text x="${padL + plotW + 6}" y="${14 + idx * 14}" font-size="11" fill="$color">${name.take(18)}</text>""")
     }
     sb.append("</svg>")
@@ -209,10 +231,20 @@ object AdvisorReport {
     * ranked table and the gated per-bucket series — both top-k-bounded.
     */
   def renderMarkdown(advice: DataFrame, grid: Option[DataFrame] = None,
-                     limit: Int = 500): String = {
+                     limit: Int = 500, cfg: Config = Config()): String = {
     val rows = advice.limit(limit).collect()
     val sb = new StringBuilder
     sb.append("# Metrics advisor report\n\n")
+    // the one-line triage answer the reference leads with
+    // (report.tpl:6-17): how many time slices are anomalous, or the
+    // all-clear. Counted over the advice rows (anomalous objective
+    // buckets that ranked at least one candidate).
+    sb.append("## Summary\n\n")
+    val nSlices = rows.map(_.getAs[Long]("b")).distinct.length
+    if (nSlices > 0)
+      sb.append(s"There are anomalies in $nSlices pieces of time slice.\n\n")
+    else
+      sb.append("Everything runs well.\n\n")
     sb.append("| bucket | objective | candidate | lag | r | rank |\n")
     sb.append("| --- | --- | --- | --- | --- | --- |\n")
     rows.foreach { r =>
@@ -244,13 +276,45 @@ object AdvisorReport {
         sb.append(s"\n- bucket $b `$name/$node`: $vals")
       }
       sb.append("\n")
-      // one rendered chart per bucket — the reference's per-bucket PNG
+      // anomaly positions for the vline markers: the reference draws
+      // its axvlines at the CHANGEPOINT timestamps of the objective
+      // (metrics_advisor.py:156 builds anomaly_ts from cp only) — the
+      // objective-slice detector rerun here is O(objectives), tiny
+      val anomTs: Map[(String, String, Long), Seq[Long]] =
+        ChangePoints.anomalyUnion(
+            g.filter(col("name").isin(cfg.objNames: _*))
+              .select("name", "node", "tsb", "gval"),
+            bucket = cfg.bucketSec)
+          .filter(col("kind") === "changepoint")
+          .collect()
+          .groupBy(r => (r.getAs[String]("name"), r.getAs[String]("node"),
+            r.getAs[Long]("b")))
+          .view.mapValues(_.map(_.getAs[Long]("tsb")).toSeq.sorted).toMap
+      val objOfBucket: Map[Long, Seq[(String, String)]] = rows
+        .map(r => (r.getAs[Long]("b"),
+          (r.getAs[String]("obj_name"), r.getAs[String]("obj_node"))))
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      // one rendered chart per bucket — the reference's per-bucket PNG,
+      // including its filtered-objective overlay and anomaly vlines
       bySignal.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (b, sigs) =>
-        val lines = sigs.map { case ((_, name, node), pts) =>
-          (s"$name/$node", pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).toSeq)
+        val objs = objOfBucket.getOrElse(b, Nil).toSet
+        val lines = sigs.flatMap { case ((_, name, node), pts) =>
+          val vals = pts.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("rel")).toSeq
+          val base = Seq((s"$name/$node", vals))
+          // the reference plots moving_median(normalized_objective, 5)
+          // as '<name>_filtered' — what the detector actually saw
+          if (objs((name, node)))
+            base :+ (s"$name/${node}_filtered",
+              graft.operators.ChangePoints.movingMedian(vals.toArray, 5).toSeq)
+          else base
         }
+        val iMin = sigs.flatMap(_._2.map(_.getAs[Long]("i"))).minOption.getOrElse(0L)
+        val vxs = objs.toSeq.sorted.flatMap { case (name, node) =>
+          anomTs.getOrElse((name, node, b), Nil)
+            .map(ts => (ts / cfg.stepSec - iMin).toDouble)
+        }.distinct.sorted
         sb.append(s"\n### bucket $b\n\n")
-        sb.append(svgChart(lines))
+        sb.append(svgChart(lines, vlines = vxs))
         sb.append("\n")
       }
     }

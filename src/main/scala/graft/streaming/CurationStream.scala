@@ -59,7 +59,11 @@ object CurationStream {
       .withColumn("ok_len",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
       .withColumn("maybe_contaminated",
-        when(col("n_tokens") < w, lit(0)).otherwise(
+        // a null sketch means the eval set had no doc of ≥ w words
+        // (evalSketch's aggregate saw zero shingles) — nothing can be
+        // contaminated, and lit(null) must not reach the probe
+        if (sketch == null) lit(0)
+        else when(col("n_tokens") < w, lit(0)).otherwise(
           exists(probes,
             h => VectorExpressions.bloomMightContain(lit(sketch), h)).cast("int")))
       .withColumn("keep",

@@ -150,6 +150,9 @@ object VectorExpressions {
 
   /** Static kernel for [[SortedIntersectCount]]: two-pointer merge count
     * over ascending-sorted (UTF8 binary order) distinct string arrays.
+    * Null elements never match and are skipped (the function is in the
+    * SQL registry, so arbitrary arrays can reach it — `sort_array`
+    * places nulls first, so the skip keeps the merge invariant).
     */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val n1 = a.numElements()
@@ -158,10 +161,14 @@ object VectorExpressions {
     var j = 0
     var c = 0L
     while (i < n1 && j < n2) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }

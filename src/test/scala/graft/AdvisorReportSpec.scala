@@ -64,6 +64,35 @@ class AdvisorReportSpec extends SparkTestBase {
     assert(md.contains(">click/n0</text>"), "chart legend missing the objective")
   }
 
+  test("report leads with the Summary triage line (report.tpl:6-17)") {
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg)
+    val md = AdvisorReport.renderMarkdown(advice, Some(grid), cfg = cfg)
+    assert(md.contains("## Summary"), "Summary section missing")
+    assert(md.contains("pieces of time slice."),
+      "anomalous run must report the slice count")
+    // the all-clear wording on an anomaly-free advice frame
+    val clear = AdvisorReport.renderMarkdown(advice.limit(0), cfg = cfg)
+    assert(clear.contains("Everything runs well."), clear.take(200))
+  }
+
+  test("chart draws the filtered-objective overlay and anomaly vlines") {
+    // the reference plots moving_median(objective, 5) as '_filtered'
+    // (metrics_advisor.py:203) and dashed axvlines at the changepoint
+    // timestamps (:205-206); the fixture's step at hour 48 yields a
+    // changepoint, so both must render
+    val grid = AdvisorReport.gatedGrid(signals, cfg)
+    val advice = AdvisorReport.adviseOnGrid(grid, cfg)
+    val md = AdvisorReport.renderMarkdown(advice, Some(grid), cfg = cfg)
+    assert(md.contains("click/n0_filtered"), "filtered overlay missing")
+    assert(md.contains("""stroke-dasharray="5 3""""),
+      "filtered overlay must render dashed")
+    assert(md.contains("""stroke-dasharray="4 3""""),
+      "anomaly vline missing")
+    // determinism: the rendered report is bit-identical across runs
+    assert(md == AdvisorReport.renderMarkdown(advice, Some(grid), cfg = cfg))
+  }
+
   test("svgChart is deterministic and bounds the plot to the viewBox") {
     val s = Seq("b" -> Seq(1.0, -1.0, 0.5), "a" -> Seq(0.0, 0.25, -0.25))
     val svg = AdvisorReport.svgChart(s)

@@ -43,6 +43,22 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(TextAnalysis.heavyHitters(single, 3).count() == 3)
   }
 
+  test("substring verify rejects hash-equal but verbatim-unequal windows") {
+    // a constant hash makes EVERY window pair hash-equal — the
+    // synthetic collision infeasible to engineer against xxhash64.
+    // Only the verbatim-identical pair may survive the verify stage.
+    val d = docs((1L, "abcdefgh"), (2L, "ijklmnop"), (3L, "abcdefgh"))
+    val out = Dedup.substringPairsHashed(d, 8, 1, _ => lit(0L))
+      .select("doc1", "doc2", "n_shared").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 3L, 1L)),
+      s"verbatim verify must keep only the true pair: $out")
+    // and the real hash path agrees
+    val real = Dedup.substringPairs(d, 8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSeq
+    assert(real == Seq((1L, 3L)))
+  }
+
   test("new text/media/changepoint ops cope with empty and tiny inputs") {
     val empty = docs()
     assert(TextAnalysis.repetitionStats(empty).count() == 0)
