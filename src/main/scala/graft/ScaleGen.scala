@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scaling audit generator: writes a `factor`× replica of an
+  * existing testdata dir (default sf0.1 → a synthetic "sf1") so the
+  * most expensive queries can be measured across sf0.01 → sf0.1 → sf1
+  * and the claimed cost laws (Σ df², Σ|cell|², per-signal boundedness)
+  * checked across two decades instead of one.
+  *
+  * Replication is STRUCTURE-PRESERVING, not verbatim:
+  *   - documents: replica k maps the alphabet through a seeded random
+  *     permutation, so within-replica near-dup structure is
+  *     bit-identical to the original while cross-replica docs share
+  *     (almost) no tokens OR character n-grams — the shape of a
+  *     genuinely 10× corpus with the same dup rate. (A Caesar ROTATION
+  *     is not enough: rotations form a group, so shard k's trigram
+  *     images collide with shard j's whenever t + (k − j) is also a
+  *     real trigram — measured as a spurious 5× densification of the
+  *     char-trigram inverted index. Random permutations break the
+  *     group structure.) Verbatim copies would be worse still: a
+  *     10-clique per document, densifying the pair graph
+  *     quadratically, which no real corpus growth does.
+  *   - events: replica rows shift event_id only (same signals, same
+  *     grid): a 10× events table with fixed signal cardinality and
+  *     retention is DENSER sampling, which is the scaling axis the
+  *     signal pipeline claims to be bounded on (per-signal work
+  *     constant, parallelism = signals).
+  *   - embeddings: replica k rotates the vector by k positions
+  *     (norm-preserving, cosine structure shuffled) with shifted
+  *     vec_id, so ANN corpus size grows 10× under the same geometry.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    // deterministic per-replica permutation (replica 0 = identity)
+    def shifted(k: Int): String =
+      if (k == 0) alphabet
+      else {
+        val arr = alphabet.toCharArray
+        val rng = new scala.util.Random(0x5eed0000L + k)
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = rng.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
+
+    def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => per(df, k)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val idStep = 10000000L
+    replicate(docs) { (d, k) =>
+      d.select((col("doc_id") + lit(k * idStep)).as("doc_id"),
+        translate(col("text"), alphabet, shifted(k)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/documents.parquet")
+
+    val events = spark.read.parquet(s"$src/events.parquet")
+    replicate(events) { (e, k) =>
+      e.withColumn("event_id", col("event_id") + lit(k * idStep))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/events.parquet")
+
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    replicate(embs) { (e, k) =>
+      val n = 64
+      val rot = array((0 until n).map(i =>
+        element_at(col("embedding"), (i + k) % n + 1)): _*)
+      e.select((col("vec_id") + lit(k * idStep)).as("vec_id"),
+        (if (k == 0) col("embedding") else rot).as("embedding"),
+        col("label"))
+    }.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
+
+    // the TPC-H-ish tables are consumed by the SQL-side queries, which
+    // the audit does not target — link the originals through so any
+    // query can still resolve its tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    println(s"wrote ${factor}x replica of $src to $out")
+    spark.stop()
+  }
+}

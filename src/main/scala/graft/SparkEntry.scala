@@ -37,14 +37,13 @@ object SparkEntry {
     * forward-filled — so every bucket has full overlap (the reference
     * works on complete 15 s grids; raw events are sparse).
     */
-  private def corrGrid(s: SparkSession, dir: String): DataFrame = {
-    val g = TimeSeries.resample(
+  private def corrGrid(s: SparkSession, dir: String): DataFrame =
+    // fused one-exchange grid build (TimeSeries.gridOnePass) — feeds
+    // ~30 oracle-checked queries, so the fused path's bit-equality to
+    // the composed resample→fillForward→indexed form is re-proven by
+    // every driver correctness run
+    TimeSeries.gridOnePass(
       TimeSeries.signalsFromEvents(Tables.events(s, dir), nodeMod = 4), 3600L)
-    TimeSeries.indexed(
-      TimeSeries.fillForward(g, 3600L)
-        .select(col("name"), col("node"), col("tsb"), col("filled").as("gval")),
-      3600L)
-  }
 
   // oracle-SQL fragments for the dense correlation grid
   private val SQL_CORR_CTES =
@@ -2061,6 +2060,113 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < thr
         |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("sample_capped", (s, dir) => {
+      // at most 10 docs per source, hash-ranked: the per-domain cap a
+      // web pipeline applies before mixing
+      Sampling.cappedPerStratum(Tables.documents(s, dir), "source",
+          col("doc_id").cast("string"), 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |             CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    Q("curation_verdict", (s, dir) => {
+      // the composed keep/drop decision: length + quality + exact-dup
+      // canonicality + contamination vs the doc_id%97 eval slice, with
+      // per-reason flags (same eval/shingle conventions as
+      // decontaminate)
+      val docs = Tables.documents(s, dir)
+      Curation.curationVerdict(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          minTokens = 5, qualityMin = 0.5, w = 4)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+        |t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM train),
+        |q AS (SELECT doc_id, n_tokens,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
+        | FROM t),
+        |ex AS (SELECT doc_id,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_canonical
+        | FROM train),
+        |d2 AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |  i -> md5(array_to_string(w[i:(i + 3)], ' '))))) AS ph FROM d2 WHERE len(w) >= 4),
+        |cont AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e
+        |  ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0)
+        |SELECT q.doc_id, q.n_tokens, q.quality,
+        | CAST(q.n_tokens >= 5 AND q.n_tokens <= 100000 AS INT) AS ok_len,
+        | CAST(q.quality >= 0.5 AS INT) AS ok_quality,
+        | ex.is_canonical,
+        | CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated,
+        | CAST(q.n_tokens >= 5 AND q.n_tokens <= 100000 AND q.quality >= 0.5
+        |   AND ex.is_canonical = 1 AND cont.doc_id IS NULL AS INT) AS keep
+        |FROM q JOIN ex ON q.doc_id = ex.doc_id
+        |LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |ORDER BY q.doc_id""".stripMargin)),
+
+    Q("dedup_nearest", (s, dir) => {
+      // per-doc single most-similar neighbor at J ≥ 0.5 — the report a
+      // reviewer reads before committing a dedup threshold
+      Dedup.nearestDup(Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.5)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH docs3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2,
+        |  floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |sym AS (SELECT doc1 AS doc_id, doc2 AS nbr, jac FROM ed
+        |  UNION ALL SELECT doc2, doc1, jac FROM ed),
+        |rk AS (SELECT doc_id, nbr, jac,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, nbr ASC) AS r
+        | FROM sym)
+        |SELECT doc_id, nbr, jac FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_source_profile", (s, dir) => {
+      TextAnalysis.sourceProfile(Tables.documents(s, dir))
+        .orderBy("source", "lang")
+    }, Some(
+      """WITH a AS (SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_chars) AS chars FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs,
+        | floor((CAST(chars AS DOUBLE) / n_docs + 1e-9) * 1e4 + 0.5) / 1e4 AS avg_chars,
+        | floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source) + 1e-9) * 1e4 + 0.5) / 1e4 AS frac_of_source
+        |FROM a ORDER BY source, lang""".stripMargin)),
+
+    Q("text_ngram_novelty", (s, dir) => {
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS gs FROM d WHERE len(w) >= 2),
+        |h AS (SELECT doc_id, md5(gs) AS gh FROM g),
+        |f AS (SELECT gh, min(doc_id) AS fd FROM h GROUP BY gh)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(CAST(fd = doc_id AS BIGINT)) AS BIGINT) AS n_novel,
+        | floor((CAST(sum(CAST(fd = doc_id AS BIGINT)) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS novelty
+        |FROM h JOIN f USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("text_pii_scrub", (s, dir) => {
       // the synthetic corpus carries no PII, so deterministic PII-shaped

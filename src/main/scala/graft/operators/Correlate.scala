@@ -99,8 +99,6 @@ object Correlate {
     val cand = q.filter(!col("name").isin(objNames: _*))
       .select(col("name").as("cand_name"), col("node").as("cand_node"),
         col("b").as("cb"), col("i").as("ci"), col("qv").as("cv"))
-    val lags = indexedGrid.sparkSession.range(-lagMax, lagMax + 1)
-      .select(col("id").cast("long").as("lag"))
     val moments = momentAggs("ov", "cv")
     // the obj×lags side is a handful of signals (objNames × nodes ×
     // retention) — pin the broadcast so the plan stays a
@@ -108,8 +106,11 @@ object Correlate {
     // what AQE estimates at 100× the data. `pinBroadcast = false` is
     // the escape hatch for deployments whose objective set × retention
     // outgrows the broadcast limit (the hint would then OOM where an
-    // AQE-chosen sort-merge join completes).
-    val objLags = obj.crossJoin(broadcast(lags))
+    // AQE-chosen sort-merge join completes). Lags fan out inline on the
+    // obj rows (a generator in the same stage) rather than via a
+    // range-frame cross join — one fewer stage and broadcast build.
+    val objLags = obj.withColumn("lag",
+      explode(sequence(lit(-lagMax.toLong), lit(lagMax.toLong))))
     val build = if (pinBroadcast) broadcast(objLags) else objLags
     val cells = build
       .join(cand, col("ci") === col("i") + col("lag") && col("cb") === col("b"))

@@ -200,6 +200,45 @@ object Curation {
         (col("rn") === 1).cast("int").as("keep"))
   }
 
+  /** The per-document curation verdict: every gate a pretraining
+    * pipeline applies before a doc may enter the corpus, as one frame
+    * with per-reason flags — length window, quality floor, exact-dup
+    * canonicality (only a group's canonical survives), and benchmark
+    * contamination — plus the combined `keep`. This is the operator an
+    * operator actually runs; the individual gates exist as their own
+    * queries, this is their composed decision.
+    *
+    * Scale shape: three narrow projections of the corpus (tokens,
+    * quality expr, md5 digest — each rides its own scan of the same
+    * cached/columnar source) joined on doc_id, plus the broadcast
+    * contamination semi-join; the only wide exchange is the digest
+    * window inside [[Dedup.exact]].
+    */
+  def curationVerdict(train: DataFrame, eval: DataFrame,
+                      minTokens: Int = 5, maxTokens: Int = 100000,
+                      qualityMin: Double = 0.5, w: Int = 8): DataFrame = {
+    val toks = train.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val q = TextAnalysis.qualityScore(train).select("doc_id", "quality")
+    val canon = Dedup.exact(train)
+      .select(col("doc_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+    val contaminated = decontaminate(train, eval, w)
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(1))
+    toks.join(q, "doc_id").join(canon, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0)))
+      .withColumn("ok_len",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("ok_quality", (col("quality") >= qualityMin).cast("int"))
+      .withColumn("keep",
+        (col("ok_len") === 1 && col("ok_quality") === 1 &&
+          col("is_canonical") === 1 && col("contaminated") === 0).cast("int"))
+      .select("doc_id", "n_tokens", "quality", "ok_len", "ok_quality",
+        "is_canonical", "contaminated", "keep")
+  }
+
   /** Temperature-reweighted corpus sampling (the multilingual mixing
     * rule: stratum probability ∝ p^α with α < 1 flattens the head so
     * low-resource strata keep more of their mass). With α = 0.5 the

@@ -279,18 +279,47 @@ object Dedup {
         (col("doc_id") =!= col("lab")).cast("int").as("is_dup"))
   }
 
-  /** Char-trigram Jaccard near-dup pairs (robust to tokenization).
+  /** Char-n-gram Jaccard near-dup pairs (robust to tokenization).
     * Prefix-filtered inverted index — see [[prefixJaccard]]: frequent
-    * trigrams occur in every document, so one hot token alone would
+    * grams occur in every document, so one hot token alone would
     * yield |corpus|² candidate rows in a naive self-join.
+    *
+    * Gram width is the SCALE knob: the one-decade audit (PLANS.md r4)
+    * measured the trigram space saturating as the corpus grows
+    * (distinct trigrams 4.9× for 10× docs → naive Σ df² 14×) — at
+    * char-gram space ≪ corpus, "rare" grams stop existing and the
+    * prefix filter loses its lever. A 100 TB deployment uses n ≥ 5
+    * (27⁵ ≈ 14M gram space) or the minhash-LSH path; n = 3 is kept as
+    * the oracle-pinned default for corpus-scale parity with the
+    * classic trigram formulation.
     */
-  def ngramCharPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // same gram construction as the oracle: distinct char trigrams,
+  def ngramCharPairs(docs: DataFrame, threshold: Double = 0.5,
+                     n: Int = 3): DataFrame = {
+    // same gram construction as the oracle: distinct char n-grams,
     // sorted once per doc for the merge-scan verify
     val grams = spread(docs).select(col("doc_id"),
       sort_array(array_distinct(expr(
-        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))).as("tok"))
+        s"transform(sequence(1, char_length(text) - ${n - 1}), i -> substring(text, i, $n))"))).as("tok"))
     prefixJaccard(grams, threshold).select("doc1", "doc2", "jac")
+  }
+
+  /** Per-document nearest near-duplicate: for every doc with at least
+    * one Jaccard-≥-threshold neighbor, its single most-similar neighbor
+    * — the "who is my closest dup" report reviewed before committing a
+    * dedup policy. Symmetrizes the prefix-filtered pair set and takes
+    * the per-doc argmax (rounded jac, id tiebreak → deterministic).
+    * Cost is the candidate join ([[prefixJaccard]]); the argmax is one
+    * window over the pair list, which is ≪ corpus.
+    */
+  def nearestDup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(docs, threshold)
+    val sym = pairs.select(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("jac"))
+      .unionByName(pairs.select(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("jac")))
+    val bySim = Window.partitionBy("doc_id").orderBy(col("jac").desc, col("nbr").asc)
+    sym.withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") === 1)
+      .select("doc_id", "nbr", "jac")
   }
 
   /** 64-bit SimHash over word hashes; near-dup = hamming distance ≤ k.

@@ -114,4 +114,25 @@ object Sampling {
       .filter(hash32(keyCol) < col("thr"))
       .drop("thr")
   }
+
+  /** Deterministic per-stratum cap: keep the `n` smallest-hash keys of
+    * each stratum — the "at most N documents per domain/source" rule a
+    * web-corpus pipeline applies before mixing. Hash-ranking makes the
+    * kept set uniform w.r.t. any content or arrival order and
+    * reproducible across runs and partitionings; under append it is as
+    * stable as a cap can be (a new doc evicts at most the largest-hash
+    * survivor of its stratum). One stratum-keyed window, ties broken
+    * on the key itself → total-order deterministic. At 100 TB this is
+    * one shuffle of (stratum, hash, key)-width rows; a top-n window is
+    * partially aggregated map-side by the rank-limit pushdown.
+    */
+  def cappedPerStratum(df: DataFrame, strataCol: String, keyCol: Column,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash32(keyCol), keyCol)
+    df.withColumn("_hrk", row_number().over(w))
+      .filter(col("_hrk") <= n)
+      .drop("_hrk")
+  }
 }

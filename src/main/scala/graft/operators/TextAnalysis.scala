@@ -288,6 +288,51 @@ object TextAnalysis {
       .toDF("doc_id", "n_bigrams", "entropy_bits", "ppl")
   }
 
+  /** Corpus composition profile: per (source, lang) document counts,
+    * exact-integer mean length, and each cell's share of its source —
+    * the telemetry a mixing policy is written against. One tiny
+    * aggregate; the share is a window over the aggregate's |strata|
+    * rows (the agg+join-back form would embed a second corpus scan).
+    */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("avg_chars",
+        r4(col("chars").cast("double") / col("n_docs")))
+      .withColumn("frac_of_source",
+        r4(col("n_docs").cast("double") / sum("n_docs").over(bySource)))
+      .select("source", "lang", "n_docs", "avg_chars", "frac_of_source")
+  }
+
+  /** Per-document n-gram novelty: the share of a doc's distinct word
+    * bigrams that appear FIRST in this doc (minimum doc_id over the
+    * corpus holds the claim) — the dedup-adjacent freshness signal:
+    * boilerplate-heavy docs score near 0, template originators near 1.
+    * One bigram explode + a min-aggregate keyed by the bigram's md5
+    * digest (the raw bigram string dies in-task; the exchange carries
+    * fixed-width digests, and md5 is computable by the oracle engine),
+    * then a per-doc ratio of exact integers.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      // single-word docs have no bigrams; sequence(1, 0) DESCENDS
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1))))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        r4(col("n_novel").cast("double") / col("n_bigrams")))
+  }
+
   /** Heavy hitters via a count-min sketch expressed as a BOUNDED
     * hash-aggregate: the depth×width counter table IS the sketch state
     * — the aggregate's key space is fixed at depth·width regardless of

@@ -51,6 +51,57 @@ object TimeSeries {
         (expr(s"tsec div $step") * step).as("tsb"))
       .agg(avgDec(col("value")).as("gval"))
 
+  /** resample → fillForward → indexed fused into ONE per-signal pass —
+    * the advisor's grid-build ingest. The operator-composed form costs
+    * three exchanges (cell aggregate, span/dense join, ffill window);
+    * at 100 TB the grid build shuffles the full signal stream that many
+    * times per run. Here the raw (signal, cell, value) rows shuffle
+    * ONCE, and the cell means (exact-decimal, the avgDec contract:
+    * HALF_UP 2-dp decimals summed exactly, one double division), the
+    * dense walk, and the forward fill all happen inside the per-signal
+    * task — bounded by retention like every typed per-signal op.
+    * Bit-identical to the composed form (pinned by TimeSeriesSpec).
+    */
+  def gridOnePass(signals: DataFrame, step: Long = StepSec,
+                  bucket: Long = BucketSec): DataFrame = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    signals
+      .select(col("name"), col("node"), expr(s"tsec div $step").as("cell"),
+        col("value"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (name, node) = key
+        val sums = scala.collection.mutable.LongMap
+          .empty[(java.math.BigDecimal, Long)]
+        it.foreach { case (_, _, cell, v) =>
+          // Spark's double→DECIMAL(12,2) cast: valueOf (toString-exact)
+          // then HALF_UP to scale 2 — replicated op-for-op so the fused
+          // mean is bit-identical to avgDec's
+          val d = java.math.BigDecimal.valueOf(v)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+          val (s0, c0) = sums.getOrElse(cell, (java.math.BigDecimal.ZERO, 0L))
+          sums.update(cell, (s0.add(d), c0 + 1))
+        }
+        val cells = sums.toArray.sortBy(_._1)
+        val t0 = cells.head._1
+        val t1 = cells.last._1
+        var last = 0.0
+        var ci = 0
+        (t0 to t1).iterator.map { c =>
+          if (ci < cells.length && cells(ci)._1 == c) {
+            val (s, n) = cells(ci)._2
+            last = s.doubleValue() / n
+            ci += 1
+          }
+          val tsb = c * step
+          (name, node, tsb, last, c, tsb / bucket * bucket)
+        }
+      }
+      .toDF("name", "node", "tsb", "gval", "i", "b")
+  }
+
   /** Grid with sample index and correlation bucket columns. */
   def indexed(grid: DataFrame, step: Long = StepSec, bucket: Long = BucketSec): DataFrame =
     grid

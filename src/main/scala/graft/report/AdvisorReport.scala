@@ -33,13 +33,11 @@ object AdvisorReport {
   /** Dense forward-filled grid from long signals (name, node, tsec,
     * value) — the shape every source module emits.
     */
-  def buildGridFromSignals(signals: DataFrame, cfg: Config = Config()): DataFrame = {
-    val g = TimeSeries.resample(signals, cfg.stepSec)
-    TimeSeries.indexed(
-      TimeSeries.fillForward(g, cfg.stepSec)
-        .select(col("name"), col("node"), col("tsb"), col("filled").as("gval")),
-      cfg.stepSec, cfg.bucketSec)
-  }
+  def buildGridFromSignals(signals: DataFrame, cfg: Config = Config()): DataFrame =
+    // fused resample+ffill+index: ONE exchange of the signal stream
+    // instead of three (TimeSeries.gridOnePass doc; bit-equality to
+    // the operator-composed form pinned by TimeSeriesSpec)
+    TimeSeries.gridOnePass(signals, cfg.stepSec, cfg.bucketSec)
 
   /** Dense forward-filled grid from the events table. */
   def buildGrid(events: DataFrame, cfg: Config = Config()): DataFrame =

@@ -26,6 +26,53 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == ((3L, 2L, 0L, 0.0)))
   }
 
+  test("curationVerdict composes every gate with per-reason flags") {
+    val leak = "alpha beta gamma delta"
+    val train = docs(
+      (1L, "good clean words across enough tokens here"),   // keep
+      (2L, "short doc"),                                    // fails length
+      (3L, "good clean words across enough tokens here"),   // exact dup of 1 → not canonical
+      (4L, s"fine length text but leaks $leak from eval"),  // contaminated
+      (5L, "a b c d e f g h i j"))                          // short tokens → low quality
+    val eval = docs((97L, s"held out doc with $leak inside it"))
+    val out = Curation.curationVerdict(train, eval, minTokens = 5,
+        qualityMin = 0.8, w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "ok_len", "ok_quality", "is_canonical", "contaminated", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(out(0) == ((1L, 1, 1, 1, 0, 1)), s"doc 1: ${out(0)}")
+    assert(out(1)._2 == 0 && out(1)._6 == 0, s"doc 2 must fail length: ${out(1)}")
+    assert(out(2)._4 == 0 && out(2)._6 == 0, s"doc 3 must fail canonicality: ${out(2)}")
+    assert(out(3)._5 == 1 && out(3)._6 == 0, s"doc 4 must be contaminated: ${out(3)}")
+    assert(out(4)._3 == 0 && out(4)._6 == 0, s"doc 5 must fail quality: ${out(4)}")
+  }
+
+  test("ngramNovelty credits the first holder of a bigram, not repeaters") {
+    val d = docs(
+      (1L, "one two three four"),          // all 3 bigrams novel
+      (2L, "one two three four"),          // verbatim repeat → 0 novel
+      (3L, "one two entirely fresh tail")) // shares only "one two"
+    val out = graft.operators.TextAnalysis.ngramNovelty(d).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out(0) == ((1L, 3L, 3L, 1.0)))
+    assert(out(1) == ((2L, 3L, 0L, 0.0)))
+    assert(out(2) == ((3L, 4L, 3L, 0.75)))
+  }
+
+  test("nearestDup picks the most-similar neighbor per doc") {
+    val d = docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),  // J(1,2) high
+      (3L, "a b c d zz yy xx ww"), // J(1,3) lower
+      (4L, "totally different content everywhere now"))
+    val out = graft.operators.Dedup.nearestDup(d, 0.2).orderBy("doc_id")
+      .select("doc_id", "nbr").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L, s"doc 1 nearest must be 2: $out")
+    assert(out(2L) == 1L)
+    assert(!out.contains(4L), "doc with no neighbor above threshold must not appear")
+  }
+
   test("decontaminate flags train docs sharing an n-gram run with eval, ignores clean ones") {
     val leak = "alpha beta gamma delta"
     val train = docs(

@@ -14,6 +14,23 @@ class SamplingSpec extends SparkTestBase {
       (i.toLong, s"document body number $i with filler text", lang, src)
     }.toDF("doc_id", "text", "lang", "source")
 
+  test("cappedPerStratum keeps exactly n per stratum, deterministic and partition-invariant") {
+    val out = Sampling.cappedPerStratum(docs, "source", $"doc_id".cast("string"), 20)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 20L), s"every source capped at 20: $counts")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // same set regardless of partitioning — the hash rank is content-keyed
+    val re = Sampling.cappedPerStratum(docs.repartition(13), "source",
+        $"doc_id".cast("string"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == re)
+    // a stratum below the cap passes through whole
+    val small = Sampling.cappedPerStratum(docs.filter($"doc_id" <= 30), "source",
+      $"doc_id".cast("string"), 20)
+    assert(small.count() == 30)
+  }
+
   test("stratifiedSample keeps per-stratum rates near target and is deterministic") {
     val rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
     val once = Sampling.stratifiedSample(docs, "lang", $"doc_id".cast("string"), rates)

@@ -35,6 +35,32 @@ class TimeSeriesSpec extends SparkTestBase {
   private def sig(rows: (String, String, Long, Double)*) =
     rows.toDF("name", "node", "tsec", "value")
 
+  test("gridOnePass is bit-identical to resample→fillForward→indexed") {
+    // irregular arrivals, multi-sample cells, interior gaps, values
+    // that exercise the 2-dp decimal rounding (x.xx5 ties) and uneven
+    // spans per signal
+    val rng = new scala.util.Random(7)
+    val rows = (for {
+      (name, node) <- Seq(("m1", "a"), ("m1", "b"), ("m2", "a"))
+      i <- 0 until 200 if rng.nextDouble() > 0.3
+    } yield (name, node, 1640000000L + i * 37L + rng.nextInt(20),
+        rng.nextDouble() * 10.0 - 3.0 + (if (i % 7 == 0) 0.005 else 0.0)))
+    val s = rows.toDF("name", "node", "tsec", "value")
+    val step = 900L
+    val composed = TimeSeries.indexed(
+      TimeSeries.fillForward(TimeSeries.resample(s, step), step)
+        .select(col("name"), col("node"), col("tsb"), col("filled").as("gval")),
+      step)
+      .select("name", "node", "tsb", "gval", "i", "b")
+      .as[(String, String, Long, Double, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    val fused = TimeSeries.gridOnePass(s, step)
+      .as[(String, String, Long, Double, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    assert(fused.length == composed.length)
+    fused.zip(composed).foreach { case (f, c) =>
+      assert(f == c, s"fused $f != composed $c") // exact, doubles included
+    }
+  }
+
   private def grid(rows: (String, String, Long, Double)*) =
     rows.toDF("name", "node", "tsb", "gval")
 
