@@ -45,6 +45,29 @@ object SparkEntry {
     TimeSeries.gridOnePass(
       TimeSeries.signalsFromEvents(Tables.events(s, dir), nodeMod = 4), 3600L)
 
+  /** Oracle-SQL prefix replaying Multimodal.fakeDecode's byte fold in
+    * HUGEINT mod-2⁶⁴ over `src` (must select doc_id, text; the corpus
+    * is ASCII so character = byte). Yields CTE `meta(doc_id, byte_len,
+    * format, width, height, checksum)`.
+    */
+  private def SQL_MM_META(src: String): String =
+    s"""WITH src AS ($src),
+       |f AS (SELECT doc_id, length(text) AS blen,
+       |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+       |    (h, b) -> (31 * h + b) % 18446744073709551616) AS hu
+       |  FROM src),
+       |sgn AS (SELECT doc_id, blen,
+       |  CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS hs
+       | FROM f),
+       |meta AS (SELECT doc_id, CAST(blen AS BIGINT) AS byte_len,
+       |  CASE ((hs % 3) + 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |  CAST(64 + ((((hs - ((hs % 256) + 256) % 256) // 256) % 1856) + 1856) % 1856 AS INT) AS width,
+       |  CAST(64 + ((((hs - ((hs % 65536) + 65536) % 65536) // 65536) % 1016) + 1016) % 1016 AS INT) AS height,
+       |  CAST(hs AS BIGINT) AS checksum
+       | FROM sgn)""".stripMargin
+
   // oracle-SQL fragments for the dense correlation grid
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
@@ -1777,29 +1800,85 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin)),
 
     Q("text_perplexity", (s, dir) => {
+      // oracle-checkable despite ln/pow not being cross-engine
+      // bit-stable: every log output is quantized (×1e6 / ×1e4 floors
+      // with the 1e-9 epsilon), and log values never sit on the
+      // quantization grid, so ≤1-ulp engine noise cannot flip a floor
       TextAnalysis.bigramEntropy(Tables.documents(s, dir)).orderBy("doc_id")
-    }, None),
+    }, Some(
+      """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
+        |  WHERE length(text) >= 2),
+        |g AS (SELECT doc_id, substr(tx, CAST(i AS INT), 2) AS gr
+        |  FROM t, LATERAL (SELECT unnest(range(1, length(tx))) AS i) r),
+        |cg AS (SELECT gr, count(*) AS c FROM g GROUP BY gr),
+        |ctx AS (SELECT substr(gr, 1, 1) AS c1, sum(c) AS ct FROM cg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(gr, 2, 1)) AS nv FROM cg),
+        |qb AS (SELECT gr,
+        |  CAST(floor((-(ln((c + 1) / (ct + nv)) / ln(2.0)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS q
+        | FROM cg JOIN ctx ON substr(gr, 1, 1) = c1 CROSS JOIN v),
+        |ds AS (SELECT doc_id, sum(q) AS qsum, count(*) AS n
+        |  FROM g JOIN qb USING (gr) GROUP BY doc_id),
+        |eb AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+        |  floor((CAST(qsum AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS entropy_bits
+        | FROM ds)
+        |SELECT doc_id, n_bigrams, entropy_bits,
+        | floor((pow(2.0, entropy_bits) + 1e-9) * 1e4 + 0.5) / 1e4 AS ppl
+        |FROM eb ORDER BY doc_id""".stripMargin)),
 
     // ================= G. multimodal & streaming =================
+    // The decode stub derives metadata from the payload bytes with
+    // 64-bit wrapping arithmetic; the oracle replays the identical
+    // fold in HUGEINT mod-2⁶⁴ (the corpus is ASCII, so character =
+    // byte), making the whole multimodal plumbing hash-verified. A
+    // production corpus swaps the stub for a codec — and the oracle
+    // for golden files.
     Q("mm_binary_meta", (s, dir) => {
       Multimodal.decodeMeta(Tables.documents(s, dir)).orderBy("doc_id")
-    }, None),
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents") +
+      "\nSELECT doc_id, byte_len, format, width, height, checksum FROM meta ORDER BY doc_id")),
 
     Q("mm_format_stats", (s, dir) => {
       Multimodal.formatStats(Multimodal.decodeMeta(Tables.documents(s, dir)))
-    }, None),
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents") +
+      """
+        |SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        | floor((avg(CAST(width AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_width
+        |FROM meta GROUP BY format ORDER BY format""".stripMargin)),
 
     Q("mm_resize", (s, dir) => {
       Multimodal.resizePlan(
           Multimodal.decodeMeta(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)))
         .orderBy("doc_id")
-    }, None),
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0") +
+      """
+        |SELECT doc_id, format, width, height,
+        | CASE WHEN greatest(width, height) > 256
+        |   THEN CAST(floor(width * 256.0 / greatest(width, height)) AS INT)
+        |   ELSE width END AS out_width,
+        | CASE WHEN greatest(width, height) > 256
+        |   THEN CAST(floor(height * 256.0 / greatest(width, height)) AS INT)
+        |   ELSE height END AS out_height,
+        | CAST(greatest(width, height) > 256 AS INT) AS resized
+        |FROM meta ORDER BY doc_id""".stripMargin)),
 
     Q("mm_frame_sample", (s, dir) => {
       Multimodal.frameSample(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
           stride = 2)
         .orderBy("doc_id", "frame_idx")
-    }, None),
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0") +
+      """,
+        |fr AS (SELECT doc_id,
+        |  ((CAST(checksum AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+        |    % 18446744073709551616) AS csu,
+        |  unnest(range(0, CAST(floor(byte_len / 100.0) AS INT) + 1)) AS fi
+        | FROM meta),
+        |dg AS (SELECT doc_id, fi,
+        |  (csu * 2862933555777941757 + fi) % 18446744073709551616 AS du
+        | FROM fr WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(CASE WHEN du >= 9223372036854775808
+        |   THEN du - 18446744073709551616 ELSE du END AS BIGINT) AS frame_digest
+        |FROM dg ORDER BY doc_id, frame_idx""".stripMargin)),
 
     Q("mm_phash", (s, dir) => {
       Multimodal.phashPairs(Tables.documents(s, dir))

@@ -68,8 +68,13 @@ object Multimodal {
       .select(col("doc_id"), col("checksum"),
         explode(expr("sequence(0, CAST(byte_len / 100 AS INT))")).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
+      // LCG-style mix as the per-frame digest: wrapping 64-bit
+      // arithmetic both engines express exactly (HUGEINT mod-2⁶⁴ on
+      // the oracle side), so the sampling plumbing is hash-verified;
+      // a real codec replaces the digest with the decoded frame tensor
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        xxhash64(col("checksum"), col("frame_idx")).as("frame_digest"))
+        (col("checksum") * lit(2862933555777941757L) + col("frame_idx"))
+          .as("frame_digest"))
 
   /** Resize planning over decoded metadata: aspect-preserving fit into
     * `maxDim`×`maxDim` (integer floor arithmetic — deterministic). A
