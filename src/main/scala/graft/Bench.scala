@@ -67,9 +67,12 @@ object Bench {
     // the driver's committed artifact truncates long stdout tails — also
     // persist the untruncated per-query map where it can be committed
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
+      // a SUBSET run must never clobber the committed full-suite
+      // artifact unless the caller explicitly chose a destination
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(if (only.isEmpty) Some("BENCH_full.json") else None)
+      out.foreach(o => java.nio.file.Files.write(java.nio.file.Paths.get(o),
+        (line + "\n").getBytes("UTF-8")))
     } catch {
       // a silently-failed write leaves a stale committed artifact that
       // looks current — make the disagreement with stdout detectable

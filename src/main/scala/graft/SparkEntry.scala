@@ -68,6 +68,100 @@ object SparkEntry {
        |  CAST(hs AS BIGINT) AS checksum
        | FROM sgn)""".stripMargin
 
+  /** The LSH hyperplane constants as a DuckDB VALUES list — the oracle
+    * re-verifies everything downstream of the planes (bucketing, probe
+    * join, ranking); the planes themselves are pure deterministic
+    * splitmix64 arithmetic shared as literals. Scientific notation
+    * keeps every literal DOUBLE (a bare decimal literal is DECIMAL in
+    * DuckDB and would silently decimal-ize the fold).
+    */
+  private lazy val SQL_LSH_PLANES: String =
+    Similarity.hyperplanes(8, 64).zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(d => f"$d%.17e").mkString(", ")}])"
+    }.mkString(", ")
+
+  // shared oracle fragments for the ANN ladder (64-dim embeddings;
+  // queries = vec_id < 10, k = 5)
+  private val SQL_ANN_BASE =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** Brute-force top-k CTE (`truth`) over the shared base. */
+  private val SQL_ANN_TRUTH =
+    """bq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      |bscored AS (SELECT qid, n.vec_id AS nid,
+      |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+      | FROM n CROSS JOIN bq WHERE n.vec_id != qid),
+      |truth AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      | FROM bscored) WHERE rank <= 5)""".stripMargin
+
+  /** LSH bucket + probe + rank CTEs → `lranked(qid, rank, nid, cos_sim)`. */
+  private lazy val SQL_ANN_LSH =
+    s"""pl AS (SELECT p, w FROM (VALUES $SQL_LSH_PLANES) t(p, w)),
+       |lbits AS (SELECT vec_id, p,
+       |  CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * w[i])) >= 0
+       |    THEN '1' ELSE '0' END AS bit
+       | FROM n CROSS JOIN pl),
+       |lbk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       | FROM lbits GROUP BY vec_id),
+       |lnb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN lbk USING (vec_id)),
+       |lq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb
+       | FROM lnb WHERE vec_id < 10),
+       |lscored AS (SELECT qid, lnb.vec_id AS nid,
+       |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+       | FROM lnb JOIN lq ON lnb.bucket = lq.qb AND lnb.vec_id != lq.qid),
+       |lranked AS (SELECT qid, nid, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
+       | FROM lscored)""".stripMargin
+
+  /** IVF assign + probe + rank CTEs → `iranked(qid, rank, nid, cos_sim)`. */
+  private val SQL_ANN_IVF =
+    """ic AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+      |iasg AS (SELECT vec_id, v, nrm, cid FROM (
+      |  SELECT n.vec_id, n.v, n.nrm, ic.cid,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * ic.cv[i]))
+      |        / (n.nrm * ic.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+      |      ic.cid ASC) AS crn
+      |  FROM n CROSS JOIN ic) WHERE crn = 1),
+      |iq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS qc
+      | FROM iasg WHERE vec_id < 10),
+      |iscored AS (SELECT qid, iasg.vec_id AS nid,
+      |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+      | FROM iasg JOIN iq ON iasg.cid = iq.qc AND iasg.vec_id != iq.qid),
+      |iranked AS (SELECT qid, nid, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
+      | FROM iscored)""".stripMargin
+
+  /** PQ encode + asymmetric-distance + rank CTEs →
+    * `pranked(qid, rank, nid, adist)`. The four per-subspace terms sum
+    * left-associated to mirror the Scala accumulation order exactly.
+    */
+  private val SQL_ANN_PQ =
+    """pcb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16),
+      |pss AS (SELECT unnest(range(0, 4)) AS s),
+      |pdist AS (SELECT e.vec_id, pss.s, pcb.c,
+      |  list_sum(list_transform(range(1, 17), j ->
+      |    (e.v[pss.s * 16 + j] - pcb.cv[pss.s * 16 + j]) *
+      |    (e.v[pss.s * 16 + j] - pcb.cv[pss.s * 16 + j]))) AS d2
+      | FROM e CROSS JOIN pss CROSS JOIN pcb),
+      |penc AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+      |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+      | FROM pdist) WHERE rn = 1),
+      |pqd AS (SELECT vec_id AS qid, s, c, d2 FROM pdist WHERE vec_id < 10),
+      |pparts AS (SELECT pqd.qid, penc.vec_id AS nid, pqd.s, pqd.d2
+      | FROM penc JOIN pqd ON penc.s = pqd.s AND penc.c = pqd.c
+      | WHERE penc.vec_id != pqd.qid),
+      |pad AS (SELECT qid, nid,
+      |  floor(((((max(CASE WHEN s = 0 THEN d2 END) + max(CASE WHEN s = 1 THEN d2 END))
+      |    + max(CASE WHEN s = 2 THEN d2 END)) + max(CASE WHEN s = 3 THEN d2 END))
+      |    + 1e-9) * 1e4 + 0.5) / 1e4 AS adist
+      | FROM pparts GROUP BY qid, nid),
+      |pranked AS (SELECT qid, nid, adist,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS INT) AS rank
+      | FROM pad)""".stripMargin
+
   // oracle-SQL fragments for the dense correlation grid
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
@@ -1595,17 +1689,28 @@ object SparkEntry {
         | floor((CAST(sum(CAST(floor((nrm + 1e-11) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_n
         |FROM e GROUP BY label ORDER BY label""".stripMargin)),
 
+    // the whole ANN ladder is deterministic by construction (splitmix64
+    // planes, first-k centroids/codebooks, rounded-score rankings with
+    // id tiebreaks) — so every rung is oracle-verified, not rows-only
     Q("ann_lsh", (s, dir) => {
       Similarity.lshAnn(Tables.embeddings(s, dir))
         .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_LSH
+         |SELECT qid, rank, nid, cos_sim FROM lranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)),
 
     Q("ann_ivf", (s, dir) => {
       Similarity.ivfAnn(Tables.embeddings(s, dir))
         .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_IVF
+         |SELECT qid, rank, nid, cos_sim FROM iranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)),
 
     Q("ann_recall_eval", (s, dir) => {
       // the honesty harness for the approximate paths: recall@5 of the
@@ -1614,7 +1719,18 @@ object SparkEntry {
       Similarity.recallAtK(Similarity.lshAnn(e),
           Similarity.knnBruteCosine(e, nQueries = 10, k = 5), k = 5)
         .orderBy("qid")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_TRUTH,
+         |$SQL_ANN_LSH,
+         |hits AS (SELECT a.qid, count(*) AS hits
+         |  FROM (SELECT qid, nid FROM lranked WHERE rank <= 5) a
+         |  JOIN truth USING (qid, nid) GROUP BY a.qid),
+         |nt AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid)
+         |SELECT nt.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         | floor((CAST(COALESCE(hits, 0) AS DOUBLE) / n_truth + 1e-9) * 1e4 + 0.5) / 1e4 AS recall
+         |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
+         |ORDER BY nt.qid""".stripMargin)),
 
     Q("ann_recall_ivf_pq", (s, dir) => {
       // the same honesty harness for the OTHER two approximate rungs:
@@ -1631,13 +1747,39 @@ object SparkEntry {
           Similarity.recallAtK(Similarity.pqAnn(e, nQueries = 10, k = 5), truth, k = 5)
             .withColumn("method", lit("pq")))
         .orderBy("method", "qid")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_TRUTH,
+         |$SQL_ANN_IVF,
+         |$SQL_ANN_PQ,
+         |nt AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid),
+         |ih AS (SELECT a.qid, count(*) AS hits
+         |  FROM (SELECT qid, nid FROM iranked WHERE rank <= 5) a
+         |  JOIN truth USING (qid, nid) GROUP BY a.qid),
+         |ph AS (SELECT a.qid, count(*) AS hits
+         |  FROM (SELECT qid, nid FROM pranked WHERE rank <= 5) a
+         |  JOIN truth USING (qid, nid) GROUP BY a.qid),
+         |u AS (
+         |  SELECT nt.qid, CAST(COALESCE(ih.hits, 0) AS BIGINT) AS hits,
+         |   floor((CAST(COALESCE(ih.hits, 0) AS DOUBLE) / n_truth + 1e-9) * 1e4 + 0.5) / 1e4 AS recall,
+         |   'ivf' AS method
+         |  FROM nt LEFT JOIN ih ON nt.qid = ih.qid
+         |  UNION ALL
+         |  SELECT nt.qid, CAST(COALESCE(ph.hits, 0) AS BIGINT) AS hits,
+         |   floor((CAST(COALESCE(ph.hits, 0) AS DOUBLE) / n_truth + 1e-9) * 1e4 + 0.5) / 1e4 AS recall,
+         |   'pq' AS method
+         |  FROM nt LEFT JOIN ph ON nt.qid = ph.qid)
+         |SELECT qid, hits, recall, method FROM u ORDER BY method, qid""".stripMargin)),
 
     Q("ann_pq", (s, dir) => {
       Similarity.pqAnn(Tables.embeddings(s, dir))
         .select(col("qid"), col("rank"), col("nid"), col("adist"))
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_PQ
+         |SELECT qid, rank, nid, adist FROM pranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)),
 
     Q("embed_kmeans", (s, dir) => {
       Clustering.clusterStats(Tables.embeddings(s, dir), 8)

@@ -478,7 +478,13 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         hashFn(col("text").substr(col("p"), lit(width))).as("h"))
       .groupBy("doc_id", "h").agg(min("p").as("p"))
+    // both sides of the candidate self-join read the full window table;
+    // persisted so the explode+hash pass over the text runs once
+    // (prefixJaccard release convention). At extreme corpus scale a
+    // deployment can trade this cache for a recompute — the exchange
+    // shape is unchanged either way.
     val all = windows(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands =
       if (stride == 1)
         all.as("a").join(all.as("b"),

@@ -324,6 +324,9 @@ object TextAnalysis {
           i => concat(element_at(col("w"), i), lit(" "),
             element_at(col("w"), i + 1))))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
+      // feeds the first-claim aggregate AND the join-back — persisted
+      // so the corpus tokenizes once (prefixJaccard release convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
     grams.join(first, "gh")
       .groupBy("doc_id")

@@ -39,6 +39,40 @@ object CurationStream {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Streaming per-stratum admission cap: pass through at most `n`
+    * documents per stratum over the stream's lifetime — the
+    * ingest-time counterpart of `Sampling.cappedPerStratum`. The batch
+    * cap is hash-RANKED (it sees the whole corpus); at ingest the only
+    * implementable cap is arrival-order (first n win), which is what
+    * every rate-limited ingest does — the batch re-rank runs at rest
+    * if uniformity matters. State per stratum is ONE counter, so total
+    * state is bounded by |strata| forever (no watermark needed; a
+    * processing-time timeout would REOPEN the cap on eviction).
+    * Works on batch frames too (state starts empty; arrival order =
+    * partition order there, so batch callers use the ranked cap).
+    */
+  def cappedStream(docs: org.apache.spark.sql.DataFrame, strataCol: String,
+                   n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(strataCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(Long, String)]
+          rows.foreach { case (id, _) =>
+            if (seen < n) { out += ((id, stratum)); seen += 1 }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_id", strataCol)
+  }
+
   /** Gate a document stream (or batch frame — same code path): emits
     * every input row with per-reason flags and the combined verdict.
     *   - `ok_len`: token count within [minTokens, maxTokens]

@@ -61,4 +61,99 @@ class KernelPropertySpec extends SparkTestBase {
     // same fold order → bit-identical, not merely close
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
+
+  test("positional-filtered jaccardPairs equals naive all-pairs over random corpora") {
+    // the PPJoin positional bound must never drop a true pair: compare
+    // against the naive formulation (no prefix filter, no positional
+    // filter) on seeded random template-ish corpora at the thresholds
+    // the queries use, including the hostile t=0.5 regime
+    val rng = new scala.util.Random(0x44aL)
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "sort", "window")
+    for (trial <- 0 until 3; threshold <- Seq(0.5, 0.6)) {
+      val docs = (0 until 40).map { i =>
+        val base = (0 until 6 + rng.nextInt(10))
+          .map(_ => vocab(rng.nextInt(vocab.size)))
+        // half the docs are near-copies of an earlier doc (template dup)
+        (i.toLong, base.mkString(" "))
+      } ++ (0 until 20).map { j =>
+        val src = 5 + rng.nextInt(20)
+        (100L + j, ((0 until 8).map(_ => vocab(src % vocab.size)) :+
+          vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val fast = graft.operators.Dedup.jaccardPairs(df, threshold)
+        .select("doc1", "doc2", "jac").as[(Long, Long, Double)].collect().toSet
+      // naive reference: exact Jaccard over every pair, built in Scala
+      val sets = docs.map { case (id, t) =>
+        val w = t.toLowerCase.split("\\s+")
+        id -> w.sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+      val naive = (for {
+        (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq if i < j && si.nonEmpty && sj.nonEmpty
+        inter = (si & sj).size
+        jac = math.floor((inter.toDouble / (si.size + sj.size - inter) + 1e-9) * 1e4 + 0.5) / 1e4
+        if jac >= threshold
+      } yield (i, j, jac)).toSet
+      assert(fast == naive,
+        s"t=$threshold trial=$trial missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
+  test("containmentPairs positional filter keeps every true containment pair") {
+    val rng = new scala.util.Random(0x77bL)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 4 + rng.nextInt(12))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    } ++ (0 until 10).map { j =>
+      // engineered containment: doc j's text embedded in a longer one
+      val inner = (0 until 5).map(_ => vocab(j % vocab.size)).mkString(" ")
+      (50L + j, inner + " " + (0 until 10)
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val t = 0.8
+    val fast = graft.operators.Curation.containmentPairs(df, t)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (id, txt) =>
+      val w = txt.toLowerCase.split("\\s+")
+      id -> (if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val naive = (for {
+      (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq
+      if si.nonEmpty && sj.nonEmpty &&
+        (si.size < sj.size || (si.size == sj.size && i < j))
+      c = math.floor(((si & sj).size.toDouble / si.size + 1e-9) * 1e4 + 0.5) / 1e4
+      if c >= t
+    } yield (i, j)).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
+  test("hash-keyed substringPairs equals the verbatim formulation on random docs") {
+    val rng = new scala.util.Random(0x99cL)
+    val chars = "abcdefgh "
+    val docs = (0 until 25).map { i =>
+      (i.toLong, (0 until 20 + rng.nextInt(30))
+        .map(_ => chars(rng.nextInt(chars.length))).mkString)
+    } ++ (0 until 5).map { j =>
+      // planted verbatim run shared by ALL five docs → C(5,2) pairs
+      // must survive the hash join and verbatim verify
+      val run = "sharedrunxyz"
+      (50L + j, run + (0 until 15).map(_ => chars(rng.nextInt(chars.length))).mkString + run)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val width = 8
+    val fast = graft.operators.Dedup.substringPairs(df, width)
+      .select("doc1", "doc2", "n_shared").as[(Long, Long, Long)].collect().toSet
+    val naive = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      wi = ti.sliding(width).filter(_.length == width).toSet
+      wj = tj.sliding(width).filter(_.length == width).toSet
+      shared = (wi & wj).size if shared > 0
+    } yield (i, j, shared.toLong)).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+  }
 }

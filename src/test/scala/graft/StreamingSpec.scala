@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{CurationStream, EventStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,24 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(streamed == batch)
     assert(streamed == Seq(("click", 2L, 5.0), ("view", 1L, 5.0)))
+  }
+
+  test("cappedStream admits the first n per stratum across batches, then closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDF = mem.toDF().toDF("doc_id", "source")
+    val q = CurationStream.cappedStream(streamDF, "source", 2)
+      .writeStream.format("memory").queryName("capped").outputMode("append").start()
+    mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+    q.processAllAvailable()
+    // second batch: stratum a is already full — the counter state
+    // must survive the batch boundary; b admits exactly one more
+    mem.addData((4L, "a"), (5L, "b"), (6L, "b"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id, source FROM capped ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    assert(kept == Seq((1L, "a"), (2L, "a"), (3L, "b"), (5L, "b")), kept.toString)
   }
 
   test("hash sampling is stateless and stream/batch identical") {
