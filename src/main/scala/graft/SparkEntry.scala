@@ -162,6 +162,56 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS INT) AS rank
       | FROM pad)""".stripMargin
 
+  /** Oracle-SQL prefix replaying Multimodal.fakePhash over `src`
+    * (doc_id, text; ASCII corpus → character = byte): 4-byte shingle
+    * class histogram → ×1000/n fixed-point → mean threshold → 64-bit
+    * pack. All small-integer arithmetic, so the replay is exact.
+    * Yields CTE `ph(doc_id, phash)`; docs shorter than 4 bytes take
+    * the byte-fallback path and are absent from this corpus.
+    */
+  private def SQL_PHASH(src: String): String =
+    // RECURSIVE up front: harmless for the pair query, required when
+    // the cluster query appends its recursive closure CTE
+    s"""WITH RECURSIVE src AS ($src),
+       |pn AS (SELECT doc_id, length(text) AS n FROM src),
+       |hh AS (SELECT doc_id,
+       |  ((ascii(substr(text, CAST(i - 3 AS INT), 1)) * 131
+       |    + ascii(substr(text, CAST(i - 2 AS INT), 1))) * 131
+       |    + ascii(substr(text, CAST(i - 1 AS INT), 1))) * 131
+       |    + ascii(substr(text, CAST(i AS INT), 1)) AS h
+       | FROM src, LATERAL (SELECT unnest(range(4, length(text) + 1)) AS i) r),
+       |cc AS (SELECT doc_id, xor(h, h >> 7) & 63 AS cls, count(*) AS cnt
+       | FROM hh GROUP BY 1, 2),
+       |sc AS (SELECT cc.doc_id, cls, (cnt * 1000) // greatest(pn.n, 1) AS lum
+       | FROM cc JOIN pn USING (doc_id)),
+       |tot AS (SELECT doc_id, sum(lum) AS s FROM sc GROUP BY doc_id),
+       |pbits AS (SELECT sc.doc_id,
+       |  sum(CASE WHEN lum > (t.s // 64)
+       |    THEN CAST(CAST(1 AS UBIGINT) << CAST(cls AS INT) AS HUGEINT)
+       |    ELSE 0 END) AS u
+       | FROM sc JOIN tot t USING (doc_id) GROUP BY sc.doc_id),
+       |ph AS (SELECT doc_id,
+       |  CAST(CASE WHEN CAST(u AS UBIGINT) >= 9223372036854775808
+       |    THEN CAST(u AS UBIGINT) - 18446744073709551616
+       |    ELSE CAST(u AS UBIGINT) END AS BIGINT) AS phash
+       | FROM pbits)""".stripMargin
+
+  /** Pigeonhole block join + hamming over `ph` → CTE
+    * `ppairs(doc1, doc2, dist)` at hamming ≤ maxDist.
+    */
+  private def SQL_PHASH_PAIRS(maxDist: Int): String =
+    s"""phu AS (SELECT doc_id,
+       |  ((CAST(phash AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+       |    % 18446744073709551616) AS u
+       | FROM ph),
+       |pblk AS (SELECT doc_id, u, k.k AS blk,
+       |  (CAST(u AS UBIGINT) >> CAST(16 * k.k AS INT)) & 65535 AS bv
+       | FROM phu CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+       |ppairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(bit_count(xor(CAST(a.u AS UBIGINT), CAST(b.u AS UBIGINT))) AS INT) AS dist
+       | FROM pblk a JOIN pblk b
+       |   ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
   // oracle-SQL fragments for the dense correlation grid
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
@@ -2022,9 +2072,14 @@ object SparkEntry {
         |   THEN du - 18446744073709551616 ELSE du END AS BIGINT) AS frame_digest
         |FROM dg ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // the phash stub is small-integer arithmetic end to end, so the
+    // oracle replays it exactly (SQL_PHASH) — the multimodal dedup leg
+    // is hash-verified like the text/embedding legs
     Q("mm_phash", (s, dir) => {
       Multimodal.phashPairs(Tables.documents(s, dir))
-    }, None),
+    }, Some(SQL_PHASH("SELECT doc_id, text FROM documents") + ",\n" +
+      SQL_PHASH_PAIRS(3) +
+      "\nSELECT doc1, doc2, dist FROM ppairs WHERE dist <= 3 ORDER BY doc1, doc2")),
 
     Q("mm_dedup_cluster", (s, dir) => {
       // the multimodal leg of the shared-edge-list composition: phash
@@ -2034,7 +2089,18 @@ object SparkEntry {
       Dedup.clusters(docs, precomputedPairs =
           Some(Multimodal.phashPairs(docs).select("doc1", "doc2")))
         .orderBy("doc_id")
-    }, None),
+    }, Some(SQL_PHASH("SELECT doc_id, text FROM documents") + ",\n" +
+      SQL_PHASH_PAIRS(3) +
+      """,
+        |ed AS (SELECT doc1, doc2 FROM ppairs WHERE dist <= 3),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id)
+        |SELECT doc_id, min(lab) AS canonical_id,
+        | CAST(doc_id != min(lab) AS INT) AS is_dup
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("stream_window_agg", (s, dir) => {
       Tables.events(s, dir)
