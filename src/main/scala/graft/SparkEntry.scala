@@ -2455,6 +2455,25 @@ object SparkEntry {
         | floor((CAST(sum(CAST(fd = doc_id AS BIGINT)) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS novelty
         |FROM h JOIN f USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("pack_sequences", (s, dir) => {
+      // 256-token context windows per language stream — the
+      // concat-and-cut sequence packing every pretraining run plans
+      Curation.packingPlan(Tables.documents(s, dir), budget = 256)
+        .orderBy("lang", "doc_id")
+    }, Some(
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        | FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        | cum_before // 256 AS pack_id,
+        | cum_before % 256 AS start_offset,
+        | CAST((cum_before % 256) + n_tokens > 256 AS INT) AS crosses
+        |FROM c ORDER BY lang, doc_id""".stripMargin)),
+
     Q("text_pii_scrub", (s, dir) => {
       // the synthetic corpus carries no PII, so deterministic PII-shaped
       // spans (derived from doc_id) are grafted on first — the oracle

@@ -239,6 +239,41 @@ object Curation {
         "is_canonical", "contaminated", "keep")
   }
 
+  /** Sequence-packing plan: the concat-and-cut accounting a training
+    * pipeline runs to turn a token-counted corpus into fixed-budget
+    * context windows (docs are concatenated in a deterministic order
+    * and cut at every `budget` boundary). Per doc: its pack id, the
+    * offset of its first token inside that pack, and whether it
+    * straddles a boundary — the inputs to "how many sequences does
+    * this corpus make / how much is cut" planning.
+    *
+    * Concatenation order is (stratum, doc_id) — packing is per stratum
+    * (a training mix packs each source/language stream separately), so
+    * the running token sum is a stratum-keyed window: parallel across
+    * strata, exact integers throughout. At extreme per-stratum sizes
+    * the cumsum becomes the standard two-phase per-partition prefix
+    * sum; the per-doc outputs are identical.
+    */
+  def packingPlan(docs: DataFrame, budget: Long,
+                  strataCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(strataCol), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      // `start_offset`, not `offset`: OFFSET is reserved in ANSI SQL and
+      // the oracle compare re-selects columns by bare name
+      .withColumn("start_offset", col("cum_before") % budget)
+      .withColumn("crosses",
+        (col("start_offset") + col("n_tokens") > budget).cast("int"))
+      .select(strataCol, "doc_id", "n_tokens", "pack_id", "start_offset",
+        "crosses")
+  }
+
   /** Temperature-reweighted corpus sampling (the multilingual mixing
     * rule: stratum probability ∝ p^α with α < 1 flattens the head so
     * low-resource strata keep more of their mass). With α = 0.5 the

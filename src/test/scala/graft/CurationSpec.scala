@@ -73,6 +73,23 @@ class CurationSpec extends SparkTestBase {
     assert(!out.contains(4L), "doc with no neighbor above threshold must not appear")
   }
 
+  test("packingPlan cuts at exact token budgets and flags straddlers") {
+    val d = Seq(
+      (1L, "a b c d", "en"),
+      (2L, "e f g", "en"),
+      (3L, "h i", "en"),
+      (4L, "x y z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.packingPlan(d, 6).orderBy("lang", "doc_id")
+      .select("doc_id", "n_tokens", "pack_id", "start_offset", "crosses")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (4L, 3L, 0L, 0L, 0),  // de stream packs independently
+      (1L, 4L, 0L, 0L, 0),
+      (2L, 3L, 0L, 4L, 1),  // tokens 4..6 of pack 0 + 1 cut into pack 1
+      (3L, 2L, 1L, 1L, 0)), out.toString)
+  }
+
   test("decontaminate flags train docs sharing an n-gram run with eval, ignores clean ones") {
     val leak = "alpha beta gamma delta"
     val train = docs(
