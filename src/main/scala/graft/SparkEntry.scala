@@ -2474,6 +2474,98 @@ object SparkEntry {
         | CAST((cum_before % 256) + n_tokens > 256 AS INT) AS crosses
         |FROM c ORDER BY lang, doc_id""".stripMargin)),
 
+    Q("pack_efficiency", (s, dir) => {
+      // the one-screen packing answer: packs, straddlers, padding, util
+      Curation.packEfficiency(Tables.documents(s, dir), budget = 256)
+        .orderBy("lang")
+    }, Some(
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        | FROM t),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST((cum_before % 256) + n_tokens > 256 AS INT)) AS BIGINT) AS n_straddle
+        | FROM c GROUP BY lang)
+        |SELECT lang, n_docs, total_tokens, n_straddle,
+        | (total_tokens + 255) // 256 AS n_packs,
+        | (total_tokens + 255) // 256 * 256 - total_tokens AS pad_tokens,
+        | floor((CAST(total_tokens AS DOUBLE) /
+        |   CAST((total_tokens + 255) // 256 * 256 AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4
+        |   AS utilization
+        |FROM g ORDER BY lang""".stripMargin)),
+
+    Q("source_overlap", (s, dir) => {
+      // syndication telemetry: distinct 8-word passages shared per
+      // source pair (set-valued per digest, bounded by |sources|)
+      Curation.sourceOverlap(Tables.documents(s, dir))
+        .orderBy("src_a", "src_b")
+    }, Some(
+      """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |c AS (SELECT DISTINCT source,
+        |  md5(array_to_string(list_slice(w, (i - 1) * 8 + 1, i * 8), ' ')) AS ph
+        | FROM t, unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS g(i))
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM c a JOIN c b ON a.ph = b.ph AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("chunk_documents", (s, dir) => {
+      // the doc -> overlapping 16-token/stride-8 chunk explosion an
+      // embedding pipeline runs; digests not text leave the task
+      Curation.chunkPlan(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |n AS (SELECT doc_id, w,
+        |  1 + greatest(0, (len(w) - 16 + 8 - 1) // 8) AS nc FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | CAST((i - 1) * 8 + 1 AS BIGINT) AS start_tok,
+        | CAST(len(list_slice(w, (i - 1) * 8 + 1, (i - 1) * 8 + 16)) AS BIGINT)
+        |   AS chunk_tokens,
+        | md5(array_to_string(list_slice(w, (i - 1) * 8 + 1, (i - 1) * 8 + 16), ' '))
+        |   AS chunk_hash
+        |FROM n, unnest(generate_series(1, nc)) AS g(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("mix_waterfill", (s, dir) => {
+      // exact-integer waterfilling: temperature weights, budget = half
+      // the corpus; small languages keep everything, the rest split λw
+      Curation.waterfillMix(Tables.documents(s, dir), budgetFrac = 0.5)
+        .orderBy("lang")
+    }, Some(
+      """WITH a AS (SELECT lang,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS avail_tokens
+        | FROM documents GROUP BY lang),
+        |b AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS weight,
+        |  CAST(floor(sum(avail_tokens) OVER () * 0.5) AS BIGINT) AS t_budget FROM a),
+        |c AS (SELECT *, CAST(avail_tokens AS DOUBLE) / CAST(weight AS DOUBLE) AS ratio
+        | FROM b),
+        |d AS (SELECT *,
+        |  CAST(COALESCE(sum(avail_tokens) OVER (ORDER BY ratio, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a_before,
+        |  CAST(sum(weight) OVER (ORDER BY ratio, lang
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS w_from
+        | FROM c),
+        |e AS (SELECT *, CAST(CAST(avail_tokens AS HUGEINT) * w_from <=
+        |  CAST(t_budget - a_before AS HUGEINT) * weight AS INT) AS saturated FROM d),
+        |f AS (SELECT *,
+        |  CAST(COALESCE(sum(CASE WHEN saturated = 1 THEN avail_tokens END) OVER (), 0)
+        |    AS BIGINT) AS a_sat,
+        |  CAST(COALESCE(sum(CASE WHEN saturated = 0 THEN weight END) OVER (), 0)
+        |    AS BIGINT) AS w_unsat FROM e)
+        |SELECT lang, avail_tokens, weight,
+        | CASE WHEN saturated = 1 THEN avail_tokens
+        |      ELSE CAST(CAST(t_budget - a_sat AS HUGEINT) * weight //
+        |        CAST(w_unsat AS HUGEINT) AS BIGINT) END AS alloc_tokens,
+        | saturated
+        |FROM f ORDER BY lang""".stripMargin)),
+
     Q("text_pii_scrub", (s, dir) => {
       // the synthetic corpus carries no PII, so deterministic PII-shaped
       // spans (derived from doc_id) are grafted on first — the oracle

@@ -274,6 +274,138 @@ object Curation {
         "crosses")
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct `w`-word passages they share — the corpus-health
+    * telemetry that finds syndicated/boilerplate feeds before mixing
+    * weights are chosen (two sources sharing most of their passages
+    * should not both be upweighted). Passage = non-overlapping chunk,
+    * as in [[passageDupStats]].
+    *
+    * Scale shape: text reduces to (source, digest) in-task and is
+    * de-duplicated in one digest-keyed exchange; the per-digest source
+    * SET is bounded by |sources| (corpus-size-independent), so the
+    * pair fan-out is an in-task transform over ≤ |sources|² elements —
+    * never a self-join of the corpus-sized chunk table.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
+      .select(col("source"), words(col("text")).as("w"))
+      .select(col("source"),
+        explode(expr(s"transform(sequence(1, int(ceil(size(w) / ${w}.0))), " +
+          s"i -> array_join(slice(w, (i - 1) * $w + 1, $w), ' '))")).as("p"))
+      .select(col("source"), md5(col("p")).as("ph"))
+      // no pre-distinct: collect_set dedups repeat occurrences, so the
+      // digest aggregate is the FIRST exchange the chunk stream hits
+      .groupBy("ph").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Token-window chunking: the doc → overlapping fixed-size chunk
+    * explosion an embedding/indexing pipeline runs before vectorizing
+    * (chunk size `c`, stride `s`; the tail chunk may be short; a doc
+    * shorter than `c` yields one whole-doc chunk). Output carries the
+    * chunk's digest and token count, not its text — the downstream
+    * join identity. Pure per-row explode: no shuffle at all until the
+    * caller aggregates.
+    */
+  def chunkPlan(docs: DataFrame, c: Int = 16, s: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("nc",
+        expr(s"1 + greatest(0L, (size(w) - $c + $s - 1) div $s)"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, int(nc)), i -> struct(" +
+          s"i AS chunk_id, (i - 1) * $s + 1 AS start_tok, " +
+          s"size(slice(w, (i - 1) * $s + 1, $c)) AS chunk_tokens, " +
+          s"md5(array_join(slice(w, (i - 1) * $s + 1, $c), ' ')) AS chunk_hash))"))
+          .as("ck"))
+      .select(col("doc_id"), col("ck.chunk_id").cast("long").as("chunk_id"),
+        col("ck.start_tok").cast("long").as("start_tok"),
+        col("ck.chunk_tokens").cast("long").as("chunk_tokens"),
+        col("ck.chunk_hash").as("chunk_hash"))
+
+  /** Waterfilling token allocation: given a total token budget and
+    * per-stratum weights (temperature √avail by default), allocate
+    * `min(avail_s, λ·w_s)` with λ chosen so the allocations sum to the
+    * budget — the exact "how many tokens of each language does this
+    * run take" mix solver (small strata are capped at what they have;
+    * the freed budget waterfalls to the rest).
+    *
+    * Exact-integer throughout: strata sort ascending by saturation
+    * ratio avail/weight (the saturated set is a prefix of that order);
+    * stratum k saturates iff avail_k · Σ_{j≥k} w_j ≤ (T − Σ_{j<k}
+    * avail_j) · w_k — cross-multiplied DECIMAL(38) comparisons, no
+    * float λ — and unsaturated strata get ⌊(T − Σ_sat avail) · w /
+    * Σ_unsat w⌋, an integer floor-div of exact integers. The whole
+    * computation runs on the |strata|-row aggregate, so the windows'
+    * single-partition shape is bounded and the corpus contributes one
+    * count aggregate.
+    */
+  def waterfillMix(docs: DataFrame, budgetFrac: Double = 0.5,
+                   strataCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = docs
+      .select(col(strataCol), size(words(col("text"))).cast("long").as("n"))
+      .groupBy(strataCol).agg(sum("n").as("avail_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("avail_tokens").cast("double")) * 10000.0 + 0.5)
+          .cast("long"))
+      // one IEEE division both engines compute identically; lang breaks
+      // exact-rational ties deterministically
+      .withColumn("ratio",
+        col("avail_tokens").cast("double") / col("weight").cast("double"))
+    val ord = Window.orderBy(col("ratio"), col(strataCol))
+    val all = Window.orderBy(col("ratio"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    avail
+      .withColumn("t_budget",
+        expr(s"cast(floor(sum(avail_tokens) over (rows between unbounded " +
+          s"preceding and unbounded following) * $budgetFrac) as bigint)"))
+      .withColumn("a_before", coalesce(
+        sum("avail_tokens").over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("w_from",
+        sum("weight").over(ord.rowsBetween(0, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        (dec(col("avail_tokens")) * dec(col("w_from")) <=
+          dec(col("t_budget") - col("a_before")) * dec(col("weight"))).cast("int"))
+      .withColumn("a_sat", coalesce(sum(when(col("saturated") === 1,
+        col("avail_tokens"))).over(all), lit(0L)))
+      .withColumn("w_unsat", coalesce(sum(when(col("saturated") === 0,
+        col("weight"))).over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("saturated") === 1, col("avail_tokens"))
+          .otherwise(expr("(cast(t_budget - a_sat as decimal(38,0)) * " +
+            "cast(weight as decimal(38,0))) div cast(w_unsat as decimal(38,0))")
+            .cast("bigint")))
+      .select(col(strataCol), col("avail_tokens"), col("weight"),
+        col("alloc_tokens"), col("saturated"))
+  }
+
+  /** Per-stratum packing telemetry over [[packingPlan]]'s accounting:
+    * pack count, boundary straddlers, tail padding, and utilization —
+    * the one-screen answer to "how many context windows does this
+    * corpus make and how much budget is padding". Same single corpus
+    * scan as the plan; the aggregate is |strata| rows.
+    */
+  def packEfficiency(docs: DataFrame, budget: Long,
+                     strataCol: String = "lang"): DataFrame =
+    packingPlan(docs, budget, strataCol)
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("crosses").cast("long").as("n_straddle"))
+      .withColumn("n_packs",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("pad_tokens", col("n_packs") * budget - col("total_tokens"))
+      .withColumn("utilization", r4(col("total_tokens").cast("double") /
+        (col("n_packs") * budget).cast("double")))
+
   /** Temperature-reweighted corpus sampling (the multilingual mixing
     * rule: stratum probability ∝ p^α with α < 1 flattens the head so
     * low-resource strata keep more of their mass). With α = 0.5 the

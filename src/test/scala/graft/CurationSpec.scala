@@ -90,6 +90,68 @@ class CurationSpec extends SparkTestBase {
       (3L, 2L, 1L, 1L, 0)), out.toString)
   }
 
+  test("packEfficiency reports packs, straddlers, padding and utilization per stratum") {
+    val d = Seq(
+      (1L, "a b c d", "en"),
+      (2L, "e f g", "en"),
+      (3L, "h i", "en"),
+      (4L, "x y z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.packEfficiency(d, 6).orderBy("lang")
+      .select("lang", "n_docs", "total_tokens", "n_straddle", "n_packs",
+        "pad_tokens", "utilization")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("de", 1L, 3L, 0L, 1L, 3L, 0.5),
+      ("en", 3L, 9L, 1L, 2L, 3L, 0.75)), out.toString)
+  }
+
+  test("sourceOverlap counts shared passages per source pair, expanding multi-source sets") {
+    val d = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b x y", "srcB"),
+      (3L, "a b q r", "srcC"),
+      (4L, "z z z z", "srcD")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(d, w = 2).orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    // "a b" lives in A, B and C -> all three pairs; D shares nothing
+    assert(out == Seq(
+      ("srcA", "srcB", 1L), ("srcA", "srcC", 1L), ("srcB", "srcC", 1L)),
+      out.toString)
+  }
+
+  test("chunkPlan windows with stride, short tail, and whole-doc chunk for short docs") {
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, twenty), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunkPlan(d, c = 16, s = 8)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 16L), (1L, 2L, 9L, 12L),  // tail chunk is short
+      (2L, 1L, 1L, 3L)), out.toString)
+    val hashes = Curation.chunkPlan(d, 16, 8).select("chunk_hash")
+      .distinct().count()
+    assert(hashes == 3, "distinct windows must hash distinctly")
+  }
+
+  test("waterfillMix caps tiny strata at their size and floor-splits the rest by weight") {
+    val mk = (lang: String, n: Int, base: Long) =>
+      (1 to 1).map(_ => (base, (1 to n).map(i => s"t$i").mkString(" "), lang))
+    val d = (mk("aa", 2, 1L) ++ mk("bb", 100, 2L) ++ mk("cc", 100, 3L))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.waterfillMix(d, budgetFrac = 0.5).orderBy("lang")
+      .select("lang", "avail_tokens", "weight", "alloc_tokens", "saturated")
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    // T = floor(202 * 0.5) = 101; aa (2 tokens) saturates, bb and cc
+    // share floor((101 - 2) * w / 2w) = 49 each
+    assert(out == Seq(
+      ("aa", 2L, 14142L, 2L, 1),
+      ("bb", 100L, 100000L, 49L, 0),
+      ("cc", 100L, 100000L, 49L, 0)), out.toString)
+  }
+
   test("decontaminate flags train docs sharing an n-gram run with eval, ignores clean ones") {
     val leak = "alpha beta gamma delta"
     val train = docs(
