@@ -2171,6 +2171,52 @@ object SparkEntry {
         |    WHEN 'zh' THEN 1073741824 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("sample_split_grouped", (s, dir) => {
+      // leakage-safe 80/10/10: the split hashes the exact-dup CANONICAL
+      // id, so every copy of a doc lands in the same split and no test
+      // doc has a twin in train
+      val canon = Dedup.exact(Tables.documents(s, dir))
+        .select("doc_id", "canonical_id")
+      Sampling.splitAssign(canon, col("canonical_id").cast("string"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH c AS (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         | FROM documents)
+         |SELECT doc_id, canonical_id,
+         | CASE WHEN CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |        < ${Sampling.threshold(0.8)} THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |        < ${Sampling.threshold(0.8 + 0.1)} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_importance", (s, dir) => {
+      // quality-proportional keep: each doc's acceptance probability IS
+      // its quality score (the classifier-score sampling move); kept
+      // set is nested under any uniform upscaling of the scores
+      Sampling.importanceSample(
+          TextAnalysis.qualityScore(Tables.documents(s, dir))
+            .select("doc_id", "quality"),
+          col("doc_id").cast("string"), col("quality"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |    - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
+        | FROM t)
+        |SELECT doc_id, quality FROM q
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
+        |  CAST(floor(quality * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_mix_weighted", (s, dir) => {
       // rebalance to a 2:1 weighting of the first four sources without
       // upsampling: the scarcest weighted stratum pins the scale

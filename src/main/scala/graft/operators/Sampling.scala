@@ -115,6 +115,20 @@ object Sampling {
       .drop("thr")
   }
 
+  /** Importance (probability-proportional) sampling: each row carries
+    * its own acceptance probability — e.g. a quality-classifier score —
+    * and is kept iff its hash falls under that per-row threshold. The
+    * standard "sample proportional to quality" curation move, with the
+    * same determinism contract as [[stratifiedSample]]: same row → same
+    * verdict on any engine or partitioning, and a row kept at
+    * probability p stays kept at any p′ > p (nested). `probCol` must be
+    * in [0, 1]; the filter is a narrow codegen'd predicate on the scan.
+    */
+  def importanceSample(df: DataFrame, keyCol: Column,
+                       probCol: Column): DataFrame =
+    df.filter(hash32(keyCol) <
+      floor(probCol * lit(Two32)).cast("bigint"))
+
   /** Deterministic per-stratum cap: keep the `n` smallest-hash keys of
     * each stratum — the "at most N documents per domain/source" rule a
     * web-corpus pipeline applies before mixing. Hash-ranking makes the

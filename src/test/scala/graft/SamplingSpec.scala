@@ -107,6 +107,41 @@ class SamplingSpec extends SparkTestBase {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("importanceSample keeps each row with probability equal to its score") {
+    val scored = docs.withColumn("p",
+      when(col("doc_id") % 2 === 0, lit(1.0)).otherwise(lit(0.0)))
+    val kept = Sampling.importanceSample(scored, col("doc_id").cast("string"),
+      col("p")).select("doc_id").as[Long].collect().toSet
+    assert(kept == (1 to 400).map(_.toLong).filter(_ % 2 == 0).toSet,
+      "p=1 rows must all survive, p=0 rows must all drop")
+    // a mid probability keeps a mid fraction, and raising p only ADDS rows
+    val half = Sampling.importanceSample(docs.withColumn("p", lit(0.5)),
+      col("doc_id").cast("string"), col("p")).select("doc_id").as[Long].collect().toSet
+    val most = Sampling.importanceSample(docs.withColumn("p", lit(0.8)),
+      col("doc_id").cast("string"), col("p")).select("doc_id").as[Long].collect().toSet
+    assert(half.size > 150 && half.size < 250, s"~half expected, got ${half.size}")
+    assert(half.subsetOf(most), "kept sets must be nested in the score")
+  }
+
+  test("grouped split sends every member of a dup group to the canonical's split") {
+    // two exact copies of every text: doc i and doc i+400 collide
+    val dup = docs.select(col("doc_id") + 400, col("text"), col("lang"), col("source"))
+      .toDF("doc_id", "text", "lang", "source")
+    val both = docs.union(dup)
+    val out = Sampling.splitAssign(
+        Dedup.exact(both).select("doc_id", "canonical_id"),
+        col("canonical_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byCanon = out.groupBy(_._2).values
+    assert(byCanon.forall(g => g.map(_._3).toSet.size == 1),
+      "a dup group must never span splits")
+    assert(byCanon.exists(_.size == 2), "fixture must actually form dup groups")
+    val labels = out.map(_._3).toSet
+    assert(labels == Set("train", "val", "test"), labels.toString)
+  }
+
   test("substringPairs finds verbatim shared windows and counts them") {
     val boiler = "SHARED-BOILERPLATE-TEXT-THAT-IS-LONG-ENOUGH-TO-MATCH-EXACTLY"
     val d = Seq(
