@@ -17,6 +17,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (BucketedCorpusSpec) land in a throwaway
+      // warehouse, never in the repo working tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.prepare(s)
