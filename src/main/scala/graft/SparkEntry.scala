@@ -879,6 +879,24 @@ object SparkEntry {
          |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 1e-9) * 1e4 + 0.5) / 1e4 AS med
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_moving_p95", (s, dir) => {
+      // trailing 12-sample p95 band per signal — the adaptive threshold
+      // drawn beside latency series; discrete quantile, so always an
+      // observed value
+      TimeSeries.movingQuantile(grid(s, dir), 12, 0.95)
+        .select(col("name"), col("node"), col("tsb"), r4(col("pq")).as("p95"))
+        .orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |fr AS (SELECT name, node, tsb,
+         |  list_sort(list(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS l
+         | FROM grid)
+         |SELECT name, node, tsb,
+         | floor((list_extract(l, CAST(greatest(ceil(0.95 * len(l)), 1) AS INT))
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS p95
+         |FROM fr ORDER BY name, node, tsb""".stripMargin)),
+
     Q("ts_delta_rate", (s, dir) => {
       TimeSeries.deltaRate(grid(s, dir))
         .select(col("name"), col("node"), col("tsb"),

@@ -226,6 +226,26 @@ object TimeSeries {
           element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
   }
 
+  /** Trailing rolling discrete quantile — the "p95 over the last w
+    * samples" band an SRE dashboard draws beside every latency series
+    * (and the adaptive threshold ad-hoc alerting compares against).
+    * Discrete (exact-element) quantile: the sorted trailing frame's
+    * element at ⌈q·n⌉ — no interpolation, so the output is always an
+    * observed value and the selection is bit-deterministic on any
+    * engine given identical frames (the same reason [[movingMedian]]
+    * materializes its frame). Edge-shrunk like every rolling op here:
+    * early rows use the partial frame. One keyed window; frame length
+    * is the operator's own bound on per-row work.
+    */
+  def movingQuantile(grid: DataFrame, w: Int = 12, q: Double = 0.95,
+                     in: String = "gval", out: String = "pq"): DataFrame = {
+    val arr = sort_array(collect_list(col(in))
+      .over(signalWindow.rowsBetween(-(w - 1), 0)))
+    grid.withColumn(out,
+      element_at(arr,
+        greatest(ceil(lit(q) * size(arr)).cast("int"), lit(1))))
+  }
+
   /** Missing-data audit per signal — the data-quality question asked
     * BEFORE trusting any gap-filled series: how sparse is this signal,
     * and how long is its worst outage? Computed from consecutive

@@ -80,6 +80,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == Seq(2.0, 5.0, 3.0, 5.5, 3.0))
   }
 
+  test("movingQuantile takes the ceil(q*n)-th smallest of the trailing frame") {
+    val out = TimeSeries.movingQuantile(grid(
+      ("m", "a", 0L, 5.0), ("m", "a", 900L, 1.0), ("m", "a", 1800L, 9.0),
+      ("m", "a", 2700L, 3.0)), w = 3, q = 0.5)
+      .orderBy("tsb").select("pq").as[Double].collect().toSeq
+    // trailing frames: [5]→5; [1,5] idx ceil(1)=1→1; [1,5,9] idx 2→5; [1,3,9] idx 2→3
+    assert(out == Seq(5.0, 1.0, 5.0, 3.0))
+    val p95 = TimeSeries.movingQuantile(grid(
+      (1 to 20).map(i => ("m", "a", i * 900L, i.toDouble)): _*), w = 12, q = 0.95)
+      .orderBy("tsb").select("pq").as[Double].collect().toSeq
+    // full 12-frames: ceil(0.95*12)=12 -> the frame max
+    assert(p95.drop(11) == (12 to 20).map(_.toDouble), p95.toString)
+  }
+
   test("fillForward densifies and carries last value") {
     val out = TimeSeries.fillForward(grid(("m", "a", 0L, 1.0), ("m", "a", 2700L, 4.0)), 900L)
       .orderBy("tsb").select("tsb", "filled").as[(Long, Double)].collect().toSeq
