@@ -456,6 +456,48 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts
         |FROM s2 GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
 
+    Q("q29_session_cooccur", (s, dir) => {
+      // market-basket affinity over sessions: which event types happen
+      // TOGETHER in a session (unordered — q22_funnel is the ordered
+      // counterpart). Per-session type set is bounded by the type
+      // domain, so the pair expansion is in-task and the aggregate is
+      // |types|² rows regardless of event volume.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .groupBy("user_id", "sid")
+        .agg(sort_array(collect_set(col("event_type"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (a, i) -> transform(slice(ss, i + 2, size(ss)), " +
+            "b -> struct(a AS ta, b AS tb))))")).as("pr"))
+        .groupBy(col("pr.ta").as("type_a"), col("pr.tb").as("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("type_a", "type_b")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id, event_type FROM events),
+        |b AS (SELECT user_id, tsec, event_id, event_type,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, event_type,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM b),
+        |p AS (SELECT DISTINCT user_id, sid, event_type FROM s2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | count(*) AS n_sessions
+        |FROM p a JOIN p b ON a.user_id = b.user_id AND a.sid = b.sid
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("q11_json_extract", (s, dir) => {
       Tables.events(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("int").as("kv"))
