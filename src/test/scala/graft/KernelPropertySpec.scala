@@ -132,6 +132,65 @@ class KernelPropertySpec extends SparkTestBase {
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
 
+  test("waterfillMix equals an exact BigInt reference waterfill over 30 random corpora") {
+    val rng = new scala.util.Random(0x4f11L)
+    (0 until 30).foreach { trial =>
+      val nStrata = 2 + rng.nextInt(7)
+      val strata = (0 until nStrata).map { k =>
+        (s"l$k", 1 + rng.nextInt(2000))  // (lang, token count)
+      }
+      val docs = strata.zipWithIndex.map { case ((lang, n), i) =>
+        (i.toLong, Seq.fill(n)("t").mkString(" "), lang)
+      }.toDF("doc_id", "text", "lang")
+      val got = graft.operators.Curation.waterfillMix(docs, budgetFrac = 0.5)
+        .select("lang", "avail_tokens", "weight", "alloc_tokens", "saturated")
+        .as[(String, Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> (r._4, r._5)).toMap
+
+      // reference: exact rational waterfill, same weight quantization
+      val avail = strata.toMap
+      val weight = strata.map { case (l, a) =>
+        l -> math.floor(math.sqrt(a.toDouble) * 10000.0 + 0.5).toLong
+      }.toMap
+      val total = strata.map(_._2.toLong).sum
+      val t = math.floor(total * 0.5).toLong
+      // ascending a/w, tie by lang — compare rationals by cross-product
+      val order = strata.map(_._1).sortWith { (x, y) =>
+        val c = (BigInt(avail(x)) * weight(y)).compare(BigInt(avail(y)) * weight(x))
+        if (c != 0) c < 0 else x < y
+      }
+      var aBefore = 0L
+      var sFrom = order.map(weight).sum
+      var firstUnsat = Option.empty[(Long, Long)] // (remaining budget, suffix w)
+      val want = order.map { l =>
+        val sat = firstUnsat.isEmpty &&
+          BigInt(avail(l)) * sFrom <= BigInt(t - aBefore) * weight(l)
+        val alloc =
+          if (sat) avail(l).toLong
+          else {
+            val (rem, wTot) = firstUnsat.getOrElse((t - aBefore, sFrom))
+            if (firstUnsat.isEmpty) firstUnsat = Some((rem, wTot))
+            (BigInt(rem) * weight(l) / wTot).toLong
+          }
+        aBefore += avail(l); sFrom -= weight(l)
+        l -> (alloc, if (sat) 1 else 0)
+      }.toMap
+      assert(got == want, s"trial $trial: got=$got want=$want strata=$strata")
+
+      // global invariants: never over avail, never over budget, and the
+      // floor slack is < the number of unsaturated strata
+      val allocSum = got.values.map(_._1).sum
+      got.foreach { case (l, (alloc, satFlag)) =>
+        assert(alloc <= avail(l), s"trial $trial: $l alloc over avail")
+        if (satFlag == 1) assert(alloc == avail(l))
+      }
+      val nUnsat = got.values.count(_._2 == 0)
+      assert(allocSum <= t || nUnsat == 0, s"trial $trial: budget exceeded")
+      if (nUnsat > 0)
+        assert(t - allocSum < nUnsat, s"trial $trial: left too much on the table")
+    }
+  }
+
   test("hash-keyed substringPairs equals the verbatim formulation on random docs") {
     val rng = new scala.util.Random(0x99cL)
     val chars = "abcdefgh "
