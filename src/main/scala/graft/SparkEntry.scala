@@ -498,6 +498,144 @@ object SparkEntry {
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("q30_event_paths", (s, dir) => {
+      // path mining: the frequency table of 3-step event-type
+      // sequences WITHIN a session (q22_funnel fixes one target path;
+      // this surfaces all of them). lead() windows stay in-partition,
+      // the aggregate output is ≤ |types|³ rows regardless of volume.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val ws = Window.partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+      ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .withColumn("step2", lead("event_type", 1).over(ws))
+        .withColumn("step3", lead("event_type", 2).over(ws))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy("step1", "step2", "step3")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id, event_type FROM events),
+        |b AS (SELECT user_id, tsec, event_id, event_type,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, tsec, event_id, event_type,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM b),
+        |p AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER ws AS step2,
+        |  lead(event_type, 2) OVER ws AS step3
+        | FROM s2 WINDOW ws AS (PARTITION BY user_id, sid ORDER BY tsec, event_id))
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM p WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("q31_attribution", (s, dir) => {
+      // last-touch attribution: each purchase credits the most recent
+      // NON-purchase event earlier in the same session; the session
+      // break doubles as the lookback cutoff. One windowed pass —
+      // no self-join of the event stream against itself.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val ws = Window.partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+      val withTouch = ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")), true)
+          .over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull)
+      val byTouch = withTouch.groupBy(col("touch").as("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+      byTouch
+        .withColumn("share", r4(col("n_conversions").cast("double") /
+          sum("n_conversions").over(Window.partitionBy())))
+        .orderBy("touch_type")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id, event_type FROM events),
+        |b AS (SELECT user_id, tsec, event_id, event_type,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, tsec, event_id, event_type,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM b),
+        |t AS (SELECT event_type,
+        |  last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM s2),
+        |c AS (SELECT touch AS touch_type, count(*) AS n_conversions FROM t
+        | WHERE event_type = 'purchase' AND touch IS NOT NULL GROUP BY 1)
+        |SELECT touch_type, n_conversions,
+        | floor((CAST(n_conversions AS DOUBLE) / sum(n_conversions) OVER () + 1e-9)
+        |   * 1e4 + 0.5) / 1e4 AS share
+        |FROM c ORDER BY touch_type""".stripMargin)),
+
+    Q("profile_table", (s, dir) => {
+      // dataset profiling (the pre-ingest audit every pipeline runs):
+      // null/distinct/min/max per column in ONE corpus scan — columns
+      // unpivot to (name, value) rows in-task, then a single keyed
+      // aggregate. Exact distinct counts here; the 100 TB path swaps
+      // in HLL (sketch_approx_distinct) per column, same shape.
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(s, dir)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").isNull.cast("long")).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("col_name")
+    }, Some(
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        | count(DISTINCT v) AS n_distinct,
+        | min(v) AS min_v, max(v) AS max_v
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("text_entropy", (s, dir) =>
+      // lexical diversity: type/token ratio + word-distribution
+      // entropy per doc (low-entropy-at-length = template spam)
+      TextAnalysis.wordEntropy(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |wc AS (SELECT doc_id, unnest(w) AS wd FROM d),
+        |c AS (SELECT doc_id, wd, count(*) AS c FROM wc GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        | floor((CAST(n_types AS DOUBLE) / n_tokens + 1e-9) * 1e4 + 0.5) / 1e4 AS ttr,
+        | floor((ln(CAST(n_tokens AS DOUBLE)) - slc / n_tokens + 1e-9) * 1e4 + 0.5) / 1e4 AS h_word
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
     Q("q11_json_extract", (s, dir) => {
       Tables.events(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("int").as("kv"))
@@ -1673,6 +1811,42 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_stats", (s, dir) =>
+      // duplication telemetry every dedup run reports before deletion:
+      // the cluster-size histogram of the near-dup components (exact
+      // digests are useless here — this corpus has zero byte-identical
+      // docs) and the doc mass in each size class. Composes the same
+      // clusters() output as dedup_cluster; the histogram is two tiny
+      // aggregates over the |docs|-row component frame.
+      Dedup.clusters(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.5)
+        .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"))
+        .orderBy("cluster_size"),
+    Some(
+      """WITH RECURSIVE
+        |docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs5),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM docs5
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id),
+        |lab AS (SELECT doc_id, min(lab) AS canonical_id FROM comp GROUP BY doc_id),
+        |cs AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        | CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dedup_cluster_minhash", (s, dir) => {
       // the scale-path composition: connected components over the
       // MinHash-LSH candidate edges (bucketed, never all-pairs) via the
@@ -2362,6 +2536,51 @@ object SparkEntry {
         |FROM sh t JOIN sh e ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("decontaminate_fuzzy", (s, dir) => {
+      // graduated leak check: overlap FRACTION of each train doc's
+      // bigram shingles vs each eval doc (w=2 / 0.15 suit this 31-word
+      // template corpus; real corpora run 8-13-grams at 0.8)
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), w = 2, minFrac = 0.15)
+        .orderBy("doc_id", "eval_doc_id")
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> md5(w[i] || ' ' || w[i + 1])))) AS ph FROM d WHERE len(w) >= 2),
+        |tn AS (SELECT doc_id, count(*) AS n_train FROM sh WHERE doc_id % 97 != 0 GROUP BY 1),
+        |j AS (SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        | FROM sh t JOIN sh e ON t.ph = e.ph AND t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+        | GROUP BY 1, 2)
+        |SELECT j.doc_id, eval_doc_id, n_shared, n_train,
+        | floor((CAST(n_shared AS DOUBLE) / n_train + 1e-9) * 1e4 + 0.5) / 1e4 AS overlap_frac
+        |FROM j JOIN tn ON j.doc_id = tn.doc_id
+        |WHERE floor((CAST(n_shared AS DOUBLE) / n_train + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.15
+        |ORDER BY 1, 2""".stripMargin)),
+
+    Q("text_boilerplate", (s, dir) =>
+      // per-source repeated-chunk audit (the CCNet "same line on many
+      // pages of one site" rule; 3-word chunks fit these short docs)
+      Curation.boilerplate(Tables.documents(s, dir), w = 3, minDocs = 2)
+        .orderBy("doc_id"),
+    Some(
+      """WITH d AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS wd FROM documents),
+        |ch AS (SELECT doc_id, source,
+        |  unnest(list_transform(range(1, CAST(ceil(len(wd) / 3.0) AS BIGINT) + 1),
+        |    i -> md5(array_to_string(wd[((i - 1) * 3 + 1):((i - 1) * 3 + 3)], ' ')))) AS ph
+        | FROM d),
+        |bf AS (SELECT source, ph FROM (
+        |   SELECT source, ph, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1, 2)
+        | WHERE nd >= 2),
+        |pd AS (SELECT ch.doc_id, ch.source, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN bf.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        | FROM ch LEFT JOIN bf ON ch.source = bf.source AND ch.ph = bf.ph
+        | GROUP BY 1, 2)
+        |SELECT doc_id, source, n_passages, n_boiler,
+        | floor((1.0 - CAST(n_boiler AS DOUBLE) / n_passages + 1e-9) * 1e4 + 0.5) / 1e4 AS clean_frac
+        |FROM pd WHERE n_boiler >= 1 ORDER BY doc_id""".stripMargin)),
+
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
       // smaller bigram-shingle set — catches the quoted/template-wrapper
@@ -2840,6 +3059,27 @@ object SparkEntry {
         |SELECT label_a, label_b,
         | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM prs ORDER BY label_a, label_b""".stripMargin)),
+
+    Q("embed_drift", (s, dir) =>
+      // ingest-batch drift monitor: cosine of each batch centroid vs
+      // the corpus centroid (batch key = vec_id shard standing in for
+      // the ingest-date column of a production feed)
+      Similarity.batchDriftCosine(Tables.embeddings(s, dir), col("vec_id") % 8)
+        .orderBy("batch"),
+    Some(
+      """WITH cells AS (SELECT vec_id % 8 AS batch, d,
+        |  CAST(floor((CAST(embedding[CAST(d AS INTEGER)] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS q
+        | FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) ds),
+        |pb AS (SELECT batch, d, sum(q) AS sb, count(*) AS nd FROM cells GROUP BY 1, 2),
+        |g AS (SELECT d, sum(sb) AS sg FROM pb GROUP BY 1),
+        |m AS (SELECT batch, CAST(CAST(sum(nd) AS DOUBLE) / count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(pb.sb * g.sg) AS DOUBLE) AS sxy,
+        |  CAST(sum(pb.sb * pb.sb) AS DOUBLE) AS sxx,
+        |  CAST(sum(g.sg * g.sg) AS DOUBLE) AS syy
+        | FROM pb JOIN g ON pb.d = g.d GROUP BY 1)
+        |SELECT batch, n_vecs,
+        | floor((sxy / (sqrt(sxx) * sqrt(syy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_global
+        |FROM m ORDER BY batch""".stripMargin)),
 
     // CMS as a bounded hash-aggregate with an md5 row hash — the
     // estimates themselves are oracle-verified (width 64 exercises

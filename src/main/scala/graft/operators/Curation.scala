@@ -80,6 +80,74 @@ object Curation {
       .groupBy("doc_id", "eval_doc_id")
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Fuzzy decontamination: [[decontaminate]] graduated from "any
+    * shared shingle" to an overlap FRACTION — |shared| / |train doc's
+    * distinct shingles| — gated at `minFrac`. This is the production
+    * contamination rule (e.g. "drop if ≥ 80 % of a doc's 13-grams
+    * appear in an eval doc"): raw collision counts flag every doc that
+    * quotes one benchmark sentence, the fraction isolates docs that
+    * substantially ARE eval content. The denominator is the train
+    * side, so a short doc fully contained in an eval doc scores 1.0
+    * regardless of the eval doc's length.
+    *
+    * Plan: the train digest frame feeds both the eval join and its own
+    * per-doc shingle count, so it is persisted (prefixJaccard release
+    * convention); the eval side stays broadcast-sized. The fraction is
+    * computed on the joined aggregate — |pairs| rows, not corpus rows.
+    */
+  def decontaminateFuzzy(train: DataFrame, eval: DataFrame, w: Int = 8,
+                         minFrac: Double = 0.8): DataFrame = {
+    val tr = shingleDigests(train, "doc_id", w).persist()
+    val perDoc = tr.groupBy("doc_id").agg(count(lit(1)).as("n_train"))
+    tr.join(broadcast(shingleDigests(eval, "eval_doc_id", w).select("eval_doc_id", "ph")), "ph")
+      .groupBy("doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(perDoc, "doc_id")
+      .withColumn("overlap_frac",
+        r4(col("n_shared").cast("double") / col("n_train")))
+      .filter(col("overlap_frac") >= minFrac)
+      .select("doc_id", "eval_doc_id", "n_shared", "n_train", "overlap_frac")
+  }
+
+  /** Per-source boilerplate audit — the CCNet/RefinedWeb "remove lines
+    * repeated across many pages of the same site" rule, expressed on
+    * this newline-free corpus as non-overlapping `w`-word chunks. A
+    * chunk digest occurring in ≥ `minDocs` DISTINCT documents of the
+    * SAME source is boilerplate (headers, navigation, legal footers);
+    * cross-source repetition is deliberately NOT counted — that is
+    * content-level duplication and belongs to [[passageDupStats]].
+    * Output, one row per affected doc: passage counts before/after and
+    * the surviving fraction a length-based quality gate would see.
+    *
+    * Plan: raw text dies in-task (chunks → md5 immediately); the chunk
+    * frame is persisted because it feeds both the (source, digest)
+    * doc-frequency aggregate and the per-doc rollup. Both shuffles are
+    * keyed on digests/doc ids — at 100 TB the doc-frequency side is
+    * bounded by the distinct-chunk count per source, and the final
+    * left-semi shape keeps the per-doc rollup on the corpus partitions.
+    */
+  def boilerplate(docs: DataFrame, w: Int = 3, minDocs: Int = 2): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"), words(col("text")).as("wd"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(1, int(ceil(size(wd) / ${w}.0))), " +
+          s"i -> array_join(slice(wd, (i - 1) * $w + 1, $w), ' '))")).as("p"))
+      .select(col("doc_id"), col("source"), md5(col("p")).as("ph"))
+      .persist()
+    val boiler = chunks.select("source", "ph", "doc_id").distinct()
+      .groupBy("source", "ph")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("source"), col("ph"), lit(1).as("is_boiler"))
+    chunks.join(boiler, Seq("source", "ph"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("is_boiler"), lit(0)).cast("long")).as("n_boiler"))
+      .filter(col("n_boiler") >= 1)
+      .withColumn("clean_frac",
+        r4(lit(1.0) - col("n_boiler").cast("double") / col("n_passages")))
+  }
+
   /** [[decontaminate]] at eval-set sizes past the broadcast limit: the
     * eval shingle digests fold into Spark's mergeable bloom sketch (one
     * fixed-size binary reaches the driver regardless of eval size), the

@@ -272,4 +272,38 @@ object Similarity {
       .select(col("label_a"), col("label_b"),
         r4(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy")))).as("cos_sim"))
   }
+
+  /** Embedding drift monitor: cosine of each ingest batch's centroid
+    * against the corpus-wide centroid. The batch key is caller-supplied
+    * (an ingest-date column in production; a deterministic id shard in
+    * the harness) — a batch whose centroid swings away from the global
+    * one signals an upstream encoder change or a content shift, the
+    * standard day-over-day check before an index rebuild.
+    *
+    * Exactness and plan mirror [[labelCentroidSim]]: cosine is
+    * scale-invariant so centroids are replaced by quantized-integer SUM
+    * vectors (order-independent DECIMAL sums); the global vector is the
+    * re-aggregate of the per-batch sums — one (batch, dim) shuffle of
+    * |batches|·|dims| rows total, then a broadcast-sized join of the
+    * per-batch frame against the single global row.
+    */
+  def batchDriftCosine(embs: DataFrame, batch: Column): DataFrame = {
+    val cells = embs.select(batch.as("batch"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("batch"), col("d"),
+        qint(col("x").cast("double"), 1e6).as("q"))
+    val perBatch = cells.groupBy("batch", "d")
+      .agg(sum(col("q")).cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("sb"),
+        count(lit(1)).as("nd"))
+    val global = perBatch.groupBy("d")
+      .agg(sum(col("sb")).cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("sg"))
+    perBatch.join(broadcast(global), "d")
+      .groupBy("batch")
+      .agg((sum(col("nd")) / count(lit(1))).cast("long").as("n_vecs"),
+        sum(col("sb") * col("sg")).cast("double").as("sxy"),
+        sum(col("sb") * col("sb")).cast("double").as("sxx"),
+        sum(col("sg") * col("sg")).cast("double").as("syy"))
+      .select(col("batch"), col("n_vecs"),
+        r4(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy")))).as("cos_global"))
+  }
 }

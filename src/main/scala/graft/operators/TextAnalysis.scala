@@ -44,6 +44,30 @@ object TextAnalysis {
       size(words(col("text"))).cast("bigint").as("n_words"))
   }
 
+  /** Lexical-diversity stats: type/token ratio and word-distribution
+    * Shannon entropy per doc — the cheap repetition/diversity signal a
+    * quality gate reads next to [[qualityScore]] (template spam has low
+    * entropy at normal length; boilerplate keyword stuffing has low
+    * TTR). Entropy uses the exact-count decomposition
+    * H = ln n − (Σ c·ln c)/n, so every input to the logs is an exact
+    * integer; the ≤|vocab|-term double sum's ordering noise is absorbed
+    * by the 4-dp grid (the text_perplexity argument).
+    *
+    * Plan: one (doc_id, word) count shuffle, then a per-doc rollup —
+    * both keyed aggregates, no raw text past the first projection.
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        r4(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        r4(log(col("n_tokens").cast("double")) - col("slc") / col("n_tokens"))
+          .as("h_word"))
+  }
+
   private def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
 

@@ -164,6 +164,40 @@ class CurationSpec extends SparkTestBase {
     assert(out == Seq((10L, 97L, 1L)), s"got $out")
   }
 
+  test("fuzzy decontamination gates on overlap fraction, not raw collisions") {
+    val evalDoc = "alpha beta gamma delta epsilon"
+    val train = docs(
+      (1L, evalDoc),                                    // 100% of its bigrams leak
+      (2L, "clean words alpha beta other stuff here"))  // one shared bigram
+    val eval = docs((97L, evalDoc))
+    val out = Curation.decontaminateFuzzy(train, eval, w = 2, minFrac = 0.8)
+      .select("doc_id", "eval_doc_id", "n_shared", "n_train", "overlap_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // doc 2 shares 1 of its 6 bigrams (frac 0.1667) → below the gate
+    assert(out == Seq((1L, 97L, 4L, 4L, 1.0)))
+    // dropping the gate surfaces the partial overlap with its fraction
+    val all = Curation.decontaminateFuzzy(train, eval, w = 2, minFrac = 0.0)
+      .orderBy("doc_id").select("doc_id", "overlap_frac")
+      .as[(Long, Double)].collect().toSeq
+    assert(all == Seq((1L, 1.0), (2L, 0.1667)))
+  }
+
+  test("boilerplate counts chunks repeated across docs of the SAME source only") {
+    val hdr = "site nav footer"
+    val d = Seq(
+      (1L, s"$hdr unique one content", "s1"),
+      (2L, s"$hdr unique two content", "s1"),
+      (3L, s"$hdr unique three words", "s2"))  // alone in s2 → clean
+      .toDF("doc_id", "text", "source")
+    val out = Curation.boilerplate(d, w = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_passages", "n_boiler", "clean_frac")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // docs 1 and 2 share their header chunk within s1; doc 3's copy of
+    // the SAME chunk does not count (single doc in its source)
+    assert(out == Seq((1L, "s1", 2L, 1L, 0.5), (2L, "s1", 2L, 1L, 0.5)))
+  }
+
   test("containment catches a doc embedded in a larger one that Jaccard misses") {
     val inner = "p q r s t u v w"
     val filler = (0 until 60).map(i => s"w$i").mkString(" ")

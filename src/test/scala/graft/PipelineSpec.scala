@@ -133,6 +133,36 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
   }
 
+  test("batch drift cosine compares each batch centroid to the global one") {
+    // batch 0 = all [1,0], batch 1 = all [0,1]; global centroid is
+    // [0.5, 0.5], so both batches sit at cos 1/sqrt(2) from it
+    val e = (0 until 20).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.batchDriftCosine(e, col("vec_id") % 2)
+      .orderBy("batch").select("batch", "n_vecs", "cos_global")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 10L, 0.7071), (1L, 10L, 0.7071)))
+    // one homogeneous batch: centroid == global centroid → cos 1.0
+    val one = (0 until 4).map(i => (i.toLong, Array(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.batchDriftCosine(one, lit(0L))
+      .select("cos_global").as[Double].head() == 1.0)
+  }
+
+  test("word entropy: uniform docs hit ln(n), repeated-word docs hit zero") {
+    val d = Seq(
+      (1L, "a a a a"),          // one type: H = 0, ttr = 0.25
+      (2L, "a b c d"))          // uniform over 4: H = ln 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(d).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_types", "ttr", "h_word")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 1L, 0.25, 0.0)))
+    assert(out(1) == ((2L, 4L, 4L, 1.0, 1.3863)))
+  }
+
   test("token stats and quality are sane") {
     val d = Seq((1L, "Hello world, this is a test!")).toDF("doc_id", "text")
     val t = TextAnalysis.tokenStats(d).head()
