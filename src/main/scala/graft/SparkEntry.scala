@@ -2974,11 +2974,63 @@ object SparkEntry {
          | floor((quantile_cont(slope, 0.5) + 1e-11) * 1e6 + 0.5) / 1e6 AS slope_hr
          |FROM prs GROUP BY name, node ORDER BY name, node""".stripMargin)),
 
-    // rows-only: LTTB's triangle selection has no SQL analogue; the
-    // kernel is spec-pinned (endpoints, spike survival, count bound)
+    // Converted from rows-only (r4-late): the triangle argmax runs on
+    // exact integers (2·cn·area over grid timestamps × 1e4-quantized
+    // values), so DuckDB replays the sequential bucket selection in a
+    // recursive CTE with HUGEINT areas — pick-identical by
+    // construction, no IEEE ordering anywhere in the selection.
     Q("ts_downsample_lttb", (s, dir) =>
       TimeSeries.downsampleLttb(grid(s, dir), 50)
-        .orderBy("name", "node", "tsb"), None),
+        .select(col("name"), col("node"), col("tsb"), r4(col("gval")).as("gval"))
+        .orderBy("name", "node", "tsb"),
+    Some(
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |pts0 AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS BIGINT) AS idx
+         | FROM grid),
+         |gn AS (SELECT name, node, count(*) AS n FROM pts0 GROUP BY 1, 2),
+         |big AS (SELECT * FROM gn WHERE n > 50),
+         |bidx AS (SELECT g.name, g.node, g.n, t.i,
+         |  CAST(floor(t.i * ((CAST(g.n AS DOUBLE) - 2e0) / 48e0)) AS BIGINT) + 1 AS lo,
+         |  least(CAST(floor((t.i + 1) * ((CAST(g.n AS DOUBLE) - 2e0) / 48e0)) AS BIGINT) + 1, g.n - 1) AS hi,
+         |  least(CAST(floor((t.i + 1) * ((CAST(g.n AS DOUBLE) - 2e0) / 48e0)) AS BIGINT) + 1, g.n - 1) AS nlo,
+         |  least(CAST(floor((t.i + 2) * ((CAST(g.n AS DOUBLE) - 2e0) / 48e0)) AS BIGINT) + 1, g.n) AS nhi
+         | FROM big g, range(0, 48) t(i)),
+         |nb AS (SELECT b.name, b.node, b.i,
+         |  CAST(sum(p.tsb) AS HUGEINT) AS st, sum(p.qv) AS sq,
+         |  CAST(count(*) AS HUGEINT) AS cn
+         | FROM bidx b JOIN pts0 p ON p.name = b.name AND p.node = b.node
+         |   AND p.idx >= b.nlo AND p.idx < b.nhi
+         | GROUP BY 1, 2, 3),
+         |sel AS (
+         |  SELECT name, node, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS a FROM big
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    (min(struct_pack(na := -abs(
+         |        (CAST(ap.tsb AS HUGEINT) * nb.cn - nb.st) * (p.qv - ap.qv)
+         |        - (CAST(ap.tsb AS HUGEINT) - p.tsb) * (nb.sq - ap.qv * nb.cn)),
+         |      idx := p.idx))).idx
+         |  FROM sel s
+         |  JOIN bidx b ON b.name = s.name AND b.node = s.node AND b.i = s.i + 1
+         |  JOIN nb ON nb.name = s.name AND nb.node = s.node AND nb.i = s.i + 1
+         |  JOIN pts0 ap ON ap.name = s.name AND ap.node = s.node AND ap.idx = s.a
+         |  JOIN pts0 p ON p.name = s.name AND p.node = s.node
+         |    AND p.idx >= b.lo AND p.idx < b.hi
+         |  WHERE s.i + 1 <= 47
+         |  GROUP BY s.name, s.node, s.i),
+         |kept AS (SELECT name, node, a AS idx FROM sel WHERE i >= 0
+         |  UNION ALL SELECT name, node, 0 FROM big
+         |  UNION ALL SELECT name, node, n - 1 FROM big),
+         |outp AS (
+         |  SELECT p.name, p.node, p.tsb, p.gval
+         |  FROM kept k JOIN pts0 p ON p.name = k.name AND p.node = k.node AND p.idx = k.idx
+         |  UNION ALL
+         |  SELECT p.name, p.node, p.tsb, p.gval
+         |  FROM pts0 p JOIN gn g ON g.name = p.name AND g.node = p.node AND g.n <= 50)
+         |SELECT name, node, tsb,
+         | floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS gval
+         |FROM outp ORDER BY name, node, tsb""".stripMargin)),
 
     // rows-only: the banded DP has no SQL analogue; the kernel is
     // spec-pinned on hand-checkable alignments

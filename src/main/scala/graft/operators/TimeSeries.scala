@@ -347,6 +347,12 @@ object TimeSeries {
     * peaks survive by construction (largest-triangle selection);
     * endpoints always kept. Per-signal typed fold like [[ewma]]:
     * output is |signals| × nOut regardless of retention.
+    *
+    * Selection runs on 1e4-QUANTIZED values (the [[graft.Num.r4]]
+    * grid) so the triangle argmax is exact integer arithmetic — the
+    * pick is engine-independent and the DuckDB oracle replays it in
+    * HUGEINT. Output values stay raw (quantization only steers the
+    * pick; sub-1e-4 value differences never change a chart's shape).
     */
   def downsampleLttb(grid: DataFrame, nOut: Int = 200): DataFrame = {
     val spark = grid.sparkSession
@@ -356,9 +362,9 @@ object TimeSeries {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
-        val ts = pts.map(_._3.toDouble)
-        val vs = pts.map(_._4)
-        graft.functions.Lttb.indices(ts, vs, nOut)
+        val ts = pts.map(_._3)
+        val qvs = pts.map(p => math.floor((p._4 + 1e-9) * 1e4 + 0.5).toLong)
+        graft.functions.Lttb.indices(ts, qvs, nOut)
           .map(i => (key._1, key._2, pts(i)._3, pts(i)._4))
       }
       .toDF("name", "node", "tsb", "gval")

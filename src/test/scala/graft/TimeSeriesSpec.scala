@@ -9,8 +9,8 @@ class TimeSeriesSpec extends SparkTestBase {
   test("lttb keeps endpoints, the spike, and exactly nOut points") {
     import graft.functions.Lttb
     val n = 100
-    val vs = Array.tabulate(n)(i => if (i == 37) 500.0 else 10.0 + (i % 3))
-    val ts = Array.tabulate(n)(_.toDouble)
+    val vs = Array.tabulate(n)(i => if (i == 37) 500L * 10000 else (10L + (i % 3)) * 10000)
+    val ts = Array.tabulate(n)(_.toLong)
     val kept = Lttb.indices(ts, vs, 12)
     assert(kept.size == 12)
     assert(kept.head == 0 && kept.last == n - 1)
