@@ -1655,10 +1655,94 @@ object SparkEntry {
         .orderBy("name", "node", "cp_tsb")
     }, None),
 
+    // Converted from rows-only (r4-late): the DP runs on 1e4-quantized
+    // values, so costs are fixed IEEE sequences over exact integer
+    // prefix moments and the oracle replays the UNPRUNED O(n²) DP
+    // (pruning provably preserves the optimum — the same fact the
+    // property spec pins) as a recursive CTE whose per-step argmin is
+    // a pure list expression (a join-aggregate recursion re-evaluates
+    // its inputs per iteration: 152 s; this form runs in ~5 s).
     Q("ad_pelt", (s, dir) => {
       ChangePoints.pelt(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .orderBy("name", "node", "cp_tsb")
-    }, None),
+    }, Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |pts AS MATERIALIZED (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qv,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS BIGINT) AS idx
+         | FROM ff36),
+         |pl AS MATERIALIZED (
+         |  SELECT name, node, count(*) AS n,
+         |    list_prepend(CAST(0 AS HUGEINT), list(sq ORDER BY idx)) AS ps1,
+         |    list_prepend(CAST(0 AS HUGEINT), list(sq2 ORDER BY idx)) AS ps2
+         |  FROM (SELECT name, node, idx,
+         |      sum(qv) OVER (PARTITION BY name, node ORDER BY idx) AS sq,
+         |      sum(qv * qv) OVER (PARTITION BY name, node ORDER BY idx) AS sq2
+         |    FROM pts)
+         |  GROUP BY name, node),
+         |pen AS MATERIALIZED (
+         |  SELECT name, node, n,
+         |    greatest((2e0 * (((md * s2d - s1d * s1d) / (md * (md - 1e0))) / 2e0))
+         |      * (floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9), 1e-12) AS beta
+         |  FROM (
+         |    SELECT dm.name, dm.node, g.n,
+         |      CAST(count(*) AS DOUBLE) AS md,
+         |      CAST(sum(dm.dd) AS DOUBLE) AS s1d,
+         |      CAST(sum(dm.dd * dm.dd) AS DOUBLE) AS s2d
+         |    FROM (SELECT p2.name, p2.node, p2.qv - p1.qv AS dd
+         |      FROM pts p1 JOIN pts p2 ON p1.name = p2.name AND p1.node = p2.node
+         |        AND p2.idx = p1.idx + 1) dm
+         |    JOIN (SELECT name, node, count(*) AS n FROM pts GROUP BY 1, 2) g
+         |      ON g.name = dm.name AND g.node = dm.node
+         |    GROUP BY dm.name, dm.node, g.n) q
+         |  WHERE n >= 3),
+         |dp AS (
+         |  SELECT name, node, CAST(4 AS BIGINT) AS t,
+         |    [-beta, 0e0, 0e0, 0e0, 0e0] AS f,
+         |    [CAST(0 AS BIGINT), 0, 0, 0, 0] AS prevl
+         |  FROM pen WHERE n >= 5
+         |  UNION ALL
+         |  SELECT d.name, d.node, d.t + 1,
+         |    list_append(d.f, list_aggregate(list_transform(
+         |      list_concat([CAST(0 AS BIGINT)], range(5, d.t - 3)),
+         |      s -> struct_pack(
+         |        v := (d.f[s + 1] + (CAST(p.ps2[d.t + 2] - p.ps2[s + 1] AS DOUBLE)
+         |          - CAST(p.ps1[d.t + 2] - p.ps1[s + 1] AS DOUBLE)
+         |            * CAST(p.ps1[d.t + 2] - p.ps1[s + 1] AS DOUBLE)
+         |            / CAST(d.t + 1 - s AS DOUBLE))) + b.beta,
+         |        s := s)), 'min').v),
+         |    list_append(d.prevl, list_aggregate(list_transform(
+         |      list_concat([CAST(0 AS BIGINT)], range(5, d.t - 3)),
+         |      s -> struct_pack(
+         |        v := (d.f[s + 1] + (CAST(p.ps2[d.t + 2] - p.ps2[s + 1] AS DOUBLE)
+         |          - CAST(p.ps1[d.t + 2] - p.ps1[s + 1] AS DOUBLE)
+         |            * CAST(p.ps1[d.t + 2] - p.ps1[s + 1] AS DOUBLE)
+         |            / CAST(d.t + 1 - s AS DOUBLE))) + b.beta,
+         |        s := s)), 'min').s)
+         |  FROM dp d
+         |  JOIN pl p ON p.name = d.name AND p.node = d.node AND d.t < p.n
+         |  JOIN pen b ON b.name = d.name AND b.node = d.node),
+         |fin AS MATERIALIZED (SELECT d.name, d.node, d.prevl
+         |  FROM dp d JOIN pl g ON g.name = d.name AND g.node = d.node AND d.t = g.n),
+         |bt AS (
+         |  SELECT f2.name, f2.node, CAST(g.n AS BIGINT) AS at
+         |  FROM fin f2 JOIN pl g ON g.name = f2.name AND g.node = f2.node
+         |  UNION ALL
+         |  SELECT b.name, b.node, f2.prevl[b.at + 1]
+         |  FROM bt b JOIN fin f2 ON f2.name = b.name AND f2.node = b.node
+         |  WHERE f2.prevl[b.at + 1] > 0),
+         |cps AS (SELECT b.name, b.node, b.at AS cp FROM bt b
+         |  JOIN pl g ON g.name = b.name AND g.node = b.node AND b.at < g.n),
+         |cpo AS (SELECT c.name, c.node, c.cp, g.n, g.ps1,
+         |  coalesce(lag(c.cp) OVER (PARTITION BY c.name, c.node ORDER BY c.cp), 0) AS lo,
+         |  coalesce(lead(c.cp) OVER (PARTITION BY c.name, c.node ORDER BY c.cp), g.n) AS hi
+         | FROM cps c JOIN pl g ON g.name = c.name AND g.node = c.node)
+         |SELECT c.name, c.node, p.tsb AS cp_tsb,
+         |  floor((CAST(c.ps1[c.cp + 1] - c.ps1[c.lo + 1] AS DOUBLE) / (c.cp - c.lo) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_before,
+         |  floor((CAST(c.ps1[c.hi + 1] - c.ps1[c.cp + 1] AS DOUBLE) / (c.hi - c.cp) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_after
+         |FROM cpo c
+         |JOIN pts p ON p.name = c.name AND p.node = c.node AND p.idx = c.cp
+         |ORDER BY c.name, c.node, cp_tsb""".stripMargin)),
 
     Q("ts_period_detect", (s, dir) => {
       ChangePoints.periodDetect(corrGrid(s, dir).select("name", "node", "tsb", "gval"))

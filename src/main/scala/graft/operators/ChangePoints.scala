@@ -69,6 +69,12 @@ object ChangePoints {
     * the retention-bounded series in-task. Output one row per
     * changepoint with the segment means either side — the quantities a
     * drift report shows.
+    *
+    * The DP runs on the 1e4-quantized series (functions.Pelt scaladoc:
+    * exact integer prefix moments → engine-exact costs), and the
+    * segment means are computed from the same exact prefix sums — so
+    * the whole operator is replayable by the DuckDB oracle's unpruned
+    * recursive-CTE DP, pick for pick.
     */
   def pelt(grid: DataFrame, minSize: Int = 5): DataFrame = {
     val spark = grid.sparkSession
@@ -79,15 +85,16 @@ object ChangePoints {
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
-        val x = pts.map(_._4)
+        val q = graft.functions.Pelt.quantize(pts.map(_._4))
         val cps = graft.functions.Pelt.changePoints(
-          x, graft.functions.Pelt.autoPenalty(x), minSize)
-        val bounds = 0 +: cps :+ x.length
+          q, graft.functions.Pelt.autoPenalty(q), minSize)
+        val ps = q.scanLeft(0L)(_ + _)
+        val bounds = 0 +: cps :+ q.length
         cps.indices.map { j =>
           val cp = cps(j)
           val lo = bounds(j); val hi = bounds(j + 2)
-          val meanL = x.slice(lo, cp).sum / (cp - lo)
-          val meanR = x.slice(cp, hi).sum / (hi - cp)
+          val meanL = (ps(cp) - ps(lo)).toDouble / (cp - lo) / 1e4
+          val meanR = (ps(hi) - ps(cp)).toDouble / (hi - cp) / 1e4
           (name, node, pts(cp)._3, r4d(meanL), r4d(meanR))
         }
       }

@@ -172,13 +172,15 @@ class AnalysisSpec extends SparkTestBase {
   test("pelt matches the unpruned optimal-partition DP on random series") {
     import graft.functions.Pelt
     val rng = new scala.util.Random(7)
-    // brute force: the same DP over ALL candidates (no pruning)
-    def brute(x: Array[Double], beta: Double, minSize: Int): Array[Int] = {
-      val n = x.length
-      val ps = x.scanLeft(0.0)(_ + _)
-      val ps2 = x.scanLeft(0.0)((a, v) => a + v * v)
+    // brute force: the same DP over ALL candidates (no pruning), on
+    // the same quantized series with the same exact-prefix cost
+    def brute(q: Array[Long], beta: Double, minSize: Int): Array[Int] = {
+      val n = q.length
+      val ps = q.scanLeft(0L)(_ + _)
+      val ps2 = q.scanLeft(0L)((a, v) => a + v * v)
       def cost(s: Int, e: Int) = {
-        val su = ps(e) - ps(s); ps2(e) - ps2(s) - su * su / (e - s)
+        val su = (ps(e) - ps(s)).toDouble
+        (ps2(e) - ps2(s)).toDouble - su * su / (e - s)
       }
       val f = Array.fill(n + 1)(Double.MaxValue)
       val prev = new Array[Int](n + 1)
@@ -195,24 +197,24 @@ class AnalysisSpec extends SparkTestBase {
     }
     for (_ <- 1 to 10) {
       val shift = 3 + rng.nextInt(3)
-      val x = Array.tabulate(60) { i =>
+      val q = Pelt.quantize(Array.tabulate(60) { i =>
         (if (i < 20) 0.0 else if (i < 40) shift.toDouble else 1.0) +
           rng.nextGaussian() * 0.3
-      }
-      val beta = Pelt.autoPenalty(x)
-      assert(Pelt.changePoints(x, beta, 5).toSeq == brute(x, beta, 5).toSeq)
+      })
+      val beta = Pelt.autoPenalty(q)
+      assert(Pelt.changePoints(q, beta, 5).toSeq == brute(q, beta, 5).toSeq)
     }
   }
 
   test("pelt finds planted level shifts and nothing in noise") {
     import graft.functions.Pelt
     val rng = new scala.util.Random(11)
-    val x = Array.tabulate(90) { i =>
+    val q = Pelt.quantize(Array.tabulate(90) { i =>
       (if (i < 30) 1.0 else if (i < 60) 6.0 else 2.0) + rng.nextGaussian() * 0.2
-    }
-    val cps = Pelt.changePoints(x, Pelt.autoPenalty(x), 5)
+    })
+    val cps = Pelt.changePoints(q, Pelt.autoPenalty(q), 5)
     assert(cps.length == 2 && math.abs(cps(0) - 30) <= 2 && math.abs(cps(1) - 60) <= 2)
-    val flat = Array.tabulate(90)(_ => rng.nextGaussian() * 0.2)
+    val flat = Pelt.quantize(Array.tabulate(90)(_ => rng.nextGaussian() * 0.2))
     assert(Pelt.changePoints(flat, Pelt.autoPenalty(flat), 5).isEmpty)
   }
 
