@@ -1970,9 +1970,53 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Converted from rows-only (r4-late): md5-low-64 base hash +
+    // wrapping-integer splitmix permutations + raw-slice band keys make
+    // the WHOLE pipeline (signatures, banding, candidates, verify)
+    // engine-exact; the oracle replays it in HUGEINT mod 2^64 with the
+    // 64-bit multiply decomposed into 32-bit halves (a full 64×64
+    // product overflows HUGEINT).
     Q("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
-    }, None),
+    }, Some(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+        |h0s AS MATERIALIZED (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT) AS HUGEINT) AS h0 FROM sh),
+        |hp AS (SELECT doc_id, p,
+        |  xor(h0, (p * 11400714819323198485) % 18446744073709551616) AS z0,
+        |  xor(z0, z0 >> 30) AS a0,
+        |  ((a0 % 4294967296) * 13787848793156543929
+        |    + (((a0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+        |    % 18446744073709551616 AS z1,
+        |  xor(z1, z1 >> 27) AS a1,
+        |  ((a1 % 4294967296) * 10723151780598845931
+        |    + (((a1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+        |    % 18446744073709551616 AS z2,
+        |  xor(z2, z2 >> 31) AS z3
+        | FROM h0s, (SELECT CAST(unnest(range(0, 64)) AS HUGEINT) AS p) t),
+        |sigs AS (SELECT doc_id, p,
+        |  min(CAST(z3 - CASE WHEN z3 >= 9223372036854775808 THEN 18446744073709551616
+        |    ELSE 0 END AS BIGINT)) AS m
+        | FROM hp GROUP BY 1, 2),
+        |sigl AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM sigs GROUP BY 1),
+        |banded AS (SELECT doc_id, t.b AS band,
+        |  sig[(t.b * 4 + 1):(t.b * 4 + 4)] AS bh
+        | FROM sigl, range(0, 16) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+        |   AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ver AS (SELECT c.doc1, c.doc2, count(*) AS inter
+        | FROM cand c JOIN sh a ON a.doc_id = c.doc1 JOIN sh b ON b.doc_id = c.doc2
+        |   AND a.s = b.s
+        | GROUP BY 1, 2)
+        |SELECT v.doc1, v.doc2,
+        | floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
+        |FROM ver v JOIN sz n1 ON n1.doc_id = v.doc1 JOIN sz n2 ON n2.doc_id = v.doc2
+        |WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.1
+        |ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_simhash", (s, dir) => {
       // md5-low64 word hash (Dedup.simhash doc) → the whole pipeline

@@ -142,6 +142,14 @@ object Dedup {
     * permutation family re-hashes that fixed-width long, so the per-row
     * cost is 1 string hash + numHashes integer hashes instead of
     * numHashes string hashes (~10× cheaper at corpus scale).
+    *
+    * ENGINE-EXACT (r4): the base hash is the repo's cross-engine
+    * md5-low-64 (not xxhash64 — no DuckDB analogue), the permutation
+    * family is pure wrapping-integer splitmix (replayable in HUGEINT
+    * mod 2⁶⁴), and band keys are the RAW signature slices (array join
+    * keys) instead of Spark's Murmur3 `hash` — so the ENTIRE
+    * bucket-then-verify pipeline, candidates included, replays in the
+    * DuckDB oracle.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.6): DataFrame = {
@@ -152,7 +160,9 @@ object Dedup {
     val sets = withShingles(docs).persist()
     val toks = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+      .select(col("doc_id"), expr(
+        "shiftleft(cast(conv(substring(md5(s), 17, 8), 16, 10) as bigint), 32) + " +
+          "cast(conv(substring(md5(s), 25, 8), 16, 10) as bigint)").as("h0"))
     // Signature: min over shingles of h_p(shingle) for each permutation.
     // A 64-column min-aggregate makes Catalyst generate (and Janino
     // compile) a multi-second giant class; a mapGroups loop is 16M
@@ -178,10 +188,11 @@ object Dedup {
         (docId, mins.toSeq)
       }
       .toDF("doc_id", "sig")
-    // band key: hash of the band's slice of the signature
+    // band key: the band's RAW signature slice (array-equality join —
+    // 8·r bytes per key; exact, engine-independent, no Murmur3)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
-        hash(slice(col("sig"), bd * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+        slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
