@@ -3162,9 +3162,72 @@ object SparkEntry {
 
     // rows-only: the banded DP has no SQL analogue; the kernel is
     // spec-pinned on hand-checkable alignments
+    // Converted from rows-only (r4-late): z-norm from exact integer
+    // moments makes every z value the same double on any engine, and
+    // the banded DP is a fixed op tree (d·d + min of three) — so the
+    // oracle replays the whole warping recursion (rows as lists, the
+    // within-row dependency via list_reduce) bit-for-bit.
     Q("corr_dtw", (s, dir) =>
       Correlate.dtwDist(corrGrid(s, dir), ObjSignals)
-        .orderBy("obj_name", "cand_name", "node"), None),
+        .orderBy("obj_name", "cand_name", "node"),
+    Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |pts AS MATERIALIZED (SELECT name, node,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS BIGINT) AS qv,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS rn
+         | FROM ff36),
+         |zs AS MATERIALIZED (
+         |  SELECT name, node, n,
+         |    CASE WHEN sd = 0e0 THEN list_transform(ql, x -> 0e0)
+         |         ELSE list_transform(ql, x -> (CAST(x AS DOUBLE) - mean) / sd) END AS z
+         |  FROM (
+         |    SELECT name, node, count(*) AS n, list(qv ORDER BY rn) AS ql,
+         |      CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+         |      sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(qv * qv) AS DOUBLE)
+         |        - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE))
+         |        / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))) AS sd
+         |    FROM pts GROUP BY name, node) q),
+         |prs AS MATERIALIZED (
+         |  SELECT o.name AS obj_name, c.name AS cand_name, o.node AS node,
+         |    o.z AS za, c.z AS zb, o.n AS n, c.n AS m
+         |  FROM zs o JOIN zs c ON o.node = c.node
+         |  WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')),
+         |dp AS (
+         |  SELECT obj_name, cand_name, node, CAST(0 AS BIGINT) AS i,
+         |    list_concat([0e0], list_transform(range(1, m + 1),
+         |      x -> CAST('infinity' AS DOUBLE))) AS prev
+         |  FROM prs WHERE abs(n - m) <= 6
+         |  UNION ALL
+         |  SELECT d.obj_name, d.cand_name, d.node, d.i + 1,
+         |    list_concat(list_concat(
+         |      list_transform(range(0, greatest(1, d.i + 1 - 6)),
+         |        x -> CAST('infinity' AS DOUBLE)),
+         |      list_reduce(
+         |        list_concat([CAST([] AS DOUBLE[])],
+         |          list_transform(range(greatest(1, d.i + 1 - 6), least(p.m, d.i + 1 + 6) + 1),
+         |            j -> [CAST(j AS DOUBLE)])),
+         |        (acc, x) -> list_append(acc,
+         |          (p.za[d.i + 1] - p.zb[CAST(x[1] AS BIGINT)])
+         |            * (p.za[d.i + 1] - p.zb[CAST(x[1] AS BIGINT)])
+         |          + least(d.prev[CAST(x[1] AS BIGINT) + 1],
+         |                  d.prev[CAST(x[1] AS BIGINT)],
+         |                  CASE WHEN len(acc) = 0 THEN CAST('infinity' AS DOUBLE)
+         |                       ELSE acc[-1] END)))),
+         |      list_transform(range(0, p.m - least(p.m, d.i + 1 + 6)),
+         |        x -> CAST('infinity' AS DOUBLE)))
+         |  FROM dp d JOIN prs p ON p.obj_name = d.obj_name AND p.cand_name = d.cand_name
+         |    AND p.node = d.node
+         |  WHERE d.i < p.n),
+         |fin AS (
+         |  SELECT d.obj_name, d.cand_name, d.node, p.n, sqrt(d.prev[p.m + 1]) AS dist
+         |  FROM dp d JOIN prs p ON p.obj_name = d.obj_name AND p.cand_name = d.cand_name
+         |    AND p.node = d.node AND d.i = p.n
+         |  UNION ALL
+         |  SELECT obj_name, cand_name, node, n, CAST('infinity' AS DOUBLE) FROM prs
+         |  WHERE abs(n - m) > 6)
+         |SELECT obj_name, cand_name, node,
+         |  floor((dist + 1e-9) * 1e4 + 0.5) / 1e4 AS dtw, CAST(n AS INTEGER) AS n
+         |FROM fin ORDER BY obj_name, cand_name, node""".stripMargin)),
 
     Q("corr_granger", (s, dir) =>
       Correlate.grangerF(corrGrid(s, dir), ObjSignals)

@@ -46,19 +46,30 @@ object Dtw {
   /** Per-signal z-normalization (the standard DTW preprocessing:
     * without it, scale dominates shape). Constant series normalize
     * to all-zeros.
+    *
+    * ENGINE-EXACT (r4): input is the 1e4-quantized series, so the
+    * mean/variance come from exact integer moments via one fixed IEEE
+    * sequence (no accumulation-order noise), sqrt is correctly rounded
+    * on any IEEE engine, and each z value is the same double
+    * everywhere — which makes the downstream DP (a fixed op tree:
+    * d·d + min of three) bit-identical across engines too.
     */
-  def znorm(x: Array[Double]): Array[Double] = {
-    val n = x.length
-    if (n == 0) return x
-    var s = 0.0
+  def znorm(q: Array[Long]): Array[Double] = {
+    val n = q.length
+    if (n == 0) return Array.empty
+    var s1 = 0L
+    var s2 = 0L
     var i = 0
-    while (i < n) { s += x(i); i += 1 }
-    val mean = s / n
-    var ss = 0.0
-    i = 0
-    while (i < n) { val d = x(i) - mean; ss += d * d; i += 1 }
-    val sd = math.sqrt(ss / n)
+    while (i < n) { s1 += q(i); s2 += q(i) * q(i); i += 1 }
+    val nd = n.toDouble
+    val mean = s1.toDouble / nd
+    val varr = (nd * s2.toDouble - s1.toDouble * s1.toDouble) / (nd * nd)
+    val sd = math.sqrt(varr)
     if (sd == 0.0) Array.fill(n)(0.0)
-    else Array.tabulate(n)(k => (x(k) - mean) / sd)
+    else Array.tabulate(n)(k => (q(k).toDouble - mean) / sd)
   }
+
+  /** The r4-grid quantizer shared with the distributed wrapper. */
+  def quantize(x: Array[Double]): Array[Long] =
+    x.map(v => math.floor((v + 1e-9) * 1e4 + 0.5).toLong)
 }

@@ -216,7 +216,7 @@ object Correlate {
       .groupByKey(r => (r._1, r._2))
       .mapGroups { (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
-        (k._1, k._2, graft.functions.Dtw.znorm(pts.map(_._4)))
+        (k._1, k._2, graft.functions.Dtw.znorm(graft.functions.Dtw.quantize(pts.map(_._4))))
       }.toDF("name", "node", "series")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val obj = series.filter(col("name").isin(objNames: _*))

@@ -58,9 +58,11 @@ class AnalysisSpec extends SparkTestBase {
     assert(Dtw.distance(Array(0.0, 0.0), Array(0.0, 3.0), 2) == 3.0)
     // band too narrow to connect endpoints → infinity
     assert(Dtw.distance(a, Array.fill(10)(1.0), 2).isPosInfinity)
-    // znorm removes scale: shape-identical ramps become identical
-    assert(Dtw.distance(Dtw.znorm(Array(1.0, 2.0, 3.0, 4.0)),
-      Dtw.znorm(Array(10.0, 20.0, 30.0, 40.0)), 1) == 0.0)
+    // znorm removes scale: shape-identical ramps coincide (to the ulp —
+    // sqrt(100·v) and 10·sqrt(v) may differ in the last bit, so the
+    // exact-moment znorm is scale-invariant only up to ~1e-16 per value)
+    assert(Dtw.distance(Dtw.znorm(Dtw.quantize(Array(1.0, 2.0, 3.0, 4.0))),
+      Dtw.znorm(Dtw.quantize(Array(10.0, 20.0, 30.0, 40.0))), 1) < 1e-12)
   }
 
   test("dtw operator ranks the shape-matched candidate closest") {
