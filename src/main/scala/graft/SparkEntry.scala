@@ -213,6 +213,52 @@ object SparkEntry {
        |   ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
 
   // oracle-SQL fragments for the dense correlation grid
+  /** The engine-exact MinHash pipeline (mirrors Dedup.signatures +
+    * minhashLsh): md5-low-64 base hash, splitmix permutations in
+    * HUGEINT mod 2⁶⁴ (64×64 multiply decomposed into 32-bit halves —
+    * the full product overflows HUGEINT), signed-BIGINT mins, raw
+    * 4-slice band keys, exact-Jaccard verify. Yields CTEs `sigl`
+    * (doc_id, sig) and `verjac` (doc1, doc2, jac — ALL candidate
+    * pairs with their rounded exact Jaccard, unthresholded).
+    */
+  private val SQL_MINHASH_CTES =
+    """d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+      |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+      |h0s AS MATERIALIZED (SELECT doc_id,
+      |  CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT) AS HUGEINT) AS h0 FROM sh),
+      |hp AS (SELECT doc_id, p,
+      |  xor(h0, (p * 11400714819323198485) % 18446744073709551616) AS z0,
+      |  xor(z0, z0 >> 30) AS a0,
+      |  ((a0 % 4294967296) * 13787848793156543929
+      |    + (((a0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+      |    % 18446744073709551616 AS z1,
+      |  xor(z1, z1 >> 27) AS a1,
+      |  ((a1 % 4294967296) * 10723151780598845931
+      |    + (((a1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+      |    % 18446744073709551616 AS z2,
+      |  xor(z2, z2 >> 31) AS z3
+      | FROM h0s, (SELECT CAST(unnest(range(0, 64)) AS HUGEINT) AS p) t),
+      |sigs AS (SELECT doc_id, p,
+      |  min(CAST(z3 - CASE WHEN z3 >= 9223372036854775808 THEN 18446744073709551616
+      |    ELSE 0 END AS BIGINT)) AS m
+      | FROM hp GROUP BY 1, 2),
+      |sigl AS MATERIALIZED (SELECT doc_id, list(m ORDER BY p) AS sig FROM sigs GROUP BY 1),
+      |banded AS (SELECT doc_id, t.b AS band,
+      |  sig[(t.b * 4 + 1):(t.b * 4 + 4)] AS bh
+      | FROM sigl, range(0, 16) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      | FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+      |   AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |ver AS (SELECT c.doc1, c.doc2, count(*) AS inter
+      | FROM cand c JOIN sh a ON a.doc_id = c.doc1 JOIN sh b ON b.doc_id = c.doc2
+      |   AND a.s = b.s
+      | GROUP BY 1, 2),
+      |verjac AS (SELECT v.doc1, v.doc2,
+      |  floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
+      | FROM ver v JOIN sz n1 ON n1.doc_id = v.doc1 JOIN sz n2 ON n2.doc_id = v.doc2)""".stripMargin
+
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
       | CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
@@ -586,6 +632,56 @@ object SparkEntry {
         |   * 1e4 + 0.5) / 1e4 AS share
         |FROM c ORDER BY touch_type""".stripMargin)),
 
+    Q("q32_bounce_rate", (s, dir) => {
+      // bounce rate by session entry type: single-event sessions over
+      // all sessions, keyed by the first event — the engagement
+      // diagnostic next to q23_retention. One session rollup, then a
+      // |types|-row aggregate.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val ws = Window.partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+      ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .withColumn("rn", row_number().over(ws))
+        .groupBy("user_id", "sid")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("entry_type"),
+          count(lit(1)).as("sz"))
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum((col("sz") === 1).cast("long")).as("n_bounce"))
+        .withColumn("bounce_rate",
+          r4(col("n_bounce").cast("double") / col("n_sessions")))
+        .orderBy("entry_type")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_id, event_type FROM events),
+        |b AS (SELECT user_id, tsec, event_id, event_type,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, tsec, event_id, event_type,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM b),
+        |r AS (SELECT user_id, sid, event_type,
+        |  row_number() OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS rn
+        | FROM s2),
+        |ses AS (SELECT user_id, sid,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |  count(*) AS sz
+        | FROM r GROUP BY 1, 2),
+        |agg AS (SELECT entry_type, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+        | FROM ses GROUP BY 1)
+        |SELECT entry_type, n_sessions, n_bounce,
+        | floor((CAST(n_bounce AS DOUBLE) / n_sessions + 1e-9) * 1e4 + 0.5) / 1e4 AS bounce_rate
+        |FROM agg ORDER BY entry_type""".stripMargin)),
+
     Q("profile_table", (s, dir) => {
       // dataset profiling (the pre-ingest audit every pipeline runs):
       // null/distinct/min/max per column in ONE corpus scan — columns
@@ -618,6 +714,99 @@ object SparkEntry {
         | count(DISTINCT v) AS n_distinct,
         | min(v) AS min_v, max(v) AS max_v
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("profile_drift", (s, dir) => {
+      // train/serve skew monitor: per-column standardized mean
+      // difference and variance ratio between two deterministic halves
+      // of the table (in production: training snapshot vs serving
+      // window). Same one-scan unpivot shape as profile_table; moments
+      // are exact quantized integers, so the SMD is a fixed IEEE
+      // sequence — the alarm fires identically on any engine.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, dir)
+        .withColumn("half", (col("l_orderkey") % 2).cast("int"))
+      val cells = li.select(col("half"),
+          explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("kv"))
+        .select(col("half"), col("kv.col_name").as("col_name"),
+          qint(col("kv.v"), 1e4).as("q"))
+      val m = cells.groupBy("col_name", "half")
+        .agg(count(lit(1)).as("n"), sum("q").cast("double").as("s1"),
+          sum(col("q") * col("q")).cast("double").as("s2"))
+      val a = m.filter(col("half") === 0)
+        .select(col("col_name"), col("n").as("n_a"), col("s1").as("s1a"), col("s2").as("s2a"))
+      val b = m.filter(col("half") === 1)
+        .select(col("col_name").as("cb"), col("n").as("n_b"), col("s1").as("s1b"))
+      val nad = col("n_a").cast("double")
+      val nbd = col("n_b").cast("double")
+      a.join(b, col("col_name") === col("cb")).drop("cb")
+        .withColumn("va", (nad * col("s2a") - col("s1a") * col("s1a")) / (nad * nad))
+        .filter(col("va") > 0)
+        .select(col("col_name"), col("n_a"), col("n_b"),
+          r4(col("s1a") / nad / 1e4).as("mean_a"),
+          r4(col("s1b") / nbd / 1e4).as("mean_b"),
+          r4((col("s1b") / nbd - col("s1a") / nad) / sqrt(col("va"))).as("smd"))
+        .orderBy("col_name")
+    }, Some(
+      """WITH u AS (
+        |  SELECT l_orderkey % 2 AS half, 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_orderkey % 2, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey % 2, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey % 2, 'l_tax', l_tax FROM lineitem),
+        |q AS (SELECT half, col_name,
+        |  CAST(floor((v + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS q FROM u),
+        |m AS (SELECT col_name, half, count(*) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q * q) AS DOUBLE) AS s2
+        | FROM q GROUP BY 1, 2),
+        |j AS (SELECT a.col_name, a.n AS n_a, b.n AS n_b,
+        |  a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b,
+        |  CAST(a.n AS DOUBLE) AS nad, CAST(b.n AS DOUBLE) AS nbd
+        | FROM m a JOIN m b ON a.col_name = b.col_name AND a.half = 0 AND b.half = 1),
+        |f AS (SELECT *, (nad * s2a - s1a * s1a) / (nad * nad) AS va FROM j)
+        |SELECT col_name, n_a, n_b,
+        | floor((s1a / nad / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_a,
+        | floor((s1b / nbd / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_b,
+        | floor(((s1b / nbd - s1a / nad) / sqrt(va) + 1e-9) * 1e4 + 0.5) / 1e4 AS smd
+        |FROM f WHERE va > 0 ORDER BY col_name""".stripMargin)),
+
+    Q("ts_calendar_profile", (s, dir) =>
+      // the seasonal fingerprint ops teams read before setting alert
+      // windows: per-signal hour-of-day mean and its deviation from
+      // the signal's overall mean. One keyed aggregate (|signals|·24
+      // output rows) + an in-frame window for the overall mean.
+      {
+        val qv = qint(col("gval"), 1e4)
+        val byHour = grid(s, dir)
+          .withColumn("hour", ((col("tsb") % 86400) / 3600).cast("int"))
+          .select(col("name"), col("node"), col("hour"), qv.as("q"))
+          .groupBy("name", "node", "hour")
+          .agg(count(lit(1)).as("n"),
+            // keep the exact DECIMAL sum: the overall mean re-aggregates
+            // it in a window, which must stay order-independent
+            sum("q").cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("s1d"))
+        val w = Window.partitionBy("name", "node")
+        byHour
+          .withColumn("s1", col("s1d").cast("double"))
+          .withColumn("gs", sum("s1d").over(w).cast("double"))
+          .withColumn("gn", sum("n").over(w).cast("double"))
+          .select(col("name"), col("node"), col("hour"), col("n"),
+            r4(col("s1") / col("n") / 1e4).as("hour_mean"),
+            r4((col("s1") / col("n") - col("gs") / col("gn")) / 1e4).as("dev"))
+          .orderBy("name", "node", "hour")
+      },
+    Some(
+      s"""$WITH_GRID,
+         |q AS (SELECT name, node, CAST((tsb % 86400) // 3600 AS INTEGER) AS hour,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS q FROM grid),
+         |h AS (SELECT name, node, hour, count(*) AS n, sum(q) AS s1h
+         | FROM q GROUP BY 1, 2, 3),
+         |wq AS (SELECT name, node, hour, n, CAST(s1h AS DOUBLE) AS s1,
+         |  CAST(sum(s1h) OVER (PARTITION BY name, node) AS DOUBLE) AS gs,
+         |  CAST(sum(n) OVER (PARTITION BY name, node) AS DOUBLE) AS gn FROM h)
+         |SELECT name, node, hour, n,
+         | floor((s1 / n / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS hour_mean,
+         | floor(((s1 / n - gs / gn) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS dev
+         |FROM wq ORDER BY name, node, hour""".stripMargin)),
 
     Q("text_entropy", (s, dir) =>
       // lexical diversity: type/token ratio + word-distribution
@@ -1931,6 +2120,35 @@ object SparkEntry {
         | CAST(sum(cluster_size) AS BIGINT) AS n_docs
         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("dedup_threshold_hist", (s, dir) =>
+      // threshold-sweep telemetry: the similarity histogram of near-dup
+      // pairs (0.1-wide Jaccard deciles) — what you read BEFORE picking
+      // the dedup threshold, instead of guessing. Runs the prefix-
+      // filtered pair join once at the low end and buckets at 0.02
+      // width (this corpus's dup structure lives entirely in
+      // J ∈ [0.94, 1); decile bins would collapse to one row); the
+      // 1e-6 nudge keeps grid-exact bin edges in the upper bucket on
+      // both engines despite binary representation.
+      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.3)
+        .withColumn("j_bin50", floor(col("jac") * 50 + 1e-6).cast("long"))
+        .groupBy("j_bin50")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("j_bin50"),
+    Some(
+      """WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs2),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jc AS (SELECT doc1, doc2,
+        |  floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id)
+        |SELECT CAST(floor(jac * 50 + 1e-6) AS BIGINT) AS j_bin50, count(*) AS n_pairs
+        |FROM jc WHERE jac >= 0.3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dedup_cluster_minhash", (s, dir) => {
       // the scale-path composition: connected components over the
       // MinHash-LSH candidate edges (bucketed, never all-pairs) via the
@@ -1979,44 +2197,30 @@ object SparkEntry {
     Q("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.1).orderBy("doc1", "doc2")
     }, Some(
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
-        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
-        |h0s AS MATERIALIZED (SELECT doc_id,
-        |  CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT) AS HUGEINT) AS h0 FROM sh),
-        |hp AS (SELECT doc_id, p,
-        |  xor(h0, (p * 11400714819323198485) % 18446744073709551616) AS z0,
-        |  xor(z0, z0 >> 30) AS a0,
-        |  ((a0 % 4294967296) * 13787848793156543929
-        |    + (((a0 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
-        |    % 18446744073709551616 AS z1,
-        |  xor(z1, z1 >> 27) AS a1,
-        |  ((a1 % 4294967296) * 10723151780598845931
-        |    + (((a1 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
-        |    % 18446744073709551616 AS z2,
-        |  xor(z2, z2 >> 31) AS z3
-        | FROM h0s, (SELECT CAST(unnest(range(0, 64)) AS HUGEINT) AS p) t),
-        |sigs AS (SELECT doc_id, p,
-        |  min(CAST(z3 - CASE WHEN z3 >= 9223372036854775808 THEN 18446744073709551616
-        |    ELSE 0 END AS BIGINT)) AS m
-        | FROM hp GROUP BY 1, 2),
-        |sigl AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM sigs GROUP BY 1),
-        |banded AS (SELECT doc_id, t.b AS band,
-        |  sig[(t.b * 4 + 1):(t.b * 4 + 4)] AS bh
-        | FROM sigl, range(0, 16) t(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        | FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
-        |   AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |ver AS (SELECT c.doc1, c.doc2, count(*) AS inter
-        | FROM cand c JOIN sh a ON a.doc_id = c.doc1 JOIN sh b ON b.doc_id = c.doc2
-        |   AND a.s = b.s
-        | GROUP BY 1, 2)
-        |SELECT v.doc1, v.doc2,
-        | floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
-        |FROM ver v JOIN sz n1 ON n1.doc_id = v.doc1 JOIN sz n2 ON n2.doc_id = v.doc2
-        |WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.1
-        |ORDER BY doc1, doc2""".stripMargin)),
+      s"""WITH $SQL_MINHASH_CTES
+         |SELECT doc1, doc2, jac FROM verjac
+         |WHERE jac >= 0.1 ORDER BY doc1, doc2""".stripMargin)),
+
+    Q("minhash_calibration", (s, dir) => {
+      // measured signature quality: the signature-only Jaccard estimate
+      // (what LSH banding actually thresholds on) next to the exact
+      // value, for every verified pair — the dedup analogue of
+      // ann_recall_ivf_pq's measured-recall move
+      Dedup.minhashCalibration(Tables.documents(s, dir), threshold = 0.1)
+        .orderBy("doc1", "doc2")
+    }, Some(
+      s"""WITH $SQL_MINHASH_CTES,
+         |pr AS (SELECT doc1, doc2, jac FROM verjac WHERE jac >= 0.1),
+         |mm AS (SELECT pr.doc1, pr.doc2, pr.jac,
+         |  CAST(len(list_filter(range(1, 65), p -> sa.sig[p] = sb.sig[p])) AS BIGINT) AS n_match
+         | FROM pr JOIN sigl sa ON sa.doc_id = pr.doc1
+         |   JOIN sigl sb ON sb.doc_id = pr.doc2),
+         |es AS (SELECT doc1, doc2, n_match,
+         |  floor((CAST(n_match AS DOUBLE) / 64 + 1e-9) * 1e4 + 0.5) / 1e4 AS est_j, jac
+         | FROM mm)
+         |SELECT doc1, doc2, n_match, est_j, jac,
+         | floor((abs(est_j - jac) + 1e-9) * 1e4 + 0.5) / 1e4 AS abs_err
+         |FROM es ORDER BY doc1, doc2""".stripMargin)),
 
     Q("dedup_simhash", (s, dir) => {
       // md5-low64 word hash (Dedup.simhash doc) → the whole pipeline

@@ -151,26 +151,22 @@ object Dedup {
     * bucket-then-verify pipeline, candidates included, replays in the
     * DuckDB oracle.
     */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.6): DataFrame = {
-    val rows = numHashes / bands
-    // the shingle table feeds three branches (signatures + both sides of
-    // the verify join) — persist it instead of recomputing the regex
-    // split + shingle build per branch
-    val sets = withShingles(docs).persist()
+  /** MinHash signatures per doc: min over shingles of the splitmix
+    * permutation family applied to the md5-low-64 shingle hash.
+    * A 64-column min-aggregate makes Catalyst generate (and Janino
+    * compile) a multi-second giant class; a mapGroups loop is 16M
+    * integer mixes — milliseconds — with the same one-shuffle shape.
+    */
+  private def signatures(sets: DataFrame, numHashes: Int): DataFrame = {
     val toks = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr(
         "shiftleft(cast(conv(substring(md5(s), 17, 8), 16, 10) as bigint), 32) + " +
           "cast(conv(substring(md5(s), 25, 8), 16, 10) as bigint)").as("h0"))
-    // Signature: min over shingles of h_p(shingle) for each permutation.
-    // A 64-column min-aggregate makes Catalyst generate (and Janino
-    // compile) a multi-second giant class; a mapGroups loop is 16M
-    // integer mixes — milliseconds — with the same one-shuffle shape.
-    val spark2 = docs.sparkSession
+    val spark2 = sets.sparkSession
     import spark2.implicits._
     val nh = numHashes
-    val sig = toks.as[(Long, Long)]
+    toks.as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (docId: Long, it: Iterator[(Long, Long)]) =>
         val mins = Array.fill(nh)(Long.MaxValue)
@@ -188,6 +184,39 @@ object Dedup {
         (docId, mins.toSeq)
       }
       .toDF("doc_id", "sig")
+  }
+
+  /** MinHash estimate calibration — measured signature quality, the
+    * companion telemetry to [[minhashLsh]]: for every verified
+    * near-dup pair, the signature-only Jaccard estimate (matching
+    * components / numHashes) next to the exact shingle Jaccard. The
+    * estimate is what LSH banding actually thresholds on; this query
+    * makes its error measurable instead of trusted (the same move
+    * ann_recall_ivf_pq made for the ANN ladder).
+    */
+  def minhashCalibration(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLsh(docs, numHashes, bands, threshold)
+    val sig = signatures(withShingles(docs), numHashes)
+    pairs
+      .join(sig.select(col("doc_id").as("doc1"), col("sig").as("s1")), "doc1")
+      .join(sig.select(col("doc_id").as("doc2"), col("sig").as("s2")), "doc2")
+      .withColumn("n_match", aggregate(
+        zip_with(col("s1"), col("s2"), (a, b) => (a === b).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("est_j", r4(col("n_match").cast("double") / numHashes))
+      .withColumn("abs_err", r4(abs(col("est_j") - col("jac"))))
+      .select("doc1", "doc2", "n_match", "est_j", "jac", "abs_err")
+  }
+
+  def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    // the shingle table feeds three branches (signatures + both sides of
+    // the verify join) — persist it instead of recomputing the regex
+    // split + shingle build per branch
+    val sets = withShingles(docs).persist()
+    val sig = signatures(sets, numHashes)
     // band key: the band's RAW signature slice (array-equality join —
     // 8·r bytes per key; exact, engine-independent, no Murmur3)
     val banded = sig.select(col("doc_id"),

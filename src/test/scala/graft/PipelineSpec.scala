@@ -71,6 +71,17 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhash calibration: identical docs estimate J = 1 with zero error") {
+    val out = Dedup.minhashCalibration(docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely here now for sure")), threshold = 0.3)
+      .select("doc1", "doc2", "n_match", "est_j", "jac", "abs_err")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // identical shingle sets → every permutation min matches
+    assert(out == Seq((1L, 2L, 64L, 1.0, 1.0, 0.0)))
+  }
+
   test("simhash finds identical docs at hamming 0, skips unrelated") {
     val out = Dedup.simhash(docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
