@@ -2091,7 +2091,7 @@ object SparkEntry {
       // docs) and the doc mass in each size class. Composes the same
       // clusters() output as dedup_cluster; the histogram is two tiny
       // aggregates over the |docs|-row component frame.
-      Dedup.clusters(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.5)
+      Dedup.clusters(Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.5)
         .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),
@@ -2099,7 +2099,7 @@ object SparkEntry {
         .orderBy("cluster_size"),
     Some(
       """WITH RECURSIVE
-        |docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |docs5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
         |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs5),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
         |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
@@ -2124,12 +2124,12 @@ object SparkEntry {
       // threshold-sweep telemetry: the similarity histogram of near-dup
       // pairs (0.1-wide Jaccard deciles) — what you read BEFORE picking
       // the dedup threshold, instead of guessing. Runs the prefix-
-      // filtered pair join once at the low end and buckets at 0.02
+      // filtered pair join once at the 0.5 floor and buckets at 0.02
       // width (this corpus's dup structure lives entirely in
       // J ∈ [0.94, 1); decile bins would collapse to one row); the
       // 1e-6 nudge keeps grid-exact bin edges in the upper bucket on
       // both engines despite binary representation.
-      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.3)
+      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.5)
         .withColumn("j_bin50", floor(col("jac") * 50 + 1e-6).cast("long"))
         .groupBy("j_bin50")
         .agg(count(lit(1)).as("n_pairs"))
@@ -2146,7 +2146,7 @@ object SparkEntry {
         |  floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
         |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id)
         |SELECT CAST(floor(jac * 50 + 1e-6) AS BIGINT) AS j_bin50, count(*) AS n_pairs
-        |FROM jc WHERE jac >= 0.3
+        |FROM jc WHERE jac >= 0.5
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("dedup_cluster_minhash", (s, dir) => {
