@@ -808,6 +808,74 @@ object SparkEntry {
          | floor(((s1 / n - gs / gn) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS dev
          |FROM wq ORDER BY name, node, hour""".stripMargin)),
 
+    Q("ts_stability", (s, dir) =>
+      // tsfeatures stability/lumpiness: variance of day-tile means and
+      // tile variances per signal — the two-number "did this signal
+      // change character" feature for fleet-wide scans. Day tiles with
+      // minTile 4 because the raw (unfilled) grid is sparse: ~9
+      // occupied 15-min cells per signal-day at the driver's SF.
+      TimeSeries.stabilityLumpiness(grid(s, dir), tileSec = 86400L, minTile = 4)
+        .orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |qg AS (SELECT name, node, tsb // 86400 AS tile,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS q FROM grid),
+         |tl AS (SELECT name, node, tile, count(*) AS nt, sum(q) AS s1, sum(q * q) AS s2
+         | FROM qg GROUP BY 1, 2, 3),
+         |tq AS (SELECT name, node,
+         |  CAST(floor((CAST(s1 AS DOUBLE) / nt2 / 1e4 + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qm,
+         |  CAST(floor(((nt2 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |    / (nt2 * (nt2 - 1e0)) / 1e8 + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS qvr
+         | FROM (SELECT *, CAST(nt AS DOUBLE) AS nt2 FROM tl WHERE nt >= 4) t),
+         |rl AS (SELECT name, node, count(*) AS t,
+         |  CAST(sum(qm) AS DOUBLE) AS m1, CAST(sum(qm * qm) AS DOUBLE) AS m2,
+         |  CAST(sum(qvr) AS DOUBLE) AS v1, CAST(sum(qvr * qvr) AS DOUBLE) AS v2
+         | FROM tq GROUP BY 1, 2)
+         |SELECT name, node, t AS n_tiles,
+         | floor(((td * m2 - m1 * m1) / (td * (td - 1e0)) / 1e8 + 1e-9) * 1e4 + 0.5) / 1e4 AS stability,
+         | floor(((td * v2 - v1 * v1) / (td * (td - 1e0)) / 1e8 + 1e-9) * 1e4 + 0.5) / 1e4 AS lumpiness
+         |FROM (SELECT *, CAST(t AS DOUBLE) AS td FROM rl WHERE t >= 2) f
+         |ORDER BY name, node""".stripMargin)),
+
+    Q("ts_flat_spots", (s, dir) =>
+      // plateau / stuck-sensor detector: longest run of identical
+      // quantized grid values per signal (gaps-and-islands run ids,
+      // exact integers end to end)
+      TimeSeries.flatSpots(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |qg AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS BIGINT) AS qv FROM grid),
+         |r AS (SELECT name, node, qv,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb)
+         |  - row_number() OVER (PARTITION BY name, node, qv ORDER BY tsb) AS grp
+         | FROM qg),
+         |runs AS (SELECT name, node, qv, grp, count(*) AS len FROM r GROUP BY 1, 2, 3, 4)
+         |SELECT name, node, count(*) AS n_runs, max(len) AS flat_len
+         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("ts_crossings", (s, dir) =>
+      // median-crossing count (catch22): high for noise, low for
+      // trends/regimes; the median is an exact ELEMENT of the
+      // quantized values, so every comparison is integer-exact
+      TimeSeries.medianCrossings(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |qg AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS BIGINT) AS qv FROM grid),
+         |st AS (SELECT name, node, qv, tsb,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY qv, tsb) AS rv,
+         |  count(*) OVER (PARTITION BY name, node) AS n FROM qg),
+         |md AS (SELECT name, node, qv AS med FROM st WHERE rv = (n + 1) // 2),
+         |ab AS (SELECT q.name, q.node,
+         |  CASE WHEN q.qv > m.med THEN 1 ELSE 0 END AS above,
+         |  lag(CASE WHEN q.qv > m.med THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY q.name, q.node ORDER BY q.tsb) AS prev
+         | FROM qg q JOIN md m ON m.name = q.name AND m.node = q.node)
+         |SELECT name, node, count(*) AS n,
+         | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != above THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+         |FROM ab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("text_entropy", (s, dir) =>
       // lexical diversity: type/token ratio + word-distribution
       // entropy per doc (low-entropy-at-length = template spam)

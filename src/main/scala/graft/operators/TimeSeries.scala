@@ -555,4 +555,94 @@ object TimeSeries {
         avgDec(col("value")).as("mean_v"),
         min("value").as("min_v"),
         max("value").as("max_v"))
+
+  /** tsfeatures-style stability & lumpiness per signal: the variance of
+    * tiled-window means resp. variances (Hyndman's time-series feature
+    * set — the two numbers a fleet-wide "which signals changed
+    * character" scan reads). Tiles are `tileSec`-wide; tiles with
+    * < `minTile` observations are dropped (this grid has holes — no
+    * forward fill here). Per-tile stats come from exact decimal
+    * moments, are re-quantized onto raw-unit grids, and the cross-tile
+    * variances are exact-moment again — the whole chain is fixed IEEE
+    * on exact integers, so the oracle replays it bit-for-bit.
+    *
+    * Plan: one (signal, tile) aggregate (output |signals|·|tiles|,
+    * retention-bounded), then a per-signal rollup. No typed loops.
+    */
+  def stabilityLumpiness(grid: DataFrame, tileSec: Long = 21600L,
+                         minTile: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val tiles = grid
+      .select(col("name"), col("node"), expr(s"tsb div $tileSec").as("tile"),
+        qint(col("gval"), 1e4).as("q"))
+      .groupBy("name", "node", "tile")
+      .agg(count(lit(1)).as("nt"),
+        sum("q").cast(dec).as("s1"),
+        sum(col("q") * col("q")).cast(dec).as("s2"))
+      .filter(col("nt") >= minTile)
+    val ntd = col("nt").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val meanRaw = s1d / ntd / 1e4
+    val varRaw = (ntd * s2d - s1d * s1d) / (ntd * (ntd - lit(1.0))) / 1e8
+    val quant = tiles
+      .withColumn("qm", qint(meanRaw, 1e4))
+      .withColumn("qvr", qint(varRaw, 1e4))
+    val td = col("t").cast("double")
+    quant.groupBy("name", "node")
+      .agg(count(lit(1)).as("t"),
+        sum("qm").cast("double").as("m1"),
+        sum(col("qm") * col("qm")).cast("double").as("m2"),
+        sum("qvr").cast("double").as("v1"),
+        sum(col("qvr") * col("qvr")).cast("double").as("v2"))
+      .filter(col("t") >= 2)
+      .select(col("name"), col("node"), col("t").as("n_tiles"),
+        r4((td * col("m2") - col("m1") * col("m1")) / (td * (td - lit(1.0))) / 1e8)
+          .as("stability"),
+        r4((td * col("v2") - col("v1") * col("v1")) / (td * (td - lit(1.0))) / 1e8)
+          .as("lumpiness"))
+  }
+
+  /** Longest flat spot per signal: the maximum run of consecutive grid
+    * samples with the same (1e4-quantized) value — the plateau /
+    * stuck-sensor detector. Classic gaps-and-islands: run id = global
+    * row_number − per-value row_number, exact integers end to end.
+    */
+  def flatSpots(grid: DataFrame): DataFrame = {
+    val q = grid.select(col("name"), col("node"), col("tsb"),
+      qint(col("gval"), 1e4).as("qv"))
+    val wAll = Window.partitionBy("name", "node").orderBy("tsb")
+    val wVal = Window.partitionBy("name", "node", "qv").orderBy("tsb")
+    q.withColumn("grp", row_number().over(wAll) - row_number().over(wVal))
+      .groupBy("name", "node", "qv", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("n_runs"), max("len").as("flat_len"))
+  }
+
+  /** Median-crossing count per signal (catch22's crossing statistic):
+    * how often the series crosses its own median — high for noise,
+    * low for trends/regimes. The median is an exact ELEMENT (lower
+    * median of the quantized values — rank ⌈n/2⌉ with timestamp
+    * tiebreak), so every comparison is integer-exact.
+    */
+  def medianCrossings(grid: DataFrame): DataFrame = {
+    val q = grid.select(col("name"), col("node"), col("tsb"),
+      qint(col("gval"), 1e4).as("qv"))
+    val byVal = Window.partitionBy("name", "node").orderBy("qv", "tsb")
+    val cnt = Window.partitionBy("name", "node")
+    val med = q
+      .withColumn("rv", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .filter(col("rv") === expr("(n + 1) div 2"))
+      .select(col("name").as("mn"), col("node").as("md"), col("qv").as("med"))
+    val wT = Window.partitionBy("name", "node").orderBy("tsb")
+    q.join(med, col("name") === col("mn") && col("node") === col("md"))
+      .withColumn("above", (col("qv") > col("med")).cast("int"))
+      .withColumn("prev", lag("above", 1).over(wT))
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("n"),
+        sum((col("prev").isNotNull && col("prev") =!= col("above")).cast("long"))
+          .as("crossings"))
+  }
 }

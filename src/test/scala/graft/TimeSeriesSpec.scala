@@ -258,4 +258,59 @@ class TimeSeriesSpec extends SparkTestBase {
     def r4d(v: Double) = math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
     assert(out == ((6L, r4d(l), r4d(b), r4d(l + b))))
   }
+
+  test("stabilityLumpiness is the variance of tile means resp. variances") {
+    // 3 tiles of 5 samples (tileSec=4500, step 900):
+    //   tile 0: 0..4   -> mean 2, var 2.5
+    //   tile 1: 0,2..8 -> mean 4, var 10
+    //   tile 2: 7 x5   -> mean 7, var 0
+    // stability = var(2,4,7) = 6.3333; lumpiness = var(2.5,10,0) = 27.0833
+    val vals = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 2.0, 4.0, 6.0, 8.0,
+      7.0, 7.0, 7.0, 7.0, 7.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) } ++
+      // second signal: only one qualifying tile -> dropped (t < 2)
+      (0 until 5).map(i => ("one", "b", i * 900L, 1.0))
+    val out = TimeSeries.stabilityLumpiness(grid(rows: _*), tileSec = 4500L, minTile = 5)
+      .select("name", "n_tiles", "stability", "lumpiness")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("m", 3L, 6.3333, 27.0833)), s"got $out")
+    // a short tail tile below minTile is excluded from the rollup
+    val ragged = rows.take(15) ++ Seq(("m", "a", 15 * 900L, 99.0))
+    val r = TimeSeries.stabilityLumpiness(grid(ragged: _*), tileSec = 4500L, minTile = 5)
+      .select("n_tiles").as[Long].head()
+    assert(r == 3L, "the 1-sample tail tile must not count")
+  }
+
+  test("flatSpots finds the longest run of identical quantized values") {
+    val vals = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 3.0, 3.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.flatSpots(grid(rows: _*))
+      .select("n_runs", "flat_len").as[(Long, Long)].head()
+    assert(out == ((4L, 3L)), s"got $out")
+    // all-distinct series: n runs of length 1
+    val distinct = (0 until 6).map(i => ("d", "a", i * 900L, i.toDouble))
+    val d = TimeSeries.flatSpots(grid(distinct: _*))
+      .select("n_runs", "flat_len").as[(Long, Long)].head()
+    assert(d == ((6L, 1L)))
+  }
+
+  test("medianCrossings counts sign changes around the lower median") {
+    // sorted [1,1,1,5,5] -> lower median 1; above = 0,1,0,1,0 -> 4 crossings
+    val vals = Seq(1.0, 5.0, 1.0, 5.0, 1.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.medianCrossings(grid(rows: _*))
+      .select("n", "crossings").as[(Long, Long)].head()
+    assert(out == ((5L, 4L)), s"got $out")
+    // even n: rank (n+1) div 2 = 2 of [1,2,3,4] -> med 2; above 0,0,1,1 -> 1
+    val even = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => ("e", "a", i * 900L, v) }
+    val e = TimeSeries.medianCrossings(grid(even: _*))
+      .select("crossings").as[Long].head()
+    assert(e == 1L)
+    // constant series never crosses
+    val flat = (0 until 7).map(i => ("f", "a", i * 900L, 7.0))
+    val f = TimeSeries.medianCrossings(grid(flat: _*))
+      .select("crossings").as[Long].head()
+    assert(f == 0L)
+  }
 }
