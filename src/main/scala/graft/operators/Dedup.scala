@@ -351,9 +351,12 @@ object Dedup {
     * Cost is the candidate join ([[prefixJaccard]]); the argmax is one
     * window over the pair list, which is ≪ corpus.
     */
-  def nearestDup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearestDup(docs: DataFrame, threshold: Double = 0.5,
+                 precomputedPairs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(docs, threshold)
+    // a pipeline that already ran pair detection (LSH or exact) passes
+    // its (doc1, doc2, jac) edge list in — same contract as clusters()
+    val pairs = precomputedPairs.getOrElse(jaccardPairs(docs, threshold))
     val sym = pairs.select(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("jac"))
       .unionByName(pairs.select(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("jac")))
     val bySim = Window.partitionBy("doc_id").orderBy(col("jac").desc, col("nbr").asc)
