@@ -876,6 +876,88 @@ object SparkEntry {
          | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != above THEN 1 ELSE 0 END) AS BIGINT) AS crossings
          |FROM ab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("ts_burstiness", (s, dir) =>
+      // arrival-process telemetry on the RAW event stream: mean gap, CV,
+      // Goh–Barabási burstiness index per signal (periodic → −1,
+      // Poisson → 0, bursty → +1)
+      TimeSeries.burstiness(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+        .orderBy("name", "node"),
+    Some(
+      s"""WITH $SQL_SIG,
+         |g AS (SELECT name, node,
+         |  tsec - lag(tsec) OVER (PARTITION BY name, node ORDER BY tsec) AS gap
+         | FROM signals),
+         |m AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(gap) AS HUGEINT) AS s1, CAST(sum(gap * gap) AS HUGEINT) AS s2
+         | FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+         |d AS (SELECT name, node, n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d FROM m WHERE n >= 3),
+         |f AS (SELECT name, node, n, s1d / nd AS mu,
+         |  sqrt((nd * s2d - s1d * s1d) / (nd * (nd - 1e0))) AS sigma FROM d)
+         |SELECT name, node, n AS n_gaps,
+         | floor((mu + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_gap,
+         | floor((sigma / mu + 1e-9) * 1e4 + 0.5) / 1e4 AS cv,
+         | floor(((sigma - mu) / (sigma + mu) + 1e-9) * 1e4 + 0.5) / 1e4 AS burstiness
+         |FROM f ORDER BY name, node""".stripMargin)),
+
+    Q("ts_top_movers", (s, dir) =>
+      // the "what changed most since yesterday" fleet report: top-10
+      // day-over-day mean deltas per day, deterministic rank on the
+      // 1e4-quantized delta with (name, node) tiebreak
+      TimeSeries.topMovers(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+        .orderBy("day", "rk"),
+    Some(
+      s"""WITH $SQL_SIG,
+         |d AS (SELECT name, node, tsec // 86400 * 86400 AS day,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS m
+         | FROM signals GROUP BY 1, 2, 3),
+         |l AS (SELECT name, node, day, m,
+         |  lag(day) OVER (PARTITION BY name, node ORDER BY day) AS pd,
+         |  lag(m) OVER (PARTITION BY name, node ORDER BY day) AS pm FROM d),
+         |f AS (SELECT name, node, day, m, pm,
+         |  floor((m - pm + 1e-9) * 1e4 + 0.5) / 1e4 AS delta
+         | FROM l WHERE pd = day - 86400),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY day
+         |  ORDER BY abs(delta) DESC, name, node) AS rk FROM f)
+         |SELECT day, rk, name, node,
+         | floor((pm + 1e-9) * 1e4 + 0.5) / 1e4 AS prev_mean,
+         | floor((m + 1e-9) * 1e4 + 0.5) / 1e4 AS cur_mean, delta
+         |FROM rk WHERE rk <= 10 ORDER BY day, rk""".stripMargin)),
+
+    Q("ad_alert_stats", (s, dir) =>
+      // alert-fatigue telemetry over the level-3 k-sigma stream: alert
+      // counts, span, mean spacing, longest quiet stretch per signal —
+      // the pager-noise report read before retuning thresholds
+      Anomaly.alertStats(grid(s, dir), 3.0).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0),
+         |al AS (SELECT g.name, g.node, g.tsb
+         | FROM qd g JOIN st ON g.name = st.name AND g.node = st.node
+         | WHERE n >= 3 AND sigma_s > 0
+         |  AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0),
+         |q AS (SELECT name, node, tsb,
+         |  tsb - lag(tsb) OVER (PARTITION BY name, node ORDER BY tsb) AS quiet FROM al)
+         |SELECT name, node, CAST(count(*) AS BIGINT) AS n_alerts,
+         | min(tsb) AS first_ts, max(tsb) AS last_ts,
+         | CASE WHEN count(*) >= 2 THEN
+         |   floor((CAST(max(tsb) - min(tsb) AS DOUBLE) / (CAST(count(*) AS DOUBLE) - 1.0)
+         |     + 1e-9) * 1e4 + 0.5) / 1e4
+         | ELSE 0.0 END AS mean_gap,
+         | coalesce(max(quiet), 0) AS max_quiet
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("text_entropy", (s, dir) =>
       // lexical diversity: type/token ratio + word-distribution
       // entropy per doc (low-entropy-at-length = template spam)

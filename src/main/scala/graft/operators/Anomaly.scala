@@ -195,4 +195,31 @@ object Anomaly {
       .select(col("name"), col("node"), col("tsb"), r4(col(in)).as(in),
         col("ks_flag"), col("mad_flag"), col("iqr_flag"), col("votes"))
   }
+
+  /** Alert-fatigue telemetry: per-signal summary of the k-sigma alert
+    * stream — how many alerts, when they started/stopped, the mean
+    * inter-alert spacing, and the longest quiet stretch between alerts.
+    * The operator an on-call rotation reads to find pager-noisy signals
+    * before retuning thresholds. Composes [[ksigma]] (same level-3
+    * reference gate as ad_ksigma); all outputs are integer tsb
+    * arithmetic plus one division, so the oracle replays exactly.
+    * mean_gap/max_quiet are 0 for single-alert signals (not null — the
+    * frame stays join-friendly).
+    */
+  def alertStats(grid: DataFrame, level: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("name", "node").orderBy("tsb")
+    val nd = col("n_alerts").cast("double")
+    ksigma(grid, level)
+      .withColumn("quiet", col("tsb") - lag("tsb", 1).over(w))
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("n_alerts"),
+        min("tsb").as("first_ts"), max("tsb").as("last_ts"),
+        max(coalesce(col("quiet"), lit(0L))).as("max_quiet"))
+      .select(col("name"), col("node"), col("n_alerts"),
+        col("first_ts"), col("last_ts"),
+        when(col("n_alerts") >= 2,
+          r4((col("last_ts") - col("first_ts")).cast("double") / (nd - lit(1.0))))
+          .otherwise(lit(0.0)).as("mean_gap"),
+        col("max_quiet"))
+  }
 }

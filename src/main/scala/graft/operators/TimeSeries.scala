@@ -556,6 +556,69 @@ object TimeSeries {
         min("value").as("min_v"),
         max("value").as("max_v"))
 
+  /** Inter-arrival burstiness per signal, on the RAW event stream (not
+    * the grid): gap moments over consecutive-arrival deltas plus the
+    * Goh–Barabási burstiness index B = (σ − μ)/(σ + μ) ∈ (−1, 1)
+    * (B → −1 periodic, 0 Poisson, → 1 bursty) and the coefficient of
+    * variation. Gaps are exact integer seconds, so the moments are
+    * exact and the derived doubles follow the fixed IEEE op sequence —
+    * oracle-replayable. Ties in tsec yield zero gaps; the multiset of
+    * sorted consecutive differences is invariant to tie order, so the
+    * aggregate is deterministic even though the row order isn't.
+    *
+    * Plan: one per-signal window (the same (name,node) exchange every
+    * TimeSeries op keys on) + one aggregate. Nothing crosses signals.
+    */
+  def burstiness(signals: DataFrame, minGaps: Int = 3): DataFrame = {
+    val w = Window.partitionBy("name", "node").orderBy("tsec")
+    val dec = DecimalType(20, 0)
+    val gaps = signals
+      .withColumn("gap", col("tsec") - lag("tsec", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val nd = col("n").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val mu = s1d / nd
+    val sigma = sqrt((nd * s2d - s1d * s1d) / (nd * (nd - lit(1.0))))
+    gaps.groupBy("name", "node")
+      .agg(count(lit(1)).as("n"),
+        sum("gap").cast(dec).as("s1"),
+        sum(col("gap") * col("gap")).cast(dec).as("s2"))
+      .filter(col("n") >= minGaps)
+      .select(col("name"), col("node"), col("n").as("n_gaps"),
+        r4(mu).as("mean_gap"),
+        r4(sigma / mu).as("cv"),
+        r4((sigma - mu) / (sigma + mu)).as("burstiness"))
+  }
+
+  /** Day-over-day top movers: per-signal daily mean (exact decimal),
+    * lag-day delta, ranked per day by |delta| — the "what changed most
+    * since yesterday" fleet report. Rank compares 1e4-quantized deltas
+    * (exact) with (name, node) tiebreak, so the cut is deterministic.
+    * Only consecutive days count as movers (a signal returning after an
+    * outage is a gap, not a move — gap_stats' beat).
+    */
+  def topMovers(signals: DataFrame, daySec: Long = 86400L, topK: Int = 10): DataFrame = {
+    val daily = signals
+      .groupBy(col("name"), col("node"),
+        (expr(s"tsec div $daySec") * daySec).as("day"))
+      .agg(avgDec(col("value")).as("m"))
+    val bySig = Window.partitionBy("name", "node").orderBy("day")
+    val lagged = daily
+      .withColumn("prev_day", lag("day", 1).over(bySig))
+      .withColumn("prev_mean", lag("m", 1).over(bySig))
+      .filter(col("prev_day") === col("day") - daySec)
+      .withColumn("delta", r4(col("m") - col("prev_mean")))
+    val byDay = Window.partitionBy("day")
+      .orderBy(abs(col("delta")).desc, col("name"), col("node"))
+    lagged
+      .withColumn("rk", row_number().over(byDay))
+      .filter(col("rk") <= topK)
+      .select(col("day"), col("rk"), col("name"), col("node"),
+        r4(col("prev_mean")).as("prev_mean"), r4(col("m")).as("cur_mean"),
+        col("delta"))
+  }
+
   /** tsfeatures-style stability & lumpiness per signal: the variance of
     * tiled-window means resp. variances (Hyndman's time-series feature
     * set — the two numbers a fleet-wide "which signals changed

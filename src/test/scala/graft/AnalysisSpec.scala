@@ -526,4 +526,20 @@ class AnalysisSpec extends SparkTestBase {
       s"sustained shift must trip rule4: ${out.mkString(";")}")
     assert(!bySlot.contains(900L), "calm baseline must not flag")
   }
+
+  test("alertStats summarizes the k-sigma alert stream per signal") {
+    // 60 flat points with spikes at slots 10 and 50: exactly two alerts
+    val two = (0 until 60).map(i =>
+      ("two", "a", i * 900L, if (i == 10 || i == 50) 1000.0 else 10.0))
+    // one spike only: mean_gap/max_quiet stay 0, not null
+    val one = (0 until 60).map(i =>
+      ("one", "a", i * 900L, if (i == 30) 1000.0 else 10.0))
+    val out = Anomaly.alertStats(grid((two ++ one): _*), 3.0)
+      .orderBy("name")
+      .select("name", "n_alerts", "first_ts", "last_ts", "mean_gap", "max_quiet")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("one", 1L, 30 * 900L, 30 * 900L, 0.0, 0L),
+      ("two", 2L, 10 * 900L, 50 * 900L, 36000.0, 36000L)), s"got $out")
+  }
 }

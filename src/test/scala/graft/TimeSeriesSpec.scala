@@ -294,6 +294,42 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(d == ((6L, 1L)))
   }
 
+  test("burstiness is -1 for periodic arrivals and matches exact gap moments") {
+    // periodic: every gap 10 s -> sigma 0, cv 0, B = -1
+    val periodic = (0 until 6).map(i => ("p", "a", i * 10L, 1.0))
+    // bursty: arrivals 0,1,2,100 -> gaps 1,1,98
+    val bursty = Seq(0L, 1L, 2L, 100L).map(t => ("b", "a", t, 1.0))
+    // short: 2 arrivals = 1 gap < minGaps -> dropped
+    val short = Seq(0L, 50L).map(t => ("s", "a", t, 1.0))
+    val out = TimeSeries.burstiness(
+      (periodic ++ bursty ++ short).toDF("name", "node", "tsec", "value"))
+      .orderBy("name")
+      .select("name", "n_gaps", "mean_gap", "cv", "burstiness")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    def r4d(v: Double) = math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+    val mu = 100.0 / 3.0
+    val sigma = math.sqrt((3.0 * (1 + 1 + 98.0 * 98.0) - 100.0 * 100.0) / (3.0 * 2.0))
+    assert(out == Seq(
+      ("b", 3L, r4d(mu), r4d(sigma / mu), r4d((sigma - mu) / (sigma + mu))),
+      ("p", 5L, 10.0, 0.0, -1.0)), s"got $out")
+  }
+
+  test("topMovers ranks day-over-day deltas and skips non-consecutive days") {
+    val day = 86400L
+    // sig A: 10 -> 30 (delta +20); sig B: 50 -> 45 (delta -5);
+    // sig C: day 0 then day 2 -> gap, never a mover
+    val rows = Seq(
+      ("A", "a", 0L, 10.0), ("A", "a", day, 30.0),
+      ("B", "a", 100L, 50.0), ("B", "a", day + 100L, 45.0),
+      ("C", "a", 0L, 1.0), ("C", "a", 2 * day, 99.0))
+    val out = TimeSeries.topMovers(rows.toDF("name", "node", "tsec", "value"))
+      .select("day", "rk", "name", "prev_mean", "cur_mean", "delta")
+      .as[(Long, Int, String, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (day, 1, "A", 10.0, 30.0, 20.0),
+      (day, 2, "B", 50.0, 45.0, -5.0)), s"got $out")
+  }
+
   test("medianCrossings counts sign changes around the lower median") {
     // sorted [1,1,1,5,5] -> lower median 1; above = 0,1,0,1,0 -> 4 crossings
     val vals = Seq(1.0, 5.0, 1.0, 5.0, 1.0)
