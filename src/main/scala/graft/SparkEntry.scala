@@ -3274,6 +3274,91 @@ object SparkEntry {
         | floor((CAST(sum(CAST(fd = doc_id AS BIGINT)) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS novelty
         |FROM h JOIN f USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("text_langid_confusion", (s, dir) =>
+      // measured langid quality: confusion matrix of the heuristic vs
+      // the labeled lang, with each cell's share of its true-lang row —
+      // the minhash_calibration move applied to language ID
+      TextAnalysis.langidConfusion(Tables.documents(s, dir))
+        .orderBy("lang_true", "lang_pred"),
+    Some(
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh
+        | FROM documents),
+        |h AS (SELECT doc_id, lang, zh,
+        |  len(list_intersect(w, ['the','and','is','of','to','in','that','it','for','on'])) AS en,
+        |  len(list_intersect(w, ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS de,
+        |  len(list_intersect(w, ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+        |  len(list_intersect(w, ['el','los','las','y','de','que','en','por','para','es'])) AS es
+        | FROM t),
+        |p AS (SELECT lang AS lang_true,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+        | FROM h),
+        |c AS (SELECT lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang_true, lang_pred, n,
+        | floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang_true) AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS frac_of_true
+        |FROM c ORDER BY lang_true, lang_pred""".stripMargin)),
+
+    Q("gate_stats", (s, dir) =>
+      // per-(source, lang) gate telemetry: keep rate + per-reason drop
+      // counts — what you read after retuning curation thresholds
+      TextAnalysis.gateStats(Tables.documents(s, dir))
+        .orderBy("source", "lang"),
+    Some(
+      """WITH t AS (SELECT doc_id, source, lang, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh
+        | FROM documents),
+        |h AS (SELECT doc_id, source, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS quality,
+        |  zh,
+        |  len(list_intersect(list_distinct(w), ['the','and','is','of','to','in','that','it','for','on'])) AS en,
+        |  len(list_intersect(list_distinct(w), ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS de,
+        |  len(list_intersect(list_distinct(w), ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+        |  len(list_intersect(list_distinct(w), ['el','los','las','y','de','que','en','por','para','es'])) AS es
+        | FROM t),
+        |g AS (SELECT doc_id, source, lang, n_tokens, quality,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+        | FROM h),
+        |f AS (SELECT source, lang,
+        |  CAST(lang_pred = 'en' AS INT) AS ok_lang,
+        |  CAST(n_tokens >= 5 AND n_tokens <= 5000 AS INT) AS ok_len,
+        |  CAST(quality >= 0.5 AS INT) AS ok_quality
+        | FROM g)
+        |SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(ok_lang * ok_len * ok_quality) AS BIGINT) AS n_keep,
+        | CAST(sum(1 - ok_lang) AS BIGINT) AS fail_lang,
+        | CAST(sum(1 - ok_len) AS BIGINT) AS fail_len,
+        | CAST(sum(1 - ok_quality) AS BIGINT) AS fail_quality,
+        | floor((CAST(sum(ok_lang * ok_len * ok_quality) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS keep_rate
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("text_length_hist", (s, dir) =>
+      // token-length histogram per language (16-token bins) — the
+      // length distribution packing/chunking planning reads
+      TextAnalysis.lengthHist(Tables.documents(s, dir))
+        .orderBy("lang", "len_bin"),
+    Some(
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT lang, n_tokens // 16 AS len_bin, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("pack_sequences", (s, dir) => {
       // 256-token context windows per language stream — the
       // concat-and-cut sequence packing every pretraining run plans

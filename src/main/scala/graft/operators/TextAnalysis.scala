@@ -148,11 +148,12 @@ object TextAnalysis {
     * compare the rounded score → engine-deterministic row set.
     */
   def qualityGate(docs: DataFrame, minTokens: Long = 5, maxTokens: Long = 5000,
-                  minQuality: Double = 0.5): DataFrame =
-    docs.select(col("doc_id"),
+                  minQuality: Double = 0.5,
+                  keepCols: Seq[String] = Nil): DataFrame =
+    docs.select(keepCols.map(col) ++ Seq(col("doc_id"),
         size(words(col("text"))).cast("bigint").as("n_tokens"),
         r4(qualityExpr(col("text"))).as("quality"),
-        langPredExpr(col("text")).as("lang_pred"))
+        langPredExpr(col("text")).as("lang_pred")): _*)
       .withColumn("ok_lang", (col("lang_pred") === "en").cast("int"))
       .withColumn("ok_len",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
@@ -445,4 +446,50 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }
+
+  /** Language-ID confusion matrix: the measured quality of the langId
+    * heuristic against the corpus's labeled `lang` — (true, predicted)
+    * counts plus each cell's share of its true-language row. The same
+    * move minhash_calibration / ann_recall made for their heuristics:
+    * measure the stand-in instead of trusting it. One corpus scan into
+    * a ≤ |langs|² aggregate.
+    */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang_true")
+    langId(docs)
+      .groupBy("lang_true", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac_of_true",
+        r4(col("n").cast("double") / sum("n").over(w).cast("double")))
+  }
+
+  /** Gate telemetry per (source, lang): keep rate and per-reason drop
+    * counts over [[qualityGate]] — what you read after retuning gate
+    * thresholds to see WHERE the corpus thinned. Reasons overlap by
+    * design (a doc can fail two gates); the columns are per-reason
+    * counts, not a partition. Single scan (gate columns ride the
+    * source/lang projection), |sources|·|langs| output rows.
+    */
+  def gateStats(docs: DataFrame, minTokens: Long = 5, maxTokens: Long = 5000,
+                minQuality: Double = 0.5): DataFrame =
+    qualityGate(docs, minTokens, maxTokens, minQuality,
+        keepCols = Seq("source", "lang"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_keep"),
+        sum(lit(1) - col("ok_lang")).as("fail_lang"),
+        sum(lit(1) - col("ok_len")).as("fail_len"),
+        sum(lit(1) - col("ok_quality")).as("fail_quality"))
+      .withColumn("keep_rate",
+        r4(col("n_keep").cast("double") / col("n_docs").cast("double")))
+
+  /** Token-length histogram per language (16-token bins): the length
+    * distribution packing/chunking planning reads (H10/H12's input).
+    * Exact integers end to end.
+    */
+  def lengthHist(docs: DataFrame, binTokens: Int = 16): DataFrame =
+    docs.select(col("lang"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"))
+      .groupBy(col("lang"), expr(s"n_tokens div $binTokens").as("len_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
 }

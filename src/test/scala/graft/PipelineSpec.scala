@@ -369,4 +369,53 @@ class PipelineSpec extends SparkTestBase {
       .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
     assert(out == Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (9L, 9L, 0)))
   }
+
+  test("langidConfusion tallies true-vs-predicted cells with row shares") {
+    val d = Seq(
+      (1L, "en", "the cat is on the mat and it is fine"),
+      (2L, "en", "the dog is of the house for it"),
+      (3L, "en", "der hund ist nicht mit das ein zu den"), // mislabeled row
+      (4L, "de", "der hund ist nicht mit das ein zu den"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langidConfusion(d).orderBy("lang_true", "lang_pred")
+      .select("lang_true", "lang_pred", "n", "frac_of_true")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("de", "de", 1L, 1.0),
+      ("en", "de", 1L, 0.3333),
+      ("en", "en", 2L, 0.6667)), s"got $out")
+  }
+
+  test("gateStats rolls keep rate and per-reason drops up to source x lang") {
+    val d = Seq(
+      (1L, "s1", "en", "the cat is on the mat and it is fine today"),
+      (2L, "s1", "en", "a b"), // fails length
+      (3L, "s1", "de", "der hund ist nicht mit das ein zu den heute"), // fails lang
+      (4L, "s2", "en", "the dog is of the house for it and me"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.gateStats(d)
+      .orderBy("source", "lang")
+      .select("source", "lang", "n_docs", "n_keep", "fail_lang", "fail_len",
+        "fail_quality", "keep_rate")
+      .as[(String, String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "de", 1L, 0L, 1L, 0L, 0L, 0.0),
+      ("s1", "en", 2L, 1L, 0L, 1L, 0L, 0.5),
+      ("s2", "en", 1L, 1L, 0L, 0L, 0L, 1.0)), s"got $out")
+  }
+
+  test("lengthHist bins token counts per language in 16-token bins") {
+    val mk = (n: Int) => (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq(
+      (1L, "en", mk(10)), (2L, "en", mk(15)), (3L, "en", mk(20)),
+      (4L, "de", mk(40)))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lengthHist(d).orderBy("lang", "len_bin")
+      .select("lang", "len_bin", "n_docs", "total_tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 2L, 1L, 40L),
+      ("en", 0L, 2L, 25L),
+      ("en", 1L, 1L, 20L)), s"got $out")
+  }
 }
