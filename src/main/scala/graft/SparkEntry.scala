@@ -3359,6 +3359,177 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("ts_pacf", (s, dir) =>
+      // AR-order diagnostic: Durbin–Levinson partial autocorrelation at
+      // lags 1..3 on the exact-moment ACF (fixed IEEE closed forms)
+      TimeSeries.pacf(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |mq AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |ld AS (SELECT name, node, qv,
+         |  lead(qv, 1) OVER w AS y1, lead(qv, 2) OVER w AS y2, lead(qv, 3) OVER w AS y3
+         | FROM mq WINDOW w AS (PARTITION BY name, node ORDER BY tsb)),
+         |pr AS (
+         | SELECT name, node, CAST(1 AS BIGINT) AS lag, qv AS qx, y1 AS qy
+         |  FROM ld WHERE y1 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(2 AS BIGINT), qv, y2 FROM ld WHERE y2 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(3 AS BIGINT), qv, y3 FROM ld WHERE y3 IS NOT NULL),
+         |cells AS (SELECT name, node, lag, count(*) AS n,
+         |  CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         |  CAST(sum(qx * qy) AS DOUBLE) AS sxy, CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         |  CAST(sum(qy * qy) AS DOUBLE) AS syy
+         | FROM pr GROUP BY 1, 2, 3),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |  CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells),
+         |ac AS (SELECT name, node, lag,
+         |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r
+         | FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0),
+         |pv AS (SELECT name, node,
+         |  max(CASE WHEN lag = 1 THEN r END) AS r1,
+         |  max(CASE WHEN lag = 2 THEN r END) AS r2,
+         |  max(CASE WHEN lag = 3 THEN r END) AS r3
+         | FROM ac GROUP BY 1, 2),
+         |f2 AS (SELECT * FROM pv WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+         |  AND r3 IS NOT NULL AND abs(r1) < 1e0),
+         |p1 AS (SELECT *, (r2 - r1 * r1) / (1e0 - r1 * r1) AS p22 FROM f2),
+         |p2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p1),
+         |p3 AS (SELECT *, 1e0 - p21 * r1 - p22 * r2 AS d3 FROM p2)
+         |SELECT name, node,
+         | floor((r1 + 1e-9) * 1e4 + 0.5) / 1e4 AS pacf1,
+         | floor((p22 + 1e-9) * 1e4 + 0.5) / 1e4 AS pacf2,
+         | floor(((r3 - p21 * r2 - p22 * r1) / d3 + 1e-9) * 1e4 + 0.5) / 1e4 AS pacf3
+         |FROM p3 WHERE floor((abs(d3) + 1e-9) * 1e4 + 0.5) / 1e4 > 0
+         |ORDER BY name, node""".stripMargin)),
+
+    Q("quality_percentiles", (s, dir) =>
+      // the quality-score distribution per source (discrete exact-element
+      // p10/p50/p90 at integer ranks) — read before picking minQuality
+      TextAnalysis.qualityPercentiles(Tables.documents(s, dir))
+        .orderBy("source"),
+    Some(
+      """WITH t AS (SELECT source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |qs AS (SELECT source,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS q
+        | FROM t),
+        |r AS (SELECT source, q,
+        |  row_number() OVER (PARTITION BY source ORDER BY q) AS rv,
+        |  count(*) OVER (PARTITION BY source) AS n FROM qs)
+        |SELECT source, max(n) AS n_docs,
+        | max(CASE WHEN rv = (n + 9) // 10 THEN q END) AS p10,
+        | max(CASE WHEN rv = (n + 1) // 2 THEN q END) AS p50,
+        | max(CASE WHEN rv = (9 * n + 9) // 10 THEN q END) AS p90
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("mix_epochs", (s, dir) =>
+      // repetition-allowed temperature mix at 2× the corpus budget:
+      // take = √-weight share, rare strata repeat (epochs > 1) — the
+      // LLaMA-style epoch schedule next to mix_waterfill's capped one
+      Curation.epochPlan(Tables.documents(s, dir), budgetMult = 2.0)
+        .orderBy("lang"),
+    Some(
+      """WITH a AS (SELECT lang,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS avail_tokens
+        | FROM documents GROUP BY lang),
+        |b AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS weight,
+        |  CAST(floor(CAST(sum(avail_tokens) OVER () AS DOUBLE) * 2.0) AS BIGINT) AS t_budget
+        | FROM a),
+        |c AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_sum FROM b),
+        |d AS (SELECT *, CAST(CAST(t_budget AS HUGEINT) * CAST(weight AS HUGEINT)
+        |  // CAST(w_sum AS HUGEINT) AS BIGINT) AS take_tokens FROM c)
+        |SELECT lang, avail_tokens, weight, take_tokens,
+        | floor((CAST(take_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS epochs,
+        | greatest(0, take_tokens - avail_tokens) AS repeated_tokens
+        |FROM d ORDER BY lang""".stripMargin)),
+
+    Q("curation_funnel", (s, dir) =>
+      // the whole curation pipeline as one per-source survival report:
+      // raw → gate → near-dup canonical (LSH edges; exact-edge oracle
+      // re-proves recall) → decontaminated vs the doc_id%97 eval split
+      Curation.curationFunnel(Tables.documents(s, dir))
+        .orderBy("source"),
+    Some(
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS zh
+        | FROM documents WHERE doc_id % 97 != 0),
+        |h AS (SELECT doc_id, source, text, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS quality,
+        |  zh,
+        |  len(list_intersect(list_distinct(w), ['the','and','is','of','to','in','that','it','for','on'])) AS en,
+        |  len(list_intersect(list_distinct(w), ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS de,
+        |  len(list_intersect(list_distinct(w), ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+        |  len(list_intersect(list_distinct(w), ['el','los','las','y','de','que','en','por','para','es'])) AS es
+        | FROM t),
+        |k AS (SELECT doc_id, source, text FROM h
+        | WHERE (CASE WHEN zh > 0 THEN 'zh'
+        |        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |        WHEN de >= fr AND de >= es THEN 'de'
+        |        WHEN fr >= es THEN 'fr' ELSE 'es' END) = 'en'
+        |  AND n_tokens >= 5 AND n_tokens <= 5000 AND quality >= 0.5),
+        |d2 AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM k),
+        |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d2 WHERE len(w) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM k
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id),
+        |lab AS (SELECT doc_id, min(lab) AS canonical FROM comp GROUP BY doc_id),
+        |canon AS (SELECT doc_id FROM lab WHERE doc_id = canonical),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |  i -> md5(array_to_string(w[i:(i + 3)], ' '))))) AS ph FROM d2 WHERE len(w) >= 4),
+        |dev AS (SELECT unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |  i -> md5(array_to_string(w[i:(i + 3)], ' '))))) AS ph
+        | FROM (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents
+        |   WHERE doc_id % 97 = 0) e0 WHERE len(w) >= 4),
+        |cont AS (SELECT DISTINCT s0.doc_id FROM shc s0 JOIN dev e ON s0.ph = e.ph),
+        |raw AS (SELECT source, count(*) AS n_raw FROM documents
+        |  WHERE doc_id % 97 != 0 GROUP BY 1),
+        |gc AS (SELECT source, count(*) AS n_gate FROM k GROUP BY 1),
+        |cc AS (SELECT kk.source, count(*) AS n_canonical
+        |  FROM canon c JOIN k kk ON c.doc_id = kk.doc_id GROUP BY 1),
+        |cl AS (SELECT kk.source, count(*) AS n_clean
+        |  FROM canon c JOIN k kk ON c.doc_id = kk.doc_id
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM cont) GROUP BY 1)
+        |SELECT r.source, r.n_raw,
+        | coalesce(gc.n_gate, 0) AS n_gate,
+        | coalesce(cc.n_canonical, 0) AS n_canonical,
+        | coalesce(cl.n_clean, 0) AS n_clean,
+        | floor((CAST(coalesce(gc.n_gate, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS gate_rate,
+        | floor((CAST(coalesce(cl.n_clean, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS clean_rate
+        |FROM raw r LEFT JOIN gc ON r.source = gc.source
+        | LEFT JOIN cc ON r.source = cc.source
+        | LEFT JOIN cl ON r.source = cl.source
+        |ORDER BY r.source""".stripMargin)),
+
     Q("pack_sequences", (s, dir) => {
       // 256-token context windows per language stream — the
       // concat-and-cut sequence packing every pretraining run plans

@@ -515,4 +515,81 @@ object Curation {
       .filter(Sampling.hash32(keyCol) < col("thr"))
       .drop("thr")
   }
+
+  /** Epoch plan under repetition-allowed temperature mixing — the
+    * companion to [[waterfillMix]] for the budget > corpus regime:
+    * instead of capping each stratum at its available tokens, the
+    * target take is the pure √-weight share of the budget and strata
+    * whose take exceeds availability REPEAT (epochs > 1) — the
+    * LLaMA-style "rare languages see more epochs" schedule. Exact
+    * integer cross-multiplied takes (DECIMAL(38,0) product, truncating
+    * div — both engines agree); the only double is the final epoch
+    * ratio. One |strata|-row aggregate.
+    */
+  def epochPlan(docs: DataFrame, budgetMult: Double = 1.0,
+                strataCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.orderBy(strataCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .select(col(strataCol), size(words(col("text"))).cast("long").as("n"))
+      .groupBy(strataCol).agg(sum("n").as("avail_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("avail_tokens").cast("double")) * 10000.0 + 0.5)
+          .cast("long"))
+      .withColumn("t_budget",
+        floor(sum("avail_tokens").over(all).cast("double") * budgetMult)
+          .cast("long"))
+      .withColumn("w_sum", sum("weight").over(all))
+      .withColumn("take_tokens",
+        expr("cast((cast(t_budget as decimal(38,0)) * cast(weight as decimal(38,0)))" +
+          " div cast(w_sum as decimal(38,0)) as bigint)"))
+      .withColumn("epochs",
+        r4(col("take_tokens").cast("double") / col("avail_tokens").cast("double")))
+      .withColumn("repeated_tokens",
+        greatest(lit(0L), col("take_tokens") - col("avail_tokens")))
+      .select(col(strataCol), col("avail_tokens"), col("weight"),
+        col("take_tokens"), col("epochs"), col("repeated_tokens"))
+  }
+
+  /** The whole curation pipeline as ONE per-source funnel report:
+    * raw → quality gate → near-dup canonical → decontaminated. Each
+    * stage applies to the previous stage's survivors (gate first, dedup
+    * over gated docs, contamination check over canonical survivors), so
+    * the columns read as a survival funnel. Dedup edges come from the
+    * LSH scale path; the oracle recomputes them as EXACT Jaccard
+    * components, so every driver run re-proves LSH recall (the
+    * dedup_cluster_minhash argument). Contamination = any shared
+    * `shingleW`-word shingle with the held-out eval split (broadcast
+    * digests — detection rides the scan, see [[decontaminate]]).
+    */
+  def curationFunnel(docs: DataFrame, evalMod: Long = 97, shingleW: Int = 4,
+                     dedupThreshold: Double = 0.5): DataFrame = {
+    val train = docs.filter(col("doc_id") % evalMod =!= 0)
+    val evalSet = docs.filter(col("doc_id") % evalMod === 0)
+    // text and source ride the gate's corpus scan — no join back
+    val gated = TextAnalysis.qualityGate(train, keepCols = Seq("source", "text"))
+      .filter(col("keep") === 1)
+      .select("doc_id", "source", "text")
+      .persist()
+    val comp = Dedup.clusters(gated, precomputedPairs =
+      Some(Dedup.minhashLsh(gated, threshold = dedupThreshold)
+        .select("doc1", "doc2")))
+    val canonSrc = gated.select("doc_id", "source")
+      .join(comp.filter(col("is_dup") === 0).select("doc_id"), "doc_id")
+    val contaminated = decontaminate(gated, evalSet, shingleW)
+      .select("doc_id").distinct()
+    val cleanSrc = canonSrc.join(contaminated, Seq("doc_id"), "left_anti")
+    val nd = (c: String) => col(c).cast("double")
+    train.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      .join(gated.groupBy("source").agg(count(lit(1)).as("n_gate")),
+        Seq("source"), "left")
+      .join(canonSrc.groupBy("source").agg(count(lit(1)).as("n_canonical")),
+        Seq("source"), "left")
+      .join(cleanSrc.groupBy("source").agg(count(lit(1)).as("n_clean")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_gate", "n_canonical", "n_clean"))
+      .withColumn("gate_rate", r4(nd("n_gate") / nd("n_raw")))
+      .withColumn("clean_rate", r4(nd("n_clean") / nd("n_raw")))
+  }
 }

@@ -483,6 +483,27 @@ object TextAnalysis {
       .withColumn("keep_rate",
         r4(col("n_keep").cast("double") / col("n_docs").cast("double")))
 
+  /** Per-source quality-score percentiles (p10/p50/p90) — the
+    * distribution you read before picking `minQuality` for the gate.
+    * Discrete (exact-element) percentiles at integer ranks
+    * ⌈p·n⌉ computed with pure integer arithmetic ((n+9) div 10 etc.),
+    * so there is no interpolation and no cross-engine double risk:
+    * the score at a rank of the sorted multiset is deterministic.
+    */
+  def qualityPercentiles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byQ = w.partitionBy("source").orderBy("q")
+    val whole = w.partitionBy("source")
+    docs.select(col("source"), r4(qualityExpr(col("text"))).as("q"))
+      .withColumn("rv", row_number().over(byQ))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"),
+        max(when(col("rv") === expr("(n + 9) div 10"), col("q"))).as("p10"),
+        max(when(col("rv") === expr("(n + 1) div 2"), col("q"))).as("p50"),
+        max(when(col("rv") === expr("(9 * n + 9) div 10"), col("q"))).as("p90"))
+  }
+
   /** Token-length histogram per language (16-token bins): the length
     * distribution packing/chunking planning reads (H10/H12's input).
     * Exact integers end to end.

@@ -413,6 +413,42 @@ object TimeSeries {
       minOverlap)
   }
 
+  /** Partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    * closed forms on [[autocorr]]'s ACF — the AR-order diagnostic
+    * (tsfeatures' pacf block). The ACF values are already 4-dp-rounded
+    * identical doubles on both engines, and the DL recursion here is a
+    * fixed IEEE op tree:
+    *   φ11 = r1
+    *   φ22 = (r2 − r1²)/(1 − r1²),  φ21 = r1 − φ22·r1
+    *   φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+    * so the oracle replays it verbatim. Signals with |r1| = 1 (exact
+    * linear) or a vanishing φ33 denominator are dropped with the same
+    * rounded-predicate gate on both engines.
+    */
+  def pacf(grid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    val ac = autocorr(grid, maxLag = 3, minOverlap)
+    val piv = ac.groupBy("name", "node")
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull && col("r3").isNotNull)
+      .filter(abs(col("r1")) < lit(1.0))
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val phi21 = col("r1") - phi22 * col("r1")
+    val den3 = lit(1.0) - phi21 * col("r1") - phi22 * col("r2")
+    piv
+      .withColumn("p22", phi22)
+      .withColumn("p21", phi21)
+      .withColumn("d3", den3)
+      .filter(r4(abs(col("d3"))) > 0)
+      .select(col("name"), col("node"),
+        r4(col("r1")).as("pacf1"),
+        r4(col("p22")).as("pacf2"),
+        r4((col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          col("d3")).as("pacf3"))
+  }
+
   /** CUSUM drift detection per signal: running sum of deviations from
     * the signal mean, flagged when |cusum| exceeds `h`·stddev. All
     * arithmetic is exact scaled-integer (×1e4): the mean is quantized
