@@ -81,12 +81,21 @@ object GraftSession {
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
-  /** The events table carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
-    * unless read as raw longs; all downstream code treats `ts` as epoch
-    * nanoseconds (bigint).
+  /** The engine-wide contract is `events.ts` = epoch NANOSECONDS
+    * (bigint): every operator and every DuckDB oracle (`epoch(ts)`)
+    * was written against it. The driver has generated the column both
+    * as INT64 TIMESTAMP(NANOS) (reads as raw long under
+    * `nanosAsLong`) and as TIMESTAMP(MICROS) (reads as a timestamp) —
+    * [[table]] normalizes either encoding to the same bigint values.
     */
   def prepare(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // non-UTC-adjusted parquet timestamps must stay TimestampType
+    // (session-UTC instants), not TIMESTAMP_NTZ: `unix_micros` and the
+    // timestamp-literal comparisons in the TPC-H queries are defined
+    // on instants, and DuckDB's naive `epoch()` matches UTC instants.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // ANSI `corr` raises DIVIDE_BY_ZERO on zero-variance input; the
     // engine contract here is NaN/NULL (filtered), matching DuckDB.
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -94,7 +103,15 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepare(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          (org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+            .cast("long"))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
