@@ -162,6 +162,47 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS INT) AS rank
       | FROM pad)""".stripMargin
 
+  /** Unrolled engine-exact Lloyd's k-means CTE chain replaying
+    * `Clustering.lloydExact` (k=8, 5 iterations, d=64) step for step:
+    * ×1e6 quantized integer coordinates, first-k init, exact integer
+    * argmin assignment (ties → lowest cluster), nonneg-mod floor-div
+    * centroid update with empty-cluster carry-forward. The loop is
+    * UNROLLED rather than a recursive CTE because the update must
+    * reference the previous round's centroids twice (assignment +
+    * carry-forward), which recursive working-table rules disallow.
+    * Yields `qv(vec_id, label, q)` and `af(vec_id, cluster, dist)` —
+    * the final assignment with its exact integer squared distance.
+    */
+  private val SQL_LLOYD: String = {
+    val iters = 5
+    val k = 8
+    val sb = new StringBuilder
+    sb.append("qv AS (SELECT vec_id, label, list_transform(embedding, " +
+      "x -> CAST(floor((CAST(x AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),\n")
+    sb.append(s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, " +
+      s"q AS cv FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),\n")
+    def distCte(name: String, prev: String): String =
+      s"$name AS (SELECT qv.vec_id, c.cluster, " +
+        "list_sum(list_transform(range(1, 65), j -> (q[j] - cv[j]) * (q[j] - cv[j]))) AS dist " +
+        s"FROM qv CROSS JOIN $prev c),\n"
+    for (i <- 1 to iters) {
+      sb.append(distCte(s"d$i", s"c${i - 1}"))
+      sb.append(s"a$i AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d$i) WHERE rn = 1),\n")
+      sb.append(s"s$i AS (SELECT a.cluster, t.j, sum(q[t.j]) AS s, count(*) AS n " +
+        s"FROM a$i a JOIN qv USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS j) t " +
+        "GROUP BY a.cluster, t.j),\n")
+      sb.append(s"u$i AS (SELECT cluster, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY j) AS cv " +
+        s"FROM s$i GROUP BY cluster),\n")
+      sb.append(s"c$i AS (SELECT c.cluster, COALESCE(u.cv, c.cv) AS cv " +
+        s"FROM c${i - 1} c LEFT JOIN u$i u USING (cluster)),\n")
+    }
+    sb.append(distCte("df", s"c$iters"))
+    sb.append("af AS (SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM df) WHERE rn = 1)")
+    sb.toString
+  }
+
   /** Oracle-SQL prefix replaying Multimodal.fakePhash over `src`
     * (doc_id, text; ASCII corpus → character = byte): 4-byte shingle
     * class histogram → ×1000/n fixed-point → mean threshold → 64-bit
@@ -2558,7 +2599,16 @@ object SparkEntry {
 
     Q("embed_kmeans", (s, dir) => {
       Clustering.clusterStats(Tables.embeddings(s, dir), 8)
-    }, None),
+    }, Some(
+      s"""WITH $SQL_LLOYD,
+         |sz AS (SELECT cluster, count(*) AS n FROM af GROUP BY cluster),
+         |ml AS (SELECT cluster, max(nl) AS max_label_n FROM
+         |  (SELECT af.cluster, qv.label, count(*) AS nl FROM af
+         |   JOIN qv USING (vec_id) GROUP BY af.cluster, qv.label)
+         | GROUP BY cluster)
+         |SELECT sz.cluster, sz.n,
+         | floor((max_label_n / sz.n + 1e-9) * 1e4 + 0.5) / 1e4 AS purity
+         |FROM sz JOIN ml USING (cluster) ORDER BY cluster""".stripMargin)),
 
     Q("embed_pca", (s, dir) => {
       Clustering.pcaStats(Tables.embeddings(s, dir), 4)
@@ -2566,7 +2616,11 @@ object SparkEntry {
 
     Q("embed_dist_outliers", (s, dir) => {
       Clustering.distanceOutliers(Tables.embeddings(s, dir), 8, 20)
-    }, None),
+    }, Some(
+      s"""WITH $SQL_LLOYD
+         |SELECT vec_id, cluster,
+         | floor((dist / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS min_dist2
+         |FROM af ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin)),
 
     // ================= F. text analysis =================
     Q("text_tokens", (s, dir) => {

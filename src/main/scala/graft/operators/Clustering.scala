@@ -1,15 +1,15 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions.vecDot
 
-/** MLlib clustering over the embedding column — the "Spark SQL
-  * aggregations + MLlib anomaly detection" leg of the approach
-  * (BASELINE.json north_star): k-means as corpus structure discovery,
-  * cluster-distance as an anomaly score, and trained centroids as the
-  * IVF coarse quantizer.
+/** Clustering over the embedding column — k-means as corpus structure
+  * discovery and cluster-distance as an anomaly score (the "Spark SQL
+  * aggregations + ML anomaly detection" leg of BASELINE.json's
+  * north_star). K-means is an engine-exact quantized Lloyd's
+  * ([[lloydExact]]) so the correctness gate replays it; PCA stays on
+  * MLlib (one distributed Gramian pass + driver-side d×d SVD).
   */
 object Clustering {
 
@@ -17,21 +17,84 @@ object Clustering {
     embs.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
 
-  private def train(embs: DataFrame, k: Int, seed: Long): (DataFrame, KMeansModel) = {
-    val feat = withFeatures(embs)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(feat)
-    (model.transform(feat).drop("features"), model)
+  /** Engine-exact Lloyd's k-means over the embedding column.
+    *
+    * MLlib's KMeans (kmeans|| init, double centroids) is seeded but not
+    * oracle-replayable: init depends on RDD sampling and the centroid
+    * means on float summation order. This formulation makes every step
+    * an exact integer computation, so an independent engine (the DuckDB
+    * correctness gate) replays the whole clustering bit-for-bit:
+    *
+    *  - coordinates quantized once to ×1e6 integers (`floor((x+1e-9)
+    *    *1e6+0.5)` — the repo-wide IEEE sequence);
+    *  - init = the embeddings of the `k` lowest vec_ids (the declared
+    *    first-k convention the IVF/PQ codebooks already use);
+    *  - assignment = argmin of the exact integer squared distance,
+    *    ties to the lowest cluster id (|q|≤2e6, d=64 → dist² ≤ 2.6e14,
+    *    exact in double);
+    *  - update = per-dimension floor-div of exact integer sums (the
+    *    nonneg-mod subtraction makes the quotient an exact division on
+    *    any engine); an emptied cluster keeps its previous centroid.
+    *
+    * Spark execution shape: centroids live in the plan as literals
+    * (broadcast by construction), each round is ONE scan of the
+    * persisted quantized corpus into a k×(d+1)-cell hash aggregate
+    * (map-side combined), and only that k×(d+1) frame reaches the
+    * driver — Lloyd's at 100 TB is `iters` scans with O(k·d) driver
+    * state, nothing else.
+    *
+    * Returns (assignment frame with `cluster` + exact `dist2q`, final
+    * quantized centroids). The quantized input is persisted for the
+    * duration of the iteration loop and released to the ContextCleaner
+    * (prefixJaccard convention).
+    */
+  def lloydExact(embs: DataFrame, k: Int = 8,
+                 iters: Int = 5): (DataFrame, Array[Array[Long]]) = {
+    val q = embs.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x =>
+          floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
+            .cast("long")).as("q"))
+      .persist()
+    val qd = transform(col("q"), _.cast("double"))
+    def assignTo(cents: Array[Array[Long]]): DataFrame = {
+      val self = vecDot(qd, qd)
+      val dists = cents.zipWithIndex.map { case (cv, ci) =>
+        val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
+        (ci, self - lit(2.0) * vecDot(qd, c) +
+          lit(cv.map(v => v.toDouble * v.toDouble).sum))
+      }
+      val (bestC, bestD) = dists.tail.foldLeft((lit(0), dists.head._2)) {
+        case ((bc, bd), (ci, d)) =>
+          (when(d < bd, lit(ci)).otherwise(bc), when(d < bd, d).otherwise(bd))
+      }
+      q.withColumn("cluster", bestC.cast("int"))
+        .withColumn("dist2q", bestD)
+    }
+    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"need at least $k vectors")
+    val dim = cents(0).length
+    for (_ <- 1 to iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+      val rows = assignTo(cents).groupBy("cluster")
+        .agg(sums.head, sums.tail: _*).collect()
+      val byC = rows.map(r => r.getInt(0) -> r).toMap
+      cents = (0 until k).map { ci =>
+        byC.get(ci) match {
+          case Some(r) =>
+            val n = r.getLong(dim + 1)
+            (0 until dim).map(i => Math.floorDiv(r.getLong(i + 1), n)).toArray
+          case None => cents(ci)
+        }
+      }.toArray
+    }
+    (assignTo(cents), cents)
   }
 
-  /** Seeded k-means assignment: input + `cluster` column. */
-  def assign(embs: DataFrame, k: Int = 8, seed: Long = 42L): DataFrame =
-    train(embs, k, seed)._1
-
   /** Per-cluster stats: size and label purity (majority label share). */
-  def clusterStats(embs: DataFrame, k: Int = 8): DataFrame = {
-    val assigned = assign(embs, k)
+  def clusterStats(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val assigned = lloydExact(embs, k, iters)._1
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
     val majority = assigned.groupBy("cluster", "label")
       .agg(count(lit(1)).as("nl"))
@@ -84,24 +147,20 @@ object Clustering {
       .orderBy("component")
   }
 
-  /** Distance-to-nearest-centroid anomaly score (the MLlib analogue of
-    * k-sigma): the topN vectors farthest from every centroid. Centroids
-    * are broadcast as literals; the distance is `vec_dot` codegen, so
-    * the scan is one tight pass over the corpus.
+  /** Distance-to-nearest-centroid anomaly score (the clustering
+    * analogue of k-sigma): the topN vectors farthest from their own
+    * (= nearest) centroid. Ranking is on the EXACT integer distance
+    * with a vec_id tiebreak, so the top-N set is engine-deterministic;
+    * the reported score is the distance de-quantized back to input
+    * units (÷1e12, the square of the ×1e6 coordinate scale).
     */
-  def distanceOutliers(embs: DataFrame, k: Int = 8, topN: Int = 20): DataFrame = {
-    val (assigned, model) = train(embs, k, 42L)
-    val centers = model.clusterCenters.map(_.toArray)
-    val vArr = transform(col("embedding"), x => x.cast("double"))
-    val dist2 = (cIdx: Int) => {
-      val c = array(centers(cIdx).map(lit).toSeq: _*)
-      vecDot(vArr, vArr) - lit(2.0) * vecDot(vArr, c) + vecDot(c, c)
-    }
-    val minDist = (0 until k).map(dist2).reduce((a, b) => least(a, b))
+  def distanceOutliers(embs: DataFrame, k: Int = 8, topN: Int = 20,
+                       iters: Int = 5): DataFrame = {
+    val (assigned, _) = lloydExact(embs, k, iters)
     assigned
-      .withColumn("min_dist2", graft.Num.r4(minDist))
-      .orderBy(col("min_dist2").desc, col("vec_id").asc)
+      .orderBy(col("dist2q").desc, col("vec_id").asc)
       .limit(topN)
-      .select("vec_id", "cluster", "min_dist2")
+      .select(col("vec_id"), col("cluster"),
+        graft.Num.r4(col("dist2q") / lit(1e12)).as("min_dist2"))
   }
 }

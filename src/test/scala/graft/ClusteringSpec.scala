@@ -23,6 +23,71 @@ class ClusteringSpec extends SparkTestBase {
     assert(stats.map(_.getLong(1)).sum == 20)
   }
 
+  /** Naive in-memory replay of the engine-exact Lloyd contract:
+    * ×1e6 quantization, first-k init, integer argmin (ties → lowest
+    * cluster), floorDiv centroid update, empty-cluster carry-forward.
+    */
+  private def naiveLloyd(vecs: Seq[(Long, Array[Float])], k: Int,
+                         iters: Int): Map[Long, Int] = {
+    def quant(x: Float): Long =
+      math.floor((x.toDouble + 1e-9) * 1e6 + 0.5).toLong
+    val q = vecs.sortBy(_._1).map { case (id, v) => (id, v.map(quant)) }
+    var cents = q.take(k).map(_._2.clone()).toArray
+    def assign() = q.map { case (id, v) =>
+      val dists = cents.map(c => c.indices.map { d =>
+        val diff = (v(d) - c(d)).toDouble; diff * diff }.sum)
+      var bi = 0
+      for (i <- 1 until k) if (dists(i) < dists(bi)) bi = i
+      (id, bi)
+    }
+    for (_ <- 1 to iters) {
+      val byCluster = assign().groupBy(_._2)
+      val qById = q.toMap
+      cents = Array.tabulate(k) { c =>
+        byCluster.get(c) match {
+          case Some(members) =>
+            val vs = members.map(m => qById(m._1))
+            Array.tabulate(vs.head.length)(d =>
+              Math.floorDiv(vs.map(_(d)).sum, vs.length.toLong))
+          case None => cents(c)
+        }
+      }
+    }
+    assign().toMap
+  }
+
+  test("lloydExact matches the naive reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 13
+      val data = (0 until n).map { i =>
+        (i.toLong, Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f), i % 3)
+      }
+      val df = data.toDF("vec_id", "embedding", "label")
+      val (assigned, _) = Clustering.lloydExact(df, k = 3, iters = 4)
+      val got = assigned.select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = naiveLloyd(data.map(d => (d._1, d._2)), 3, 4)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("lloydExact carries an emptied cluster's centroid forward") {
+    // duplicated init points: both copies tie at distance 0 and the
+    // tiebreak sends both to the lower cluster id, so cluster 1 is
+    // empty from round 1 and must keep its (duplicate) centroid
+    val data = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f), 1), (3L, Array(0.9f, 0.9f), 1))
+    val df = data.toDF("vec_id", "embedding", "label")
+    val (assigned, cents) = Clustering.lloydExact(df, k = 3, iters = 3)
+    val got = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 2, 3L -> 2), s"got $got")
+    assert(cents(1).toSeq == Seq(0L, 0L), "empty cluster keeps its centroid")
+    assert(got == naiveLloyd(data.map(d => (d._1, d._2)), 3, 3))
+  }
+
   test("distance outliers returns a ranked top-N deterministically") {
     val out1 = Clustering.distanceOutliers(twoBlobs, 2, 5).collect()
     val out2 = Clustering.distanceOutliers(twoBlobs, 2, 5).collect()
