@@ -917,6 +917,70 @@ object SparkEntry {
          | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != above THEN 1 ELSE 0 END) AS BIGINT) AS crossings
          |FROM ab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("ts_turning_points", (s, dir) => {
+      // turning-point rate (catch22 family): share of interior grid
+      // samples that are strict local extrema — high for noise, low
+      // for smooth trends; complements ts_crossings. Grid values are
+      // exact-decimal-derived doubles, so the strict comparisons are
+      // engine-deterministic.
+      val w = Window.partitionBy("name", "node").orderBy("tsb")
+      val turn = (col("gval") > col("pv") && col("gval") > col("nv")) ||
+        (col("gval") < col("pv") && col("gval") < col("nv"))
+      grid(s, dir)
+        .withColumn("pv", lag("gval", 1).over(w))
+        .withColumn("nv", lead("gval", 1).over(w))
+        .filter(col("pv").isNotNull && col("nv").isNotNull)
+        .groupBy("name", "node")
+        .agg(count(lit(1)).as("n_interior"),
+          sum(turn.cast("long")).as("n_turns"))
+        .select(col("name"), col("node"), col("n_interior"), col("n_turns"),
+          r4(col("n_turns") / col("n_interior")).as("turn_rate"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |nb AS (SELECT name, node, gval,
+         |  lag(gval) OVER (PARTITION BY name, node ORDER BY tsb) AS pv,
+         |  lead(gval) OVER (PARTITION BY name, node ORDER BY tsb) AS nv
+         | FROM grid)
+         |SELECT name, node, count(*) AS n_interior,
+         | CAST(sum(CASE WHEN (gval > pv AND gval > nv) OR (gval < pv AND gval < nv)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
+         | floor((CAST(sum(CASE WHEN (gval > pv AND gval > nv) OR (gval < pv AND gval < nv)
+         |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9) * 1e4 + 0.5) / 1e4 AS turn_rate
+         |FROM nb WHERE pv IS NOT NULL AND nv IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("ts_psi", (s, dir) =>
+      // Population Stability Index first-half vs second-half per
+      // signal — the distribution-shift monitor (PSI > 0.25 = act);
+      // exact integer Σ (c2·n1 − c1·n2)·qln, one division at the end
+      TimeSeries.psi(grid(s, dir), 8).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |rng AS (SELECT name, node, min(tsb) AS t0, max(tsb) AS t1,
+         |  min(gval) AS lo, max(gval) AS hi FROM grid GROUP BY 1, 2),
+         |bn AS (SELECT g.name, g.node,
+         |  CASE WHEN g.tsb * 2 <= t0 + t1 THEN 1 ELSE 2 END AS half,
+         |  CASE WHEN hi > lo THEN
+         |    least(CAST(floor((gval - lo) * 8.0 / (hi - lo)) AS INT), 7)
+         |  ELSE 0 END AS bin
+         | FROM grid g JOIN rng USING (name, node)),
+         |cells AS (SELECT name, node, bin,
+         |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         | FROM bn GROUP BY 1, 2, 3),
+         |tot AS (SELECT name, node, CAST(sum(c1) AS BIGINT) AS n1,
+         |  CAST(sum(c2) AS BIGINT) AS n2 FROM cells GROUP BY 1, 2),
+         |t AS (SELECT cells.name, cells.node, n1, n2,
+         |  (c2 * n1 - c1 * n2) *
+         |  CAST(floor((ln((c2 * n1) / (c1 * n2)) + 1e-9) * 1e6 + 0.5) AS BIGINT)
+         |    AS term
+         | FROM cells JOIN tot USING (name, node) WHERE c1 > 0 AND c2 > 0)
+         |SELECT name, node, n1, n2, count(*) AS n_bins,
+         | floor((CAST(sum(term) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) / 1e6
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS psi
+         |FROM t GROUP BY name, node, n1, n2 ORDER BY name, node""".stripMargin)),
+
     Q("ts_burstiness", (s, dir) =>
       // arrival-process telemetry on the RAW event stream: mean gap, CV,
       // Goh–Barabási burstiness index per signal (periodic → −1,
@@ -998,6 +1062,31 @@ object SparkEntry {
          | ELSE 0.0 END AS mean_gap,
          | coalesce(max(quiet), 0) AS max_quiet
          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("ad_slo_burn", (s, dir) =>
+      // multi-window SLO burn-rate alerting (SRE-workbook rule): page
+      // only when the 1 h AND trailing-6 h error budget burns both
+      // exceed their thresholds — fast on real burns, quiet on blips
+      Anomaly.sloBurn(Tables.events(s, dir)),
+    Some(
+      """WITH b AS (SELECT 'u' || CAST(user_id % 8 AS VARCHAR) AS node,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hb,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT node, hb, e, n,
+        |  sum(e) OVER (PARTITION BY node ORDER BY hb
+        |    RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS e6,
+        |  sum(n) OVER (PARTITION BY node ORDER BY hb
+        |    RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS n6
+        | FROM b),
+        |r AS (SELECT node, hb, CAST(e AS BIGINT) AS e, n,
+        |  floor((e / n / 0.25 + 1e-9) * 1e4 + 0.5) / 1e4 AS burn_1h,
+        |  floor((e6 / n6 / 0.25 + 1e-9) * 1e4 + 0.5) / 1e4 AS burn_6h
+        | FROM w)
+        |SELECT node, hb, e, n, burn_1h, burn_6h,
+        | (burn_1h >= 2.0 AND burn_6h >= 1.2) AS page
+        |FROM r ORDER BY node, hb""".stripMargin)),
 
     Q("text_entropy", (s, dir) =>
       // lexical diversity: type/token ratio + word-distribution
@@ -2548,6 +2637,51 @@ object SparkEntry {
          |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
          |ORDER BY nt.qid""".stripMargin)),
 
+    Q("ann_recall_curve", (s, dir) => {
+      // recall@k CURVE (k = 1, 3, 5) of the LSH index per query — one
+      // scalar hides where an index fails (perfect @1, useless @5 or
+      // the reverse); the curve is what index tuning actually reads.
+      // One ann⋈truth rank join feeds every k; the k spine is a
+      // 3-row broadcast.
+      val e = Tables.embeddings(s, dir)
+      val a = Similarity.lshAnn(e)
+        .select(col("qid"), col("nid"), col("rank").as("arank"))
+      val t = Similarity.knnBruteCosine(e, nQueries = 10, k = 5)
+        .select(col("qid"), col("nid"), col("rank").as("trank"))
+        .persist() // spine + match join share the brute scan
+      import s.implicits._
+      val ks = Seq(1, 3, 5).toDF("k")
+      val m = a.join(t, Seq("qid", "nid"))
+      val hits = m.crossJoin(broadcast(ks))
+        .filter(col("arank") <= col("k") && col("trank") <= col("k"))
+        .groupBy("k", "qid").agg(count(lit(1)).as("hits"))
+      val spine = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(ks))
+      spine.join(hits, Seq("k", "qid"), "left")
+        .select(col("k"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          r4(coalesce(col("hits"), lit(0L)).cast("double") /
+            least(col("k").cast("long"), col("n_truth"))).as("recall"))
+        .orderBy("k", "qid")
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_TRUTH,
+         |$SQL_ANN_LSH,
+         |tr AS (SELECT qid, nid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS trank
+         | FROM bscored),
+         |ks AS (SELECT unnest([1, 3, 5]) AS k),
+         |m AS (SELECT tr.qid, tr.nid, trank, rank AS arank
+         | FROM tr JOIN lranked USING (qid, nid) WHERE trank <= 5 AND rank <= 5),
+         |h AS (SELECT k, qid, count(*) AS hits FROM m CROSS JOIN ks
+         | WHERE arank <= k AND trank <= k GROUP BY 1, 2),
+         |nt AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid),
+         |spine AS (SELECT k, qid, n_truth FROM ks CROSS JOIN nt)
+         |SELECT spine.k, spine.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         | floor((CAST(COALESCE(hits, 0) AS DOUBLE) / least(k, n_truth) + 1e-9)
+         |   * 1e4 + 0.5) / 1e4 AS recall
+         |FROM spine LEFT JOIN h USING (k, qid) ORDER BY k, qid""".stripMargin)),
+
     Q("ann_recall_ivf_pq", (s, dir) => {
       // the same honesty harness for the OTHER two approximate rungs:
       // recall@5 of the IVF and PQ indexes vs the identical brute
@@ -2994,6 +3128,23 @@ object SparkEntry {
         |SELECT doc_id, quality FROM q
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
         |  CAST(floor(quality * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_dedup_weighted", (s, dir) =>
+      // soft dedup: keep each copy with probability 1/|head-digest
+      // dup group| — one expected survivor per group without the
+      // earliest-crawl bias of canonical-pick (md5 Bernoulli,
+      // threshold floor(2^32 / gsize), exact integers)
+      Curation.dedupWeightedSample(Tables.documents(s, dir), 16)
+        .orderBy("doc_id"),
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |  md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'),
+        |    1, 16), ' ')) AS h FROM documents),
+        |g AS (SELECT h, count(*) AS gsize FROM d GROUP BY h)
+        |SELECT doc_id, gsize FROM d JOIN g USING (h)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  < 4294967296 // gsize
         |ORDER BY doc_id""".stripMargin)),
 
     Q("sample_mix_weighted", (s, dir) => {
@@ -4025,6 +4176,38 @@ object SparkEntry {
     // the IVF cell structure is deterministic (first-k centroids,
     // rounded-cosine argmax with id tiebreak) — the oracle rebuilds
     // the cells and the within-cell pair set exactly
+    Q("embed_sim_hist", (s, dir) =>
+      // cosine-similarity histogram (0.05 bins) over the IVF-cell
+      // candidate pairs — the distribution read before picking an
+      // embedding dedup threshold (dedup_threshold_hist's move applied
+      // to the embedding space); rides the same cell bucketing as
+      // dedup_embed_ivf, threshold −1 = keep every candidate pair
+      Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
+          threshold = -1.0)
+        .select(floor(col("cos_sim") * lit(20.0)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .select(col("bin"), r4(col("bin").cast("double") / lit(20.0)).as("bin_lo"),
+          col("n_pairs"))
+        .orderBy("bin"),
+    Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1),
+        |p AS (SELECT CAST(floor(floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 * 20.0) AS BIGINT) AS bin
+        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT bin, floor((CAST(bin AS DOUBLE) / 20.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS bin_lo,
+        | count(*) AS n_pairs
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
+
     Q("dedup_embed_ivf", (s, dir) =>
       Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
           threshold = 0.3)
@@ -4353,7 +4536,117 @@ object SparkEntry {
          |  JOIN ryz ON rxy.node = ryz.node AND rxy.b = ryz.b)
          |SELECT cand_name, node, b, r_xy,
          | floor(((r_xy - r_xz * r_yz) / sqrt(den) + 1e-9) * 1e4 + 0.5) / 1e4 AS r_partial
-         |FROM j WHERE den > 0 ORDER BY cand_name, node, b""".stripMargin))
+         |FROM j WHERE den > 0 ORDER BY cand_name, node, b""".stripMargin)),
+
+    Q("corr_mutual_info", (s, dir) =>
+      // binned mutual information obj×candidate — the nonlinear
+      // dependence rank next to NCC/Spearman: V-shaped or saturating
+      // drivers have r ≈ 0 but MI ≫ 0
+      Correlate.mutualInfo(corrGrid(s, dir), "error", 8),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |rng AS (SELECT name, node, min(gval) AS lo, max(gval) AS hi
+         | FROM g2 GROUP BY 1, 2),
+         |bn AS (SELECT g2.name, g2.node, g2.i,
+         |  CASE WHEN hi > lo THEN
+         |    least(CAST(floor((gval - lo) * 8.0 / (hi - lo)) AS INT), 7)
+         |  ELSE 0 END AS bin
+         | FROM g2 JOIN rng USING (name, node)),
+         |o AS (SELECT node, i, bin AS ob FROM bn WHERE name = 'error'),
+         |c AS (SELECT name AS cand_name, node, i, bin AS cb FROM bn
+         | WHERE name <> 'error'),
+         |j AS (SELECT cand_name, node, ob, cb, count(*) AS cxy
+         | FROM c JOIN o USING (node, i) GROUP BY 1, 2, 3, 4),
+         |nn AS (SELECT cand_name, node, CAST(sum(cxy) AS BIGINT) AS n
+         | FROM j GROUP BY 1, 2),
+         |mx AS (SELECT cand_name, node, ob, CAST(sum(cxy) AS BIGINT) AS cx
+         | FROM j GROUP BY 1, 2, 3),
+         |my AS (SELECT cand_name, node, cb, CAST(sum(cxy) AS BIGINT) AS cy
+         | FROM j GROUP BY 1, 2, 3),
+         |t AS (SELECT j.cand_name, j.node, nn.n, j.cxy,
+         |  CAST(floor((ln((j.cxy * nn.n) / (mx.cx * my.cy)) + 1e-9) * 1e6 + 0.5)
+         |    AS BIGINT) AS qln
+         | FROM j JOIN mx USING (cand_name, node, ob)
+         |  JOIN my USING (cand_name, node, cb)
+         |  JOIN nn USING (cand_name, node))
+         |SELECT cand_name, node, n,
+         | floor((CAST(sum(cxy * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
+         |   AS mi_nats
+         |FROM t GROUP BY cand_name, node, n ORDER BY cand_name, node""".stripMargin)),
+
+    Q("text_pmi_bigrams", (s, dir) =>
+      // top-25 PMI collocations with a count-5 floor — phrase-mining /
+      // tokenizer-vocabulary diagnostic (ln quantized ×1e6, rank on
+      // the quantized integer)
+      TextAnalysis.pmiBigrams(Tables.documents(s, dir), 5, 25),
+    Some(
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        |n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g FROM w),
+        |bc AS (SELECT g, count(*) AS c12 FROM bg GROUP BY g HAVING count(*) >= 5),
+        |n2t AS (SELECT count(*) AS n2 FROM bg),
+        |jj AS (SELECT g, c12, string_split(g, ' ')[1] AS w1,
+        |  string_split(g, ' ')[2] AS w2 FROM bc),
+        |t AS (SELECT jj.g, jj.c12,
+        |  CAST(floor((ln(CAST(jj.c12 * n1 AS DOUBLE) / u1.c * n1 / (n2 * u2.c))
+        |    + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
+        | FROM jj JOIN uc u1 ON jj.w1 = u1.t JOIN uc u2 ON jj.w2 = u2.t
+        |  CROSS JOIN n1t CROSS JOIN n2t)
+        |SELECT g, c12,
+        | floor((CAST(qln AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS pmi_nats
+        |FROM t ORDER BY qln DESC, g LIMIT 25""".stripMargin)),
+
+    Q("profile_skew", (s, dir) => {
+      // join-key skew audit (read before choosing salting/broadcast
+      // strategies): per key column, row/key counts, the heaviest
+      // key's share, and max/mean + p99/mean ratios over per-key
+      // counts. One keyed aggregate per table; the p99 is the exact
+      // element at integer rank ceil(0.99·|keys|) selected from the
+      // COUNT-VALUE HISTOGRAM (distinct per-key counts are few), so
+      // no global sort of the key frame is ever needed — the shape a
+      // 100 TB key census actually runs.
+      def keyStats(df: DataFrame, table: String, key: String): DataFrame = {
+        val counts = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum("c").as("n_rows"),
+          count(lit(1)).as("n_keys"), max("c").as("max_c"))
+        val cum = counts.groupBy("c").agg(count(lit(1)).as("f"))
+          .withColumn("cum", sum("f").over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val p99 = cum.crossJoin(broadcast(tot.select(col("n_keys").as("nk"))))
+          .filter(col("cum") >= ceil(col("nk").cast("double") * lit(0.99)))
+          .agg(min("c").as("p99_c"))
+        tot.crossJoin(p99)
+          .select(lit(table + "." + key).as("key_col"),
+            col("n_rows"), col("n_keys"), col("max_c"), col("p99_c"),
+            r4(col("max_c") / (col("n_rows") / col("n_keys"))).as("max_over_mean"),
+            r4(col("max_c") / col("n_rows")).as("top1_share"))
+      }
+      keyStats(Tables.events(s, dir), "events", "user_id")
+        .unionByName(keyStats(Tables.lineitem(s, dir), "lineitem", "l_orderkey"))
+        .unionByName(keyStats(Tables.orders(s, dir), "orders", "o_custkey"))
+        .orderBy("key_col")
+    }, Some(
+      """WITH src AS (
+        |  SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k FROM events
+        |  UNION ALL SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        |counts AS (SELECT key_col, k, count(*) AS c FROM src GROUP BY 1, 2),
+        |agg AS (SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, max(c) AS max_c
+        | FROM counts GROUP BY 1),
+        |cum AS (SELECT key_col, c,
+        |  sum(count(*)) OVER (PARTITION BY key_col ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM counts GROUP BY key_col, c),
+        |p99 AS (SELECT cum.key_col, min(c) AS p99_c
+        | FROM cum JOIN agg USING (key_col)
+        | WHERE cum >= ceil(CAST(n_keys AS DOUBLE) * 0.99) GROUP BY 1)
+        |SELECT agg.key_col, n_rows, n_keys, max_c, p99_c,
+        | floor((max_c / (n_rows / n_keys) + 1e-9) * 1e4 + 0.5) / 1e4 AS max_over_mean,
+        | floor((max_c / n_rows + 1e-9) * 1e4 + 0.5) / 1e4 AS top1_share
+        |FROM agg JOIN p99 USING (key_col) ORDER BY key_col""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

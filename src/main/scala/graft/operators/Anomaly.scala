@@ -222,4 +222,40 @@ object Anomaly {
           .otherwise(lit(0.0)).as("mean_gap"),
         col("max_quiet"))
   }
+
+  /** Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    * per node and hour bucket, the short-window burn rate (hourly
+    * error rate ÷ error budget) and the long-window burn rate (the
+    * trailing 6 h RANGE frame — robust to empty hours), paging only
+    * when BOTH exceed their thresholds. The single-window rule either
+    * pages on every blip (short) or hours late (long); the AND is
+    * what keeps pager noise down without losing fast burns.
+    *
+    * Shape: one keyed aggregate of the event stream to |nodes|×|hours|
+    * cells, then in-partition RANGE windows — the hourly frame is
+    * bounded by retention regardless of event volume. All counts are
+    * exact integers; burns divide once at the end and threshold on
+    * the rounded value (engine-deterministic row flags).
+    */
+  def sloBurn(events: DataFrame, budget: Double = 0.25,
+              shortThresh: Double = 2.0, longThresh: Double = 1.2): DataFrame = {
+    val hourly = events
+      .select(concat(lit("u"), (col("user_id") % 8).cast("string")).as("node"),
+        expr("ts div 1000000000").as("tsec"),
+        (col("event_type") === "error").cast("long").as("err"))
+      .withColumn("hb", expr("tsec div 3600 * 3600"))
+      .groupBy("node", "hb")
+      .agg(sum("err").as("e"), count(lit(1)).as("n"))
+    val w6 = Window.partitionBy("node").orderBy("hb")
+      .rangeBetween(-5 * 3600L, 0L)
+    hourly
+      .withColumn("e6", sum("e").over(w6))
+      .withColumn("n6", sum("n").over(w6))
+      .withColumn("burn_1h", r4(col("e") / col("n") / lit(budget)))
+      .withColumn("burn_6h", r4(col("e6") / col("n6") / lit(budget)))
+      .withColumn("page",
+        col("burn_1h") >= lit(shortThresh) && col("burn_6h") >= lit(longThresh))
+      .select("node", "hb", "e", "n", "burn_1h", "burn_6h", "page")
+      .orderBy("node", "hb")
+  }
 }

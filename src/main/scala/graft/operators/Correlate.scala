@@ -317,4 +317,59 @@ object Correlate {
         r4((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(col("den")))
           .as("r_partial"))
   }
+
+  /** Binned mutual information I(obj; cand) per (candidate, node) —
+    * the nonlinear complement to NCC/Spearman: a candidate driving the
+    * objective through a V-shaped or saturating response has r ≈ 0
+    * but MI ≫ 0, so ranking by MI surfaces drivers correlation misses.
+    *
+    * Each signal is quantized into `bins` equal-width bins over its own
+    * global range (exact min/max of the exact-decimal grid values; a
+    * fixed IEEE bin formula keeps the binning engine-deterministic).
+    * All bin/joint/marginal counts are exact integers; the only
+    * transcendental, ln(cxy·n / (cx·cy)), is quantized to ×1e6 per
+    * joint cell so engine ulp noise is absorbed before the exact
+    * integer Σ cxy·qln accumulation (the text_perplexity convention).
+    *
+    * Shape: one aligned obj⋈cand join on (node, sample index) — the
+    * same co-partitioned grid join as the correlation family — into a
+    * ≤ bins² cell frame per pair; marginals re-aggregate the joint
+    * frame, never the grid. Output rows = |candidates|×|nodes|.
+    */
+  def mutualInfo(indexedGrid: DataFrame, objName: String = "error",
+                 bins: Int = 8): DataFrame = {
+    val g = indexedGrid.select("name", "node", "i", "gval")
+    val rng = g.groupBy("name", "node")
+      .agg(min("gval").as("lo"), max("gval").as("hi"))
+    val binned = g.join(rng, Seq("name", "node"))
+      .withColumn("bin", when(col("hi") > col("lo"),
+        least(floor((col("gval") - col("lo")) * lit(bins.toDouble) /
+          (col("hi") - col("lo"))).cast("int"), lit(bins - 1)))
+        .otherwise(lit(0)))
+      .select("name", "node", "i", "bin")
+    val o = binned.filter(col("name") === objName)
+      .select(col("node"), col("i"), col("bin").as("ob"))
+    val c = binned.filter(col("name") =!= objName)
+      .select(col("name").as("cand_name"), col("node"), col("i"),
+        col("bin").as("cb"))
+    val joint = c.join(o, Seq("node", "i"))
+      .groupBy("cand_name", "node", "ob", "cb")
+      .agg(count(lit(1)).as("cxy"))
+      .persist() // marginals + final pass share it (prefixJaccard convention)
+    val nn = joint.groupBy("cand_name", "node").agg(sum("cxy").as("n"))
+    val mx = joint.groupBy("cand_name", "node", "ob").agg(sum("cxy").as("cx"))
+    val my = joint.groupBy("cand_name", "node", "cb").agg(sum("cxy").as("cy"))
+    joint
+      .join(mx, Seq("cand_name", "node", "ob"))
+      .join(my, Seq("cand_name", "node", "cb"))
+      .join(nn, Seq("cand_name", "node"))
+      .withColumn("qln",
+        floor((log(col("cxy") * col("n") / (col("cx") * col("cy"))) + lit(1e-9)) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("cand_name", "node", "n")
+      .agg(sum(col("cxy") * col("qln")).as("s"))
+      .select(col("cand_name"), col("node"), col("n"),
+        r4(col("s").cast("double") / col("n") / lit(1e6)).as("mi_nats"))
+      .orderBy("cand_name", "node")
+  }
 }

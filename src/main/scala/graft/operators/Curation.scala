@@ -592,4 +592,34 @@ object Curation {
       .withColumn("gate_rate", r4(nd("n_gate") / nd("n_raw")))
       .withColumn("clean_rate", r4(nd("n_clean") / nd("n_raw")))
   }
+
+  /** Duplication-aware downsampling: keep each document with
+    * probability 1/|its duplication group| instead of dropping
+    * non-canonical copies outright — one expected survivor per group,
+    * but unbiased across the copies (canonical-pick always keeps the
+    * min id, which systematically prefers the earliest crawl of a
+    * page; soft deduplication is the standard fix when duplication
+    * count itself carries signal, e.g. upweighting popular boilerplate
+    * exactly once). Groups key on the md5 of the first `headWords`
+    * normalized words — the CCNet-style head digest that catches
+    * same-page-re-crawled near-copies full-text md5 misses (this
+    * corpus has zero byte-identical pairs but plenty of shared-head
+    * ones). The keep verdict is the repo's deterministic md5 Bernoulli
+    * on doc_id with threshold floor(2³²/gsize) — exact integers,
+    * append-stable, partition-invariant.
+    *
+    * Shape: one digest aggregate for group sizes (text reduced to md5
+    * in-task), one join back keyed on the digest, and a codegen filter
+    * — the exact-dedup plan plus a filter, nothing more.
+    */
+  def dedupWeightedSample(docs: DataFrame, headWords: Int = 16): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"),
+        1, headWords), " ").cast("binary")).as("h"))
+    val g = d.groupBy("h").agg(count(lit(1)).as("gsize"))
+    d.join(g, "h")
+      .filter(Sampling.hash32(col("doc_id").cast("string")) <
+        expr("4294967296 div gsize"))
+      .select("doc_id", "gsize")
+  }
 }

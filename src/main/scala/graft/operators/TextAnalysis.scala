@@ -513,4 +513,46 @@ object TextAnalysis {
         size(words(col("text"))).cast("bigint").as("n_tokens"))
       .groupBy(col("lang"), expr(s"n_tokens div $binTokens").as("len_bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+
+  /** Top-k PMI word collocations over the corpus: pointwise mutual
+    * information ln(p(w1w2) / (p(w1)·p(w2))) of adjacent word pairs,
+    * floored at `minCount` occurrences (raw PMI without a count floor
+    * just surfaces hapax noise). The collocation list is the standard
+    * phrase-mining / tokenizer-vocabulary diagnostic next to the raw
+    * frequency top-k of `text_ngram_freq`.
+    *
+    * All counts are exact integers from two corpus-scan aggregates
+    * (unigrams, bigrams); the single ln is quantized to ×1e6 per
+    * surviving bigram (ulp-absorbing, the text_perplexity convention)
+    * and the top-k ranks on the quantized integer with a gram
+    * tiebreak. The count floor cuts the candidate set BEFORE the
+    * unigram joins, so the join volume is |grams ≥ minCount|, not
+    * |vocabulary|².
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 25): DataFrame = {
+    val toks = docs.select(words(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist() // counts + total share one aggregate (prefixJaccard release)
+    val bg = toks.select(explode(expr(
+      "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
+    val bc = bg.groupBy("g").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = uni.agg(sum("c").as("n1")).crossJoin(
+      bg.agg(count(lit(1)).as("n2")))
+    val qln = floor((log((col("c12") * col("n1")).cast("double") / col("c1") *
+      col("n1") / (col("n2") * col("c2"))) + lit(1e-9)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    bc
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("qln", qln)
+      .orderBy(col("qln").desc, col("g").asc)
+      .limit(k)
+      .select(col("g"), col("c12"),
+        graft.Num.r4(col("qln").cast("double") / lit(1e6)).as("pmi_nats"))
+  }
 }

@@ -224,4 +224,32 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("user_id"), col("n_events"))
   }
+
+  /** Streaming SHORT-window burn-rate pre-alert: per (node, 1 h
+    * tumbling window), error count / total count ÷ `budget`, flagged
+    * when it crosses `thresh`. This is the ingest half of the
+    * multi-window rule (`Anomaly.sloBurn`): the short burn fires AT
+    * the feed with one windowed aggregate of bounded state (windows
+    * in flight × nodes), and flagged windows are confirmed against
+    * the trailing-6 h long burn at rest — the same
+    * fast-at-ingest / exact-at-rest split the curation stream uses.
+    * Works identically on batch input (parity pinned in
+    * StreamingSpec).
+    */
+  def burnStream(events: DataFrame, budget: Double = 0.25,
+                 thresh: Double = 2.0,
+                 watermark: String = "2 hours"): DataFrame = {
+    val withTs = events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("node", concat(lit("u"), (col("user_id") % 8).cast("string")))
+      .withColumn("err", (col("event_type") === "error").cast("long"))
+    val wm = if (events.isStreaming) withTs.withWatermark("tstamp", watermark)
+             else withTs
+    wm.groupBy(window(col("tstamp"), "1 hour"), col("node"))
+      .agg(sum("err").as("e"), count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("node"),
+        col("e"), col("n"),
+        graft.Num.r4(col("e") / col("n") / lit(budget)).as("burn_1h"))
+      .withColumn("pre_page", col("burn_1h") >= lit(thresh))
+  }
 }

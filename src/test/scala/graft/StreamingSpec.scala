@@ -110,6 +110,35 @@ class StreamingSpec extends SparkTestBase {
       (2700L, 2L, 5.0), (3600L, 2L, 5.0)), s"got $batch")
   }
 
+  test("burnStream matches batch and flags only over-budget windows") {
+    implicit val sqlCtx = spark.sqlContext
+    // node u1 hour 1: 3/4 errors → burn 3.0, pre_page; hour 2: 0/2 quiet
+    val rows = Seq(
+      (1L, 3700L, 1L, "error"), (2L, 3800L, 1L, "error"),
+      (3L, 3900L, 1L, "error"), (4L, 4000L, 1L, "click"),
+      (5L, 7300L, 1L, "click"), (6L, 7400L, 1L, "view"))
+      .map { case (id, t, u, ty) => (id, t * 1000000000L, u, ty, 1.0, "{}") }
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.burnStream(streamDF).writeStream
+      .format("memory").queryName("burn").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT hour_start, node, e, n, burn_1h, pre_page FROM burn ORDER BY hour_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    q.stop()
+    val batch = EventStream.burnStream(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(streamed == batch)
+    assert(batch == Seq((3600L, "u1", 3L, 4L, 3.0, true),
+      (7200L, "u1", 0L, 2L, 0.0, false)), s"got $batch")
+  }
+
   test("stream-stream followedBy join matches batch and bounds by the window") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
