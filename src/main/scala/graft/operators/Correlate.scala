@@ -338,7 +338,10 @@ object Correlate {
     */
   def mutualInfo(indexedGrid: DataFrame, objName: String = "error",
                  bins: Int = 8): DataFrame = {
-    val g = indexedGrid.select("name", "node", "i", "gval")
+    // the grid feeds the range aggregate AND the bin join-back —
+    // persisted so the grid-build pipeline runs once (prefixJaccard
+    // release convention)
+    val g = indexedGrid.select("name", "node", "i", "gval").persist()
     val rng = g.groupBy("name", "node")
       .agg(min("gval").as("lo"), max("gval").as("hi"))
     val binned = g.join(rng, Seq("name", "node"))

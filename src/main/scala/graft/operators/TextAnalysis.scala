@@ -530,10 +530,13 @@ object TextAnalysis {
     * |vocabulary|².
     */
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 25): DataFrame = {
-    val toks = docs.select(words(col("text")).as("w"))
+    // the tokenized corpus feeds the unigram aggregate, the bigram
+    // aggregate, and the bigram total — persisted so raw text is
+    // split once (prefixJaccard release convention)
+    val toks = docs.select(words(col("text")).as("w")).persist()
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .persist() // counts + total share one aggregate (prefixJaccard release)
+      .persist() // per-term counts + the n1 total share it
     val bg = toks.select(explode(expr(
       "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
     val bc = bg.groupBy("g").agg(count(lit(1)).as("c12"))

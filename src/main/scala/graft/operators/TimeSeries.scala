@@ -542,6 +542,62 @@ object TimeSeries {
       .toDF("name", "node", "n", "level", "trend", "fc1", "fc3")
   }
 
+  /** Rolling-origin 1-step backtest of the Holt forecaster against the
+    * persistence baseline (forecast = last value): at every step the
+    * pre-update state (l, b) forecasts l + b for the incoming point,
+    * and the absolute/squared errors accumulate INSIDE the same
+    * sequential fold — so the sums replay bit-for-bit in the
+    * recursive-CTE oracle (sequential addition order is part of the
+    * contract, like the Holt state itself). A forecaster you never
+    * backtest is a prior, not a model; `skill` < 0 flags signals where
+    * Holt is WORSE than persistence (trend overshoot on noise).
+    *
+    * Same execution shape as [[holt]]: per-signal flatMapGroups fold,
+    * bounded by retention, one shuffle on the signal key.
+    */
+  def holtBacktest(grid: DataFrame, alpha: Double = 0.3,
+                   beta: Double = 0.2): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        if (pts.length < 3) Iterator.empty
+        else {
+          var l = pts(0)._4
+          var b = pts(1)._4 - pts(0)._4
+          var xp = pts(1)._4
+          var sae = 0.0
+          var sse = 0.0
+          var pae = 0.0
+          var i = 2
+          while (i < pts.length) {
+            val x = pts(i)._4
+            // identical expression order to the oracle's recursive arm
+            sae = sae + math.abs(x - (l + b))
+            sse = sse + (x - (l + b)) * (x - (l + b))
+            pae = pae + math.abs(x - xp)
+            val lNew = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+            xp = x
+            i += 1
+          }
+          val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+          val nf = (pts.length - 2).toDouble
+          val holtMae = r4d(sae / nf)
+          val naiveMae = r4d(pae / nf)
+          Iterator((key._1, key._2, pts.length.toLong - 2, holtMae,
+            r4d(math.sqrt(sse / nf)), naiveMae,
+            if (naiveMae > 0) r4d(1.0 - holtMae / naiveMae) else 0.0))
+        }
+      }
+      .toDF("name", "node", "n_fc", "holt_mae", "holt_rmse", "naive_mae",
+        "skill")
+  }
+
   /** Local-level Kalman filter per signal: the optimal (under Gaussian
     * noise) recursive smoother — like EWMA but with a gain that adapts
     * to its own uncertainty (high after gaps/starts, converging to the
@@ -762,7 +818,10 @@ object TimeSeries {
     * Shape: range aggregate + join-back + one (signal, bin) aggregate;
     * everything after the grid is bounded by |signals|·bins.
     */
-  def psi(grid: DataFrame, bins: Int = 8): DataFrame = {
+  def psi(grid0: DataFrame, bins: Int = 8): DataFrame = {
+    // range aggregate + bin join-back share one grid build
+    // (prefixJaccard release convention)
+    val grid = grid0.persist()
     val rng = grid.groupBy("name", "node").agg(
       min("tsb").as("t0"), max("tsb").as("t1"),
       min("gval").as("lo"), max("gval").as("hi"))
