@@ -212,4 +212,38 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Curation.containmentPairs(empty).count() == 0)
     assert(Curation.canonicalByQuality(empty).count() == 0)
   }
+
+  test("psi and mutualInfo degenerate inputs: constant signal, empty grid") {
+    // constant signal: single bin both halves → every term ln(1)·0 = 0
+    val g = grid((0 until 20).map(i =>
+      ("m", "n1", i * 900L, 5.0)): _*)
+    val p = TimeSeries.psi(g).collect()
+    assert(p.length == 1 && p.head.getAs[Double]("psi") == 0.0)
+    assert(TimeSeries.psi(grid()).count() == 0)
+    // MI of a signal against itself-shaped constant candidate is 0
+    // (one joint cell = marginals), and an empty grid yields no rows
+    val ig = g.withColumn("i", expr("tsb div 900"))
+      .union(grid((0 until 20).map(i =>
+        ("error", "n1", i * 900L, 5.0)): _*).withColumn("i", expr("tsb div 900")))
+    val mi = Correlate.mutualInfo(ig, "error").collect()
+    assert(mi.length == 1 && mi.head.getAs[Double]("mi_nats") == 0.0)
+    assert(Correlate.mutualInfo(grid().withColumn("i", lit(0L)), "error").count() == 0)
+  }
+
+  test("sloBurn, incidents, and holtBacktest cope with tiny inputs") {
+    val ev = Seq((1L, 3600L * 1000000000L, 1L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b = Anomaly.sloBurn(ev).collect()
+    // single all-error hour: burn = (1/1)/0.25 = 4 on both windows
+    assert(b.length == 1 && b.head.getAs[Double]("burn_1h") == 4.0 &&
+      b.head.getAs[Boolean]("page"))
+    val emptyEv = Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Anomaly.sloBurn(emptyEv).count() == 0)
+    // flat grid: no alerts → no incidents; short series → no backtest
+    assert(Anomaly.incidents(grid((0 until 10).map(i =>
+      ("m", "n1", i * 900L, 1.0)): _*)).count() == 0)
+    assert(TimeSeries.holtBacktest(grid(("m", "n1", 0L, 1.0),
+      ("m", "n1", 900L, 2.0))).count() == 0)
+  }
 }
