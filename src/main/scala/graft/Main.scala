@@ -33,13 +33,17 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Main <bundle.tar.gz | csv-dir> [out.md] [obj1,obj2,...]")
+      System.err.println(
+        "usage: graft.Main <bundle.tar.gz | csv-dir> [out.md] [obj1,obj2,...]\n" +
+        "       graft.Main --curate <docs.jsonl | parquet-path> [out.md]")
       sys.exit(2)
     }
-    val input = args(0)
-    val outPath = if (args.length > 1) args(1) else "report.md"
+    val curate = args(0) == "--curate"
+    val rest = if (curate) args.drop(1) else args
+    val input = rest(0)
+    val outPath = if (rest.length > 1) rest(1) else "report.md"
     val objNames =
-      if (args.length > 2) args(2).split(",").toSeq
+      if (!curate && rest.length > 2) rest(2).split(",").toSeq
       else AdvisorReport.Config().objNames
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -50,7 +54,9 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.prepare(spark)
-    val report = run(spark, input, objNames)
+    val report =
+      if (curate) graft.report.CurationReport.run(spark, input)
+      else run(spark, input, objNames)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), report)
     println(s"wrote $outPath")
     spark.stop()

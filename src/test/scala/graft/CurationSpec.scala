@@ -265,4 +265,27 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept1 == kept2)
   }
+
+  test("curation report renders every section, deterministically") {
+    val d = (1 to 60).map { i =>
+      val text =
+        if (i % 5 == 0) "short"
+        else s"document number $i with enough plain words to pass the " +
+          s"quality gate and some variety token$i token${i % 7}"
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = graft.report.CurationReport.render(d)
+    val r2 = graft.report.CurationReport.render(d)
+    assert(r1 == r2, "report must be deterministic")
+    for (section <- Seq("# Curation report", "## Summary",
+        "## Survival funnel by source", "## Language composition",
+        "## Quality score percentiles by source", "<svg "))
+      assert(r1.contains(section), s"missing: $section")
+    // the summary counts survivors of a real funnel: the 'short' docs
+    // fail the gate, so clean < raw, and every source appears
+    assert(Seq("src0", "src1", "src2").forall(r1.contains))
+    val summary = r1.linesIterator.dropWhile(!_.startsWith("## Summary"))
+      .drop(2).next()
+    assert(summary.matches("""\d+ of \d+ documents .*"""), summary)
+  }
 }
