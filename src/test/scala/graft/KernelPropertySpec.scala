@@ -215,4 +215,73 @@ class KernelPropertySpec extends SparkTestBase {
     } yield (i, j, shared.toLong)).toSet
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
+
+  /** Shared naive binning: equal-width `bins` over [lo, hi], the exact
+    * IEEE sequence the operators use. */
+  private def naiveBin(v: Double, lo: Double, hi: Double, bins: Int): Int =
+    if (hi > lo) math.min(math.floor((v - lo) * bins.toDouble / (hi - lo)).toInt, bins - 1)
+    else 0
+
+  test("psi equals a naive in-memory PSI over random half-shifted series") {
+    val rng = new scala.util.Random(42424L)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 17
+      // second half drawn shifted so PSI is nonzero
+      val vals = (0 until n).map(i =>
+        math.floor((rng.nextDouble() * 10 + (if (i >= n / 2) trial * 2.0 else 0.0)) * 100) / 100)
+      val g = vals.zipWithIndex.map { case (v, i) => ("m", "n1", i * 900L, v) }
+        .toDF("name", "node", "tsb", "gval")
+      val got = graft.operators.TimeSeries.psi(g, 8).collect()
+      assert(got.length == 1)
+      // naive replay with identical quantized-ln integer arithmetic
+      val t0 = 0L; val t1 = (n - 1) * 900L
+      val (h1, h2) = vals.zipWithIndex.partition { case (_, i) => i * 900L * 2 <= t0 + t1 }
+      val lo = vals.min; val hi = vals.max
+      def counts(h: Seq[(Double, Int)]) =
+        h.groupBy { case (v, _) => naiveBin(v, lo, hi, 8) }.view.mapValues(_.size.toLong).toMap
+      val c1 = counts(h1); val c2 = counts(h2)
+      val n1 = h1.size.toLong; val n2 = h2.size.toLong
+      val s = (c1.keySet ++ c2.keySet).toSeq.filter(b =>
+          c1.getOrElse(b, 0L) > 0 && c2.getOrElse(b, 0L) > 0)
+        .map { b =>
+          val a = c1(b); val c = c2(b)
+          val qln = math.floor((math.log((c * n1).toDouble / (a * n2)) + 1e-9) * 1e6 + 0.5).toLong
+          (c * n1 - a * n2) * qln
+        }.sum
+      val want = math.floor((s.toDouble / (n1 * n2).toDouble / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
+      assert(got.head.getAs[Double]("psi") == want, s"trial $trial")
+    }
+  }
+
+  test("mutualInfo equals a naive in-memory MI over random aligned signals") {
+    val rng = new scala.util.Random(909090L)
+    for (trial <- 0 until 3) {
+      val n = 50 + trial * 11
+      val obj = (0 until n).map(_ => math.floor(rng.nextDouble() * 1000) / 100)
+      // candidate = noisy square of obj → nonlinear dependence
+      val cand = obj.map(v => math.floor((v * v / 10 + rng.nextDouble()) * 100) / 100)
+      val rows = obj.zipWithIndex.map { case (v, i) => ("error", "n1", i.toLong, v) } ++
+        cand.zipWithIndex.map { case (v, i) => ("cand", "n1", i.toLong, v) }
+      val g = rows.toDF("name", "node", "i", "gval")
+      val got = graft.operators.Correlate.mutualInfo(g, "error", 8).collect()
+      assert(got.length == 1)
+      def bins(vs: Seq[Double]) = {
+        val lo = vs.min; val hi = vs.max
+        vs.map(v => naiveBin(v, lo, hi, 8))
+      }
+      val ob = bins(obj); val cb = bins(cand)
+      val joint = cb.zip(ob).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nn = n.toLong
+      val mx = joint.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val my = joint.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val s = joint.map { case ((c, o), cxy) =>
+        val qln = math.floor((math.log((cxy * nn).toDouble / (mx(o) * my(c))) + 1e-9) * 1e6 + 0.5).toLong
+        cxy * qln
+      }.sum
+      val want = math.floor((s.toDouble / nn / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
+      assert(got.head.getAs[Double]("mi_nats") == want, s"trial $trial")
+      // sanity: the nonlinear pair must carry real information
+      assert(got.head.getAs[Double]("mi_nats") > 0.3)
+    }
+  }
 }
