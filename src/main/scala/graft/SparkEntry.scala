@@ -262,8 +262,8 @@ object SparkEntry {
     * (doc_id, sig) and `verjac` (doc1, doc2, jac — ALL candidate
     * pairs with their rounded exact Jaccard, unthresholded).
     */
-  private val SQL_MINHASH_CTES =
-    """d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+  private def SQL_MINHASH_CTES_FOR(where: String): String =
+    s"""d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents WHERE $where),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
       |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
       |h0s AS MATERIALIZED (SELECT doc_id,
@@ -299,6 +299,13 @@ object SparkEntry {
       |verjac AS (SELECT v.doc1, v.doc2,
       |  floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 AS jac
       | FROM ver v JOIN sz n1 ON n1.doc_id = v.doc1 JOIN sz n2 ON n2.doc_id = v.doc2)""".stripMargin
+
+  private val SQL_MINHASH_CTES = SQL_MINHASH_CTES_FOR("TRUE")
+
+  /** The same engine-exact pipeline over the deterministic half sample
+    * — the calibration-sweep corpus (dedup_lsh_tune).
+    */
+  private val SQL_MINHASH_SAMPLED = SQL_MINHASH_CTES_FOR("doc_id % 2 = 0")
 
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
@@ -2585,6 +2592,47 @@ object SparkEntry {
          |SELECT doc1, doc2, n_match, est_j, jac,
          | floor((abs(est_j - jac) + 1e-9) * 1e4 + 0.5) / 1e4 AS abs_err
          |FROM es ORDER BY doc1, doc2""".stripMargin)),
+
+    Q("dedup_lsh_tune", (s, dir) =>
+      // banding tradeoff sweep over ONE signature set: candidates,
+      // recall vs the exact pair set, and candidate precision per
+      // (bands, rows) config — the measured S-curve the 16×4 default
+      // was chosen on
+      Dedup.lshBandSweep(Tables.documents(s, dir), bandConfigs = Seq(4, 8, 16),
+          threshold = 0.5, sampleMod = 2L)
+        .orderBy("bands"),
+    Some(
+      s"""WITH $SQL_MINHASH_SAMPLED,
+         |tv AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |truth AS (SELECT doc1, doc2 FROM tv
+         | JOIN sz n1 ON n1.doc_id = tv.doc1 JOIN sz n2 ON n2.doc_id = tv.doc2
+         | WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+         |cfg AS (SELECT unnest([4, 8, 16]) AS bands),
+         |bnd0 AS (SELECT doc_id, bands, unnest(range(0, bands)) AS b, sig
+         | FROM sigl CROSS JOIN cfg),
+         |bnd AS (SELECT doc_id, bands, b,
+         |  sig[(b * (64 // bands) + 1):(b * (64 // bands) + (64 // bands))] AS bh
+         | FROM bnd0),
+         |candc AS (SELECT DISTINCT a.bands, a.doc_id AS doc1, b.doc_id AS doc2
+         | FROM bnd a JOIN bnd b ON a.bands = b.bands AND a.b = b.b
+         |   AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |nc AS (SELECT bands, count(*) AS n_cand FROM candc GROUP BY 1),
+         |ht AS (SELECT bands, count(*) AS hits FROM candc
+         | JOIN truth USING (doc1, doc2) GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_true FROM truth)
+         |SELECT cfg.bands, 64 // cfg.bands AS rows_per_band,
+         | CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+         | nt.n_true, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         | CASE WHEN nt.n_true > 0 THEN
+         |   floor((CAST(COALESCE(hits, 0) AS DOUBLE) / nt.n_true + 1e-9) * 1e4 + 0.5) / 1e4
+         | ELSE 0.0 END AS recall,
+         | CASE WHEN COALESCE(n_cand, 0) > 0 THEN
+         |   floor((CAST(COALESCE(hits, 0) AS DOUBLE) / n_cand + 1e-9) * 1e4 + 0.5) / 1e4
+         | ELSE 0.0 END AS cand_precision
+         |FROM cfg LEFT JOIN nc USING (bands) LEFT JOIN ht USING (bands)
+         | CROSS JOIN nt ORDER BY cfg.bands""".stripMargin)),
 
     Q("dedup_simhash", (s, dir) => {
       // md5-low64 word hash (Dedup.simhash doc) → the whole pipeline

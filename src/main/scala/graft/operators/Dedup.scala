@@ -239,6 +239,80 @@ object Dedup {
       .select("doc1", "doc2", "jac")
   }
 
+  /** LSH banding tradeoff sweep — the measured S-curve the (bands,
+    * rows) choice is actually made on: for each config over the SAME
+    * 64-hash signatures, the candidate-pair count, recall against the
+    * exact prefix-filtered pair set at `threshold`, and candidate
+    * precision. minhash_calibration measures signature quality at one
+    * operating point; this measures the operating points themselves
+    * (more bands → higher recall, quadratically more candidates).
+    *
+    * Shape: signatures computed once (persisted), one band self-join
+    * per config over |docs|·bands slice keys, the truth set computed
+    * once by the production prefix-filtered exact join. Output is
+    * |configs| rows; the per-config counts come back via count()
+    * actions (exact integers, engine-deterministic).
+    *
+    * The r = 2 (32-band) end of the curve was measured once (sf0.001:
+    * 4535 candidates for 28 true pairs, precision 0.006) and is
+    * EXCLUDED from the default sweep: 2-hash band keys collide at
+    * ≈ J² per band, which is exactly the quadratic candidate regime
+    * the production 16×4 config exists to avoid — sweeping it at
+    * every bench run would pay that quadratic cost for a data point
+    * whose verdict never changes.
+    */
+  def lshBandSweep(docs: DataFrame, numHashes: Int = 64,
+                   bandConfigs: Seq[Int] = Seq(4, 8, 16),
+                   threshold: Double = 0.5,
+                   sampleMod: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // calibration runs on a deterministic doc_id-keyed sample (the
+    // dedup-telemetry convention): the S-curve is a property of the
+    // hash family and the similarity distribution, not of corpus
+    // size, and the exact truth set is the sweep's quadratic cost
+    val sets = withShingles(docs.filter(col("doc_id") % sampleMod === 0))
+      .persist()
+    val sig = signatures(sets, numHashes).persist()
+    val truth = prefixJaccard(sets.select(col("doc_id"), col("sh").as("tok")),
+        threshold)
+      .select("doc1", "doc2").persist()
+    val nTrue = truth.count()
+    val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+    // ALL configs' band keys in one frame → ONE self-join keyed on
+    // (config, band, slice) → one candidate frame; per-config counts
+    // and truth hits are two aggregates over it. 3 actions total
+    // instead of 2 per config (each a full signature-scan job).
+    val bandedAll = bandConfigs.sorted.map { bands =>
+      val rows = numHashes / bands
+      sig.select(lit(bands).as("bands"), col("doc_id"),
+        posexplode(array((0 until bands).map(bd =>
+          slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
+    }.reduce(_ unionByName _)
+    val cand = bandedAll.as("a").join(bandedAll.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"), col("a.doc_id").as("doc1"),
+        col("b.doc_id").as("doc2"))
+      .distinct().persist()
+    val nc = cand.groupBy("bands").agg(count(lit(1)).as("n_cand"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ht = cand.join(truth, Seq("doc1", "doc2"), "left_semi")
+      .groupBy("bands").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cand.unpersist()
+    sets.unpersist()
+    val out = bandConfigs.sorted.map { bands =>
+      val nCand = nc.getOrElse(bands, 0L)
+      val hits = ht.getOrElse(bands, 0L)
+      (bands, numHashes / bands, nCand, nTrue, hits,
+        if (nTrue > 0) r4d(hits.toDouble / nTrue) else 0.0,
+        if (nCand > 0) r4d(hits.toDouble / nCand) else 0.0)
+    }
+    out.toDF("bands", "rows_per_band", "n_cand", "n_true", "hits",
+      "recall", "cand_precision")
+  }
+
   /** Connected components of the near-dup graph: every document labeled
     * with the minimum doc_id of its cluster (the canonical survivor a
     * dedup pipeline keeps). Edges = word-shingle Jaccard ≥ threshold
