@@ -4620,6 +4620,14 @@ object SparkEntry {
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
       None),
 
+    Q("ad_seasonal_esd", (s, dir) =>
+      // S-H-ESD (Twitter AnomalyDetection): the t-calibrated ESD test
+      // on the DESEASONALIZED residual — daily-cycle peaks stop paging
+      ChangePoints.seasonalEsd(corrGrid(s, dir)
+          .select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node", "tsb"),
+      None),
+
     Q("corr_partial", (s, dir) =>
       Correlate.partialCorr(corrGrid(s, dir), "error", "click")
         .orderBy("cand_name", "node", "b"),

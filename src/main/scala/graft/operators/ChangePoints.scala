@@ -214,6 +214,33 @@ object ChangePoints {
       .toDF("name", "node", "tsb", "gval", "trend", "seasonal", "noise")
   }
 
+  /** Seasonal-hybrid ESD (the Twitter AnomalyDetection variant): run
+    * the generalized ESD test on the series with the SEASONAL component
+    * and trend removed, instead of on the raw values — a daily-cycling
+    * metric's peaks are not anomalies, and raw-value ESD pages on every
+    * one of them. Composes the reference decomposition
+    * ([[seasonalNoise]]'s noise = gval − trend − seasonal) with the
+    * masking-robust t-calibrated test ([[esd]]); one typed per-signal
+    * pass for the decomposition feeding one for the test, both bounded
+    * by retention. Flagged rows return with their grid time, raw value,
+    * and the residual the test actually saw.
+    */
+  def seasonalEsd(grid: DataFrame, alpha: Double = 0.05,
+                  kFrac: Double = 0.05, stepSec: Double = 3600.0,
+                  fMin: Double = 1.0 / 86400.0, w: Int = 5): DataFrame = {
+    val noise = seasonalNoise(grid, stepSec, fMin, w)
+      .select(col("name"), col("node"), col("tsb"),
+        col("gval").as("raw"), col("noise").as("gval"))
+      .persist() // decomposition feeds the test + the flag join-back
+    esd(noise.select("name", "node", "tsb", "gval"), alpha, kFrac)
+      .select(col("name"), col("node"), col("tsb"),
+        col("gval").as("resid"))
+      .join(noise.select(col("name"), col("node"), col("tsb"), col("raw")),
+        Seq("name", "node", "tsb"))
+      .select(col("name"), col("node"), col("tsb"),
+        graft.Num.r4(col("raw")).as("gval"), col("resid"))
+  }
+
   /** Reference anomaly set (metrics_advisor.py:152): change points ∪
     * k-sigma outliers on the residual noise, tagged and bucketed.
     * E-divisive runs on the MEDIAN-FILTERED series (the decomposition's

@@ -154,6 +154,28 @@ class AnalysisSpec extends SparkTestBase {
     assert(out == Seq(40 * 900L))
   }
 
+  test("seasonal esd catches a spike the raw-value test misses under a strong cycle") {
+    // amplitude-10 daily sine + a +12 spike: raw ESD sees the spike as
+    // ~1.7 sd of the seasonal swing (not significant); after the
+    // decomposition removes the cycle the residual spike is enormous
+    val n = 96
+    val spikeAt = 53
+    val rows = (0 until n).map { i =>
+      val seasonal = 10.0 * math.sin(2 * math.Pi * i / 24.0)
+      val v = 50.0 + seasonal + (if (i == spikeAt) 12.0 else 0.0)
+      ("m", "a", i * 3600L, v)
+    }
+    val g = grid(rows: _*)
+    val raw = ChangePoints.esd(g).select("tsb").as[Long].collect().toSeq
+    assert(!raw.contains(spikeAt * 3600L),
+      s"raw ESD should miss the in-cycle spike, flagged $raw")
+    val seas = ChangePoints.seasonalEsd(g)
+      .select("tsb").as[Long].collect().toSeq
+    assert(seas.contains(spikeAt * 3600L),
+      s"seasonal ESD must flag the spike, flagged $seas")
+    assert(seas.size <= 3, s"cycle peaks must not page: $seas")
+  }
+
   test("partial correlation keeps obj-driven candidates, drops ctrl clones") {
     val obj = (1 to 12).map(_.toDouble)
     val ctl = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0, 8.0, 7.0, 10.0, 9.0, 12.0, 11.0)
