@@ -203,6 +203,61 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled engine-exact PCA CTE chain replaying
+    * `Clustering.pcaStats` (k=4, 12 iterations, d=64): exact integer
+    * second moments → HUGEINT Gram G = n·S − m·mᵀ, then quantized
+    * power iteration with deflation — integer matvecs, exact-max
+    * rescale (nonneg-mod floor-div), integer norm², IEEE re-quantize.
+    * Magnitude note: the Rayleigh numerator Σ qv·G·qv ≈ n²·d·1e24
+    * stays under HUGEINT's 1.7e38 through n ≈ 1e6 rows; beyond that
+    * the quantization scale drops a decade. Yields `nn(n)`,
+    * `tr(trace)`, and `lam0..lam3(lam)`.
+    */
+  private val SQL_PCA: String = {
+    val iters = 12
+    val k = 4
+    val initQ = math.floor((1.0 / 8.0 + 1e-9) * 1e6 + 0.5).toLong
+    val sb = new StringBuilder
+    sb.append("qc AS MATERIALIZED (SELECT vec_id, t.j, CAST(floor((CAST(embedding[t.j] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS x " +
+      "FROM embeddings, (SELECT unnest(range(1, 65)) AS j) t),\n")
+    sb.append("nn AS (SELECT count(DISTINCT vec_id) AS n FROM qc),\n")
+    sb.append("mv AS (SELECT j, CAST(sum(x) AS HUGEINT) AS m FROM qc GROUP BY j),\n")
+    sb.append("sm AS MATERIALIZED (SELECT a.j AS i, b.j AS jj, CAST(sum(a.x * b.x) AS HUGEINT) AS s " +
+      "FROM qc a JOIN qc b USING (vec_id) GROUP BY 1, 2),\n")
+    sb.append("g0 AS MATERIALIZED (SELECT sm.i, sm.jj, CAST(nn.n AS HUGEINT) * sm.s - mi.m * mj.m AS g " +
+      "FROM sm CROSS JOIN nn JOIN mv mi ON mi.j = sm.i JOIN mv mj ON mj.j = sm.jj),\n")
+    sb.append("tr AS (SELECT CAST(sum(g) AS HUGEINT) AS trace FROM g0 WHERE i = jj),\n")
+    for (c <- 0 until k) {
+      sb.append(s"v${c}_0 AS MATERIALIZED (SELECT CAST(unnest(range(1, 65)) AS INT) AS j, CAST($initQ AS HUGEINT) AS qv),\n")
+      for (t <- 1 to iters) {
+        sb.append(s"y${c}_$t AS MATERIALIZED (SELECT g.i, CAST(sum(g.g * v.qv) AS HUGEINT) AS y " +
+          s"FROM g$c g JOIN v${c}_${t - 1} v ON g.jj = v.j GROUP BY g.i),\n")
+        sb.append(s"mm${c}_$t AS MATERIALIZED (SELECT max(abs(y)) AS mm FROM y${c}_$t),\n")
+        sb.append(s"w${c}_$t AS MATERIALIZED (SELECT y.i, CASE WHEN mm = 0 THEN v.qv ELSE " +
+          "(y * 1000000 - (((y * 1000000) % mm + mm) % mm)) // mm END AS w " +
+          s"FROM y${c}_$t y CROSS JOIN mm${c}_$t JOIN v${c}_${t - 1} v ON v.j = y.i),\n")
+        sb.append(s"nr${c}_$t AS MATERIALIZED (SELECT CAST(sum(w * w) AS HUGEINT) AS n2 FROM w${c}_$t),\n")
+        sb.append(s"v${c}_$t AS MATERIALIZED (SELECT i AS j, CAST(CAST(floor((CAST(w AS DOUBLE) / " +
+          "sqrt(CAST(n2 AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS HUGEINT) AS qv " +
+          s"FROM w${c}_$t CROSS JOIN nr${c}_$t),\n")
+      }
+      sb.append(s"ray$c AS MATERIALIZED (SELECT CAST(sum(vi.qv * g.g * vj.qv) AS HUGEINT) AS num " +
+        s"FROM g$c g JOIN v${c}_$iters vi ON vi.j = g.i JOIN v${c}_$iters vj ON vj.j = g.jj),\n")
+      sb.append(s"den$c AS MATERIALIZED (SELECT CAST(sum(qv * qv) AS HUGEINT) AS den FROM v${c}_$iters),\n")
+      sb.append(s"lam$c AS MATERIALIZED (SELECT CASE WHEN den = 0 THEN CAST(0 AS HUGEINT) ELSE " +
+        s"(num - ((num % den + den) % den)) // den END AS lam FROM ray$c CROSS JOIN den$c),\n")
+      if (c < k - 1)
+        sb.append(s"g${c + 1} AS MATERIALIZED (SELECT g.i, g.jj, g.g - " +
+          "((lam * vi.qv * vj.qv) - (((lam * vi.qv * vj.qv) % 1000000000000 + 1000000000000) % 1000000000000)) // 1000000000000 AS g " +
+          s"FROM g$c g CROSS JOIN lam$c JOIN v${c}_$iters vi ON vi.j = g.i " +
+          s"JOIN v${c}_$iters vj ON vj.j = g.jj),\n")
+    }
+    sb.append("comps AS (" +
+      (0 until k).map(c => s"SELECT $c AS component, lam FROM lam$c")
+        .mkString(" UNION ALL ") + ")")
+    sb.toString
+  }
+
   /** Oracle-SQL prefix replaying Multimodal.fakePhash over `src`
     * (doc_id, text; ASCII corpus → character = byte): 4-byte shingle
     * class histogram → ×1000/n fixed-point → mean threshold → 64-bit
@@ -2869,7 +2924,15 @@ object SparkEntry {
 
     Q("embed_pca", (s, dir) => {
       Clustering.pcaStats(Tables.embeddings(s, dir), 4)
-    }, None),
+    }, Some(
+      s"""WITH $SQL_PCA
+         |SELECT component, nn.n AS n,
+         | floor((CAST(lam AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) / 1e12
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS proj_var,
+         | CASE WHEN trace > 0 THEN
+         |   floor((CAST(lam AS DOUBLE) / CAST(trace AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4
+         | ELSE 0.0 END AS explained_var_ratio
+         |FROM comps CROSS JOIN nn CROSS JOIN tr ORDER BY component""".stripMargin)),
 
     Q("embed_dist_outliers", (s, dir) => {
       Clustering.distanceOutliers(Tables.embeddings(s, dir), 8, 20)

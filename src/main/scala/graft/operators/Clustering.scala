@@ -7,15 +7,11 @@ import org.apache.spark.sql.graft.VectorExpressions.vecDot
 /** Clustering over the embedding column — k-means as corpus structure
   * discovery and cluster-distance as an anomaly score (the "Spark SQL
   * aggregations + ML anomaly detection" leg of BASELINE.json's
-  * north_star). K-means is an engine-exact quantized Lloyd's
-  * ([[lloydExact]]) so the correctness gate replays it; PCA stays on
-  * MLlib (one distributed Gramian pass + driver-side d×d SVD).
+  * north_star). Both k-means ([[lloydExact]]) and PCA ([[pcaStats]])
+  * are engine-exact quantized formulations, so the correctness gate
+  * replays the whole ML leg — no float-order or LAPACK dependence.
   */
 object Clustering {
-
-  private def withFeatures(embs: DataFrame): DataFrame =
-    embs.withColumn("features",
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
 
   /** Engine-exact Lloyd's k-means over the embedding column.
     *
@@ -113,44 +109,95 @@ object Clustering {
   }
 
   /** PCA diagnostics over the embedding column: per-component explained
-    * variance ratio plus the projection's actual variance — the
-    * dimensionality audit run before quantizing or truncating vectors.
-    * MLlib PCA is one distributed Gramian pass + a driver-side SVD of
-    * the d×d matrix (d = embedding width, tiny); the projection is a
-    * broadcast matrix multiply on the scan. The projection variance is
-    * computed from exact quantized-integer moment sums (the repo-wide
-    * order-independent pattern), never the parallel `variance`
-    * aggregate.
+    * variance ratio plus the projection variance — the dimensionality
+    * audit run before quantizing or truncating vectors.
+    *
+    * ENGINE-EXACT, replacing the MLlib Gramian+SVD (whose kmeans‖-free
+    * determinism still rests on float summation order and LAPACK):
+    *
+    *  1. ONE distributed pass builds the exact integer second moments
+    *     of the ×1e6-quantized coordinates — m_i = Σ qx_i and
+    *     S_ij = Σ qx_i·qx_j — so the scaled covariance Gram
+    *     G = n·S − m·mᵀ is an exact BigInt matrix (the standard
+    *     n·(n−1)-scaled moment identity; no centering pass, no float
+    *     cancellation).
+    *  2. Top-k eigenpairs by QUANTIZED POWER ITERATION with deflation,
+    *     driver-side over the d×d Gram: every matvec is exact integer
+    *     arithmetic (G · qv); each round rescales by the exact max
+    *     component (nonneg-mod floor-div), takes the norm of the ≤1e6
+    *     integer vector (Σw² < 2⁵³ — exact in double, order-free), and
+    *     re-quantizes with the repo's IEEE floor sequence. Fixed 12
+    *     rounds; λ = ⌊qvᵀGqv / qvᵀqv⌋; deflation G ← G − ⌊λ·qv qvᵀ/1e12⌋
+    *     stays integer. Every step is replayed verbatim by the DuckDB
+    *     oracle (unrolled CTEs, like the Lloyd oracle).
+    *
+    * explained_var_ratio = λ_c / trace(G) (trace = Σ all eigenvalues,
+    * exact); proj_var = λ_c / (n(n−1)) / 1e12 (de-quantized sample
+    * variance of the projection). Output is engine-deterministic and
+    * partition-invariant by construction.
+    *
+    * λ is the Rayleigh quotient of the FIXED-ITERATION iterate, not an
+    * exact eigenvalue: on a well-separated spectrum (the case the
+    * audit exists for — "is there a dominant axis worth truncating
+    * to?") 12 rounds converge to 4 dp; on a near-isotropic spectrum
+    * the components are interchangeable and the reported λs answer
+    * the audit question ("no dominant axis") without ordering
+    * guarantees.
     */
-  def pcaStats(embs: DataFrame, k: Int = 4): DataFrame = {
-    import org.apache.spark.ml.feature.PCA
-    import org.apache.spark.ml.linalg.Vector
+  def pcaStats(embs: DataFrame, k: Int = 4, iters: Int = 12): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val feat = withFeatures(embs)
-    val model = new PCA().setK(k)
-      .setInputCol("features").setOutputCol("proj").fit(feat)
-    val ev = model.explainedVariance.toArray
-    val projected = model.transform(feat)
-      .select(col("vec_id"), col("proj"))
-      .as[(Long, Vector)]
-      .flatMap { case (_, v) => v.toArray.zipWithIndex.map {
-        case (x, c) => (c, x) } }
-      .toDF("component", "x")
-    val stats = projected
-      .select(col("component"), graft.Num.qint(col("x"), 1e6).as("qx"))
-      .groupBy("component")
-      .agg(count(lit(1)).as("n"),
-        sum(col("qx")).cast("double").as("s1"),
-        sum(col("qx") * col("qx")).cast("double").as("s2"))
-      .select(col("component"), col("n"),
-        graft.Num.r4((col("n") * col("s2") - col("s1") * col("s1")) /
-          (col("n").cast("double") * (col("n") - 1)) / lit(1e12)).as("proj_var"))
-    stats.join(
-        ev.toSeq.zipWithIndex.map { case (r, c) =>
-            (c, math.floor((r + 1e-9) * 1e4 + 0.5) / 1e4) }
-          .toDF("component", "explained_var_ratio"),
-        "component")
+    val cells = embs.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x =>
+          floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
+            .cast("long"))).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
+      .persist() // feeds m, S, and n
+    val n = cells.select(countDistinct(col("vec_id"))).head().getLong(0)
+    val dim = cells.select(max("j")).head().getInt(0)
+    val m = new Array[Long](dim)
+    cells.groupBy("j").agg(sum("x").as("m")).collect()
+      .foreach(r => m(r.getInt(0) - 1) = r.getLong(1))
+    val S = Array.ofDim[Long](dim, dim)
+    cells.as("a").join(cells.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+      .agg(sum(col("a.x") * col("b.x")).as("s"))
+      .collect()
+      .foreach(r => S(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
+    cells.unpersist()
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      BigInt(n) * S(i)(j) - BigInt(m(i)) * m(j))
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    def fd(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+    val initQ = math.floor((1.0 / math.sqrt(dim.toDouble) + 1e-9) * 1e6 + 0.5).toLong
+    val lambdas = (0 until k).map { _ =>
+      var qv = Array.fill(dim)(initQ)
+      for (_ <- 0 until iters) {
+        val y = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => g(i)(j) * qv(j)).sum)
+        val mm = y.map(_.abs).max
+        val w = if (mm == 0) qv.map(BigInt(_))
+                else y.map(v => fd(v * 1000000, mm))
+        val n2 = w.map(x => x * x).sum
+        val norm = math.sqrt(n2.toDouble)
+        if (norm > 0)
+          qv = w.map(x =>
+            math.floor((x.toDouble / norm + 1e-9) * 1e6 + 0.5).toLong)
+      }
+      val num = (0 until dim).map(i =>
+        BigInt(qv(i)) * (0 until dim).map(j => g(i)(j) * qv(j)).sum).sum
+      val den = qv.map(x => BigInt(x) * x).sum
+      val lam = if (den == 0) BigInt(0) else fd(num, den)
+      for (i <- 0 until dim; j <- 0 until dim)
+        g(i)(j) = g(i)(j) - fd(lam * qv(i) * qv(j), BigInt(1000000000000L))
+      lam
+    }
+    val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+    lambdas.zipWithIndex.map { case (lam, c) =>
+      (c, n,
+        r4d(lam.toDouble / (n.toDouble * (n - 1)) / 1e12),
+        if (trace > 0) r4d(lam.toDouble / trace.toDouble) else 0.0)
+    }.toDF("component", "n", "proj_var", "explained_var_ratio")
       .orderBy("component")
   }
 
