@@ -154,6 +154,13 @@ object Clustering {
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
       .persist() // feeds m, S, and n
     val n = cells.select(countDistinct(col("vec_id"))).head().getLong(0)
+    if (n < 2) {
+      // no sample variance to audit — empty result, never a division
+      // by zero or a null dim probe
+      cells.unpersist()
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("component", "n", "proj_var", "explained_var_ratio")
+    }
     val dim = cells.select(max("j")).head().getInt(0)
     val m = new Array[Long](dim)
     cells.groupBy("j").agg(sum("x").as("m")).collect()

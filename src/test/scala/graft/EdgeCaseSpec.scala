@@ -246,4 +246,20 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(TimeSeries.holtBacktest(grid(("m", "n1", 0L, 1.0),
       ("m", "n1", 900L, 2.0))).count() == 0)
   }
+
+  test("exact PCA and the LSH sweep survive empty and single-vector corpora") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Clustering.pcaStats(empty).count() == 0)
+    val single = Seq((1L, Array(1.0f, 2.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Clustering.pcaStats(single).count() == 0, "n=1 has no variance")
+    val emptyDocs = docs()
+    val sweep = Dedup.lshBandSweep(emptyDocs, bandConfigs = Seq(4, 8))
+      .collect()
+    assert(sweep.length == 2 &&
+      sweep.forall(r => r.getAs[Long]("n_cand") == 0L &&
+        r.getAs[Double]("recall") == 0.0))
+    assert(ChangePoints.seasonalEsd(grid()).count() == 0)
+  }
 }
