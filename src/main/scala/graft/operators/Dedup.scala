@@ -302,6 +302,8 @@ object Dedup {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     cand.unpersist()
     sets.unpersist()
+    sig.unpersist()
+    truth.unpersist()
     val out = bandConfigs.sorted.map { bands =>
       val nCand = nc.getOrElse(bands, 0L)
       val hits = ht.getOrElse(bands, 0L)
