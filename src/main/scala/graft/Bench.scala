@@ -38,7 +38,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val d = (System.nanoTime() - t0) / 1e9
       // operators persist intra-query intermediates; drop them so later
-      // runs aren't timed under earlier runs' cache pressure
+      // runs aren't timed under earlier runs' cache pressure (release
+      // covers the tracked operator persists; clearCache is the
+      // belt-and-braces sweep for anything session-level)
+      Caches.release()
       spark.catalog.clearCache()
       d
     }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Caches._
 import graft.Num._
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -357,10 +358,15 @@ object SparkEntry {
 
   private val SQL_MINHASH_CTES = SQL_MINHASH_CTES_FOR("TRUE")
 
-  /** The same engine-exact pipeline over the deterministic half sample
-    * — the calibration-sweep corpus (dedup_lsh_tune).
+  /** The same engine-exact pipeline over the fixed-size hash-ranked
+    * sample — the calibration-sweep corpus (dedup_lsh_tune): the 1000
+    * docs with the smallest md5 rank, so calibration cost is
+    * corpus-size-independent.
     */
-  private val SQL_MINHASH_SAMPLED = SQL_MINHASH_CTES_FOR("doc_id % 2 = 0")
+  private val SQL_MINHASH_SAMPLED = SQL_MINHASH_CTES_FOR(
+    "doc_id IN (SELECT doc_id FROM documents ORDER BY " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id " +
+      "LIMIT 1000)")
 
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
@@ -2654,7 +2660,7 @@ object SparkEntry {
       // (bands, rows) config — the measured S-curve the 16×4 default
       // was chosen on
       Dedup.lshBandSweep(Tables.documents(s, dir), bandConfigs = Seq(4, 8, 16),
-          threshold = 0.5, sampleMod = 2L)
+          threshold = 0.5, sampleN = 1000)
         .orderBy("bands"),
     Some(
       s"""WITH $SQL_MINHASH_SAMPLED,
@@ -2826,7 +2832,7 @@ object SparkEntry {
         .select(col("qid"), col("nid"), col("rank").as("arank"))
       val t = Similarity.knnBruteCosine(e, nQueries = 10, k = 5)
         .select(col("qid"), col("nid"), col("rank").as("trank"))
-        .persist() // spine + match join share the brute scan
+        .persist().tracked // spine + match join share the brute scan
       import s.implicits._
       val ks = Seq(1, 3, 5).toDF("k")
       val m = a.join(t, Seq("qid", "nid"))
@@ -2868,7 +2874,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       // the brute truth feeds BOTH recall evaluations — persisted so
       // the exhaustive scan runs once, not once per method
-      val truth = Similarity.knnBruteCosine(e, nQueries = 10, k = 5).persist()
+      val truth = Similarity.knnBruteCosine(e, nQueries = 10, k = 5).persist().tracked
       Similarity.recallAtK(Similarity.ivfAnn(e, nQueries = 10, k = 5), truth, k = 5)
         .withColumn("method", lit("ivf"))
         .unionByName(
@@ -3496,9 +3502,14 @@ object SparkEntry {
     Q("dedup_canonical_quality", (s, dir) => {
       // quality-aware survivor selection per near-dup cluster — the
       // curation decision dedup exists to feed (keep the best copy,
-      // not the lowest-id copy)
-      Curation.canonicalByQuality(
-          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.5)
+      // not the lowest-id copy). Cluster edges come from the LSH scale
+      // path (the curation_funnel / dedup_cluster_minhash composition)
+      // — the exact prefix-filtered candidate join never runs; the
+      // exact-Jaccard oracle below re-proves LSH recall on every
+      // driver run (see dedup_cluster_minhash's recall argument)
+      val docs5 = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      Curation.canonicalByQuality(docs5, 0.5, precomputedPairs =
+          Some(Dedup.minhashLsh(docs5, threshold = 0.5).select("doc1", "doc2")))
         .orderBy("doc_id")
     }, Some(
       """WITH RECURSIVE
@@ -4806,7 +4817,7 @@ object SparkEntry {
         // scans once (prefixJaccard release convention)
         val counts = df.groupBy(col(key).as("k"))
           .agg(count(lit(1)).as("c"))
-          .persist()
+          .persist().tracked
         val tot = counts.agg(sum("c").as("n_rows"),
           count(lit(1)).as("n_keys"), max("c").as("max_c"))
         val cum = counts.groupBy("c").agg(count(lit(1)).as("f"))

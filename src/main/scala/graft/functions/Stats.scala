@@ -119,52 +119,70 @@ object Stats {
     * ones whose own R fell under λ (masking-robust, the reason ESD
     * beats repeated Grubbs).
     */
-  def esdOutliers(xs: Array[Double], kMax: Int, alpha: Double = 0.05): Seq[Int] = {
-    val n = xs.length
+  def esdOutliers(xs: Array[Double], kMax: Int, alpha: Double = 0.05): Seq[Int] =
+    // ×1e6 input quantization: the kernel below is exact-integer, so
+    // the whole iteration (means, deviations, argmax, the S2 moment)
+    // is engine-independent and a SQL oracle can replay it; inputs off
+    // the 1e-6 grid differ from the old raw-double kernel only within
+    // quantization distance of a tie/threshold
+    esdOutliersQ(xs.map(v => math.floor(v * 1e6 + 0.5).toLong), kMax, alpha)
+
+  /** Exact-integer ESD core on a ×1e6-quantized series. Per round over
+    * the m active points: mean is carried as the exact sum S (so the
+    * deviation comparison |q_j·m − S| is integer argmax, first index
+    * on ties), the squared-deviation moment is the exact
+    * S2 = m²·Σq² − m·S² (BigInt — mirrors HUGEINT in the oracle), and
+    * R = bestDev·√(m−1)/√S2 is a fixed 4-op IEEE sequence over
+    * correctly-rounded casts. The verdict compares ⌊(R+1e-9)·1e4+0.5⌋
+    * > ⌊(λ+1e-9)·1e4+0.5⌋ as integers: λ comes from [[tQuantile]] here
+    * and from an independent closed-form integer-ν t-CDF in the DuckDB
+    * oracle — the two agree to ~1e-12, which the 4-dp quantization
+    * absorbs (the text_perplexity ln-quantization argument).
+    */
+  def esdOutliersQ(qs: Array[Long], kMax: Int, alpha: Double = 0.05): Seq[Int] = {
+    val n = qs.length
     val k = math.min(kMax, math.max(0, n - 2))
     if (k == 0) return Seq.empty
     val active = Array.fill(n)(true)
     val removed = new Array[Int](k)
-    val rStat = new Array[Double](k)
-    val lam = new Array[Double](k)
+    val flag = new Array[Boolean](k)
+    var s = 0L
+    var q2 = BigInt(0)
+    var j = 0
+    while (j < n) { s += qs(j); q2 += BigInt(qs(j)) * qs(j); j += 1 }
     var i = 0
     while (i < k) {
       val m = n - i
-      var sum = 0.0
-      var j = 0
-      while (j < n) { if (active(j)) sum += xs(j); j += 1 }
-      val mean = sum / m
-      var ss = 0.0
-      j = 0
-      while (j < n) {
-        if (active(j)) { val d = xs(j) - mean; ss += d * d }
-        j += 1
-      }
-      val sd = math.sqrt(ss / (m - 1))
       var best = -1
-      var bestDev = -1.0
+      var bestDev = -1L
       j = 0
       while (j < n) {
         if (active(j)) {
-          val dev = math.abs(xs(j) - mean)
+          val dev = math.abs(qs(j) * m - s)
           if (dev > bestDev) { bestDev = dev; best = j }
         }
         j += 1
       }
-      rStat(i) = if (sd > 0) bestDev / sd else 0.0
+      val s2 = BigInt(m) * m * q2 - BigInt(m) * BigInt(s) * BigInt(s)
+      val r =
+        if (s2.signum == 0) 0.0
+        else bestDev.toDouble * math.sqrt((m - 1).toDouble) / math.sqrt(s2.toDouble)
       val p = 1.0 - alpha / (2.0 * m)
       val nu = (m - 2).toDouble
-      if (nu > 0) {
+      flag(i) = nu > 0 && {
         val t = tQuantile(p, nu)
-        lam(i) = (m - 1) * t / math.sqrt((nu + t * t) * m)
-      } else lam(i) = Double.PositiveInfinity
+        val lam = (m - 1) * t / math.sqrt((nu + t * t) * m)
+        math.floor((r + 1e-9) * 1e4 + 0.5) > math.floor((lam + 1e-9) * 1e4 + 0.5)
+      }
       removed(i) = best
       active(best) = false
+      s -= qs(best)
+      q2 -= BigInt(qs(best)) * qs(best)
       i += 1
     }
     var nOut = 0
     i = 0
-    while (i < k) { if (rStat(i) > lam(i)) nOut = i + 1; i += 1 }
+    while (i < k) { if (flag(i)) nOut = i + 1; i += 1 }
     removed.take(nOut).toSeq
   }
 }

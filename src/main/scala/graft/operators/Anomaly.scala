@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -30,7 +31,7 @@ object Anomaly {
   def ksigma(grid0: DataFrame, level: Double = 3.0, in: String = "gval"): DataFrame = {
     val grid = grid0
       .withColumn("dq", TimeSeries.quantRel(col(in), TimeSeries.signalScale(in)))
-      .persist() // stats aggregate + row join both consume it
+      .persist().tracked // stats aggregate + row join both consume it
     val nd = col("n").cast("double")
     val stats = grid.groupBy(bySignal.map(col): _*)
       .agg(count(lit(1)).as("n"),
@@ -49,14 +50,14 @@ object Anomaly {
 
   /** Median-absolute-deviation outliers (robust z via 0.6745·dev/MAD). */
   def mad(grid0: DataFrame, level: Double = 3.5, in: String = "gval"): DataFrame = {
-    val grid = grid0.persist() // median aggregate + deviation join
+    val grid = grid0.persist().tracked // median aggregate + deviation join
     val med = grid.groupBy(bySignal.map(col): _*)
       .agg(expr(s"percentile($in, 0.5)").as("med"))
     // deviations feed the MAD aggregate and the final row join — persist
     // so the upstream pipeline isn't rebuilt per consumer
     val withDev = grid.join(med, bySignal)
       .withColumn("dev", abs(col(in) - col("med")))
-      .persist()
+      .persist().tracked
     val madAgg = withDev.groupBy(bySignal.map(col): _*)
       .agg(expr("percentile(dev, 0.5)").as("mad_v"))
       .filter(col("mad_v") > 0)
@@ -67,7 +68,7 @@ object Anomaly {
 
   /** IQR fence outliers: outside [q1 - k·iqr, q3 + k·iqr]. */
   def iqr(grid0: DataFrame, k: Double = 1.5, in: String = "gval"): DataFrame = {
-    val grid = grid0.persist() // quantile aggregate + fence join
+    val grid = grid0.persist().tracked // quantile aggregate + fence join
     val q = grid.groupBy(bySignal.map(col): _*)
       .agg(
         expr(s"percentile($in, 0.25)").as("q1"),
@@ -129,7 +130,7 @@ object Anomaly {
     // determinism contract as ksigma)
     val resid = decompose(grid, w).select("name", "node", "tsb", "gval", "trend", "resid")
       .withColumn("dq", TimeSeries.quantRel(col("resid"), TimeSeries.signalScale("resid")))
-      .persist()
+      .persist().tracked
     val nd = col("n").cast("double")
     val stats = resid.groupBy(bySignal.map(col): _*)
       .agg(count(lit(1)).as("n"),
@@ -160,7 +161,7 @@ object Anomaly {
                iqrK: Double = 1.5, in: String = "gval"): DataFrame = {
     val grid = grid0
       .withColumn("dq", TimeSeries.quantRel(col(in), TimeSeries.signalScale(in)))
-      .persist() // stats aggregate + deviation pass + row join
+      .persist().tracked // stats aggregate + deviation pass + row join
     val nd = col("n").cast("double")
     val stats = grid.groupBy(bySignal.map(col): _*)
       .agg(count(lit(1)).as("n"),
@@ -174,7 +175,7 @@ object Anomaly {
         (nd * (nd - lit(1.0)))))
     val withDev = grid.join(stats, bySignal)
       .withColumn("dev", abs(col(in) - col("med")))
-      .persist() // MAD aggregate + final row pass
+      .persist().tracked // MAD aggregate + final row pass
     val madAgg = withDev.groupBy(bySignal.map(col): _*)
       .agg(expr("percentile(dev, 0.5)").as("mad_v"))
     withDev.join(madAgg, bySignal)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.functions.{Dsp, EDivisive}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -231,7 +232,7 @@ object ChangePoints {
     val noise = seasonalNoise(grid, stepSec, fMin, w)
       .select(col("name"), col("node"), col("tsb"),
         col("gval").as("raw"), col("noise").as("gval"))
-      .persist() // decomposition feeds the test + the flag join-back
+      .persist().tracked // decomposition feeds the test + the flag join-back
     esd(noise.select("name", "node", "tsb", "gval"), alpha, kFrac)
       .select(col("name"), col("node"), col("tsb"),
         col("gval").as("resid"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions.vecDot
@@ -54,7 +55,7 @@ object Clustering {
             .cast("long")).as("q"))
       .withColumn("qd", transform(col("q"), _.cast("double")))
       .withColumn("selfq", vecDot(col("qd"), col("qd")))
-      .persist()
+      .persist().tracked
     def assignTo(cents: Array[Array[Long]]): DataFrame = {
       // one distance expression per centroid, gathered into an ARRAY:
       // array_min + first-position argmin keeps the plan LINEAR in k
@@ -152,7 +153,7 @@ object Clustering {
           floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
             .cast("long"))).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
-      .persist() // feeds m, S, and n
+      .persist().tracked // feeds m, S, and n
     val n = cells.select(countDistinct(col("vec_id"))).head().getLong(0)
     if (n < 2) {
       // no sample variance to audit — empty result, never a division

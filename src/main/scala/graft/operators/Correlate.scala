@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -92,7 +93,7 @@ object Correlate {
     // result is lazy, so release follows the prefixJaccard convention:
     // batch callers clearCache() after consuming, long-lived sessions
     // rely on the ContextCleaner GC-ing the unreferenced frame.
-    val q = withQuant(indexedGrid).persist()
+    val q = withQuant(indexedGrid).persist().tracked
     val obj = q.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"),
         col("b"), col("i"), col("qv").as("ov"))
@@ -156,7 +157,7 @@ object Correlate {
     val ranked = indexedGrid.withColumn("ar",
       rank().over(byVal) + (count(lit(1)).over(ties) - 1) / 2.0)
       .drop("gval").withColumnRenamed("ar", "gval")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     corrMatrix(ranked, minOverlap)
   }
 
@@ -177,7 +178,7 @@ object Correlate {
     // ContextCleaner).
     val q = withQuant(indexedGrid)
       .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
-      .persist()
+      .persist().tracked
     val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
       col("b"), col("i"), col("qv").as("av"))
     val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
@@ -218,7 +219,7 @@ object Correlate {
         val pts = it.toArray.sortBy(_._3)
         (k._1, k._2, graft.functions.Dtw.znorm(graft.functions.Dtw.quantize(pts.map(_._4))))
       }.toDF("name", "node", "series")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val obj = series.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node"), col("series").as("os"))
     val cand = series.filter(!col("name").isin(objNames: _*))
@@ -256,7 +257,7 @@ object Correlate {
         val pts = it.toArray.sortBy(_._3)
         (k._1, k._2, pts.map(_._4))
       }.toDF("name", "node", "series")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val obj = series.filter(col("name").isin(objNames: _*))
       .select(col("name").as("obj_name"), col("node"), col("series").as("os"))
     val cand = series.filter(!col("name").isin(objNames: _*))
@@ -300,7 +301,7 @@ object Correlate {
       .select(col("a_name").as("x"), col("b_name").as("y"),
         col("a_node").as("node"), col("b"), col("r"))
     val sym = m.union(m.select(col("y"), col("x"), col("node"), col("b"), col("r")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val rxy = sym.filter(col("y") === objName && col("x") =!= ctrlName)
       .select(col("x").as("cand_name"), col("node"), col("b"), col("r").as("r_xy"))
     val rxz = sym.filter(col("y") === ctrlName && col("x") =!= objName)
@@ -341,7 +342,7 @@ object Correlate {
     // the grid feeds the range aggregate AND the bin join-back —
     // persisted so the grid-build pipeline runs once (prefixJaccard
     // release convention)
-    val g = indexedGrid.select("name", "node", "i", "gval").persist()
+    val g = indexedGrid.select("name", "node", "i", "gval").persist().tracked
     val rng = g.groupBy("name", "node")
       .agg(min("gval").as("lo"), max("gval").as("hi"))
     val binned = g.join(rng, Seq("name", "node"))
@@ -358,7 +359,7 @@ object Correlate {
     val joint = c.join(o, Seq("node", "i"))
       .groupBy("cand_name", "node", "ob", "cb")
       .agg(count(lit(1)).as("cxy"))
-      .persist() // marginals + final pass share it (prefixJaccard convention)
+      .persist().tracked // marginals + final pass share it (prefixJaccard convention)
     val nn = joint.groupBy("cand_name", "node").agg(sum("cxy").as("n"))
     val mx = joint.groupBy("cand_name", "node", "ob").agg(sum("cxy").as("cx"))
     val my = joint.groupBy("cand_name", "node", "cb").agg(sum("cxy").as("cy"))

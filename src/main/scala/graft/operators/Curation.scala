@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -45,7 +46,7 @@ object Curation {
         explode(expr(s"transform(sequence(1, int(ceil(size(w) / ${w}.0))), " +
           s"i -> array_join(slice(w, (i - 1) * $w + 1, $w), ' '))")).as("p"))
       .select(col("doc_id"), md5(col("p")).as("ph"))
-      .persist()
+      .persist().tracked
     val docFreq = chunks.select("doc_id", "ph").distinct()
       .groupBy("ph").agg(count(lit(1)).as("ndocs"))
     chunks.join(docFreq, "ph")
@@ -97,7 +98,7 @@ object Curation {
     */
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame, w: Int = 8,
                          minFrac: Double = 0.8): DataFrame = {
-    val tr = shingleDigests(train, "doc_id", w).persist()
+    val tr = shingleDigests(train, "doc_id", w).persist().tracked
     val perDoc = tr.groupBy("doc_id").agg(count(lit(1)).as("n_train"))
     tr.join(broadcast(shingleDigests(eval, "eval_doc_id", w).select("eval_doc_id", "ph")), "ph")
       .groupBy("doc_id", "eval_doc_id")
@@ -133,7 +134,7 @@ object Curation {
         explode(expr(s"transform(sequence(1, int(ceil(size(wd) / ${w}.0))), " +
           s"i -> array_join(slice(wd, (i - 1) * $w + 1, $w), ' '))")).as("p"))
       .select(col("doc_id"), col("source"), md5(col("p")).as("ph"))
-      .persist()
+      .persist().tracked
     val boiler = chunks.select("source", "ph", "doc_id").distinct()
       .groupBy("source", "ph")
       .agg(count(lit(1)).as("nd"))
@@ -202,7 +203,7 @@ object Curation {
         sort_array(array_distinct(transform(sequence(lit(1), size(col("wd")) - 1),
           i => concat(element_at(col("wd"), i), lit(" "),
             element_at(col("wd"), i + 1))))).as("tok"))
-      .persist()
+      .persist().tracked
     val toks = sets.select(col("doc_id"), size(col("tok")).cast("long").as("n"),
       explode(col("tok")).as("s"))
     val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
@@ -571,7 +572,7 @@ object Curation {
     val gated = TextAnalysis.qualityGate(train, keepCols = Seq("source", "text"))
       .filter(col("keep") === 1)
       .select("doc_id", "source", "text")
-      .persist()
+      .persist().tracked
     val comp = Dedup.clusters(gated, precomputedPairs =
       Some(Dedup.minhashLsh(gated, threshold = dedupThreshold)
         .select("doc1", "doc2")))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -77,7 +78,7 @@ object Dedup {
     */
   private def prefixJaccard(sets: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = sets.persist() // feeds the prefix index and both verify sides
+    val s = sets.persist().tracked // feeds the prefix index and both verify sides
     // set size rides along from before the explode — no window needed
     val toks = s.select(col("doc_id"), size(col("tok")).cast("long").as("n"),
       explode(col("tok")).as("s"))
@@ -87,7 +88,7 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("doc_id", "s", "n", "rk")
-      .persist() // both sides of the self-join — avoid building it twice
+      .persist().tracked // both sides of the self-join — avoid building it twice
     // Positional filter (PPJoin): grouping the prefix matches per pair
     // costs the same shuffle the bare DISTINCT needed anyway, and the
     // group carries enough to bound the overlap. Common tokens are met
@@ -215,7 +216,7 @@ object Dedup {
     // the shingle table feeds three branches (signatures + both sides of
     // the verify join) — persist it instead of recomputing the regex
     // split + shingle build per branch
-    val sets = withShingles(docs).persist()
+    val sets = withShingles(docs).persist().tracked
     val sig = signatures(sets, numHashes)
     // band key: the band's RAW signature slice (array-equality join —
     // 8·r bytes per key; exact, engine-independent, no Murmur3)
@@ -264,19 +265,25 @@ object Dedup {
   def lshBandSweep(docs: DataFrame, numHashes: Int = 64,
                    bandConfigs: Seq[Int] = Seq(4, 8, 16),
                    threshold: Double = 0.5,
-                   sampleMod: Long = 2L): DataFrame = {
+                   sampleN: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // calibration runs on a deterministic doc_id-keyed sample (the
-    // dedup-telemetry convention): the S-curve is a property of the
-    // hash family and the similarity distribution, not of corpus
-    // size, and the exact truth set is the sweep's quadratic cost
-    val sets = withShingles(docs.filter(col("doc_id") % sampleMod === 0))
-      .persist()
-    val sig = signatures(sets, numHashes).persist()
+    // calibration runs on a FIXED-SIZE hash-ranked sample (the N docs
+    // with the smallest md5-rank — deterministic, append-stable): the
+    // S-curve is a property of the hash family and the similarity
+    // distribution, not of corpus size, and the exact truth set is the
+    // sweep's quadratic cost — a proportional sample (the first
+    // version's doc_id % 2) made calibration scale WITH the corpus.
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition
+    // top-N, no global sort, no single-partition shuffle.
+    val sets = withShingles(docs
+        .orderBy(Sampling.hash32(col("doc_id").cast("string")), col("doc_id"))
+        .limit(sampleN))
+      .persist().tracked
+    val sig = signatures(sets, numHashes).persist().tracked
     val truth = prefixJaccard(sets.select(col("doc_id"), col("sh").as("tok")),
         threshold)
-      .select("doc1", "doc2").persist()
+      .select("doc1", "doc2").persist().tracked
     val nTrue = truth.count()
     val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
     // ALL configs' band keys in one frame → ONE self-join keyed on
@@ -294,7 +301,7 @@ object Dedup {
           col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.bands").as("bands"), col("a.doc_id").as("doc1"),
         col("b.doc_id").as("doc2"))
-      .distinct().persist()
+      .distinct().persist().tracked
     val nc = cand.groupBy("bands").agg(count(lit(1)).as("n_cand"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ht = cand.join(truth, Seq("doc1", "doc2"), "left_semi")
@@ -338,7 +345,7 @@ object Dedup {
     val pairs = precomputedPairs.getOrElse(jaccardPairs(docs, threshold))
       .select("doc1", "doc2")
     val edges = pairs.unionByName(
-      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist()
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist().tracked
     // only vertices with an edge can ever change label — iterate over
     // the near-dup subgraph (a sliver of the corpus) and union the
     // isolated documents back as their own canonical at the end. The
@@ -603,7 +610,7 @@ object Dedup {
     // deployment can trade this cache for a recompute — the exchange
     // shape is unchanged either way.
     val all = windows(1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val cands =
       if (stride == 1)
         all.as("a").join(all.as("b"),

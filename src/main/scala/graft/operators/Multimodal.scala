@@ -115,6 +115,12 @@ object Multimodal {
       var h = 1125899906842597L
       var k = 0
       while (k < n) { h = h * 131 + (payload(k) & 0xff); k += 1 }
+      // splitmix-style finalizer: without it, near-identical shorts
+      // ("a" vs "z") differ only in a few low bits and sit within the
+      // hamming-3 pair radius by arithmetic accident
+      h ^= (h >>> 30); h *= -4658895280553007687L
+      h ^= (h >>> 27); h *= -7723592293110705685L
+      h ^= (h >>> 31)
       return h | 1L // never 0, and distinct shorts stay decorrelated
     }
     val luma = new Array[Long](64)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -271,13 +272,28 @@ object TextAnalysis {
     // the bench at 7 s; this shape is 10×)
     // the same Java substring loop trains and scores (Spark's substring
     // splits on codepoints, Java's on UTF-16 units — mixing them would
-    // disagree on surrogate-pair text); map-side combine collapses the
-    // gram stream to ≤ charset² rows per partition before the shuffle
+    // disagree on surrogate-pair text); the per-partition HashMap
+    // collapses the gram stream to ≤ charset² rows BEFORE any row
+    // crosses the encoder boundary — a flatMap-per-bigram Dataset paid
+    // encoder serialization per gram occurrence and regressed 4.4×
     val counts = docs.filter(length(col("text")) >= 2)
       .select(lower(col("text"))).as[String]
-      .flatMap(t => (0 until t.length - 1).iterator.map(i => t.substring(i, i + 2)))
-      .groupBy(col("value").as("g"))
-      .agg(count(lit(1)).as("cg"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          var i = 0
+          val n = t.length - 1
+          while (i < n) {
+            val g = t.substring(i, i + 2)
+            m.update(g, m.getOrElse(g, 0L) + 1L)
+            i += 1
+          }
+        }
+        m.iterator
+      }
+      .toDF("g", "cnt")
+      .groupBy("g")
+      .agg(sum("cnt").as("cg"))
       .as[(String, Long)].collect()
     val ctx = counts.groupBy(_._1.substring(0, 1))
       .map { case (c1, gs) => c1 -> gs.map(_._2).sum }
@@ -351,7 +367,7 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("g")).as("gh"))
       // feeds the first-claim aggregate AND the join-back — persisted
       // so the corpus tokenizes once (prefixJaccard release convention)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
     grams.join(first, "gh")
       .groupBy("doc_id")
@@ -388,7 +404,7 @@ object TextAnalysis {
     // the operator's contract, so the vocabulary aggregate exists
     // anyway and the counters reuse it.
     val cnt = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     def bucket(r: Int): Column =
       (conv(substring(md5(concat(col("term"), lit("#" + r))), 17, 16), 16, 10)
         .cast(DecimalType(20, 0)) % width).cast("int")
@@ -434,7 +450,7 @@ object TextAnalysis {
     // tf feeds both the score join and the df aggregate — persist it so
     // the corpus tokenization scan runs once (released by clearCache)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -533,10 +549,10 @@ object TextAnalysis {
     // the tokenized corpus feeds the unigram aggregate, the bigram
     // aggregate, and the bigram total — persisted so raw text is
     // split once (prefixJaccard release convention)
-    val toks = docs.select(words(col("text")).as("w")).persist()
+    val toks = docs.select(words(col("text")).as("w")).persist().tracked
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .persist() // per-term counts + the n1 total share it
+      .persist().tracked // per-term counts + the n1 total share it
     val bg = toks.select(explode(expr(
       "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
     val bc = bg.groupBy("g").agg(count(lit(1)).as("c12"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -158,7 +159,7 @@ object TimeSeries {
     * signal. One percentile aggregate broadcast back onto the rows.
     */
   def winsorize(grid: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
-    val g = grid.persist() // quantile aggregate + clamp join
+    val g = grid.persist().tracked // quantile aggregate + clamp join
     val bounds = g.groupBy("name", "node")
       .agg(expr(s"percentile(gval, $lo)").as("p_lo"),
         expr(s"percentile(gval, $hi)").as("p_hi"))
@@ -821,7 +822,7 @@ object TimeSeries {
   def psi(grid0: DataFrame, bins: Int = 8): DataFrame = {
     // range aggregate + bin join-back share one grid build
     // (prefixJaccard release convention)
-    val grid = grid0.persist()
+    val grid = grid0.persist().tracked
     val rng = grid.groupBy("name", "node").agg(
       min("tsb").as("t0"), max("tsb").as("t1"),
       min("gval").as("lo"), max("gval").as("hi"))

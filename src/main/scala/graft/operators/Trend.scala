@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
@@ -34,7 +35,7 @@ object Trend {
     */
   private def gridOnce(grid: DataFrame): DataFrame =
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
 
   private def pairs(g: DataFrame): DataFrame = {
     val a = g.select(col("name"), col("node"), col("tsb").as("ta"),

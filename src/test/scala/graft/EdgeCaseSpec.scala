@@ -247,6 +247,51 @@ class EdgeCaseSpec extends SparkTestBase {
       ("m", "n1", 900L, 2.0))).count() == 0)
   }
 
+  test("operator persists register with Caches and release on demand") {
+    Caches.release() // start from a clean registry
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h i"))
+    val out = Curation.passageDupStats(d, 2).persist()
+    out.count()
+    assert(Caches.trackedCount > 0,
+      "passageDupStats must track its persisted chunk frame")
+    Caches.release()
+    assert(Caches.trackedCount == 0)
+    // the operator's intermediate is gone; the caller's own persist
+    // (out) is untouched — release is scoped to graft-created caches
+    assert(out.storageLevel.useMemory)
+    out.unpersist()
+  }
+
+  test("null array elements, sub-window payloads, and empty-eval sketches") {
+    // sorted_intersect_count is in the SQL registry, so arbitrary
+    // arrays reach it: null elements never match and never NPE
+    // (sort_array places nulls first — the merge skips them)
+    val reg = spark.sessionState.functionRegistry
+    val (id, inf, builder) = graft.plans.GraftExtensions.sortedIntersectDescriptor
+    reg.registerFunction(id, inf, builder)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(sort_array(array(NULL, 'a', 'b')),
+        |         sort_array(array('b', NULL, 'c'))) AS c""".stripMargin).head()
+    assert(r.getLong(0) == 1L)
+    // payloads too short for a 4-byte shingle must not collapse to one
+    // hash-0 profile and pair with each other at hamming 0
+    assert(Multimodal.phashPairs(
+      docs((1L, "a"), (2L, "z"), (3L, "ab"), (4L, "pq"))).count() == 0)
+    // an eval set with no ≥ w-word doc yields a NULL bloom sketch; the
+    // stream gate and the batch bloom path both answer "clean" instead
+    // of failing analysis on lit(null)
+    val evalShort = docs((97L, "too short"))
+    val sk = graft.streaming.CurationStream.evalSketch(evalShort, w = 8)
+    assert(sk == null)
+    val gated = graft.streaming.CurationStream.gate(
+      docs((1L, "one two three four five six seven eight nine")), sk, w = 8)
+    assert(gated.count() == 1 &&
+      gated.filter(col("maybe_contaminated") === 1).count() == 0)
+    assert(Curation.decontaminateBloom(
+      docs((1L, "one two three four five six seven eight nine")),
+      evalShort, w = 8).count() == 0)
+  }
+
   test("exact PCA and the LSH sweep survive empty and single-vector corpora") {
     val empty = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")

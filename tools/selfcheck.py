@@ -18,7 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_verify():
     cmd = ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUTDIR}']
-    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    env = dict(os.environ)
+    if ONLY:
+        # focused runs dump only the named queries (stale siblings from a
+        # previous full dump are compared as-is — pass a fresh OUTDIR if
+        # that matters)
+        env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(ONLY)
+    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1800)
     for line in (r.stdout + r.stderr).splitlines():
         if "[verify]" in line:
             print(line)
