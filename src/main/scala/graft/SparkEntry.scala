@@ -383,6 +383,130 @@ object SparkEntry {
       |   FROM dense36 d LEFT JOIN grid36 g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb) j),
       |g2 AS (SELECT name, node, tsb // 3600 AS i, tsb // 86400 * 86400 AS b, gval FROM ff36)""".stripMargin
 
+  /** Rosner-ESD replay (mirrors Stats.esdOutliersQ): expects a CTE
+    * `qp(name, node, idx, q)` — the ×1e6-quantized per-signal series in
+    * time order — and yields `oix(name, node, idx)`, the flagged
+    * indices. The iteration is the exact-integer formulation the Scala
+    * kernel runs (integer argmax of |q·m − S| with first-index
+    * tie-break, HUGEINT moment S2 = m²Σq² − mS², fixed IEEE sequence
+    * for R); the critical value λ comes from an INDEPENDENT
+    * implementation — closed-form integer-ν Student-t CDF
+    * (A&S 26.7.3/4, lgamma-based coefficient products) under the same
+    * 200-step bisection — and agrees with Stats.tQuantile's
+    * Lentz-continued-fraction route to ~1e-12, which the 4-dp verdict
+    * quantization absorbs on both sides.
+    */
+  private val SQL_ESD_CTES =
+    """eser AS MATERIALIZED (SELECT name, node, count(*) AS n,
+      |  least(greatest(CAST(ceil(count(*) * 0.05) AS BIGINT), 1), count(*) - 2) AS k,
+      |  list(q ORDER BY idx) AS qs,
+      |  CAST(sum(q) AS BIGINT) AS s0,
+      |  sum(CAST(q AS HUGEINT) * q) AS q20
+      | FROM qp GROUP BY 1, 2),
+      |ems AS (SELECT DISTINCT n - unnest(range(0, k)) AS m FROM eser WHERE k >= 1),
+      |emp AS (SELECT m, 1.0 - 0.05 / (2 * m) AS p, m - 2 AS nu FROM ems WHERE m >= 3),
+      |ebis AS (
+      |  SELECT m, p, nu, 0 AS it, -1e6 AS lo, 1e6 AS hi FROM emp
+      |  UNION ALL
+      |  SELECT m, p, nu, it + 1,
+      |    CASE WHEN cdf < p THEN mid ELSE lo END,
+      |    CASE WHEN cdf < p THEN hi ELSE mid END
+      |  FROM (
+      |    SELECT m, p, nu, it, lo, hi, mid,
+      |      CASE WHEN nu % 2 = 0 THEN
+      |        0.5 + 0.5 * (mid / sqrt(nu + mid*mid)) * coalesce(list_sum(
+      |          list_transform(range(0, nu // 2), j ->
+      |            exp(lgamma(2*j + 1.0) - 2*lgamma(j + 1.0) - j*ln(4.0))
+      |              * power(nu / (nu + mid*mid), j))), 0.0)
+      |      ELSE
+      |        0.5 + (1.0/pi()) * (atan(mid / sqrt(CAST(nu AS DOUBLE)))
+      |          + (mid / sqrt(nu + mid*mid)) * sqrt(nu / (nu + mid*mid))
+      |            * coalesce(list_sum(list_transform(range(0, (nu - 1) // 2), j ->
+      |                exp(2*lgamma(j + 1.0) + j*ln(4.0) - lgamma(2*j + 2.0))
+      |                  * power(nu / (nu + mid*mid), j))), 0.0))
+      |      END AS cdf
+      |    FROM (SELECT *, 0.5*(lo + hi) AS mid FROM ebis)
+      |  ) WHERE it < 200
+      |),
+      |elam AS MATERIALIZED (SELECT m,
+      |  CAST(floor(((m - 1) * 0.5*(lo + hi)
+      |    / sqrt((nu + 0.5*(lo + hi)*0.5*(lo + hi)) * m) + 1e-9) * 1e4 + 0.5) AS BIGINT) AS lam4
+      | FROM ebis WHERE it = 200),
+      |esdr AS (
+      |  SELECT name, node, n, k, qs, CAST(0 AS BIGINT) AS i,
+      |    s0 AS s, q20 AS q2,
+      |    CAST([] AS BIGINT[]) AS removed, CAST([] AS INT[]) AS flags
+      |  FROM eser WHERE k >= 1
+      |  UNION ALL
+      |  SELECT x.name, x.node, x.n, x.k, x.qs, x.i + 1,
+      |    x.s - x.qs[CAST(-x.bst.nix AS INT)],
+      |    x.q2 - CAST(x.qs[CAST(-x.bst.nix AS INT)] AS HUGEINT) * x.qs[CAST(-x.bst.nix AS INT)],
+      |    list_append(x.removed, -x.bst.nix),
+      |    list_append(x.flags, CASE WHEN x.s2 = 0 THEN 0
+      |      WHEN CAST(floor((CAST(x.bst.d AS DOUBLE) * sqrt(CAST(x.m - 1 AS DOUBLE))
+      |          / sqrt(CAST(x.s2 AS DOUBLE)) + 1e-9) * 1e4 + 0.5) AS BIGINT) > l.lam4
+      |        THEN 1 ELSE 0 END)
+      |  FROM (
+      |    SELECT e.*, e.n - e.i AS m,
+      |      list_aggregate(list_transform(range(1, CAST(e.n AS INT) + 1), j ->
+      |        struct_pack(d := CASE WHEN list_contains(e.removed, j) THEN -1
+      |                        ELSE abs(e.qs[CAST(j AS INT)] * (e.n - e.i) - e.s) END,
+      |                    nix := -j)), 'max') AS bst,
+      |      CAST(e.n - e.i AS HUGEINT) * (e.n - e.i) * e.q2
+      |        - CAST(e.n - e.i AS HUGEINT) * e.s * e.s AS s2
+      |    FROM esdr e WHERE e.i < e.k
+      |  ) x
+      |  JOIN elam l ON l.m = x.m
+      |),
+      |efin AS (SELECT name, node, removed, flags FROM esdr WHERE i = k),
+      |enout AS (SELECT name, node, removed,
+      |  coalesce(list_max(list_transform(range(1, len(flags) + 1),
+      |    r -> CASE WHEN flags[CAST(r AS INT)] = 1 THEN r ELSE 0 END)), 0) AS no
+      | FROM efin),
+      |oix AS (SELECT name, node, unnest(removed[1:CAST(no AS INT)]) AS idx
+      | FROM enout WHERE no > 0)""".stripMargin
+
+  /** Reference decomposition replay over `ff36` (mirrors
+    * ChangePoints.seasonalNoise): centered 5-median trend, then the
+    * ideal lowpass as a CIRCULAR CONVOLUTION with the Dirichlet kernel
+    * K(d) = (1 + 2Σ_{k≤c} cos(2πkd/m))/m over the last-value-padded
+    * power-of-two window — mathematically identical to the engine's
+    * FFT→zero-bins→inverse-FFT (Dsp.lowpass), with float noise ~1e-12
+    * that the 4-dp rounding guard absorbs. Yields `dcr(name, node,
+    * tsb, idx, raw, trend, seasonal, noise)` with noise already 4-dp.
+    */
+  private val SQL_LOWPASS_DECOMP =
+    """dtr AS (SELECT name, node, tsb, gval,
+      |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+      |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+      |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
+      | FROM ff36),
+      |dser AS MATERIALIZED (SELECT name, node, count(*) AS n,
+      |  list(gval - trend ORDER BY idx) AS detr
+      | FROM dtr GROUP BY 1, 2),
+      |dpad AS (SELECT name, node, n, m,
+      |  list_concat(detr, list_transform(range(0, m - n), z -> detr[CAST(n AS INT)])) AS xp,
+      |  CAST(m // 24 AS BIGINT) AS c
+      | FROM (SELECT name, node, n,
+      |   CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m,
+      |   detr FROM dser)),
+      |dkern AS MATERIALIZED (SELECT m, d,
+      |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
+      |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
+      | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
+      |dxr AS MATERIALIZED (SELECT name, node, m, unnest(range(0, CAST(m AS INT))) AS j,
+      |  unnest(xp) AS xv FROM dpad),
+      |dir AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
+      |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
+      | FROM dir i
+      | JOIN dxr x ON x.name = i.name AND x.node = i.node
+      | JOIN dkern k ON k.m = x.m AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
+      | GROUP BY 1, 2, 3),
+      |dcr AS (SELECT t.name, t.node, t.tsb, t.idx, t.gval AS raw,
+      |  t.trend, s.seasonal,
+      |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
+      | FROM dtr t JOIN dsx s ON s.name = t.name AND s.node = t.node AND s.idx = t.idx)""".stripMargin
+
   /** Exact-integer-moment NCC cells (mirrors Correlate.nccLag: quantize
     * gval to ×1e4 HUGEINT, exact order-independent sums, fixed IEEE
     * Pearson sequence). `cr` = rounded r per (obj, cand, bucket, lag).
@@ -2366,7 +2490,15 @@ object SparkEntry {
         .select(col("name"), col("node"), col("tsb"),
           r4(col("gval")).as("gval"), col("trend"), col("seasonal"), col("noise"))
         .orderBy("name", "node", "tsb")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |$SQL_LOWPASS_DECOMP
+         |SELECT name, node, tsb,
+         |  floor((raw + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         |  floor((trend + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
+         |  floor((seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS seasonal,
+         |  noise
+         |FROM dcr ORDER BY name, node, tsb""".stripMargin)),
 
     Q("ad_anomaly_union", (s, dir) => {
       ChangePoints.anomalyUnion(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
@@ -4692,7 +4824,16 @@ object SparkEntry {
 
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
-      None),
+    Some(
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |qp AS MATERIALIZED (SELECT name, node, tsb, gval,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
+         | FROM grid),
+         |$SQL_ESD_CTES
+         |SELECT q.name, q.node, q.tsb, q.gval
+         |FROM oix o JOIN qp q ON q.name = o.name AND q.node = o.node AND q.idx = o.idx
+         |ORDER BY q.name, q.node, q.tsb""".stripMargin)),
 
     Q("ad_seasonal_esd", (s, dir) =>
       // S-H-ESD (Twitter AnomalyDetection): the t-calibrated ESD test
@@ -4700,7 +4841,17 @@ object SparkEntry {
       ChangePoints.seasonalEsd(corrGrid(s, dir)
           .select("name", "node", "tsb", "gval"))
         .orderBy("name", "node", "tsb"),
-      None),
+    Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |$SQL_LOWPASS_DECOMP,
+         |qp AS MATERIALIZED (SELECT name, node, tsb, raw, noise,
+         |  CAST(floor(noise * 1e6 + 0.5) AS BIGINT) AS q, idx FROM dcr),
+         |$SQL_ESD_CTES
+         |SELECT q.name, q.node, q.tsb,
+         |  floor((q.raw + 1e-9) * 1e4 + 0.5) / 1e4 AS gval,
+         |  q.noise AS resid
+         |FROM oix o JOIN qp q ON q.name = o.name AND q.node = o.node AND q.idx = o.idx
+         |ORDER BY q.name, q.node, q.tsb""".stripMargin)),
 
     Q("corr_partial", (s, dir) =>
       Correlate.partialCorr(corrGrid(s, dir), "error", "click")
