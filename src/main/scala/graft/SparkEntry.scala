@@ -46,7 +46,7 @@ object SparkEntry {
     TimeSeries.gridOnePass(
       TimeSeries.signalsFromEvents(Tables.events(s, dir), nodeMod = 4), 3600L)
 
-  /** Oracle-SQL prefix replaying Multimodal.fakeDecode's byte fold in
+  /** Oracle-SQL prefix replaying MediaDecoder.Stub.decode's byte fold in
     * HUGEINT mod-2⁶⁴ over `src` (must select doc_id, text; the corpus
     * is ASCII so character = byte). Yields CTE `meta(doc_id, byte_len,
     * format, width, height, checksum)`.
@@ -259,7 +259,7 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Oracle-SQL prefix replaying Multimodal.fakePhash over `src`
+  /** Oracle-SQL prefix replaying MediaDecoder.Stub.phash over `src`
     * (doc_id, text; ASCII corpus → character = byte): 4-byte shingle
     * class histogram → ×1000/n fixed-point → mean threshold → 64-bit
     * pack. All small-integer arithmetic, so the replay is exact.
@@ -2480,10 +2480,46 @@ object SparkEntry {
          |JOIN pts p ON p.name = c.name AND p.node = c.node AND p.idx = c.cp
          |ORDER BY c.name, c.node, cp_tsb""".stripMargin)),
 
+    // Converted from rows-only (r5): the oracle replays the periodogram
+    // as a DIRECT DFT over the mean-removed zero-padded window —
+    // mathematically identical to the engine's radix-2 FFT
+    // (Dsp.dominantPeriod), float noise ~1e-12 absorbed by the 4-dp
+    // guard (the ad_lowpass_seasonal Dirichlet-kernel move). The
+    // argmax bin and the strength ratio are verified at both gate
+    // scales; first-max tie-break via the (power, −k) struct max.
     Q("ts_period_detect", (s, dir) => {
       ChangePoints.periodDetect(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .orderBy("name", "node")
-    }, None),
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM ff36 GROUP BY 1, 2),
+         |pmean AS (SELECT name, node, n, xs,
+         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         | FROM pser WHERE n >= 8),
+         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
+         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
+         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
+         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
+         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
+         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
+         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
+         | GROUP BY 1, 2, 3, 4, 5),
+         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
+         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
+         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
+         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
+         |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
+         |    s -> s IS NOT NULL), 'max') AS bst
+         | FROM ppow GROUP BY 1, 2, 3, 4)
+         |SELECT name, node,
+         | floor((CAST(m AS DOUBLE) / (-bst.nk) * 3600.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS period_sec,
+         | floor((bst.v / total + 1e-9) * 1e4 + 0.5) / 1e4 AS strength,
+         | CAST(n AS BIGINT) AS n
+         |FROM pfin WHERE total > 0 AND bst IS NOT NULL
+         |ORDER BY name, node""".stripMargin)),
 
     Q("ad_lowpass_seasonal", (s, dir) => {
       ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
@@ -2509,29 +2545,80 @@ object SparkEntry {
       graft.report.AdvisorReport.advise(Tables.events(s, dir))
     }, None),
 
+    // Converted from rows-only (r5): Spark's approx_count_distinct is
+    // HLL++ with engine-internal bias tables — unreplayable by design.
+    // Sketches.hllDistinct keeps the sketch properties that matter at
+    // scale (512 mergeable integer registers, map-side partial max, one
+    // fixed-size exchange) but pins the estimate to public arithmetic
+    // (md5-low64, exact-integer register sum, one IEEE division), so
+    // the oracle replays registers AND estimate bit-for-bit.
     Q("sketch_approx_distinct", (s, dir) => {
-      // HLL++ sketch path for cardinality at scale (exact distinct of a
-      // high-cardinality key would shuffle every value; the sketch is
-      // mergeable map-side state). rows-only: sketch estimates are
-      // engine-specific by design.
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+      val ev = Tables.events(s, dir)
+      Sketches.hllDistinct(ev, "event_type", "user_id")
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users")), "event_type")
         .orderBy("event_type")
-    }, None),
+    }, Some(
+      s"""WITH hh AS (SELECT event_type,
+         |  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16) AS UBIGINT) AS HUGEINT) AS hu
+         | FROM events),
+         |hb AS (SELECT event_type, hu // 36028797018963968 AS bucket,
+         |  CAST(hu % 36028797018963968 AS BIGINT) AS w FROM hh),
+         |hr AS (SELECT event_type, bucket,
+         |  max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS r
+         | FROM hb GROUP BY 1, 2),
+         |ht AS (SELECT event_type, count(*) AS nb,
+         |  sum(CAST(1 AS HUGEINT) << CAST(56 - r AS INT)) AS s_occ
+         | FROM hr GROUP BY 1),
+         |hf AS (SELECT event_type, 512 - nb AS v,
+         |  CAST(s_occ + CAST(512 - nb AS HUGEINT) * (CAST(1 AS HUGEINT) << 56) AS DOUBLE) AS s_full
+         | FROM ht),
+         |hx AS (SELECT event_type, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw FROM hf),
+         |hest AS (SELECT event_type,
+         |  CAST(CASE WHEN e_raw <= 1.28e3 AND v > 0
+         |    THEN floor(5.12e2 * ln(5.12e2 / CAST(v AS DOUBLE)) + 5e-1)
+         |    ELSE floor(e_raw + 5e-1) END AS BIGINT) AS hll_users
+         | FROM hx),
+         |hexact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         | FROM events GROUP BY 1)
+         |SELECT e.event_type, hll_users, exact_users
+         |FROM hest e JOIN hexact x ON x.event_type = e.event_type
+         |ORDER BY e.event_type""".stripMargin)),
 
-    Q("sketch_approx_quantiles", (s, dir) => {
-      // percentile_approx = the mergeable quantile sketch; exact
-      // percentile kept alongside to expose the error envelope
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          r4(expr("percentile_approx(value, 0.5, 1000)")).as("p50_sketch"),
-          r4(expr("percentile(value, 0.5)")).as("p50_exact"))
-        .orderBy("event_type")
-    }, None),
+    // Converted from rows-only (r5): percentile_approx's KLL compaction
+    // order is engine-internal. The KMV bottom-k sample sketch is
+    // mergeable (union, re-take k smallest md5 ranks), deterministic,
+    // and its median — like the exact median beside it — is computed
+    // with portable rank arithmetic, so both columns hash-verify.
+    Q("sketch_approx_quantiles", (s, dir) =>
+      Sketches.kmvMedian(Tables.events(s, dir), "event_type", "event_id", "value")
+        .orderBy("event_type"),
+    Some(
+      """WITH rk AS (SELECT event_type, event_id AS rid, CAST(value AS DOUBLE) AS v,
+        |  CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 17, 16) AS UBIGINT) AS HUGEINT) AS hu
+        | FROM events),
+        |rs AS (SELECT event_type, rid, v,
+        |  CAST(hu - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS hk
+        | FROM rk),
+        |samp AS (SELECT event_type, rid, v FROM (
+        |  SELECT event_type, rid, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hk, rid) AS rn
+        |  FROM rs) WHERE rn <= 1024),
+        |smed AS (SELECT event_type, (min(v) + max(v)) / 2e0 AS p50_sketch FROM (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, rid) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM samp) WHERE vr = (n + 1) // 2 OR vr = n // 2 + 1 GROUP BY 1),
+        |emed AS (SELECT event_type, (min(v) + max(v)) / 2e0 AS p50_exact FROM (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, rid) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM rs) WHERE vr = (n + 1) // 2 OR vr = n // 2 + 1 GROUP BY 1)
+        |SELECT s.event_type,
+        | floor((p50_sketch + 1e-9) * 1e4 + 0.5) / 1e4 AS p50_sketch,
+        | floor((p50_exact + 1e-9) * 1e4 + 0.5) / 1e4 AS p50_exact
+        |FROM smed s JOIN emed e ON e.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin)),
 
     Q("sketch_bloom_semi", (s, dir) => {
       // bloom-prefiltered semi-join — the runtime-filter pattern at the
@@ -4385,9 +4472,134 @@ object SparkEntry {
          |  floor((dist + 1e-9) * 1e4 + 0.5) / 1e4 AS dtw, CAST(n AS INTEGER) AS n
          |FROM fin ORDER BY obj_name, cand_name, node""".stripMargin)),
 
+    // Converted from rows-only (r5): the regression runs on ×1e4
+    // integers (Granger.rssQ — exact Long moments, fixed-pivot IEEE
+    // elimination, t-ordered residual fold), so the oracle replays the
+    // whole nested-model F-test: normal equations as HUGEINT sums, the
+    // 5-step Gaussian elimination as a recursive CTE over the matrix
+    // list, back-substitution, and the same residual fold. The p-value
+    // is the INDEPENDENT route (closed-form F(2, d) survival
+    // (1 + 2F/d)^(−d/2) vs the engine's Lentz continued fraction —
+    // the ESD two-route pattern); they agree to ~1e-13 and the 4-dp
+    // guard absorbs it.
     Q("corr_granger", (s, dir) =>
       Correlate.grangerF(corrGrid(s, dir), ObjSignals)
-        .orderBy("obj_name", "cand_name", "node"), None),
+        .orderBy("obj_name", "cand_name", "node"),
+    Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |gq AS (SELECT name, node, tsb,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS BIGINT) AS q FROM ff36),
+         |ser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(q ORDER BY tsb) AS ql
+         | FROM gq GROUP BY 1, 2),
+         |prs AS MATERIALIZED (
+         | SELECT o.name AS obj_name, c.name AS cand_name, o.node AS node,
+         |   o.n AS n, o.ql AS yl, c.ql AS xl
+         | FROM ser o JOIN ser c ON c.node = o.node AND o.n = c.n
+         | WHERE o.name IN ('click', 'error') AND c.name NOT IN ('click', 'error')),
+         |obs AS (SELECT obj_name, cand_name, node, n, at1,
+         |  yl[CAST(at1 AS INT)] AS y0, yl[CAST(at1 - 1 AS INT)] AS y1, yl[CAST(at1 - 2 AS INT)] AS y2,
+         |  xl[CAST(at1 - 1 AS INT)] AS x1, xl[CAST(at1 - 2 AS INT)] AS x2
+         | FROM prs, LATERAL (SELECT unnest(range(3, n + 1)) AS at1) t),
+         |models(m, k) AS (VALUES ('r', 3), ('u', 5)),
+         |ij AS (SELECT m, k, i.i AS i, j.j AS j FROM models,
+         |  LATERAL (SELECT unnest(range(0, k)) AS i) i,
+         |  LATERAL (SELECT unnest(range(0, k)) AS j) j),
+         |ent AS (SELECT o.obj_name, o.cand_name, o.node, ij.m, ij.k, ij.i, ij.j,
+         |  sum(CAST(CASE ij.i WHEN 0 THEN 1 WHEN 1 THEN o.y1 WHEN 2 THEN o.y2 WHEN 3 THEN o.x1 ELSE o.x2 END AS HUGEINT)
+         |    * CASE ij.j WHEN 0 THEN 1 WHEN 1 THEN o.y1 WHEN 2 THEN o.y2 WHEN 3 THEN o.x1 ELSE o.x2 END) AS s,
+         |  sum(CAST(CASE ij.i WHEN 0 THEN 1 WHEN 1 THEN o.y1 WHEN 2 THEN o.y2 WHEN 3 THEN o.x1 ELSE o.x2 END AS HUGEINT)
+         |    * CASE WHEN ij.j = 0 THEN o.y0 ELSE 0 END) AS cpart
+         | FROM obs o CROSS JOIN ij GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         |mats AS MATERIALIZED (SELECT obj_name, cand_name, node, m, k,
+         |  list(CAST(s AS DOUBLE) ORDER BY i * k + j) AS A,
+         |  list(CASE WHEN j = 0 THEN CAST(cpart AS DOUBLE) ELSE NULL END
+         |       ORDER BY i * k + j) AS craw
+         | FROM ent GROUP BY 1, 2, 3, 4, 5),
+         |m0 AS (SELECT obj_name, cand_name, node, m, k, A,
+         |  list_filter(craw, v -> v IS NOT NULL) AS C FROM mats),
+         |elim AS (
+         |  SELECT obj_name, cand_name, node, m, k, A, C, 0 AS col, FALSE AS sing
+         |  FROM m0
+         |  UNION ALL
+         |  SELECT obj_name, cand_name, node, m, k,
+         |    list_transform(range(0, k * k), t ->
+         |      CASE WHEN t // k <= col OR t % k < col THEN sw[CAST(t AS INT) + 1]
+         |      ELSE sw[CAST(t AS INT) + 1]
+         |        - (sw[CAST((t // k) * k + col AS INT) + 1] / sw[CAST(col * k + col AS INT) + 1])
+         |          * sw[CAST(col * k + (t % k) AS INT) + 1] END) AS A,
+         |    list_transform(range(0, k), r ->
+         |      CASE WHEN r <= col THEN sc[CAST(r AS INT) + 1]
+         |      ELSE sc[CAST(r AS INT) + 1]
+         |        - (sw[CAST(r * k + col AS INT) + 1] / sw[CAST(col * k + col AS INT) + 1])
+         |          * sc[CAST(col AS INT) + 1] END) AS C,
+         |    col + 1, sing OR best < 1e-10
+         |  FROM (
+         |    SELECT e.*, e.bst.v AS best,
+         |      list_transform(range(0, e.k * e.k), t ->
+         |        CASE WHEN t // e.k = e.col THEN e.A[CAST((-e.bst.nr) * e.k + t % e.k AS INT) + 1]
+         |             WHEN t // e.k = -e.bst.nr THEN e.A[CAST(e.col * e.k + t % e.k AS INT) + 1]
+         |             ELSE e.A[CAST(t AS INT) + 1] END) AS sw,
+         |      list_transform(range(0, e.k), r ->
+         |        CASE WHEN r = e.col THEN e.C[CAST(-e.bst.nr AS INT) + 1]
+         |             WHEN r = -e.bst.nr THEN e.C[CAST(e.col AS INT) + 1]
+         |             ELSE e.C[CAST(r AS INT) + 1] END) AS sc
+         |    FROM (
+         |      SELECT el.*, list_aggregate(list_transform(range(el.col, el.k), r ->
+         |          struct_pack(v := abs(el.A[CAST(r * el.k + el.col AS INT) + 1]), nr := -r)), 'max') AS bst
+         |      FROM elim el WHERE el.col < el.k AND NOT el.sing) e
+         |  ) x
+         |),
+         |efin AS (SELECT obj_name, cand_name, node, m, k, A, C, sing
+         | FROM elim WHERE col = k),
+         |bsub AS (
+         |  SELECT obj_name, cand_name, node, m, k, A, C, k AS i, CAST([] AS DOUBLE[]) AS bb
+         |  FROM efin WHERE NOT sing
+         |  UNION ALL
+         |  SELECT obj_name, cand_name, node, m, k, A, C, i - 1,
+         |    list_prepend(
+         |      list_reduce(
+         |        list_prepend(C[CAST(i AS INT)],
+         |          list_transform(range(i, k), j -> A[CAST((i - 1) * k + j AS INT) + 1] * bb[CAST(j - i + 1 AS INT)])),
+         |        (a, x) -> a - x)
+         |      / A[CAST((i - 1) * k + (i - 1) AS INT) + 1], bb) AS bb
+         |  FROM bsub WHERE i > 0
+         |),
+         |bfin AS (SELECT obj_name, cand_name, node, m, k, bb AS b FROM bsub WHERE i = 0),
+         |rssq AS (SELECT f.obj_name, f.cand_name, f.node, f.m,
+         |  list_reduce(list_transform(range(3, p.n + 1), at1 ->
+         |    (CAST(p.yl[CAST(at1 AS INT)] AS DOUBLE) -
+         |      (CASE WHEN f.m = 'r'
+         |        THEN (f.b[1] * 1e0 + f.b[2] * CAST(p.yl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[3] * CAST(p.yl[CAST(at1 - 2 AS INT)] AS DOUBLE)
+         |        ELSE (((f.b[1] * 1e0 + f.b[2] * CAST(p.yl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[3] * CAST(p.yl[CAST(at1 - 2 AS INT)] AS DOUBLE))
+         |             + f.b[4] * CAST(p.xl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[5] * CAST(p.xl[CAST(at1 - 2 AS INT)] AS DOUBLE) END))
+         |    * (CAST(p.yl[CAST(at1 AS INT)] AS DOUBLE) -
+         |      (CASE WHEN f.m = 'r'
+         |        THEN (f.b[1] * 1e0 + f.b[2] * CAST(p.yl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[3] * CAST(p.yl[CAST(at1 - 2 AS INT)] AS DOUBLE)
+         |        ELSE (((f.b[1] * 1e0 + f.b[2] * CAST(p.yl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[3] * CAST(p.yl[CAST(at1 - 2 AS INT)] AS DOUBLE))
+         |             + f.b[4] * CAST(p.xl[CAST(at1 - 1 AS INT)] AS DOUBLE))
+         |             + f.b[5] * CAST(p.xl[CAST(at1 - 2 AS INT)] AS DOUBLE) END))),
+         |    (a, x) -> a + x) AS rss,
+         |  p.n - 2 AS n_eff
+         | FROM bfin f JOIN prs p ON p.obj_name = f.obj_name AND p.cand_name = f.cand_name AND p.node = f.node),
+         |fstat AS (SELECT r.obj_name, r.cand_name, r.node, r.n_eff,
+         |  r.rss AS rss_r, u.rss AS rss_u, r.n_eff - 5 AS df2
+         | FROM rssq r JOIN rssq u ON u.obj_name = r.obj_name AND u.cand_name = r.cand_name
+         |   AND u.node = r.node AND r.m = 'r' AND u.m = 'u'),
+         |ffg AS (SELECT obj_name, cand_name, node, n_eff, df2,
+         |  CASE WHEN rss_u <= 1e-12 * greatest(rss_r, 1e0) THEN 1e306
+         |       ELSE greatest(0e0, ((rss_r - rss_u) / 2e0) / (rss_u / CAST(df2 AS DOUBLE))) END AS f
+         | FROM fstat WHERE df2 >= 1)
+         |SELECT obj_name, cand_name, node,
+         | floor((least(f, 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS f_stat,
+         | floor((CASE WHEN f >= 1e300 THEN 0e0
+         |   ELSE exp((-CAST(df2 AS DOUBLE) / 2e0) * ln(1e0 + 2e0 * f / CAST(df2 AS DOUBLE))) END + 1e-9) * 1e4 + 0.5) / 1e4 AS p_value,
+         | CAST(n_eff AS INT) AS n_eff
+         |FROM ffg ORDER BY obj_name, cand_name, node""".stripMargin)),
 
     Q("ts_ols_trend", (s, dir) =>
       Trend.olsTrend(corrGrid(s, dir)).orderBy("name", "node"),

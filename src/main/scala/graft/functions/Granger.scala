@@ -64,14 +64,20 @@ object Granger {
   }
 
   /** OLS residual sum of squares of y ~ rows (each row one observation's
-    * regressor vector), via the normal equations — the design is tiny
-    * (k ≤ 2p+1), so XᵀX is k×k regardless of series length.
+    * QUANTIZED regressor vector), via the normal equations — the design
+    * is tiny (k ≤ 2p+1), so XᵀX is k×k regardless of series length.
+    *
+    * The moments accumulate as exact Longs (order-independent — at
+    * |q| ≤ 3e6 and n ≤ 1e5 the products stay far inside 2⁶³), so the
+    * only IEEE arithmetic is the correctly-rounded Long→Double casts,
+    * the fixed-pivot elimination, and the t-ordered residual fold — a
+    * sequence the DuckDB oracle replays op for op.
     */
-  private def rss(rows: Array[Array[Double]], y: Array[Double]): Option[Double] = {
+  private def rssQ(rows: Array[Array[Long]], y: Array[Long]): Option[Double] = {
     val n = rows.length
     val k = rows(0).length
-    val xtx = Array.fill(k)(new Array[Double](k))
-    val xty = new Array[Double](k)
+    val xtx = Array.fill(k)(new Array[Long](k))
+    val xty = new Array[Long](k)
     var t = 0
     while (t < n) {
       val row = rows(t)
@@ -84,15 +90,17 @@ object Granger {
       }
       t += 1
     }
-    solve(xtx, xty).map { b =>
+    val a = Array.tabulate(k, k)((i, j) => xtx(i)(j).toDouble)
+    val c = Array.tabulate(k)(i => xty(i).toDouble)
+    solve(a, c).map { b =>
       var acc = 0.0
       t = 0
       while (t < n) {
         val row = rows(t)
         var pred = 0.0
         var i = 0
-        while (i < k) { pred += b(i) * row(i); i += 1 }
-        val e = y(t) - pred
+        while (i < k) { pred += b(i) * row(i).toDouble; i += 1 }
+        val e = y(t).toDouble - pred
         acc += e * e
         t += 1
       }
@@ -110,21 +118,28 @@ object Granger {
     val nEff = n - p
     val df2 = nEff - (2 * p + 1)
     if (df2 < 1) return None
-    val target = new Array[Double](nEff)
-    val restr = new Array[Array[Double]](nEff)
-    val unrestr = new Array[Array[Double]](nEff)
+    // the regression runs on the ×1e4-quantized series (Num.qint
+    // semantics): F is scale-invariant and the ±5e-5 quantization is
+    // noise against any real signal, but the integer moments make the
+    // whole statistic engine-exact and oracle-replayable
+    val q4 = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5).toLong
+    val yq = y.map(q4)
+    val xq = x.map(q4)
+    val target = new Array[Long](nEff)
+    val restr = new Array[Array[Long]](nEff)
+    val unrestr = new Array[Array[Long]](nEff)
     var t = 0
     while (t < nEff) {
       val at = t + p
-      target(t) = y(at)
-      val r = new Array[Double](p + 1)
-      val u = new Array[Double](2 * p + 1)
-      r(0) = 1.0; u(0) = 1.0
+      target(t) = yq(at)
+      val r = new Array[Long](p + 1)
+      val u = new Array[Long](2 * p + 1)
+      r(0) = 1L; u(0) = 1L
       var l = 1
       while (l <= p) {
-        r(l) = y(at - l)
-        u(l) = y(at - l)
-        u(p + l) = x(at - l)
+        r(l) = yq(at - l)
+        u(l) = yq(at - l)
+        u(p + l) = xq(at - l)
         l += 1
       }
       restr(t) = r
@@ -132,8 +147,8 @@ object Granger {
       t += 1
     }
     for {
-      rssR <- rss(restr, target)
-      rssU <- rss(unrestr, target)
+      rssR <- rssQ(restr, target)
+      rssU <- rssQ(unrestr, target)
     } yield {
       // a perfect unrestricted fit (rssU ~ 0) means maximal evidence
       val f =

@@ -6,31 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in batch per partition.
   *
-  * The decode step is STUBBED (no image/audio codecs in this container):
-  * `fakeDecode` derives deterministic pseudo-metadata from the payload
-  * bytes. Everything around it — the binary schema, the mapPartitions
-  * batch shape (one decoder init per partition, streaming rows through
-  * it), the metadata struct, partition-count independence — is the real
-  * production plumbing a codec would drop into.
+  * The codec is the injectable [[MediaDecoder]] seam (default:
+  * [[MediaDecoder.Stub]] — no image/audio libraries in this container).
+  * Everything here — the binary schema, the mapPartitions batch shape
+  * (one decoder init per partition, streaming rows through it), the
+  * metadata struct, partition-count independence, the pigeonhole phash
+  * join — is the real production plumbing a codec drops into without
+  * touching the operators.
   */
 object Multimodal {
-
-  /** STUB decoder: a real implementation would hand `payload` to a codec;
-    * this derives stable fake dimensions from the bytes so the pipeline
-    * is testable end-to-end.
-    */
-  private def fakeDecode(payload: Array[Byte]): (String, Int, Int, Long) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val fmt = (math.floorMod(h, 3L): @unchecked) match {
-      case 0L => "png"
-      case 1L => "jpeg"
-      case 2L => "webp"
-    }
-    (fmt, 64 + math.floorMod(h >> 8, 1856L).toInt,
-      64 + math.floorMod(h >> 16, 1016L).toInt, h)
-  }
 
   /** Attach a binary payload column (here: utf-8 of text, standing in for
     * image bytes) and run the batch decode → metadata extraction.
@@ -40,23 +24,25 @@ object Multimodal {
     * the Dataset engine — Tungsten rows in, Tungsten rows out, so the
     * downstream mm_* aggregations keep whole-stage codegen.
     */
-  def decodeMeta(docs: DataFrame): DataFrame = {
+  def decodeMeta(docs: DataFrame,
+                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // one decoder init per partition in a real pipeline
+        decoder.decoderInit() // once per partition — native setup hook
         rows.map { case (id, payload) =>
-          val (fmt, wdt, hgt, sum) = fakeDecode(payload)
-          (id, payload.length.toLong, fmt, wdt, hgt, sum)
+          val m = decoder.decode(payload)
+          (id, payload.length.toLong, m.format, m.width, m.height, m.checksum)
         }
       }
       .toDF("doc_id", "byte_len", "format", "width", "height", "checksum")
   }
 
-  /** Frame sampling over "video" payloads (decode stubbed, like
-    * decodeMeta): each payload expands to its frame-index sequence and
+  /** Frame sampling over "video" payloads (decode behind the
+    * [[MediaDecoder]] seam, like decodeMeta): each payload expands to
+    * its frame-index sequence and
     * every `stride`-th frame is emitted with a per-frame digest — the
     * input row fans out to frames inside the same task, no shuffle, so
     * a 100 TB video corpus samples at scan speed. A real codec would
@@ -94,63 +80,6 @@ object Multimodal {
       needs.cast("int").as("resized"))
   }
 
-  /** STUB perceptual hash: a real implementation would decode the image,
-    * downscale to an 8×8 luma grid, and threshold each cell at the mean
-    * (aHash). Here the 64 "luma" cells are length-normalized frequencies
-    * of 64 hashed 4-byte-shingle classes of the payload — CONTENT-LOCAL
-    * the way downscaling is: a localized edit perturbs only the touched
-    * shingles' classes, so near-identical payloads land within small
-    * hamming distance (the property the pair join exists to exploit),
-    * while unrelated payloads sit ~half the profile apart. Everything
-    * downstream of the 64-cell grid — mean threshold, 64-bit pack,
-    * pigeonhole block join — is exactly what a codec-backed aHash runs.
-    */
-  private def fakePhash(payload: Array[Byte]): Long = {
-    val n = payload.length
-    // payloads too short to form a 4-byte shingle (or with a uniform
-    // profile) would all map to hash 0 and pair with each other at
-    // hamming 0 — fall back to a byte-level hash so degenerate docs
-    // don't form spurious near-dup clusters
-    if (n < 4) {
-      var h = 1125899906842597L
-      var k = 0
-      while (k < n) { h = h * 131 + (payload(k) & 0xff); k += 1 }
-      // splitmix-style finalizer: without it, near-identical shorts
-      // ("a" vs "z") differ only in a few low bits and sit within the
-      // hamming-3 pair radius by arithmetic accident
-      h ^= (h >>> 30); h *= -4658895280553007687L
-      h ^= (h >>> 27); h *= -7723592293110705685L
-      h ^= (h >>> 31)
-      return h | 1L // never 0, and distinct shorts stay decorrelated
-    }
-    val luma = new Array[Long](64)
-    var i = 3
-    while (i < n) {
-      var h = ((payload(i - 3) & 0xff) * 131 + (payload(i - 2) & 0xff)) * 131 +
-        (payload(i - 1) & 0xff)
-      h = h * 131 + (payload(i) & 0xff)
-      luma((h ^ (h >>> 7)) & 63) += 1
-      i += 1
-    }
-    // ×1000 fixed-point density (per-length normalization) so payloads
-    // of different sizes threshold on comparable scales
-    var c = 0
-    var sum = 0L
-    while (c < 64) {
-      luma(c) = luma(c) * 1000L / math.max(1, n)
-      sum += luma(c)
-      c += 1
-    }
-    val mean = sum / 64
-    var bits = 0L
-    c = 0
-    while (c < 64) {
-      if (luma(c) > mean) bits |= (1L << c)
-      c += 1
-    }
-    bits
-  }
-
   /** Perceptual-hash near-duplicate pairs over the media corpus — the
     * multimodal leg of dedup: decode → 64-bit aHash in the same
     * per-partition batch pass as [[decodeMeta]], then pair by the
@@ -160,13 +89,17 @@ object Multimodal {
     * `bit_count(xor)`. The only shuffle is the block-bucket join;
     * all-pairs never materializes.
     */
-  def phashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def phashPairs(docs: DataFrame, maxDist: Int = 3,
+                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) => (id, fakePhash(p)) })
+      .mapPartitions { it =>
+        decoder.decoderInit()
+        it.map { case (id, p) => (id, decoder.phash(p)) }
+      }
       .toDF("doc_id", "phash")
     val blocks = hashed.select(col("doc_id"), col("phash"),
       explode(expr(
