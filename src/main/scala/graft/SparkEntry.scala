@@ -537,6 +537,103 @@ object SparkEntry {
 
   private val ObjSignals = Seq("click", "error")
 
+  // ---- e-divisive oracle builder (ad_edivisive, ad_anomaly_union) ----
+  // The one kernel the r4 verdict called inexpressible: the engine now
+  // runs on ×1e4 integers with md5-keyed SORT-ORDER permutations
+  // (EDivisive.permuted — a sort by precomputed keys is SQL; a
+  // Fisher-Yates walk is not), so the whole hierarchical permutation
+  // test replays as one recursive CTE. Exact-integer distance sums via
+  // nested list lambdas; let-bindings via the single-element
+  // list_transform idiom so dl/dr/total are computed once per segment.
+
+  /** `list_transform([bind], v -> body)[1]` — a SQL let-binding. */
+  private def sqlLet(bind: String, v: String, body: String): String =
+    s"list_transform([$bind], $v -> $body)[1]"
+
+  /** Max-Q struct (v, nt := −t) of the engine's bestSplitQ over a
+    * 1-based BIGINT list expr; NULL when the segment is shorter than
+    * 2·minSize (= the engine's (−1, 0.0) leaf). Names suffixed 0 to
+    * dodge lambda-param collisions when nested under the perm loop.
+    */
+  private def sqlEdivMaxQ(xs: String): String = {
+    val dl = s"list_transform(range(1, len($xs) + 1), b -> " +
+      s"CAST(coalesce(list_sum(list_transform($xs[1:CAST(b - 1 AS INT)], " +
+      s"a -> abs(a - $xs[CAST(b AS INT)]))), 0) AS BIGINT))"
+    val dr = s"list_transform(range(1, len($xs) + 1), b -> " +
+      s"CAST(coalesce(list_sum(list_transform($xs[CAST(b + 1 AS INT):CAST(len($xs) AS INT)], " +
+      s"a -> abs(a - $xs[CAST(b AS INT)]))), 0) AS BIGINT))"
+    val lr = "struct_pack(l := CAST(coalesce(list_sum(dl0[1:CAST(t AS INT)]), 0) AS BIGINT), " +
+      "r := tot0 - CAST(coalesce(list_sum(dr0[1:CAST(t AS INT)]), 0) AS BIGINT))"
+    // engine op order: q = (m·k/(m+k))·(t1 − t2 − t3), doubles from exact ints
+    val q = "(CAST(t AS DOUBLE) * CAST(ns0 - t AS DOUBLE) / (CAST(t AS DOUBLE) + CAST(ns0 - t AS DOUBLE))) * (" +
+      "CAST(tot0 - lr0.l - lr0.r AS DOUBLE) * (2e0 / (CAST(t AS DOUBLE) * CAST(ns0 - t AS DOUBLE)))" +
+      " - CAST(lr0.l AS DOUBLE) * (2e0 / (CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) - 1e0)))" +
+      " - CAST(lr0.r AS DOUBLE) * (2e0 / (CAST(ns0 - t AS DOUBLE) * (CAST(ns0 - t AS DOUBLE) - 1e0))))"
+    val tlam = sqlLet(lr, "lr0", s"struct_pack(v := $q, nt := -t)")
+    var body = s"list_aggregate(list_transform(range(5, ns0 - 5 + 1), t -> $tlam), 'max')"
+    body = sqlLet("CAST(coalesce(list_sum(dr0), 0) AS BIGINT)", "tot0", body)
+    body = sqlLet(dr, "dr0", body)
+    body = sqlLet(dl, "dl0", body)
+    sqlLet(s"len($xs)", "ns0", body)
+  }
+
+  /** The recursive segmentation + final cp rows over `ff36`, on the
+    * column `srcCol` CTE `esrc(name, node, tsb, med)` the caller
+    * prepends (median-filtered series). Yields the full query text
+    * from `eqs` on; 19 permutations (the smallest count admitting
+    * p ≤ 0.05 — significance ⟺ no permutation reaches q0).
+    */
+  private def sqlEdivBody(perms: Int): String = {
+    val permList = "list_transform(list_sort(list_transform(range(1, len(xs0) + 1), si -> " +
+      "struct_pack(kk := k.kls[CAST(pp + 1 AS INT)][CAST(s.lo + si AS INT)], si := si, " +
+      "vv := xs0[CAST(si AS INT)]))), st -> st.vv)"
+    val qps = s"list_transform(range(0, $perms), pp -> " +
+      sqlLet(permList, "pxs0", sqlEdivMaxQ("pxs0") + ".v") + ")"
+    val res = sqlLet("e.qs[CAST(s.lo + 1 AS INT):CAST(s.hi AS INT)]", "xs0",
+      sqlLet(sqlEdivMaxQ("xs0"), "bst0",
+        "struct_pack(bst := bst0, sig := CASE WHEN bst0 IS NULL THEN FALSE ELSE " +
+          s"(CAST(len(list_filter($qps, qq -> qq >= bst0.v)) + 1 AS DOUBLE) / CAST(${perms + 1} AS DOUBLE)) <= 5e-2 END)"))
+    s"""eqs AS MATERIALIZED (SELECT name, node, count(*) AS n,
+       |  list(CAST(floor((med + 1e-9) * 1e4 + 0.5) AS BIGINT) ORDER BY tsb) AS qs,
+       |  list(tsb ORDER BY tsb) AS tsbs
+       | FROM esrc GROUP BY 1, 2),
+       |ekey AS MATERIALIZED (SELECT name, node, p, list(
+       |    CAST(hu - CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+       |    ORDER BY i) AS kl
+       | FROM (SELECT e.name, e.node, pp.p, ii.i,
+       |    CAST(CAST('0x' || substr(md5(e.name || '|' || e.node || '|' || CAST(pp.p AS VARCHAR) || '|' || CAST(ii.i AS VARCHAR)), 17, 16) AS UBIGINT) AS HUGEINT) AS hu
+       |   FROM eqs e, LATERAL (SELECT unnest(range(0, $perms)) AS p) pp,
+       |        LATERAL (SELECT unnest(range(0, e.n)) AS i) ii)
+       | GROUP BY 1, 2, 3),
+       |ekl AS MATERIALIZED (SELECT name, node, list(kl ORDER BY p) AS kls FROM ekey GROUP BY 1, 2),
+       |eseg AS (
+       |  SELECT name, node, CAST(0 AS BIGINT) AS lo, n AS hi, 'todo' AS kind,
+       |    CAST(0 AS BIGINT) AS tau, 0e0 AS q
+       |  FROM eqs
+       |  UNION ALL
+       |  SELECT g.name, g.node, u.r.lo, u.r.hi, u.r.kind, u.r.tau, u.r.q
+       |  FROM (
+       |    SELECT s.name, s.node, s.lo, s.hi, $res AS res
+       |    FROM (SELECT * FROM eseg WHERE kind = 'todo') s
+       |    JOIN eqs e ON e.name = s.name AND e.node = s.node
+       |    JOIN ekl k ON k.name = s.name AND k.node = s.node
+       |  ) g,
+       |  LATERAL unnest(list_filter([
+       |    struct_pack(kind := 'cp', lo := g.lo, hi := g.hi,
+       |      tau := g.lo + (-g.res.bst.nt), q := g.res.bst.v),
+       |    struct_pack(kind := 'todo', lo := g.lo, hi := g.lo + (-g.res.bst.nt),
+       |      tau := CAST(0 AS BIGINT), q := 0e0),
+       |    struct_pack(kind := 'todo', lo := g.lo + (-g.res.bst.nt), hi := g.hi,
+       |      tau := CAST(0 AS BIGINT), q := 0e0)
+       |  ], rr -> g.res.bst IS NOT NULL AND g.res.sig)) u(r)
+       |),
+       |ecp AS (SELECT c.name, c.node, q.tsbs[CAST(c.tau AS INT) + 1] AS cp_tsb,
+       |  c.tau AS cp_idx,
+       |  floor((c.q / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS qhat
+       | FROM eseg c JOIN eqs q ON q.name = c.name AND q.node = c.node
+       | WHERE c.kind = 'cp')""".stripMargin
+  }
+
   /** Flagship: the advisor's correlation ranking on sf0.001 (driver
     * smoke-checks rows > 0).
     */
@@ -2383,13 +2480,28 @@ object SparkEntry {
          |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
+    // Converted from rows-only (r5) — the last kernel family the r4
+    // verdict listed as SQL-inexpressible. Gate config: 19 permutations
+    // (the smallest count admitting p ≤ 0.05, so significance ⟺ no
+    // permutation reaches the observed Q — the operator default stays
+    // 100) and an unbound maxPoints (the recursion exhausts at minSize
+    // naturally; with the cap unhit, the engine's DFS and the oracle's
+    // BFS accept identical sets). medianW=5: the reference detects on
+    // moving_median(data, 5) (metrics_advisor.py:147-148), never the
+    // raw series.
     Q("ad_edivisive", (s, dir) => {
-      // medianW=5: the reference detects on moving_median(data, 5)
-      // (metrics_advisor.py:147-148), never the raw series
       ChangePoints.eDivisive(corrGrid(s, dir).select("name", "node", "tsb", "gval"),
-          medianW = 5)
+          permutations = 19, medianW = 5, maxPoints = Int.MaxValue)
         .orderBy("name", "node", "cp_tsb")
-    }, None),
+    }, Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |esrc AS (SELECT name, node, tsb,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+         | FROM ff36),
+         |${sqlEdivBody(19)}
+         |SELECT name, node, cp_tsb, qhat FROM ecp
+         |ORDER BY name, node, cp_tsb""".stripMargin)),
 
     // Converted from rows-only (r4-late): the DP runs on 1e4-quantized
     // values, so costs are fixed IEEE sequences over exact integer
@@ -2536,10 +2648,99 @@ object SparkEntry {
          |  noise
          |FROM dcr ORDER BY name, node, tsb""".stripMargin)),
 
+    // Converted from rows-only (r5): the full reference anomaly set —
+    // decomposition with the MEASURED lowpass cutoff (DFT replay of
+    // dominantPeriod + Dirichlet-kernel convolution per (m, c)),
+    // k-sigma on the 4-dp noise with sequential-fold mean/sd, and the
+    // e-divisive changepoint branch on the trend reusing the exact
+    // ad_edivisive machinery (the trend IS the medianW=5 series, so
+    // one detector replay serves both queries). Gate config mirrors
+    // ad_edivisive: 19 permutations, unbound maxPoints.
     Q("ad_anomaly_union", (s, dir) => {
-      ChangePoints.anomalyUnion(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+      ChangePoints.anomalyUnion(corrGrid(s, dir).select("name", "node", "tsb", "gval"),
+          permutations = 19, maxPoints = Int.MaxValue)
         .orderBy("name", "node", "tsb", "kind")
-    }, None),
+    }, Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |dtr AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
+         | FROM ff36),
+         |rser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM ff36 GROUP BY 1, 2),
+         |rmean AS (SELECT name, node, n, xs,
+         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         | FROM rser WHERE n >= 8),
+         |rcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
+         | FROM rmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+         |rkk AS (SELECT name, node, n, m, k.k AS k FROM rmean,
+         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
+         |rdft AS (SELECT rkk.name, rkk.node, rkk.n, rkk.m, rkk.k,
+         |  sum(c.c * cos(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS re,
+         |  sum(c.c * sin(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS im
+         | FROM rkk JOIN rcells c ON c.name = rkk.name AND c.node = rkk.node
+         | GROUP BY 1, 2, 3, 4, 5),
+         |rpow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM rdft),
+         |rfin AS (SELECT name, node, n, m, sum(p) AS total,
+         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
+         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
+         |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
+         |    s -> s IS NOT NULL), 'max') AS bst
+         | FROM rpow GROUP BY 1, 2, 3, 4),
+         |ccut AS (SELECT d.name, d.node, d.n, d.m,
+         |  CASE WHEN r.bst IS NOT NULL AND r.total > 0 AND r.bst.v / r.total >= 0.2
+         |    THEN greatest(0, CAST(trunc(((1.25 / ((CAST(d.m AS DOUBLE) / (-r.bst.nk)) * 3600.0)) * 3600.0) * d.m) AS BIGINT))
+         |    ELSE greatest(0, CAST(trunc(((1e0 / 86400e0) * 3600e0) * d.m) AS BIGINT)) END AS c
+         | FROM (SELECT name, node, count(*) AS n,
+         |    CAST(power(2, ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |   FROM ff36 GROUP BY 1, 2) d
+         | LEFT JOIN rfin r ON r.name = d.name AND r.node = d.node),
+         |dser AS MATERIALIZED (SELECT name, node, count(*) AS n,
+         |  list(gval - trend ORDER BY idx) AS detr
+         | FROM dtr GROUP BY 1, 2),
+         |dpad AS (SELECT s.name, s.node, s.n, u.m,
+         |  list_concat(s.detr, list_transform(range(0, u.m - s.n), z -> s.detr[CAST(s.n AS INT)])) AS xp,
+         |  u.c
+         | FROM dser s JOIN ccut u ON u.name = s.name AND u.node = s.node),
+         |dkern AS MATERIALIZED (SELECT m, c, d,
+         |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
+         |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
+         | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
+         |dxr AS MATERIALIZED (SELECT name, node, m, c, unnest(range(0, CAST(m AS INT))) AS j,
+         |  unnest(xp) AS xv FROM dpad),
+         |dir2 AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
+         |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
+         | FROM dir2 i
+         | JOIN dxr x ON x.name = i.name AND x.node = i.node
+         | JOIN dkern k ON k.m = x.m AND k.c = x.c AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
+         | GROUP BY 1, 2, 3),
+         |dcr AS (SELECT t.name, t.node, t.tsb, t.idx,
+         |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
+         | FROM dtr t JOIN dsx s ON s.name = t.name AND s.node = t.node AND s.idx = t.idx),
+         |nser AS (SELECT name, node, count(*) AS n, list(noise ORDER BY idx) AS nl,
+         |  list(tsb ORDER BY idx) AS ntsb
+         | FROM dcr GROUP BY 1, 2),
+         |nstat AS (SELECT name, node, n, nl, ntsb,
+         |  list_reduce(nl, (a, b) -> a + b) / n AS mu
+         | FROM nser),
+         |nsig AS (SELECT name, node, n, nl, ntsb, mu,
+         |  CASE WHEN n > 1 THEN sqrt(list_reduce(list_transform(nl, v -> (v - mu) * (v - mu)),
+         |    (a, x) -> a + x) / (n - 1)) ELSE 0.0 END AS sigma
+         | FROM nstat),
+         |outl AS (SELECT name, node, ntsb[CAST(i.i AS INT)] AS tsb
+         | FROM nsig, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i
+         | WHERE sigma > 0
+         |   AND floor((abs((nl[CAST(i.i AS INT)] - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3e0),
+         |esrc AS (SELECT name, node, tsb, trend AS med FROM dtr),
+         |${sqlEdivBody(19)},
+         |uni AS (
+         |  SELECT name, node, tsb, 'outlier' AS kind FROM outl
+         |  UNION ALL
+         |  SELECT name, node, cp_tsb AS tsb, 'changepoint' AS kind FROM ecp)
+         |SELECT name, node, tsb, kind, (tsb // 86400) * 86400 AS b
+         |FROM uni ORDER BY name, node, tsb, kind""".stripMargin)),
 
     Q("advisor_report", (s, dir) => {
       graft.report.AdvisorReport.advise(Tables.events(s, dir))

@@ -33,6 +33,21 @@ object ChangePoints {
     }
   }
 
+  /** Per-signal permutation sort keys for the e-divisive test:
+    * keys(p)(i) = signed low-64 md5 of "name|node|p|i" — the house
+    * hash, position-local, so the DuckDB oracle regenerates the exact
+    * same permutation draw with its own md5 (EDivisive.permuted
+    * explains why sort-order permutations replaced Fisher-Yates).
+    */
+  private[graft] def permKeys(name: String, node: String,
+                              permutations: Int, n: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(permutations, n) { (p, i) =>
+      val d = md.digest(s"$name|$node|$p|$i".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 8, 8).getLong
+    }
+  }
+
   /** E-divisive change points per signal. Defaults mirror the reference
     * call site: pvalue=0.05, permutations=100 (metrics_advisor.py:148);
     * the early-exit in EDivisive keeps 100 permutations cheap (most
@@ -41,10 +56,17 @@ object ChangePoints {
     * median of that window — the reference always detects on
     * `moving_median(data, 5)` (metrics_advisor.py:147-148), so single-
     * sample spikes never register as distributional change.
+    *
+    * The test runs on the ×1e4-quantized filtered series with
+    * md5-derived sort-order permutations ([[permKeys]]) — engine-exact
+    * Long distance sums, every permutation replayable — so the whole
+    * hierarchical test is SQL-oracle-verifiable (the last kernel the r4
+    * verdict listed as inexpressible).
     * Output: name, node, cp_tsb (grid time of the change), qhat.
     */
   def eDivisive(grid: DataFrame, pvalue: Double = 0.05, permutations: Int = 100,
-                minSize: Int = 5, medianW: Int = 0): DataFrame = {
+                minSize: Int = 5, medianW: Int = 0,
+                maxPoints: Int = 64): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
@@ -55,9 +77,11 @@ object ChangePoints {
         val pts = it.toArray.sortBy(_._3)
         val raw = pts.map(_._4)
         val series = if (medianW > 0) movingMedian(raw, medianW) else raw
-        EDivisive.changePoints(series, pvalue, permutations, minSize,
-            seed = name.hashCode.toLong * 1000003L + node.hashCode)
-          .map(cp => (name, node, pts(cp.index)._3, r4d(cp.qhat)))
+        val q = series.map(v => math.floor((v + 1e-9) * 1e4 + 0.5).toLong)
+        EDivisive.changePointsKeyed(q,
+            permKeys(name, node, permutations, q.length),
+            pvalue, minSize, maxPoints)
+          .map(cp => (name, node, pts(cp.index)._3, r4d(cp.qhat / 1e4)))
       }
       .toDF("name", "node", "cp_tsb", "qhat")
   }
@@ -268,7 +292,8 @@ object ChangePoints {
                    bucket: Long = 86400L, stepSec: Double = 3600.0,
                    fMin: Double = 1.0 / 86400.0, w: Int = 5,
                    pvalue: Double = 0.05, permutations: Int = 100,
-                   minSize: Int = 5, autoFmin: Boolean = true): DataFrame = {
+                   minSize: Int = 5, autoFmin: Boolean = true,
+                   maxPoints: Int = 64): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
@@ -294,8 +319,14 @@ object ChangePoints {
             i += 1
           }
         }
-        EDivisive.changePoints(trend, pvalue, permutations, minSize,
-            seed = name.hashCode.toLong * 1000003L + node.hashCode)
+        // same quantize + md5-key draw as [[eDivisive]] (and the trend
+        // IS the medianW=5 filtered series), so the changepoint branch
+        // here is bit-identical to ad_edivisive's rows — one detector,
+        // two compositions, one oracle replay
+        val tq = trend.map(v => math.floor((v + 1e-9) * 1e4 + 0.5).toLong)
+        EDivisive.changePointsKeyed(tq,
+            permKeys(name, node, permutations, tq.length), pvalue, minSize,
+            maxPoints)
           .foreach(cp => out += ((name, node, pts(cp.index)._3, "changepoint")))
         out.result()
       }
