@@ -511,9 +511,9 @@ object SparkEntry {
     * gval to ×1e4 HUGEINT, exact order-independent sums, fixed IEEE
     * Pearson sequence). `cr` = rounded r per (obj, cand, bucket, lag).
     */
-  private val SQL_NCC_CR =
-    """mx AS (SELECT name, node, b, i, gval,
-      |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+  private def SQL_NCC_CR_FROM(src: String): String =
+    s"""mx AS (SELECT name, node, b, i, gval,
+      |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM $src),
       |mq AS (SELECT name, node, b, i,
       |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
       |    AS HUGEINT) AS qv FROM mx),
@@ -534,6 +534,8 @@ object SparkEntry {
       |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
       |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
       | FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0)""".stripMargin
+
+  private val SQL_NCC_CR = SQL_NCC_CR_FROM("g2")
 
   private val ObjSignals = Seq("click", "error")
 
@@ -633,6 +635,90 @@ object SparkEntry {
        | FROM eseg c JOIN eqs q ON q.name = c.name AND q.node = c.node
        | WHERE c.kind = 'cp')""".stripMargin
   }
+
+  /** The full anomaly-union CTE chain over a grid CTE `src(name,
+    * node, tsb, gval)`: median-5 trend (dtr), measured lowpass cutoff
+    * (DFT replay of Dsp.dominantPeriod gating a per-(m,c) Dirichlet
+    * kernel), 4-dp noise (dcr), k-sigma outliers (outl), and the
+    * e-divisive changepoint branch on the trend (esrc -> ecp via
+    * [[sqlEdivBody]]). Shared by ad_anomaly_union (src = ff36) and
+    * advisor_report (src = the gated objective slice).
+    */
+  private def sqlUnionAnomalies(src: String, perms: Int): String =
+    s"""|dtr AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
+         | FROM $src),
+         |rser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM $src GROUP BY 1, 2),
+         |rmean AS (SELECT name, node, n, xs,
+         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         | FROM rser WHERE n >= 8),
+         |rcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
+         | FROM rmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+         |rkk AS (SELECT name, node, n, m, k.k AS k FROM rmean,
+         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
+         |rdft AS (SELECT rkk.name, rkk.node, rkk.n, rkk.m, rkk.k,
+         |  sum(c.c * cos(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS re,
+         |  sum(c.c * sin(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS im
+         | FROM rkk JOIN rcells c ON c.name = rkk.name AND c.node = rkk.node
+         | GROUP BY 1, 2, 3, 4, 5),
+         |rpow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM rdft),
+         |rfin AS (SELECT name, node, n, m, sum(p) AS total,
+         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
+         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
+         |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
+         |    s -> s IS NOT NULL), 'max') AS bst
+         | FROM rpow GROUP BY 1, 2, 3, 4),
+         |ccut AS (SELECT d.name, d.node, d.n, d.m,
+         |  CASE WHEN r.bst IS NOT NULL AND r.total > 0 AND r.bst.v / r.total >= 0.2
+         |    THEN greatest(0, CAST(trunc(((1.25 / ((CAST(d.m AS DOUBLE) / (-r.bst.nk)) * 3600.0)) * 3600.0) * d.m) AS BIGINT))
+         |    ELSE greatest(0, CAST(trunc(((1e0 / 86400e0) * 3600e0) * d.m) AS BIGINT)) END AS c
+         | FROM (SELECT name, node, count(*) AS n,
+         |    CAST(power(2, ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |   FROM $src GROUP BY 1, 2) d
+         | LEFT JOIN rfin r ON r.name = d.name AND r.node = d.node),
+         |dser AS MATERIALIZED (SELECT name, node, count(*) AS n,
+         |  list(gval - trend ORDER BY idx) AS detr
+         | FROM dtr GROUP BY 1, 2),
+         |dpad AS (SELECT s.name, s.node, s.n, u.m,
+         |  list_concat(s.detr, list_transform(range(0, u.m - s.n), z -> s.detr[CAST(s.n AS INT)])) AS xp,
+         |  u.c
+         | FROM dser s JOIN ccut u ON u.name = s.name AND u.node = s.node),
+         |dkern AS MATERIALIZED (SELECT m, c, d,
+         |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
+         |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
+         | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
+         |dxr AS MATERIALIZED (SELECT name, node, m, c, unnest(range(0, CAST(m AS INT))) AS j,
+         |  unnest(xp) AS xv FROM dpad),
+         |dir2 AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
+         |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
+         | FROM dir2 i
+         | JOIN dxr x ON x.name = i.name AND x.node = i.node
+         | JOIN dkern k ON k.m = x.m AND k.c = x.c AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
+         | GROUP BY 1, 2, 3),
+         |dcr AS (SELECT t.name, t.node, t.tsb, t.idx,
+         |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
+         | FROM dtr t JOIN dsx s ON s.name = t.name AND s.node = t.node AND s.idx = t.idx),
+         |nser AS (SELECT name, node, count(*) AS n, list(noise ORDER BY idx) AS nl,
+         |  list(tsb ORDER BY idx) AS ntsb
+         | FROM dcr GROUP BY 1, 2),
+         |nstat AS (SELECT name, node, n, nl, ntsb,
+         |  list_reduce(nl, (a, b) -> a + b) / n AS mu
+         | FROM nser),
+         |nsig AS (SELECT name, node, n, nl, ntsb, mu,
+         |  CASE WHEN n > 1 THEN sqrt(list_reduce(list_transform(nl, v -> (v - mu) * (v - mu)),
+         |    (a, x) -> a + x) / (n - 1)) ELSE 0.0 END AS sigma
+         | FROM nstat),
+         |outl AS (SELECT name, node, ntsb[CAST(i.i AS INT)] AS tsb
+         | FROM nsig, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i
+         | WHERE sigma > 0
+         |   AND floor((abs((nl[CAST(i.i AS INT)] - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3e0),
+         |esrc AS (SELECT name, node, tsb, trend AS med FROM dtr),
+         |${sqlEdivBody(perms)}""".stripMargin
+
 
   /** Flagship: the advisor's correlation ranking on sf0.001 (driver
     * smoke-checks rows > 0).
@@ -2662,79 +2748,7 @@ object SparkEntry {
         .orderBy("name", "node", "tsb", "kind")
     }, Some(
       s"""WITH RECURSIVE $SQL_CORR_CTES,
-         |dtr AS (SELECT name, node, tsb, gval,
-         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
-         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
-         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
-         | FROM ff36),
-         |rser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
-         | FROM ff36 GROUP BY 1, 2),
-         |rmean AS (SELECT name, node, n, xs,
-         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
-         | FROM rser WHERE n >= 8),
-         |rcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
-         | FROM rmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
-         |rkk AS (SELECT name, node, n, m, k.k AS k FROM rmean,
-         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
-         |rdft AS (SELECT rkk.name, rkk.node, rkk.n, rkk.m, rkk.k,
-         |  sum(c.c * cos(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS re,
-         |  sum(c.c * sin(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS im
-         | FROM rkk JOIN rcells c ON c.name = rkk.name AND c.node = rkk.node
-         | GROUP BY 1, 2, 3, 4, 5),
-         |rpow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM rdft),
-         |rfin AS (SELECT name, node, n, m, sum(p) AS total,
-         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
-         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
-         |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
-         |    s -> s IS NOT NULL), 'max') AS bst
-         | FROM rpow GROUP BY 1, 2, 3, 4),
-         |ccut AS (SELECT d.name, d.node, d.n, d.m,
-         |  CASE WHEN r.bst IS NOT NULL AND r.total > 0 AND r.bst.v / r.total >= 0.2
-         |    THEN greatest(0, CAST(trunc(((1.25 / ((CAST(d.m AS DOUBLE) / (-r.bst.nk)) * 3600.0)) * 3600.0) * d.m) AS BIGINT))
-         |    ELSE greatest(0, CAST(trunc(((1e0 / 86400e0) * 3600e0) * d.m) AS BIGINT)) END AS c
-         | FROM (SELECT name, node, count(*) AS n,
-         |    CAST(power(2, ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
-         |   FROM ff36 GROUP BY 1, 2) d
-         | LEFT JOIN rfin r ON r.name = d.name AND r.node = d.node),
-         |dser AS MATERIALIZED (SELECT name, node, count(*) AS n,
-         |  list(gval - trend ORDER BY idx) AS detr
-         | FROM dtr GROUP BY 1, 2),
-         |dpad AS (SELECT s.name, s.node, s.n, u.m,
-         |  list_concat(s.detr, list_transform(range(0, u.m - s.n), z -> s.detr[CAST(s.n AS INT)])) AS xp,
-         |  u.c
-         | FROM dser s JOIN ccut u ON u.name = s.name AND u.node = s.node),
-         |dkern AS MATERIALIZED (SELECT m, c, d,
-         |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
-         |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
-         | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
-         |dxr AS MATERIALIZED (SELECT name, node, m, c, unnest(range(0, CAST(m AS INT))) AS j,
-         |  unnest(xp) AS xv FROM dpad),
-         |dir2 AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
-         |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
-         | FROM dir2 i
-         | JOIN dxr x ON x.name = i.name AND x.node = i.node
-         | JOIN dkern k ON k.m = x.m AND k.c = x.c AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
-         | GROUP BY 1, 2, 3),
-         |dcr AS (SELECT t.name, t.node, t.tsb, t.idx,
-         |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
-         | FROM dtr t JOIN dsx s ON s.name = t.name AND s.node = t.node AND s.idx = t.idx),
-         |nser AS (SELECT name, node, count(*) AS n, list(noise ORDER BY idx) AS nl,
-         |  list(tsb ORDER BY idx) AS ntsb
-         | FROM dcr GROUP BY 1, 2),
-         |nstat AS (SELECT name, node, n, nl, ntsb,
-         |  list_reduce(nl, (a, b) -> a + b) / n AS mu
-         | FROM nser),
-         |nsig AS (SELECT name, node, n, nl, ntsb, mu,
-         |  CASE WHEN n > 1 THEN sqrt(list_reduce(list_transform(nl, v -> (v - mu) * (v - mu)),
-         |    (a, x) -> a + x) / (n - 1)) ELSE 0.0 END AS sigma
-         | FROM nstat),
-         |outl AS (SELECT name, node, ntsb[CAST(i.i AS INT)] AS tsb
-         | FROM nsig, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i
-         | WHERE sigma > 0
-         |   AND floor((abs((nl[CAST(i.i AS INT)] - mu) / sigma) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3e0),
-         |esrc AS (SELECT name, node, tsb, trend AS med FROM dtr),
-         |${sqlEdivBody(19)},
+         |${sqlUnionAnomalies("ff36", 19)},
          |uni AS (
          |  SELECT name, node, tsb, 'outlier' AS kind FROM outl
          |  UNION ALL
@@ -2742,9 +2756,46 @@ object SparkEntry {
          |SELECT name, node, tsb, kind, (tsb // 86400) * 86400 AS b
          |FROM uni ORDER BY name, node, tsb, kind""".stripMargin)),
 
+    // Converted from rows-only (r5): the LAST rows-only query. The
+    // whole composite replays — signal range gate, anomaly union on
+    // the gated objective slice (sqlUnionAnomalies over gff), bucket
+    // range gate, NCC cells over the gated grid, best-lag + top-k
+    // ranking, and the anomalous-bucket join. Gate config pins the
+    // detector knobs to the oracle-able (19, unbound) pair via Config;
+    // library defaults stay (100, 64).
     Q("advisor_report", (s, dir) => {
-      graft.report.AdvisorReport.advise(Tables.events(s, dir))
-    }, None),
+      graft.report.AdvisorReport.advise(Tables.events(s, dir),
+        graft.report.AdvisorReport.Config(permutations = 19, maxPoints = Int.MaxValue))
+    }, Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |gsig AS (SELECT name, node FROM g2 GROUP BY 1, 2
+         |  HAVING floor((max(gval) - min(gval) + 1e-9) * 1e4 + 0.5) / 1e4 > 5e-3),
+         |gff AS (SELECT f.name, f.node, f.tsb, f.gval
+         |  FROM ff36 f JOIN gsig g ON g.name = f.name AND g.node = f.node
+         |  WHERE f.name IN ('click', 'error')),
+         |${sqlUnionAnomalies("gff", 19)},
+         |aob AS (SELECT DISTINCT obj_name, obj_node, b FROM (
+         |   SELECT name AS obj_name, node AS obj_node, (tsb // 86400) * 86400 AS b FROM outl
+         |   UNION ALL
+         |   SELECT name, node, (cp_tsb // 86400) * 86400 FROM ecp)),
+         |g2g AS (SELECT g.name, g.node, g.b, g.i, g.gval FROM g2 g
+         |  JOIN gsig s2 ON s2.name = g.name AND s2.node = g.node),
+         |g2b AS (SELECT name, node, b, i, gval FROM (
+         |   SELECT g.*, floor((max(gval) OVER wb - min(gval) OVER wb + 1e-9) * 1e4 + 0.5) / 1e4 AS rng
+         |   FROM g2g g WINDOW wb AS (PARTITION BY name, node, b))
+         | WHERE rng > 5e-3),
+         |${SQL_NCC_CR_FROM("g2b")},
+         |best AS (SELECT *, row_number() OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node, b
+         |   ORDER BY abs(r) DESC, lag ASC) AS rn FROM cr),
+         |ranked AS (SELECT obj_name, obj_node, cand_name, cand_node, b, lag, n, r,
+         |   row_number() OVER (PARTITION BY obj_name, obj_node, b
+         |     ORDER BY abs(r) DESC, cand_name, cand_node) AS rank
+         | FROM best WHERE rn = 1)
+         |SELECT r2.obj_name, r2.obj_node, r2.b, r2.cand_name, r2.cand_node,
+         |  r2.lag, r2.n, r2.r, CAST(r2.rank AS INT) AS rank
+         |FROM ranked r2 JOIN aob a ON a.obj_name = r2.obj_name AND a.obj_node = r2.obj_node AND a.b = r2.b
+         |WHERE r2.rank <= 5
+         |ORDER BY r2.obj_name, r2.obj_node, r2.b, r2.rank""".stripMargin)),
 
     // Converted from rows-only (r5): Spark's approx_count_distinct is
     // HLL++ with engine-internal bias tables — unreplayable by design.

@@ -28,7 +28,12 @@ object AdvisorReport {
       bucketSec: Long = 86400L,
       nodeMod: Int = 4,
       topK: Int = 5,
-      minRange: Double = 0.005)
+      minRange: Double = 0.005,
+      // anomaly-detector knobs, threaded into ChangePoints.anomalyUnion;
+      // the gate's advisor_report query pins (19, unbound) so the whole
+      // composite replays in the DuckDB oracle — see SparkEntry
+      permutations: Int = 100,
+      maxPoints: Int = 64)
 
   /** Dense forward-filled grid from long signals (name, node, tsec,
     * value) — the shape every source module emits.
@@ -108,7 +113,8 @@ object AdvisorReport {
     // candidate population is |signals|, the objective set is O(1)).
     val anomalies = ChangePoints.anomalyUnion(
       grid.filter(col("name").isin(cfg.objNames: _*))
-        .select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec)
+        .select("name", "node", "tsb", "gval"), bucket = cfg.bucketSec,
+      permutations = cfg.permutations, maxPoints = cfg.maxPoints)
     val anomalousObjBuckets = anomalies
       .filter(col("name").isin(cfg.objNames: _*))
       .select(col("name").as("obj_name"), col("node").as("obj_node"), col("b"))
