@@ -368,6 +368,75 @@ object SparkEntry {
       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id " +
       "LIMIT 1000)")
 
+  /** Oracle for [[Anomaly.mahalanobis]], generated from the SAME index
+    * loops as the operator's driver-side Cholesky and per-cell forward
+    * substitution, so the two IEEE sequences cannot drift. Structure:
+    * the corr grid (ff36) → the proven zscore replay → complete-cell
+    * pivot → exact-integer moments → G = n·Σqqᵀ − ssᵀ (BIGINT) → the
+    * Cholesky entries as lateral aliases in canonical (i, j) order →
+    * per-cell y = n·q − s, forward substitution, d² = Σw²·(n−1)/n.
+    */
+  private def sqlMahalanobis(metrics: Seq[String], topN: Int): String = {
+    val k = metrics.length
+    val qcols = metrics.zipWithIndex.map { case (mname, i) =>
+      s"  max(CASE WHEN name = '$mname' THEN zq END) AS q$i" }.mkString(",\n")
+    val having = (0 until k).map(i => s"q$i IS NOT NULL").mkString(" AND ")
+    val moms = ((0 until k).map(i => s"  CAST(sum(q$i) AS BIGINT) AS s$i") ++
+      (for { i <- 0 until k; j <- 0 to i }
+        yield s"  CAST(sum(q$i * q$j) AS BIGINT) AS p$i$j")).mkString(",\n")
+    val gs = (for { i <- 0 until k; j <- 0 to i }
+      yield s"  CAST(n * p$i$j - s$i * s$j AS DOUBLE) AS g$i$j").mkString(",\n")
+    val ls = (for { i <- 0 until k; j <- 0 to i } yield {
+      val base = s"g$i$j" + (0 until j).map(t => s" - l$i$t * l$j$t").mkString
+      if (i == j) s"  sqrt($base) AS l$i$j" else s"  ($base) / l$j$j AS l$i$j"
+    }).mkString(",\n")
+    val ys = (0 until k).map(i =>
+      s"  CAST(n * q$i - s$i AS DOUBLE) AS y$i").mkString(",\n")
+    val ws = (0 until k).map { i =>
+      val base = s"y$i" + (0 until i).map(t => s" - l$i$t * w$t").mkString
+      s"  ($base) / l$i$i AS w$i"
+    }.mkString(",\n")
+    val q2 = (0 until k).map(i => s"w$i * w$i").mkString(" + ")
+    val zsel = metrics.zipWithIndex.map { case (mname, i) =>
+      s" q$i / 1e4 AS z_$mname" }.mkString(",")
+    s"""WITH $SQL_CORR_CTES,
+       |mxm AS (SELECT name, node, tsb, gval,
+       |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM ff36),
+       |qdm AS (SELECT name, node, tsb,
+       |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+       |    AS HUGEINT) AS d FROM mxm),
+       |stm AS (SELECT name, node, tsb, d,
+       |  CAST(count(*) OVER w AS DOUBLE) AS nd,
+       |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
+       |  CAST(sum(d * d) OVER w AS DOUBLE) AS s2
+       | FROM qdm WINDOW w AS (PARTITION BY name, node)),
+       |zz AS (SELECT name, node, tsb,
+       |  CAST(floor(((CAST(d AS DOUBLE) - s1 / nd)
+       |    / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))) + 1e-9) * 1e4 + 0.5)
+       |    AS BIGINT) AS zq
+       | FROM stm WHERE (nd * s2 - s1 * s1) > 0),
+       |pv AS (SELECT node, tsb,
+       |$qcols
+       | FROM zz GROUP BY 1, 2 HAVING $having),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |$moms
+       | FROM pv),
+       |gg AS (SELECT *,
+       |$gs
+       | FROM mom),
+       |ll AS (SELECT *,
+       |$ls
+       | FROM gg),
+       |sc AS (SELECT pv.node, pv.tsb, ${(0 until k).map(i => s"pv.q$i").mkString(", ")},
+       |$ys,
+       |$ws
+       | FROM pv CROSS JOIN ll)
+       |SELECT node, tsb,$zsel,
+       | floor((($q2) * CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9) * 1e4
+       |   + 0.5) / 1e4 AS d2
+       |FROM sc CROSS JOIN mom ORDER BY d2 DESC, node, tsb LIMIT $topN""".stripMargin
+  }
+
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
       | CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
@@ -3411,6 +3480,30 @@ object SparkEntry {
          | ELSE 0.0 END AS explained_var_ratio
          |FROM comps CROSS JOIN nn CROSS JOIN tr ORDER BY component""".stripMargin)),
 
+    Q("embed_pca_whiten", (s, dir) => {
+      Clustering.pcaWhiten(Tables.embeddings(s, dir), 4).orderBy("vec_id")
+    }, Some(
+      s"""WITH $SQL_PCA,
+         |pr AS (SELECT qc.vec_id,
+         |  CAST(sum((nn.n * qc.x - mv.m) * v0.qv) AS DOUBLE) AS cy0,
+         |  CAST(sum((nn.n * qc.x - mv.m) * v1.qv) AS DOUBLE) AS cy1,
+         |  CAST(sum((nn.n * qc.x - mv.m) * v2.qv) AS DOUBLE) AS cy2,
+         |  CAST(sum((nn.n * qc.x - mv.m) * v3.qv) AS DOUBLE) AS cy3
+         | FROM qc CROSS JOIN nn JOIN mv ON mv.j = qc.j
+         |   JOIN v0_12 v0 ON v0.j = qc.j JOIN v1_12 v1 ON v1.j = qc.j
+         |   JOIN v2_12 v2 ON v2.j = qc.j JOIN v3_12 v3 ON v3.j = qc.j
+         | GROUP BY qc.vec_id)
+         |SELECT vec_id,
+         | floor((cy0 / n / 1e12 / sqrt(CAST((SELECT lam FROM lam0) AS DOUBLE)
+         |   / (n * (n - 1.0)) / 1e12) + 1e-9) * 1e4 + 0.5) / 1e4 AS w0,
+         | floor((cy1 / n / 1e12 / sqrt(CAST((SELECT lam FROM lam1) AS DOUBLE)
+         |   / (n * (n - 1.0)) / 1e12) + 1e-9) * 1e4 + 0.5) / 1e4 AS w1,
+         | floor((cy2 / n / 1e12 / sqrt(CAST((SELECT lam FROM lam2) AS DOUBLE)
+         |   / (n * (n - 1.0)) / 1e12) + 1e-9) * 1e4 + 0.5) / 1e4 AS w2,
+         | floor((cy3 / n / 1e12 / sqrt(CAST((SELECT lam FROM lam3) AS DOUBLE)
+         |   / (n * (n - 1.0)) / 1e12) + 1e-9) * 1e4 + 0.5) / 1e4 AS w3
+         |FROM pr CROSS JOIN nn ORDER BY vec_id""".stripMargin)),
+
     Q("embed_dist_outliers", (s, dir) => {
       Clustering.distanceOutliers(Tables.embeddings(s, dir), 8, 20)
     }, Some(
@@ -3939,6 +4032,71 @@ object SparkEntry {
         |SELECT doc_id, source, n_passages, n_boiler,
         | floor((1.0 - CAST(n_boiler AS DOUBLE) / n_passages + 1e-9) * 1e4 + 0.5) / 1e4 AS clean_frac
         |FROM pd WHERE n_boiler >= 1 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_gopher_rules", (s, dir) =>
+      // the Gopher structural rule battery — one codegen scan, each
+      // flag comparing the 4-dp-rounded ratio so keep/drop replays
+      TextAnalysis.gopherRules(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |    l -> length(l) > 0) AS ln
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  floor((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(w)
+        |    + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+        |  floor((CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(w)
+        |    + 1e-9) * 1e4 + 0.5) / 1e4 AS symbol_ratio,
+        |  CASE WHEN len(ln) = 0 THEN 0.0 ELSE
+        |    floor((CAST(len(list_filter(ln, l -> substr(l, 1, 1) IN ('-', '*', '•')))
+        |      AS DOUBLE) / len(ln) + 1e-9) * 1e4 + 0.5) / 1e4 END AS bullet_frac,
+        |  CASE WHEN len(ln) = 0 THEN 0.0 ELSE
+        |    floor((CAST(len(list_filter(ln, l -> l LIKE '%...' OR l LIKE '%…'))
+        |      AS DOUBLE) / len(ln) + 1e-9) * 1e4 + 0.5) / 1e4 END AS ellipsis_frac,
+        |  floor((CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |    AS DOUBLE) / len(w) + 1e-9) * 1e4 + 0.5) / 1e4 AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['the','and','is','of','to','in','that','it','for','on'])) AS BIGINT) AS stop_hits
+        | FROM t),
+        |f AS (SELECT *,
+        |  CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS ok_words,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS ok_mean_len,
+        |  CAST(symbol_ratio <= 0.1 AS INT) AS ok_symbol,
+        |  CAST(bullet_frac <= 0.9 AS INT) AS ok_bullet,
+        |  CAST(ellipsis_frac <= 0.3 AS INT) AS ok_ellipsis,
+        |  CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha,
+        |  CAST(stop_hits >= 2 AS INT) AS ok_stop
+        | FROM m)
+        |SELECT *, CAST(ok_words + ok_mean_len + ok_symbol + ok_bullet + ok_ellipsis
+        |  + ok_alpha + ok_stop = 7 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    Q("text_dup_lines", (s, dir) =>
+      // corpus-wide duplicated-line boilerplate: line digests shuffle,
+      // raw lines die in-task (see TextAnalysis.dupLines)
+      TextAnalysis.dupLines(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH l0 AS (SELECT doc_id,
+        |  unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    x -> length(x) > 0)) AS line
+        | FROM documents),
+        |h AS (SELECT doc_id, md5(line) AS h, CAST(length(line) AS BIGINT) AS lc FROM l0),
+        |cnt AS (SELECT h, count(*) AS c FROM h GROUP BY h),
+        |pd AS (SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST(sum(lc) AS BIGINT) AS line_chars,
+        |  CAST(sum(CASE WHEN c > 1 THEN lc ELSE 0 END) AS BIGINT) AS dup_chars
+        | FROM h JOIN cnt USING (h) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(n_lines, 0) AS n_lines,
+        | COALESCE(n_dup_lines, 0) AS n_dup_lines,
+        | floor((COALESCE(CAST(n_dup_lines AS DOUBLE) / n_lines, 0.0) + 1e-9) * 1e4
+        |   + 0.5) / 1e4 AS dup_line_frac,
+        | floor((COALESCE(CAST(dup_chars AS DOUBLE) / line_chars, 0.0) + 1e-9) * 1e4
+        |   + 0.5) / 1e4 AS dup_char_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
@@ -5063,6 +5221,38 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_semdedup", (s, dir) => {
+      // SemDeDup: k-means-partitioned semantic dedup with the
+      // farthest-from-centroid keep policy (Clustering.semDedup) —
+      // the whole composition (Lloyd, in-cluster pairs, components,
+      // survivor window) replays below on the unrolled Lloyd CTE
+      Clustering.semDedup(Tables.embeddings(s, dir), k = 8, threshold = 0.3)
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE $SQL_LLOYD,
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |av AS (SELECT af.vec_id, af.cluster, af.dist, n.v, n.nrm
+         | FROM af JOIN n USING (vec_id)),
+         |pr AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2
+         | FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         | WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+         |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM pr
+         |  UNION ALL SELECT doc2, doc1 FROM pr),
+         |comp AS (SELECT vec_id AS doc_id, vec_id AS lab FROM embeddings
+         |  UNION
+         |  SELECT ed.b AS doc_id, c.lab FROM comp c JOIN edges ed ON ed.a = c.doc_id),
+         |grp AS (SELECT doc_id AS vec_id, min(lab) AS group_id FROM comp GROUP BY doc_id)
+         |SELECT vec_id, cluster, group_id, n_group, keep FROM (
+         | SELECT g.vec_id, av.cluster, g.group_id,
+         |  count(*) OVER (PARTITION BY g.group_id) AS n_group,
+         |  CAST(row_number() OVER (PARTITION BY g.group_id
+         |    ORDER BY av.dist DESC, g.vec_id ASC) = 1 AS INT) AS keep
+         | FROM grp g JOIN av USING (vec_id))
+         |ORDER BY vec_id""".stripMargin)),
+
     Q("q26_conversion_rate", (s, dir) => {
       // daily conversion funnel: of the users whose first view fell on
       // day d, how many clicked / purchased within 24 h of that view —
@@ -5285,6 +5475,78 @@ object SparkEntry {
          | ks_flag, mad_flag, iqr_flag, ks_flag + mad_flag + iqr_flag AS votes
          |FROM fl WHERE ks_flag + mad_flag + iqr_flag >= 1
          |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ad_mahalanobis", (s, dir) =>
+      // cross-metric anomaly: top-50 (node, hour) cells by Mahalanobis
+      // distance of the 5-metric z-vector (Anomaly.mahalanobis) — the
+      // combination detector beside the per-metric k-sigma family
+      Anomaly.mahalanobis(corrGrid(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"), topN = 50),
+    Some(sqlMahalanobis(
+      Seq("click", "error", "purchase", "signup", "view"), 50))),
+
+    Q("ad_discord", (s, dir) =>
+      // matrix-profile discords: per signal, top-3 subsequences
+      // farthest from their nearest non-overlapping neighbor — exact
+      // integer distances, so the oracle replays the profile verbatim
+      Anomaly.discords(grid(s, dir), w = 8, k = 3)
+        .orderBy("name", "node", "i"),
+    Some(
+      s"""$WITH_GRID,
+         |qp AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS i
+         | FROM grid),
+         |cn AS (SELECT name, node, count(*) AS n FROM qp GROUP BY 1, 2),
+         |sub AS (SELECT name, node, i, tsb,
+         |  list(q) OVER (PARTITION BY name, node ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS v
+         | FROM qp),
+         |ss AS (SELECT sub.name, sub.node, sub.i, sub.tsb, v
+         | FROM sub JOIN cn USING (name, node)
+         | WHERE sub.i <= n - 8 AND n >= 16),
+         |pp AS (SELECT a.name, a.node, a.i, a.tsb,
+         |  min(list_sum(list_transform(range(1, 9),
+         |    t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])))) AS prof
+         | FROM ss a JOIN ss b ON a.name = b.name AND a.node = b.node
+         |   AND abs(a.i - b.i) >= 8
+         | GROUP BY 1, 2, 3, 4),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY name, node
+         |  ORDER BY prof DESC, i ASC) AS rn FROM pp)
+         |SELECT name, node, i, tsb AS tsb_start, CAST(prof AS BIGINT) AS dist2q,
+         | floor((CAST(prof AS DOUBLE) / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS dist2
+         |FROM rk WHERE rn <= 3 ORDER BY name, node, i""".stripMargin)),
+
+    Q("ts_sax", (s, dir) =>
+      TimeSeries.sax(grid(s, dir), w = 4).orderBy("name", "node", "win"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st AS (SELECT name, node, tsb, d,
+         |  CAST(count(*) OVER w AS DOUBLE) AS nd,
+         |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
+         |  CAST(sum(d * d) OVER w AS DOUBLE) AS s2
+         | FROM qd WINDOW w AS (PARTITION BY name, node)),
+         |zz AS (SELECT name, node, tsb,
+         |  CAST(floor(((CAST(d AS DOUBLE) - s1 / nd)
+         |    / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))) + 1e-9) * 1e4 + 0.5)
+         |    AS BIGINT) AS zq
+         | FROM st WHERE (nd * s2 - s1 * s1) > 0),
+         |wn AS (SELECT name, node, tsb, zq,
+         |  (row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1) // 4 AS win
+         | FROM zz),
+         |ag AS (SELECT name, node, win, count(*) AS n_pts, min(tsb) AS tsb_start,
+         |  CAST(sum(zq) AS BIGINT) AS sq
+         | FROM wn GROUP BY 1, 2, 3)
+         |SELECT name, node, win, tsb_start, n_pts,
+         | floor((CAST(sq AS DOUBLE) / (n_pts * 1e4) + 1e-9) * 1e4 + 0.5) / 1e4 AS paa,
+         | CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+         |   WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym
+         |FROM ag ORDER BY name, node, win""".stripMargin)),
 
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),

@@ -283,4 +283,142 @@ object Anomaly {
       .select("node", "hb", "e", "n", "burn_1h", "burn_6h", "page")
       .orderBy("node", "hb")
   }
+
+  /** Matrix-profile discord discovery (Yeh et al. 2016, public): per
+    * signal, the subsequences of length `w` FARTHEST from their nearest
+    * non-overlapping neighbor — the "never happened before" anomaly
+    * primitive that catches novel shapes k-sigma and decomposition
+    * residuals miss (a discord can sit entirely inside the normal value
+    * range). Distances are EXACT integer sums of squared differences of
+    * the ×1e6-quantized grid (order-independent — no IEEE replay needed
+    * anywhere), the exclusion zone |i−j| ≥ w suppresses trivial
+    * matches, and the per-signal top-k ranks (profile DESC, i ASC).
+    *
+    * Plan: one keyed shuffle groups each signal into a task; the kernel
+    * walks DIAGONALS of the distance matrix with the rolling update
+    * d(i+1,j+1) = d(i,j) − (qᵢ−qⱼ)² + (qᵢ₊w−qⱼ₊w)², so the profile
+    * costs O(n²) total independent of w. Per-signal n is
+    * retention-bounded (the recurring scale argument): signals
+    * parallelize across the cluster, n² stays fixed as the corpus
+    * grows by adding signals, not samples.
+    */
+  def discords(grid: DataFrame, w: Int = 8, k: Int = 3): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"),
+        floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._3)
+        val q = rows.map(_._4)
+        val n = q.length
+        val m = n - w + 1 // subsequence count
+        if (m < w + 1) Iterator.empty
+        else {
+          val prof = Array.fill(m)(Long.MaxValue)
+          // diagonal walk: offset d = j − i ranges over [w, m−1]; the
+          // rolling update keeps each diagonal O(length), so the whole
+          // profile is O(n²) regardless of w
+          var d = w
+          while (d < m) {
+            var dist = 0L
+            var t = 0
+            while (t < w) { val df = q(t) - q(t + d); dist += df * df; t += 1 }
+            var i = 0
+            var cont = true
+            while (cont) {
+              val j = i + d
+              if (dist < prof(i)) prof(i) = dist
+              if (dist < prof(j)) prof(j) = dist
+              if (j + 1 >= m) cont = false
+              else {
+                val out = q(i) - q(j)
+                val inc = q(i + w) - q(j + w)
+                dist += inc * inc - out * out
+                i += 1
+              }
+            }
+            d += 1
+          }
+          val idx = (0 until m).filter(prof(_) != Long.MaxValue)
+          idx.sortBy(i => (-prof(i), i)).take(k).sorted.iterator.map { i =>
+            (key._1, key._2, i.toLong, rows(i)._3, prof(i),
+              math.floor((prof(i).toDouble / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4)
+          }
+        }
+      }
+      .toDF("name", "node", "i", "tsb_start", "dist2q", "dist2")
+  }
+
+  /** Multivariate Mahalanobis anomaly over the metric-vector grid: the
+    * cross-metric generalization of k-sigma. Each complete (node, tsb)
+    * cell is a k-vector of per-metric z-scores; its Mahalanobis
+    * distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) flags cells whose metric
+    * COMBINATION is unusual even when every coordinate is individually
+    * in range (the error-up-while-traffic-down shape marginal
+    * detectors cannot see).
+    *
+    * Determinism: z-scores ride the proven exact-moment machinery
+    * (TimeSeries.zscore) and are quantized ×1e4; the scatter matrix
+    * G = n·Σqqᵀ − (Σq)(Σq)ᵀ is EXACT integer arithmetic; its Cholesky
+    * factor and the per-cell forward substitution are fixed IEEE
+    * sequences generated from the same index loops as the SQL oracle
+    * (see SparkEntry.sqlMahalanobis), so scores replay bit-identically.
+    * G is k×k collected once — bounded driver state, the lloydExact
+    * convention; scoring is one broadcast-literal scan over the grid,
+    * and ranking compares the ROUNDED d² with a (node, tsb) tiebreak.
+    */
+  def mahalanobis(grid: DataFrame, metrics: Seq[String],
+                  topN: Int = 50): DataFrame = {
+    val k = metrics.length
+    val z = TimeSeries.zscore(grid)
+      .filter(col("sigma") > 0)
+      .select(col("name"), col("node"), col("tsb"),
+        floor((col("z") + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long").as("zq"))
+    val aggs = metrics.indices.map(i =>
+      max(when(col("name") === metrics(i), col("zq"))).as(s"q$i"))
+    val pv = z.groupBy("node", "tsb").agg(aggs.head, aggs.tail: _*)
+      .filter(metrics.indices.map(i => col(s"q$i").isNotNull).reduce(_ && _))
+      .persist().tracked
+    val momAggs = (Seq(count(lit(1)).as("n")) ++
+      metrics.indices.map(i => sum(col(s"q$i")).as(s"s$i")) ++
+      (for { i <- 0 until k; j <- 0 to i }
+        yield sum(col(s"q$i") * col(s"q$j")).as(s"p$i$j"))).toSeq
+    val m = pv.agg(momAggs.head, momAggs.tail: _*).collect()(0)
+    val n = m.getLong(0)
+    require(n > k, s"mahalanobis needs > $k complete cells, got $n")
+    val s = metrics.indices.map(i => m.getAs[Long](s"s$i")).toArray
+    val gd = Array.tabulate(k, k) { (i, j) =>
+      val (a, b) = if (i >= j) (i, j) else (j, i)
+      (n * m.getAs[Long](s"p$a$b") - s(i) * s(j)).toDouble
+    }
+    // Cholesky in the canonical (i, j) order; sequential subtraction
+    // mirrors the oracle's left-associative expression exactly
+    val l = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- 0 to i) {
+      var acc = gd(i)(j)
+      for (t <- 0 until j) acc -= l(i)(t) * l(j)(t)
+      if (i == j) {
+        require(acc > 0, s"scatter matrix not positive definite at $i")
+        l(i)(i) = math.sqrt(acc)
+      } else l(i)(j) = acc / l(j)(j)
+    }
+    val y = metrics.indices.map(i =>
+      (lit(n) * col(s"q$i") - lit(s(i))).cast("double"))
+    val w = new Array[org.apache.spark.sql.Column](k)
+    for (i <- 0 until k) {
+      var e = y(i)
+      for (t <- 0 until i) e = e - lit(l(i)(t)) * w(t)
+      w(i) = e / lit(l(i)(i))
+    }
+    val q2 = w.map(c => c * c).reduceLeft(_ + _)
+    val d2 = r4(q2 * lit((n - 1).toDouble) / lit(n.toDouble))
+    pv.select(Seq(col("node"), col("tsb")) ++
+        metrics.indices.map(i =>
+          (col(s"q$i").cast("double") / lit(1e4)).as("z_" + metrics(i))) :+
+        d2.as("d2"): _*)
+      .orderBy(col("d2").desc, col("node"), col("tsb"))
+      .limit(topN)
+  }
 }

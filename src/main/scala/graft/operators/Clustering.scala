@@ -145,9 +145,12 @@ object Clustering {
     * the audit question ("no dominant axis") without ordering
     * guarantees.
     */
-  def pcaStats(embs: DataFrame, k: Int = 4, iters: Int = 12): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
+  /** Exact-integer Gram pipeline shared by [[pcaStats]] and
+    * [[pcaWhiten]]: quantized cells → (n, dim, column sums m,
+    * G = n·S − m·mᵀ as BigInt). None when n < 2 (no sample variance).
+    */
+  private def gramExact(embs: DataFrame)
+      : Option[(Long, Int, Array[Long], Array[Array[BigInt]])] = {
     val cells = embs.select(col("vec_id"),
         posexplode(transform(col("embedding"), x =>
           floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
@@ -155,13 +158,7 @@ object Clustering {
       .select(col("vec_id"), (col("j0") + 1).as("j"), col("x"))
       .persist().tracked // feeds m, S, and n
     val n = cells.select(countDistinct(col("vec_id"))).head().getLong(0)
-    if (n < 2) {
-      // no sample variance to audit — empty result, never a division
-      // by zero or a null dim probe
-      cells.unpersist()
-      return Seq.empty[(Int, Long, Double, Double)]
-        .toDF("component", "n", "proj_var", "explained_var_ratio")
-    }
+    if (n < 2) { cells.unpersist(); return None }
     val dim = cells.select(max("j")).head().getInt(0)
     val m = new Array[Long](dim)
     cells.groupBy("j").agg(sum("x").as("m")).collect()
@@ -175,10 +172,19 @@ object Clustering {
     cells.unpersist()
     val g = Array.tabulate(dim, dim)((i, j) =>
       BigInt(n) * S(i)(j) - BigInt(m(i)) * m(j))
-    val trace = (0 until dim).map(i => g(i)(i)).sum
-    def fd(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+    Some((n, dim, m, g))
+  }
+
+  private def fd(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+
+  /** Quantized power iteration with deflation (MUTATES g): the engine-
+    * exact component extraction both PCA queries share. Returns the
+    * final ×1e6 eigenvector and Rayleigh eigenvalue per component.
+    */
+  private def powerComponents(g: Array[Array[BigInt]], dim: Int, k: Int,
+                              iters: Int): Seq[(Array[Long], BigInt)] = {
     val initQ = math.floor((1.0 / math.sqrt(dim.toDouble) + 1e-9) * 1e6 + 0.5).toLong
-    val lambdas = (0 until k).map { _ =>
+    (0 until k).map { _ =>
       var qv = Array.fill(dim)(initQ)
       for (_ <- 0 until iters) {
         val y = Array.tabulate(dim)(i =>
@@ -198,15 +204,66 @@ object Clustering {
       val lam = if (den == 0) BigInt(0) else fd(num, den)
       for (i <- 0 until dim; j <- 0 until dim)
         g(i)(j) = g(i)(j) - fd(lam * qv(i) * qv(j), BigInt(1000000000000L))
-      lam
+      (qv, lam)
     }
-    val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
-    lambdas.zipWithIndex.map { case (lam, c) =>
-      (c, n,
-        r4d(lam.toDouble / (n.toDouble * (n - 1)) / 1e12),
-        if (trace > 0) r4d(lam.toDouble / trace.toDouble) else 0.0)
-    }.toDF("component", "n", "proj_var", "explained_var_ratio")
-      .orderBy("component")
+  }
+
+  def pcaStats(embs: DataFrame, k: Int = 4, iters: Int = 12): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    gramExact(embs) match {
+      case None =>
+        // no sample variance to audit — empty result, never a division
+        // by zero or a null dim probe
+        Seq.empty[(Int, Long, Double, Double)]
+          .toDF("component", "n", "proj_var", "explained_var_ratio")
+      case Some((n, dim, _, g)) =>
+        val trace = (0 until dim).map(i => g(i)(i)).sum
+        val lambdas = powerComponents(g, dim, k, iters).map(_._2)
+        val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+        lambdas.zipWithIndex.map { case (lam, c) =>
+          (c, n,
+            r4d(lam.toDouble / (n.toDouble * (n - 1)) / 1e12),
+            if (trace > 0) r4d(lam.toDouble / trace.toDouble) else 0.0)
+        }.toDF("component", "n", "proj_var", "explained_var_ratio")
+          .orderBy("component")
+    }
+  }
+
+  /** PCA whitening: each embedding projected on the power-iteration
+    * components and scaled to unit variance — the decorrelated
+    * features product quantizers and OOD scorers want. The centered
+    * projection Σⱼ(n·qxⱼ − mⱼ)·qvⱼ is EXACT integer arithmetic (the
+    * per-term dot stays under 2⁵³ so the codegen'd double vecDot is
+    * exact; the n-scaling and centering happen in Long); one fixed
+    * IEEE division chain de-scales at the edge. Component vectors and
+    * eigenvalues are bounded driver state (dim·k), broadcast as
+    * literals into a single projection scan.
+    */
+  def pcaWhiten(embs: DataFrame, k: Int = 4, iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.vecDot
+    gramExact(embs) match {
+      case None =>
+        embs.select(col("vec_id") +:
+          (0 until k).map(c => lit(0.0).as(s"w$c")): _*).limit(0)
+      case Some((n, dim, m, g)) =>
+        val comps = powerComponents(g, dim, k, iters)
+        val qd = transform(col("embedding"), x =>
+          floor((x.cast("double") + lit(1e-9)) * lit(1e6) + lit(0.5))
+            .cast("double"))
+        val cols = comps.zipWithIndex.map { case ((qv, lam), c) =>
+          val mqv = (0 until dim).map(j => BigInt(m(j)) * qv(j)).sum
+          require(mqv.isValidLong, "centering term exceeds Long")
+          val qvLit = array(qv.map(v => lit(v.toDouble)).toSeq: _*)
+          val cy = (lit(n) * vecDot(qd, qvLit).cast("long") -
+            lit(mqv.toLong)).cast("double")
+          val sigma = math.sqrt(
+            lam.toDouble / (n.toDouble * (n.toDouble - 1.0)) / 1e12)
+          graft.Num.r4(cy / lit(n.toDouble) / lit(1e12) / lit(sigma))
+            .as(s"w$c")
+        }
+        embs.select(col("vec_id") +: cols: _*)
+    }
   }
 
   /** Distance-to-nearest-centroid anomaly score (the clustering
@@ -224,5 +281,54 @@ object Clustering {
       .limit(topN)
       .select(col("vec_id"), col("cluster"),
         graft.Num.r4(col("dist2q") / lit(1e12)).as("min_dist2"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    * k-means partitioning — cluster the embeddings, find cosine-similar
+    * pairs WITHIN each cluster, connect them into duplicate groups, and
+    * keep exactly one representative per group: the member FARTHEST
+    * from its centroid (the paper's keep-policy — the boundary example
+    * preserves more diversity than the mode). Differs from the IVF
+    * near-dup path ([[Dedup.embedCosinePairsIvf]]) in both the
+    * partitioner (converged k-means cells, not first-k seed cells) and
+    * in producing a keep/drop verdict rather than an edge list.
+    *
+    * Scale: candidate pairs are Σ|cluster|² — k is the knob and must
+    * grow ∝ corpus size to hold the mean cell at a constant (the IVF
+    * argument); the keep decision is one window over the duplicate
+    * sliver. Ranking uses the EXACT integer centroid distance (the
+    * quantized Lloyd's dist2q) with a vec_id tiebreak, so the survivor
+    * set is engine-deterministic and the whole composition — Lloyd,
+    * pairs, components, keep — replays in the oracle.
+    */
+  def semDedup(embs: DataFrame, k: Int = 8, iters: Int = 5,
+               threshold: Double = 0.3): DataFrame = {
+    import graft.Num.r4
+    import org.apache.spark.sql.graft.VectorExpressions.vecNorm
+    val (asgRaw, _) = lloydExact(embs, k, iters)
+    val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))
+      .persist().tracked
+    val base = embs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val av = asg.join(base, "vec_id").persist().tracked
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"),
+        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("doc1", "doc2")
+    val comp = Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
+      precomputedPairs = Some(pairs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("dist2q").desc, col("vec_id").asc)
+    comp.select(col("doc_id").as("vec_id"), col("canonical_id").as("group_id"))
+      .join(asg, "vec_id")
+      .withColumn("n_group", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("group_id")))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("cluster"), col("group_id"),
+        col("n_group"), col("keep"))
   }
 }

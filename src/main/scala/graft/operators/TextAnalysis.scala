@@ -574,4 +574,100 @@ object TextAnalysis {
       .select(col("g"), col("c12"),
         graft.Num.r4(col("qln").cast("double") / lit(1e6)).as("pmi_nats"))
   }
+
+  /** Gopher-style repetition-free quality rule battery (Rae et al. 2021,
+    * §A1.1, public): per-document structural measurements — word count,
+    * mean word length, symbol-to-word ratio (#/ellipsis), bullet-line
+    * and ellipsis-line fractions, alphabetic-word fraction, stopword
+    * presence — each with its keep flag plus the conjunctive verdict.
+    * Pure column expressions over one corpus scan (whole-stage codegen,
+    * no shuffle); every flag compares the 4-dp-rounded ratio so the
+    * keep/drop row set is engine-deterministic (the qualityGate
+    * convention). Documents with no non-blank line report zero line
+    * fractions (vacuously rule-clean) rather than null.
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 10, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val w = words(col("text"))
+    val nW = size(w).cast("double")
+    // leftmost non-overlapping matches in both Java regex and RE2, so
+    // the '...' count agrees across engines by construction
+    val symbols = size(regexp_extract_all(col("text"),
+      lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
+    val ln = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nL = size(ln).cast("double")
+    val bullets = size(filter(ln,
+      l => substring(l, 1, 1).isin("-", "*", "•"))).cast("double")
+    val ellipses = size(filter(ln,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double")
+    val alphaW = size(filter(w, t => t.rlike("[a-z]"))).cast("double")
+    val stops = langHits(col("text"), "en")
+    def lf(c: Column): Column = when(nL === 0.0, lit(0.0)).otherwise(c / nL)
+    docs.select(
+        col("doc_id"),
+        size(w).cast("bigint").as("n_words"),
+        r4(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nW)
+          .as("mean_word_len"),
+        r4(symbols / nW).as("symbol_ratio"),
+        r4(lf(bullets)).as("bullet_frac"),
+        r4(lf(ellipses)).as("ellipsis_frac"),
+        r4(alphaW / nW).as("alpha_frac"),
+        stops.cast("bigint").as("stop_hits"))
+      .withColumn("ok_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
+      .withColumn("ok_mean_len",
+        (col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen).cast("int"))
+      .withColumn("ok_symbol", (col("symbol_ratio") <= maxSymbolRatio).cast("int"))
+      .withColumn("ok_bullet", (col("bullet_frac") <= maxBulletFrac).cast("int"))
+      .withColumn("ok_ellipsis",
+        (col("ellipsis_frac") <= maxEllipsisFrac).cast("int"))
+      .withColumn("ok_alpha", (col("alpha_frac") >= minAlphaFrac).cast("int"))
+      .withColumn("ok_stop", (col("stop_hits") >= minStopHits).cast("int"))
+      .withColumn("keep",
+        (col("ok_words") + col("ok_mean_len") + col("ok_symbol") +
+          col("ok_bullet") + col("ok_ellipsis") + col("ok_alpha") +
+          col("ok_stop") === 7).cast("int"))
+  }
+
+  /** Corpus-wide duplicated-line boilerplate profile (the CCNet
+    * paragraph-dedup measurement, line-grained): per document, the
+    * fraction of its non-blank lines — and of its line characters —
+    * whose exact trimmed content appears more than once ACROSS THE
+    * CORPUS. High dup_line_frac with normal length is the navigation /
+    * footer boilerplate signature that per-doc repetition stats
+    * ([[repetitionStats]]) cannot see.
+    *
+    * Plan: explode to (doc_id, md5(line), chars) — raw line text dies
+    * in-task; only 32-byte digests shuffle — then one digest-keyed
+    * count, a join that reuses the digest partitioning, and a per-doc
+    * rollup. Documents with no non-blank line carry zero counts (left
+    * join keeps them in the profile).
+    */
+  def dupLines(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      explode(filter(transform(split(col("text"), "\n"), l => trim(l)),
+        l => length(l) > 0)).as("line"))
+    val h = lines.select(col("doc_id"), md5(col("line")).as("h"),
+      length(col("line")).cast("bigint").as("lc"))
+    val cnt = h.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = h.join(cnt, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(col("lc")).as("line_chars"),
+        sum(when(col("c") > 1, col("lc")).otherwise(0L)).as("dup_chars"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        r4(coalesce(col("n_dup_lines").cast("double") / col("n_lines"), lit(0.0)))
+          .as("dup_line_frac"),
+        r4(coalesce(col("dup_chars").cast("double") / col("line_chars"), lit(0.0)))
+          .as("dup_char_frac"))
+  }
 }

@@ -851,4 +851,36 @@ object TimeSeries {
         r4(col("s").cast("double") / (col("n1") * col("n2")).cast("double") /
           lit(1e6)).as("psi"))
   }
+
+  /** SAX symbolization (Lin et al. 2003, public): z-normalize each
+    * signal, Piecewise-Aggregate-Approximate over fixed windows of `w`
+    * grid points, then map each PAA mean to a symbol by the standard
+    * Gaussian breakpoints (alphabet 4: −0.6745 / 0 / 0.6745 — the
+    * quartile cuts). The symbol stream is the index structure behind
+    * motif discovery and cheap shape search over fleets of metrics.
+    *
+    * Determinism: z rides the exact-moment [[zscore]] and is rounded
+    * to the 4-dp grid BEFORE aggregation; the PAA mean is an exact
+    * integer sum of the re-quantized z divided once at the edge; the
+    * symbol compares the ROUNDED PAA against the breakpoints. Flat
+    * signals (sigma = 0) are excluded — z is undefined there, and the
+    * exclusion rule (unrounded moment positivity) is engine-portable.
+    * Plan: the zscore window pass, then one keyed aggregate.
+    */
+  def sax(grid: DataFrame, w: Int = 4): DataFrame = {
+    val zq = zscore(grid)
+      .filter(col("sigma") > 0)
+      .select(col("name"), col("node"), col("tsb"),
+        floor((col("z") + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long").as("zq"))
+    val byTs = Window.partitionBy("name", "node").orderBy("tsb")
+    val paa = r4(col("sq").cast("double") / (col("n_pts") * lit(1e4)))
+    zq.withColumn("win", floor((row_number().over(byTs) - lit(1)) / lit(w)).cast("long"))
+      .groupBy("name", "node", "win")
+      .agg(count(lit(1)).as("n_pts"), min("tsb").as("tsb_start"),
+        sum("zq").as("sq"))
+      .select(col("name"), col("node"), col("win"), col("tsb_start"),
+        col("n_pts"), paa.as("paa"),
+        when(paa < -0.6745, "a").when(paa < 0.0, "b")
+          .when(paa < 0.6745, "c").otherwise("d").as("sym"))
+  }
 }

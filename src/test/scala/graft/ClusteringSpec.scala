@@ -187,4 +187,31 @@ class ClusteringSpec extends SparkTestBase {
     assert(names == Set("metric_a:by_node"))
     assert(sig.count() == 50)
   }
+
+  test("pcaWhiten yields ~unit-variance, decorrelated coordinates") {
+    // anisotropic cloud: dominant axis (1,1,0) with 10:1 spread over
+    // the secondary (1,-1,0) axis
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      val a = rnd.nextGaussian() * 5.0
+      val b = rnd.nextGaussian() * 0.5
+      (i.toLong, Array((a + b).toFloat, (a - b).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat), 0)
+    }
+    val out = Clustering.pcaWhiten(
+        rows.toDF("vec_id", "embedding", "label"), k = 2)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = out.length
+    def meanVar(xs: Seq[Double]) = {
+      val mu = xs.sum / n
+      (mu, xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    }
+    val (m0, v0) = meanVar(out.map(_._1))
+    val (m1, v1) = meanVar(out.map(_._2))
+    assert(math.abs(m0) < 0.05 && math.abs(m1) < 0.05, "centered")
+    assert(math.abs(v0 - 1.0) < 0.1, s"unit variance on c0, got $v0")
+    assert(math.abs(v1 - 1.0) < 0.1, s"unit variance on c1, got $v1")
+    val cov = out.map { case (x, y) => (x - m0) * (y - m1) }.sum / (n - 1)
+    assert(math.abs(cov) < 0.15, s"decorrelated, got cov $cov")
+  }
 }

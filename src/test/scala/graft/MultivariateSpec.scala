@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Anomaly, TimeSeries}
+
+/** Specs for the r5 analytic additions: Mahalanobis multivariate
+  * anomaly and SAX symbolization.
+  */
+class MultivariateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mahalanobis ranks the correlation-breaking cell first") {
+    // two strongly-correlated metrics; one cell has A high while B is
+    // low — both coordinates individually unremarkable (|z| < 2), but
+    // the COMBINATION violates the joint structure
+    val rows = (1 to 41).flatMap { t =>
+      val a = t.toDouble
+      val b = t.toDouble + (if (t % 2 == 0) 0.5 else -0.5)
+      Seq(("ma", "n0", t * 3600L, a), ("mb", "n0", t * 3600L, b))
+    } ++ Seq(("ma", "n0", 42 * 3600L, 32.0), ("mb", "n0", 42 * 3600L, 10.0))
+    val grid = rows.toDF("name", "node", "tsb", "gval")
+    val out = Anomaly.mahalanobis(grid, Seq("ma", "mb"), topN = 5).collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getAs[Long]("tsb") == 42 * 3600L,
+      s"expected the joint-structure break on top, got ${top}")
+    // its marginal z-scores are individually unremarkable
+    assert(math.abs(top.getAs[Double]("z_ma")) < 2.0)
+    assert(math.abs(top.getAs[Double]("z_mb")) < 2.0)
+    // and its d2 dominates the runner-up decisively
+    assert(top.getAs[Double]("d2") > 2.0 * out(1).getAs[Double]("d2"))
+  }
+
+  test("discords surface the planted spike and stay silent on pure periodicity") {
+    val periodic = (0 until 40).map(i =>
+      ("p", "n0", i * 900L, (i % 4 + 1).toDouble))
+    val spiked = (0 until 40).map { i =>
+      val v = (i % 4 + 1).toDouble + (if (i == 20) 50.0 else 0.0)
+      ("s", "n0", i * 900L, v)
+    }
+    val grid = (periodic ++ spiked).toDF("name", "node", "tsb", "gval")
+    val out = Anomaly.discords(grid, w = 8, k = 3).collect()
+      .groupBy(_.getString(0))
+    // pure periodicity: every window has an identical match 8 away →
+    // the whole profile is zero
+    assert(out("p").forall(_.getAs[Long]("dist2q") == 0L))
+    // the spike's windows dominate the profile; the top discord covers
+    // index 20 (windows 13..20)
+    val sTop = out("s").maxBy(_.getAs[Long]("dist2q"))
+    val i = sTop.getAs[Long]("i")
+    assert(i >= 13 && i <= 20, s"top discord window $i should cover the spike")
+    assert(sTop.getAs[Long]("dist2q") > 0L)
+  }
+
+  test("sax symbolizes a step signal as low/high quartile symbols and skips flat signals") {
+    val step = (1 to 16).map(i =>
+      ("s1", "n0", i * 900L, if (i <= 8) 0.0 else 10.0))
+    val flat = (1 to 16).map(i => ("s2", "n0", i * 900L, 5.0))
+    val grid = (step ++ flat).toDF("name", "node", "tsb", "gval")
+    val out = TimeSeries.sax(grid, w = 4).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("win")) -> r).toMap
+    // flat signal excluded (sigma = 0)
+    assert(!out.keys.exists(_._1 == "s2"))
+    assert(out.size == 4)
+    assert(out(("s1", 0L)).getAs[String]("sym") == "a")
+    assert(out(("s1", 1L)).getAs[String]("sym") == "a")
+    assert(out(("s1", 2L)).getAs[String]("sym") == "d")
+    assert(out(("s1", 3L)).getAs[String]("sym") == "d")
+    assert(out(("s1", 0L)).getAs[Long]("n_pts") == 4)
+    assert(out(("s1", 0L)).getAs[Long]("tsb_start") == 900L)
+    // the PAA value is symmetric around zero for the symmetric step
+    assert(math.abs(out(("s1", 0L)).getAs[Double]("paa") +
+      out(("s1", 2L)).getAs[Double]("paa")) < 1e-9)
+  }
+}

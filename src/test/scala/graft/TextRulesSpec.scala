@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Clustering, TextAnalysis}
+
+/** Specs for the r5 curation additions: the Gopher structural rule
+  * battery, corpus-wide duplicated-line boilerplate, and SemDeDup.
+  */
+class TextRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("gopherRules flags each structural failure independently") {
+    val good = "the quick brown fox jumps over the lazy dog and it runs for fun on grass today"
+    val symbols = "the word " + Seq.fill(10)("###").mkString(" ") + " and for it is of to in that"
+    val bullets = (1 to 5).map(i => s"- bullet item number $i here").mkString("\n") +
+      "\nthe and is of to in that it for on word word word"
+    val nonAlpha = "the and is of " + Seq.fill(40)("12345").mkString(" ")
+    val out = TextAnalysis.gopherRules(docs(
+        (1L, good), (2L, symbols), (3L, bullets), (4L, nonAlpha)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(2L).getAs[Int]("ok_symbol") == 0 && out(2L).getAs[Int]("keep") == 0)
+    // 5 of 6 non-blank lines are bullets > 0.9? 5/6 = 0.833 ≤ 0.9 keeps;
+    // make sure the measured fraction is what arrives
+    assert(math.abs(out(3L).getAs[Double]("bullet_frac") - 0.8333) < 1e-9)
+    assert(out(4L).getAs[Int]("ok_alpha") == 0, "digit words fail the alpha rule")
+    assert(out(4L).getAs[Double]("alpha_frac") < 0.8)
+  }
+
+  test("gopherRules survives empty and single-line documents") {
+    val out = TextAnalysis.gopherRules(docs((1L, ""), (2L, "word")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // no non-blank lines → line fractions are zero, not null
+    assert(out(1L).getAs[Double]("bullet_frac") == 0.0)
+    assert(out(1L).getAs[Double]("ellipsis_frac") == 0.0)
+    assert(out(2L).getAs[Int]("ok_words") == 0, "one word is under the floor")
+  }
+
+  test("dupLines measures corpus-wide line duplication, not per-doc") {
+    val footer = "copyright footer line"
+    val d = docs(
+      (1L, s"unique alpha\n$footer"),
+      (2L, s"unique beta\n$footer\nunique gamma"),
+      (3L, "all original content"))
+    val out = TextAnalysis.dupLines(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 2)
+    assert(out(1L).getAs[Long]("n_dup_lines") == 1)
+    assert(out(1L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(math.abs(out(2L).getAs[Double]("dup_line_frac") - 0.3333) < 1e-9)
+    assert(out(3L).getAs[Long]("n_dup_lines") == 0)
+    // char fraction weights by line length
+    val d1chars = "unique alpha".length + footer.length
+    assert(math.abs(out(1L).getAs[Double]("dup_char_frac") -
+      math.floor((footer.length.toDouble / d1chars + 1e-9) * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
+
+  test("dupLines keeps blank-only documents in the profile with zeros") {
+    val out = TextAnalysis.dupLines(docs((1L, "\n \n"), (2L, "a line")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 0)
+    assert(out(1L).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("semDedup keeps exactly one survivor per duplicate group — the farthest from centroid") {
+    // first-k init seeds the three axes; the duplicates then fall into
+    // the seed cells. Group {0,3,4} pins the farthest-keep policy
+    // (vec 3 is farthest from the converged centroid); group {1,5} is
+    // centroid-symmetric, pinning the lowest-id tiebreak.
+    val rows = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 10.0f, 0.0f), 1),
+      (2L, Array(0.0f, 0.0f, 10.0f), 2),
+      (3L, Array(10.5f, 0.0f, 0.0f), 0),  // near-dup of 0, farthest in group
+      (4L, Array(10.2f, 0.0f, 0.0f), 0),  // near-dup of 0
+      (5L, Array(0.0f, 10.4f, 0.0f), 1))  // near-dup of 1
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val out = Clustering.semDedup(embs, k = 3, iters = 3, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6)
+    assert(Seq(0L, 3L, 4L).forall(out(_).getAs[Long]("group_id") == 0L))
+    assert(Seq(1L, 5L).forall(out(_).getAs[Long]("group_id") == 1L))
+    // the survivor is the member farthest from the converged centroid
+    assert(out(3L).getAs[Int]("keep") == 1)
+    assert(out(0L).getAs[Int]("keep") == 0 && out(4L).getAs[Int]("keep") == 0)
+    // centroid-equidistant pair → deterministic lowest-id survivor
+    assert(out(1L).getAs[Int]("keep") == 1 && out(5L).getAs[Int]("keep") == 0)
+    // singletons keep themselves; group sizes ride along
+    assert(out(2L).getAs[Int]("keep") == 1)
+    assert(out(0L).getAs[Long]("n_group") == 3)
+    assert(out(2L).getAs[Long]("n_group") == 1)
+  }
+}
