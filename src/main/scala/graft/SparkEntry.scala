@@ -3047,6 +3047,70 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("quality_dup_bias", (s, dir) => {
+      // does near-dup membership correlate with quality? clusters ride
+      // the LSH edge set (the curation_funnel convention); the oracle
+      // replays clustering over the exact Jaccard >= 0.5 edges (LSH
+      // label equality argued + verified at dedup_cluster_minhash)
+      val docs = Tables.documents(s, dir)
+      Curation.qualityDupBias(docs, precomputedPairs =
+          Some(Dedup.minhashLsh(docs, threshold = 0.5).select("doc1", "doc2")))
+        .orderBy("source")
+    }, Some(
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d WHERE len(w) >= 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |  FROM pr JOIN sz n1 ON pr.doc1 = n1.doc_id JOIN sz n2 ON pr.doc2 = n2.doc_id
+        |  WHERE floor((CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.5),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM ed
+        |  UNION ALL SELECT doc2, doc1 FROM ed),
+        |comp AS (SELECT doc_id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.b AS doc_id, c.lab FROM comp c JOIN edges e ON e.a = c.doc_id),
+        |lb AS (SELECT doc_id, CAST(doc_id != min(lab) AS BIGINT) AS x
+        |  FROM comp GROUP BY doc_id),
+        |tq AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS wq,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |qq AS (SELECT doc_id, CAST(floor((1.0 - least(punct / len * 5.0, 0.3)
+        |   - least(digits / len * 5.0, 0.3)
+        |   - least(CAST(len(list_filter(wq, x -> length(x) <= 2)) AS DOUBLE) / len(wq), 0.3)
+        |   + 1e-9) * 1e4 + 0.5) AS BIGINT) AS y
+        | FROM tq),
+        |mm AS (SELECT d2.source, count(*) AS n,
+        |  CAST(sum(lb.x) AS DOUBLE) AS sx, CAST(sum(qq.y) AS DOUBLE) AS sy,
+        |  CAST(sum(lb.x * qq.y) AS DOUBLE) AS sxy,
+        |  CAST(sum(lb.x * lb.x) AS DOUBLE) AS sxx,
+        |  CAST(sum(qq.y * qq.y) AS DOUBLE) AS syy
+        | FROM documents d2 JOIN lb USING (doc_id) JOIN qq USING (doc_id)
+        | GROUP BY 1),
+        |vv AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM mm)
+        |SELECT source, n,
+        | floor((sx / CAST(n AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS dup_rate,
+        | floor((sxy / sx / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_q_dup,
+        | floor(((sy - sxy) / (CAST(n AS DOUBLE) - sx) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_q_clean,
+        | floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS r_pb
+        |FROM vv WHERE n >= 2 AND vx > 0 AND vy > 0 ORDER BY source""".stripMargin)),
+
+    Q("sample_epoch_shuffle", (s, dir) =>
+      Curation.epochShuffle(Tables.documents(s, dir), epochs = 3, shards = 16)
+        .orderBy("doc_id", "epoch"),
+    Some(
+      """WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        | CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS skey,
+        | CAST(CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) AS shard
+        |FROM e ORDER BY doc_id, epoch""".stripMargin)),
+
     Q("dedup_stats", (s, dir) =>
       // duplication telemetry every dedup run reports before deletion:
       // the cluster-size histogram of the near-dup components (exact

@@ -623,4 +623,63 @@ object Curation {
         expr("4294967296 div gsize"))
       .select("doc_id", "gsize")
   }
+
+  /** Does near-dup membership correlate with quality? Per source: the
+    * dup rate, mean quality of the documents dedup would REMOVE vs
+    * keep, and the point-biserial correlation between the removal flag
+    * and the quality score. A strongly negative r says dedup is doing
+    * quality filtering's job (dups are junk); r ≈ 0 says the two
+    * filters are independent and both earn their place — the standard
+    * curation-ablation question answered from two passes already in
+    * the pipeline.
+    *
+    * Plan: the clusters pass rides a precomputed edge set (the
+    * curation_funnel convention — the candidate join must never run
+    * twice), quality is one codegen scan, and the correlation is the
+    * exact-moment Pearson machinery (quantized quality ×1e4, binary
+    * flag): exact Long sums per source, the fixed IEEE sequence at the
+    * edge. Sources with zero or all dups have no defined correlation
+    * and drop (the corr NULL contract).
+    */
+  def qualityDupBias(docs: DataFrame,
+                     precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val dup = Dedup.clusters(docs, precomputedPairs = precomputedPairs)
+      .select(col("doc_id"), col("is_dup").cast("long").as("x"))
+    val qsc = TextAnalysis.qualityScore(docs).select(col("doc_id"),
+      floor((col("quality") + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long")
+        .as("y"))
+    val ma = Correlate.momentAggs("x", "y")
+    val cells = docs.select(col("doc_id"), col("source"))
+      .join(dup, "doc_id").join(qsc, "doc_id")
+      .groupBy("source")
+      .agg(ma.head, ma.tail: _*)
+    val nd = col("n").cast("double")
+    cells
+      .withColumn("vx", nd * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", nd * col("syy") - col("sy") * col("sy"))
+      .filter(col("n") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("source"), col("n"),
+        r4(col("sx") / nd).as("dup_rate"),
+        r4(col("sxy") / col("sx") / lit(1e4)).as("mean_q_dup"),
+        r4((col("sy") - col("sxy")) / (nd - col("sx")) / lit(1e4))
+          .as("mean_q_clean"),
+        r4((nd * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("vx")) * sqrt(col("vy")))).as("r_pb"))
+  }
+
+  /** Deterministic per-epoch shuffle keys: every (epoch, doc) gets an
+    * md5-derived 32-bit sort key and a shard assignment — the standard
+    * reshuffle-per-epoch trick for training pipelines, without a
+    * global sort (shards ARE the deliverable; each shard sorts its own
+    * sliver locally at write time). Append-stable (new docs get new
+    * keys, existing keys never move) and partition-invariant.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int = 3,
+                   shards: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("skey", Sampling.hash32(
+        concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("shard", (col("skey") % shards).cast("int"))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, TextAnalysis}
+import graft.operators.{Clustering, Curation, TextAnalysis}
 
 /** Specs for the r5 curation additions: the Gopher structural rule
   * battery, corpus-wide duplicated-line boilerplate, and SemDeDup.
@@ -62,6 +62,48 @@ class TextRulesSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("n_lines") == 0)
     assert(out(1L).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("qualityDupBias measures the dup-vs-quality association per source") {
+    // src_a: duplicated docs are the junky ones (negative association);
+    // both classes present so the correlation is defined
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src_a"),
+      (2L, "alpha beta gamma delta epsilon zeta eta", "src_a"), // near-dup of 1
+      (3L, "111 222 333 111 222 333 111 222", "src_a"),
+      (4L, "clean prose sentence with several plain words here", "src_a"),
+      (5L, "another clean prose sentence with plain words", "src_a"),
+      (6L, "yet another clean sentence entirely its own", "src_a"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.qualityDupBias(docs,
+      precomputedPairs = Some(Seq((1L, 2L)).toDF("doc1", "doc2"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 6)
+    // one non-canonical member (doc 2) of the pair is the removal set
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.1667) < 1e-9)
+    assert(r.getAs[Double]("r_pb").abs <= 1.0)
+    // mean of the kept docs reflects the junk doc 3 riding with them
+    assert(r.getAs[Double]("mean_q_clean") < 1.0)
+  }
+
+  test("epochShuffle yields stable per-(epoch,doc) keys and in-range shards") {
+    val docs = (1L to 20L).map(i => (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.epochShuffle(docs, epochs = 2, shards = 8)
+      .collect()
+    assert(out.length == 40)
+    assert(out.forall(r => { val s = r.getAs[Int]("shard"); s >= 0 && s < 8 }))
+    // the same (epoch, doc) key is a pure function — append-stable by
+    // construction: recompute on a grown corpus and compare
+    val grown = (1L to 25L).map(i => (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    val again = graft.operators.Curation.epochShuffle(grown, epochs = 2, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("epoch")) -> r.getAs[Long]("skey")).toMap
+    assert(out.forall(r =>
+      again((r.getLong(0), r.getAs[Int]("epoch"))) == r.getAs[Long]("skey")))
+    // epochs genuinely reshuffle: the two epochs' key ORDERS differ
+    val e0 = out.filter(_.getAs[Int]("epoch") == 0).sortBy(_.getAs[Long]("skey")).map(_.getLong(0)).toSeq
+    val e1 = out.filter(_.getAs[Int]("epoch") == 1).sortBy(_.getAs[Long]("skey")).map(_.getLong(0)).toSeq
+    assert(e0 != e1)
   }
 
   test("semDedup keeps exactly one survivor per duplicate group — the farthest from centroid") {
