@@ -5540,6 +5540,57 @@ object SparkEntry {
          |FROM fl WHERE ks_flag + mad_flag + iqr_flag >= 1
          |ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ad_forecast_interval", (s, dir) =>
+      TimeSeries.forecastInterval(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      // the Holt fold replays as the backtest's recursive CTE, now
+      // carrying the per-step pre-update residual; the band is exact
+      // integer rank arithmetic over the quantized |residual|
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2 HAVING count(*) >= 3),
+         |step AS (
+         |  SELECT a.name, a.node, CAST(2 AS BIGINT) AS i, a.gval AS l,
+         |    b.gval - a.gval AS bt, CAST(NULL AS DOUBLE) AS resid
+         |  FROM iv a JOIN iv b ON a.name = b.name AND a.node = b.node
+         |   AND a.i = 1 AND b.i = 2
+         |  JOIN nn ON nn.name = a.name AND nn.node = a.node
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    0.3 * v.gval + (1 - 0.3) * (s.l + s.bt),
+         |    0.2 * ((0.3 * v.gval + (1 - 0.3) * (s.l + s.bt)) - s.l) + (1 - 0.2) * s.bt,
+         |    v.gval - (s.l + s.bt)
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node
+         |   AND v.i = s.i + 1),
+         |rs AS (SELECT name, node, i,
+         |  CAST(floor((abs(resid) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qr
+         | FROM step WHERE resid IS NOT NULL),
+         |nf AS (SELECT name, node, count(*) AS nf FROM rs GROUP BY 1, 2),
+         |rr AS (SELECT name, node, qr,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY qr, i) AS rk FROM rs),
+         |qb AS (SELECT rr.name, rr.node, rr.qr AS qb
+         | FROM rr JOIN nf ON nf.name = rr.name AND nf.node = rr.node
+         | WHERE rr.rk = CAST(ceil(0.9 * nf.nf) AS BIGINT)),
+         |fin AS (SELECT s.name, s.node, s.l, s.bt FROM step s
+         | JOIN (SELECT name, node, max(i) AS mi FROM step GROUP BY 1, 2) mx
+         |  ON s.name = mx.name AND s.node = mx.node AND s.i = mx.mi),
+         |br AS (SELECT rs.name, rs.node,
+         |  CAST(sum(CASE WHEN rs.qr > 2 * qb.qb THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+         | FROM rs JOIN qb ON qb.name = rs.name AND qb.node = rs.node
+         | GROUP BY 1, 2)
+         |SELECT f.name, f.node, nf.nf AS n_fc,
+         | floor((f.l + f.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS fc1,
+         | floor((CAST(qb.qb AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS band_q90,
+         | floor(((f.l + f.bt) - 2.0 * (CAST(qb.qb AS DOUBLE) / 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS lo,
+         | floor(((f.l + f.bt) + 2.0 * (CAST(qb.qb AS DOUBLE) / 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS hi,
+         | br.n_breach
+         |FROM fin f
+         | JOIN nf ON nf.name = f.name AND nf.node = f.node
+         | JOIN qb ON qb.name = f.name AND qb.node = f.node
+         | JOIN br ON br.name = f.name AND br.node = f.node
+         |ORDER BY f.name, f.node""".stripMargin)),
+
     Q("ad_mahalanobis", (s, dir) =>
       // cross-metric anomaly: top-50 (node, hour) cells by Mahalanobis
       // distance of the 5-metric z-vector (Anomaly.mahalanobis) — the

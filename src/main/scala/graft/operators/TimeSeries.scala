@@ -599,6 +599,62 @@ object TimeSeries {
         "skill")
   }
 
+  /** Forecast-interval alerting: per signal, the Holt 1-step forecast
+    * with an empirical residual band — the prediction-interval page a
+    * forecast-based monitor raises when reality leaves [lo, hi]. The
+    * band is the q-quantile of the |1-step residual| over the signal's
+    * own backtest (the non-parametric alternative to ±kσ — valid under
+    * asymmetric or heavy-tailed residuals), and `n_breach` counts the
+    * in-sample points outside mult× that band (the alert-volume
+    * preview a threshold review reads before deploying).
+    *
+    * Determinism: the Holt fold is the [[holt]] IEEE sequence; the
+    * residuals quantize ×1e6 and the band is EXACT integer rank
+    * arithmetic (value at rank ⌈q·n⌉, duplicates counted); breaches
+    * compare integers. Same shape as [[holtBacktest]]: one shuffle on
+    * the signal key, per-signal work retention-bounded.
+    */
+  def forecastInterval(grid: DataFrame, alpha: Double = 0.3,
+                       beta: Double = 0.2, q: Double = 0.9,
+                       mult: Long = 2L): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        if (pts.length < 3) Iterator.empty
+        else {
+          var l = pts(0)._4
+          var b = pts(1)._4 - pts(0)._4
+          val nf = pts.length - 2
+          val qr = new Array[Long](nf)
+          var i = 2
+          while (i < pts.length) {
+            val x = pts(i)._4
+            // pre-update forecast residual, the backtest convention
+            val resid = x - (l + b)
+            qr(i - 2) = math.floor((math.abs(resid) + 1e-9) * 1e6 + 0.5).toLong
+            val lNew = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+            i += 1
+          }
+          val sorted = qr.sorted
+          val qband = sorted(math.ceil(q * nf).toInt - 1)
+          val breaches = qr.count(_ > mult * qband).toLong
+          val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+          val fc = l + b
+          val band = qband.toDouble / 1e6
+          Iterator((key._1, key._2, nf.toLong, r4d(fc), r4d(band),
+            r4d(fc - mult.toDouble * band), r4d(fc + mult.toDouble * band),
+            breaches))
+        }
+      }
+      .toDF("name", "node", "n_fc", "fc1", "band_q90", "lo", "hi", "n_breach")
+  }
+
   /** Local-level Kalman filter per signal: the optimal (under Gaussian
     * noise) recursive smoother — like EWMA but with a gain that adapts
     * to its own uncertainty (high after gaps/starts, converging to the

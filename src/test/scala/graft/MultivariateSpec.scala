@@ -51,6 +51,29 @@ class MultivariateSpec extends SparkTestBase {
     assert(sTop.getAs[Long]("dist2q") > 0L)
   }
 
+  test("forecastInterval: tight band on a clean trend, breach counted for the spike") {
+    // constant signal: zero residuals everywhere, zero band, zero
+    // breaches (a trend would carry Holt's initial transient into the
+    // band — the operator's q90 is honest about that)
+    val clean = (0 until 30).map(i => ("c", "n0", i * 900L, 50.0))
+    // linear trend with one mid-series level spike
+    val spiked = (0 until 30).map { i =>
+      ("s", "n0", i * 900L, 10.0 + i * 2.0 + (if (i == 15) 40.0 else 0.0))
+    }
+    val out = TimeSeries.forecastInterval((clean ++ spiked)
+        .toDF("name", "node", "tsb", "gval"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getAs[Long]("n_breach") == 0)
+    assert(out("c").getAs[Double]("band_q90") == 0.0)
+    assert(out("c").getAs[Double]("fc1") == 50.0)
+    // the spike's residual breaches 2x its signal's band; the band
+    // itself stays moderate (q90 over mostly-clean residuals)
+    assert(out("s").getAs[Long]("n_breach") >= 1)
+    assert(out("s").getAs[Double]("hi") > out("s").getAs[Double]("lo"))
+    // the forecast recovers the trend after the spike decays: ~70
+    assert(math.abs(out("s").getAs[Double]("fc1") - 70.0) < 5.0)
+  }
+
   test("sax symbolizes a step signal as low/high quartile symbols and skips flat signals") {
     val step = (1 to 16).map(i =>
       ("s1", "n0", i * 900L, if (i <= 8) 0.0 else 10.0))
