@@ -2513,6 +2513,30 @@ object SparkEntry {
          | floor((gval - trend + 1e-9) * 1e4 + 0.5) / 1e4 AS resid
          |FROM t ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_trend_strength", (s, dir) =>
+      TimeSeries.trendStrength(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |t AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
+         | FROM grid),
+         |mx AS (SELECT *, CASE WHEN (max(abs(gval)) OVER (PARTITION BY name, node)) > 0
+         |  THEN max(abs(gval)) OVER (PARTITION BY name, node) ELSE 1.0 END AS mm FROM t),
+         |q AS (SELECT name, node,
+         |  CAST(floor((gval / mm) * 1e9 + 0.5) AS HUGEINT) AS qg,
+         |  CAST(floor(((gval - trend) / mm) * 1e9 + 0.5) AS HUGEINT) AS qr
+         | FROM mx),
+         |m AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(qg) AS DOUBLE) AS sg, CAST(sum(qg * qg) AS DOUBLE) AS sgg,
+         |  CAST(sum(qr) AS DOUBLE) AS sr, CAST(sum(qr * qr) AS DOUBLE) AS srr
+         | FROM q GROUP BY 1, 2),
+         |v AS (SELECT *, CAST(n AS DOUBLE) * sgg - sg * sg AS vg,
+         |  CAST(n AS DOUBLE) * srr - sr * sr AS vr FROM m)
+         |SELECT name, node, n,
+         | floor((greatest(0.0, 1.0 - vr / vg) + 1e-9) * 1e4 + 0.5) / 1e4 AS trend_strength
+         |FROM v WHERE n >= 3 AND vg > 0 ORDER BY name, node""".stripMargin)),
+
     Q("ad_noise_outlier", (s, dir) => {
       // level=3 mirrors the reference call site (metrics_advisor.py:150)
       Anomaly.noiseOutlier(grid(s, dir), 3.0)
@@ -4259,6 +4283,43 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < thr
         |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("mix_kl_report", (s, dir) =>
+      // achieved-vs-target audit of the α=0.5 temperature mix: the KL
+      // says in one number how far Bernoulli granularity pushed the
+      // produced corpus off its mixing spec
+      Curation.mixKlReport(Tables.documents(s, dir), "lang",
+          col("doc_id").cast("string"), beta = 0.5)
+        .orderBy("lang"),
+    Some(
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(CAST(cnt AS BIGINT)) AS DOUBLE) AS tot FROM c),
+        |wq AS (SELECT lang, cnt, tot,
+        |  CAST(floor(sqrt(cnt / tot) * 1e9) AS BIGINT) AS wq FROM c, t),
+        |ws AS (SELECT sum(wq) AS wsum FROM wq),
+        |th AS (SELECT lang, cnt, tot, wq, wsum,
+        |  CAST(floor(least(1.0, (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)) * 0.5 * tot / cnt)
+        |    * 4294967296.0) AS BIGINT) AS thr
+        | FROM wq, ws),
+        |kp AS (SELECT d.lang, count(*) AS kept FROM documents d JOIN th ON d.lang = th.lang
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < thr
+        |  GROUP BY 1),
+        |jj AS (SELECT th.lang, th.cnt, th.tot, th.wq, th.wsum, COALESCE(kp.kept, 0) AS kept
+        | FROM th LEFT JOIN kp ON th.lang = kp.lang),
+        |kt AS (SELECT CAST(sum(kept) AS DOUBLE) AS ktot FROM jj)
+        |SELECT lang, CAST(cnt AS BIGINT) AS n_docs, CAST(kept AS BIGINT) AS kept,
+        | floor((cnt / tot + 1e-9) * 1e4 + 0.5) / 1e4 AS natural_share,
+        | floor((CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS target_share,
+        | floor((CAST(kept AS DOUBLE) / ktot + 1e-9) * 1e4 + 0.5) / 1e4 AS achieved_share,
+        | floor((CAST(kept AS DOUBLE) / ktot - CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS delta,
+        | CASE WHEN kept > 0 THEN
+        |   floor(((CAST(kept AS DOUBLE) / ktot)
+        |     * CAST(CAST(floor((ln((CAST(kept AS DOUBLE) / ktot)
+        |         / (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+        |     / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
+        | ELSE 0.0 END AS kl_term
+        |FROM jj, kt ORDER BY lang""".stripMargin)),
+
     Q("sample_capped", (s, dir) => {
       // at most 10 docs per source, hash-ranked: the per-domain cap a
       // web pipeline applies before mixing
@@ -4643,6 +4704,43 @@ object SparkEntry {
         | cum_before % 256 AS start_offset,
         | CAST((cum_before % 256) + n_tokens > 256 AS INT) AS crosses
         |FROM c ORDER BY lang, doc_id""".stripMargin)),
+
+    Q("pack_bfd", (s, dir) =>
+      // best-fit-decreasing packing: whole documents, minimal padding —
+      // the quality sibling of pack_sequences' concat-and-cut; the
+      // greedy fold replays as a recursive CTE carrying the bin loads
+      Curation.packBfd(Tables.documents(s, dir), budget = 256)
+        .orderBy("lang", "doc_id"),
+    Some {
+      val budget = 256
+      val mx = s"list_max(list_transform(list_filter(s.bins, b -> b.load + r.n <= $budget), b -> b.load))"
+      val binsNew = sqlLet(mx, "mx",
+        "CASE WHEN mx IS NULL THEN list_append(s.bins, {'id': len(s.bins) + 1, 'load': r.n}) " +
+          "ELSE " + sqlLet("list_filter(s.bins, b2 -> b2.load = mx)[1].id", "bid",
+            "list_transform(s.bins, b -> CASE WHEN b.id = bid " +
+              "THEN {'id': b.id, 'load': b.load + r.n} ELSE b END)") +
+          " END")
+      val asg = sqlLet(mx, "mx",
+        "CASE WHEN mx IS NULL THEN CAST(len(s.bins) + 1 AS BIGINT) " +
+          "ELSE CAST(list_filter(s.bins, b2 -> b2.load = mx)[1].id AS BIGINT) END")
+      s"""WITH RECURSIVE
+         |t AS (SELECT lang, doc_id,
+         |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
+         | FROM documents),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id) AS rk
+         | FROM t),
+         |st AS (
+         |  SELECT lang, rk, doc_id, n,
+         |    [{'id': CAST(1 AS BIGINT), 'load': n}] AS bins, CAST(1 AS BIGINT) AS assigned
+         |  FROM rk WHERE rk = 1
+         |  UNION ALL
+         |  SELECT r.lang, r.rk, r.doc_id, r.n,
+         |    $binsNew,
+         |    $asg
+         |  FROM st s JOIN rk r ON r.lang = s.lang AND r.rk = s.rk + 1)
+         |SELECT lang, doc_id, n AS n_tokens, assigned AS pack_id
+         |FROM st ORDER BY lang, doc_id""".stripMargin
+    }),
 
     Q("pack_efficiency", (s, dir) => {
       // the one-screen packing answer: packs, straddlers, padding, util

@@ -667,6 +667,100 @@ object Curation {
           (sqrt(col("vx")) * sqrt(col("vy")))).as("r_pb"))
   }
 
+  /** Best-fit-decreasing bin packing per stratum: documents sorted by
+    * (n_tokens DESC, doc_id) each land in the FULLEST open bin that
+    * still fits (lowest bin id on ties), else open a new bin — the
+    * padding-minimizing alternative to [[packingPlan]]'s concat-and-cut
+    * (which wastes no tokens but straddles documents across windows;
+    * BFD keeps every document whole and pays tail padding instead —
+    * pack_efficiency style telemetry quantifies the trade). Oversize
+    * documents get their own bin.
+    *
+    * The greedy fold is sequential BY DESIGN (each placement depends on
+    * all previous), so it runs per stratum in one task — exactly the
+    * per-group kernel shape of the Holt family: strata parallelize,
+    * per-stratum work is bounded by the stratum's doc count, and the
+    * loop is pure integer arithmetic, so the oracle replays it as a
+    * recursive CTE carrying the bin-load list. A corpus whose single
+    * stratum outgrows one task shards the stratum first (mix keys are
+    * the natural shard) and merges bins pairwise — the documented
+    * scale path.
+    */
+  def packBfd(docs: DataFrame, budget: Long,
+              strataCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(strataCol), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (st: String, it: Iterator[(String, Long, Long)]) =>
+        val ds = it.toArray.sortBy(r => (-r._3, r._2))
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (_, id, n) =>
+          var best = -1
+          var bestLoad = -1L
+          var i = 0
+          while (i < loads.length) {
+            val l = loads(i)
+            // strict > keeps the FIRST (lowest-id) fullest fitting bin,
+            // the oracle's list_filter(...)[1] tiebreak
+            if (l + n <= budget && l > bestLoad) { best = i; bestLoad = l }
+            i += 1
+          }
+          val bin = if (best >= 0) { loads(best) += n; best + 1 }
+                    else { loads += n; loads.length }
+          (st, id, n, bin.toLong)
+        }
+      }
+      .toDF(strataCol, "doc_id", "n_tokens", "pack_id")
+  }
+
+  /** Achieved-vs-target mixture audit for [[temperatureSample]]: per
+    * stratum, the natural share, the √p target share, the share the
+    * deterministic Bernoulli ACTUALLY kept, their delta, and the
+    * per-stratum KL contribution achieved·ln(achieved/target) — the
+    * report that catches quantization/rounding drift between a mixing
+    * SPEC and the corpus it produced (small strata land whole docs, so
+    * achieved ≠ target by construction; the KL says by how much in one
+    * number). Same machinery as the sampler itself: integer-quantized
+    * weights, one counts aggregate + one sampled-counts aggregate,
+    * unpartitioned windows over |strata| rows, the ×1e6-quantized ln
+    * (ulp-absorbing, the perplexity convention).
+    */
+  def mixKlReport(df: DataFrame, strataCol: String,
+                  keyCol: org.apache.spark.sql.Column,
+                  beta: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("tot", sum(col("cnt").cast("long")).over(all).cast("double"))
+      .withColumn("wq", floor(sqrt(col("cnt") / col("tot")) * lit(1e9)).cast("long"))
+      .withColumn("wsum", sum(col("wq")).over(all))
+      .withColumn("thr", floor(least(lit(1.0),
+        (col("wq").cast("double") / col("wsum").cast("double")) * lit(beta) *
+          col("tot") / col("cnt")) * lit(4294967296.0)).cast("bigint"))
+    val kept = df.join(broadcast(base.select(col(strataCol), col("thr"))), strataCol)
+      .filter(Sampling.hash32(keyCol) < col("thr"))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("kept"))
+    val j = base.join(kept, Seq(strataCol), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(0L)))
+      .withColumn("ktot", sum(col("kept")).over(all).cast("double"))
+    val ach = col("kept").cast("double") / col("ktot")
+    val tgt = col("wq").cast("double") / col("wsum").cast("double")
+    val qln = floor((log(ach / tgt) + lit(1e-9)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    j.select(col(strataCol), col("cnt").cast("bigint").as("n_docs"), col("kept"),
+      r4(col("cnt") / col("tot")).as("natural_share"),
+      r4(tgt).as("target_share"),
+      r4(ach).as("achieved_share"),
+      r4(ach - tgt).as("delta"),
+      when(col("kept") > 0, r4(ach * qln.cast("double") / lit(1e6)))
+        .otherwise(lit(0.0)).as("kl_term"))
+  }
+
   /** Deterministic per-epoch shuffle keys: every (epoch, doc) gets an
     * md5-derived 32-bit sort key and a shard assignment — the standard
     * reshuffle-per-epoch trick for training pipelines, without a

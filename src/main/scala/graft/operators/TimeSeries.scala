@@ -599,6 +599,39 @@ object TimeSeries {
         "skill")
   }
 
+  /** Trend strength per signal (the Hyndman feature-based measure on
+    * the reference's own decomposition): 1 − Var(residual)/Var(value)
+    * after removing the rolling-median trend, clamped at 0 — ~1 for
+    * strongly trended signals, ~0 where the trend explains nothing.
+    * The triage number a fleet dashboard sorts by before anyone looks
+    * at individual charts.
+    *
+    * Determinism: the w=5 rolling median is pure order statistics
+    * (bit-identical in any engine); both variance legs quantize on the
+    * SAME gval scale (the ratio needs one measuring stick) and reduce
+    * to exact integer moments, one IEEE edge, rounded comparison.
+    */
+  def trendStrength(grid: DataFrame, w: Int = 5): DataFrame = {
+    val d = movingMedian(grid, w, "gval", "trend")
+      .withColumn("resid", col("gval") - col("trend"))
+    val q = d.withColumn("mm", signalScale("gval"))
+      .withColumn("qg", quantRel(col("gval"), col("mm")))
+      .withColumn("qr", quantRel(col("resid"), col("mm")))
+    val nd = col("n").cast("double")
+    q.groupBy("name", "node").agg(
+        count(lit(1)).as("n"),
+        sum(col("qg")).cast("double").as("sg"),
+        sum(col("qg") * col("qg")).cast("double").as("sgg"),
+        sum(col("qr")).cast("double").as("sr"),
+        sum(col("qr") * col("qr")).cast("double").as("srr"))
+      .withColumn("vg", nd * col("sgg") - col("sg") * col("sg"))
+      .withColumn("vr", nd * col("srr") - col("sr") * col("sr"))
+      .filter(col("n") >= 3 && col("vg") > 0)
+      .select(col("name"), col("node"), col("n"),
+        r4(greatest(lit(0.0), lit(1.0) - col("vr") / col("vg")))
+          .as("trend_strength"))
+  }
+
   /** Forecast-interval alerting: per signal, the Holt 1-step forecast
     * with an empirical residual band — the prediction-interval page a
     * forecast-based monitor raises when reality leaves [lo, hi]. The

@@ -178,6 +178,72 @@ object EventStream {
       }
   }
 
+  final case class HoltState(n: Long, l: Double, b: Double, band: Double)
+  final case class ForecastBreach(name: String, node: String, tsec: Long,
+                                  value: Double, fc: Double, lo: Double,
+                                  hi: Double)
+
+  /** Streaming forecast-breach alerts: the at-ingest companion of the
+    * batch `ad_forecast_interval`. Per signal, keyed state carries the
+    * Holt (level, trend) pair plus an EWMA of the |1-step residual| as
+    * the live band estimate (a streaming quantile would need a sketch;
+    * the EWMA is the fast-at-ingest stand-in, with the exact-at-rest
+    * batch query as the authority — the split this codebase applies to
+    * every streaming detector). A point outside fc ± mult·band after
+    * warmup emits an alert BEFORE the state update, so the breach is
+    * judged against the forecast that preceded it. State is O(1) per
+    * signal; event-time timeout retires silent signals.
+    */
+  def forecastBreachStream(signals: DataFrame, mult: Double = 3.0,
+                           bandAlpha: Double = 0.1, alpha: Double = 0.3,
+                           beta: Double = 0.2, minSamples: Int = 8,
+                           lateness: String = "10 seconds",
+                           idleTimeoutSec: Long = 86400L): Dataset[ForecastBreach] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val withTs = signals.withColumn("tstamp", timestamp_seconds(col("tsec")))
+    val wm = if (signals.isStreaming) withTs.withWatermark("tstamp", lateness)
+             else withTs
+    wm.select(col("name"), col("node"), col("tsec"), col("value"), col("tstamp"))
+      .as[(String, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[HoltState, ForecastBreach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (name, node) = key
+            val pts = rows.toArray.sortBy(_._3)
+            var s = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0, 0.0))
+            val out = Seq.newBuilder[ForecastBreach]
+            pts.foreach { case (_, _, tsec, v, _) =>
+              s = if (s.n == 0L) HoltState(1L, v, 0.0, 0.0)
+              else if (s.n == 1L) HoltState(2L, s.l, v - s.l, 0.0)
+              else {
+                val fc = s.l + s.b
+                val resid = v - fc
+                if (s.n >= minSamples && s.band > 0) {
+                  val lo = fc - mult * s.band
+                  val hi = fc + mult * s.band
+                  if (v < lo || v > hi)
+                    out += ForecastBreach(name, node, tsec, v, fc, lo, hi)
+                }
+                val lNew = alpha * v + (1 - alpha) * fc
+                val bNew = beta * (lNew - s.l) + (1 - beta) * s.b
+                val bandNew = (1 - bandAlpha) * s.band +
+                  bandAlpha * math.abs(resid)
+                HoltState(s.n + 1, lNew, bNew, bandNew)
+              }
+            }
+            state.update(s)
+            if (pts.nonEmpty)
+              state.setTimeoutTimestamp((pts.last._3 + idleTimeoutSec) * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Watermarked stream-stream join: for every `leftType` event, the
     * `rightType` events of the same user within `withinSec` after it —
     * the "which errors followed this click" correlation. The event-time

@@ -74,6 +74,19 @@ class MultivariateSpec extends SparkTestBase {
     assert(math.abs(out("s").getAs[Double]("fc1") - 70.0) < 5.0)
   }
 
+  test("trendStrength separates a ramp from noise-only") {
+    val rnd = new scala.util.Random(3)
+    val ramp = (0 until 40).map(i =>
+      ("r", "n0", i * 900L, i * 5.0 + rnd.nextGaussian() * 0.2))
+    val noise = (0 until 40).map(i =>
+      ("w", "n0", i * 900L, rnd.nextGaussian()))
+    val out = TimeSeries.trendStrength((ramp ++ noise)
+        .toDF("name", "node", "tsb", "gval"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("trend_strength")).toMap
+    assert(out("r") > 0.95, s"ramp should be trend-dominated, got ${out("r")}")
+    assert(out("w") < 0.6, s"white noise should not, got ${out("w")}")
+  }
+
   test("sax symbolizes a step signal as low/high quartile symbols and skips flat signals") {
     val step = (1 to 16).map(i =>
       ("s1", "n0", i * 900L, if (i <= 8) 0.0 else 10.0))

@@ -201,6 +201,34 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged == Seq(("cpu", 1300L, 99.0)))
   }
 
+  test("forecastBreachStream pages on the trend break, not the trend") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val streamDF = mem.toDF().toDF("name", "node", "tsec", "value")
+    val q = EventStream.forecastBreachStream(streamDF, mult = 3.0)
+      .writeStream.format("memory").queryName("fb").outputMode("append").start()
+    // a steady ramp with small wobble: the Holt state tracks it, so the
+    // RAMP itself must not page (a fixed-threshold detector would)
+    val ramp = (0 until 30).map(i =>
+      ("lat", "n0", i * 60L, 100.0 + i * 10.0 + (i % 2) * 1.0))
+    mem.addData(ramp: _*)
+    q.processAllAvailable()
+    val during = spark.sql("SELECT count(*) FROM fb").head().getLong(0)
+    // then a level break far outside the forecast band
+    mem.addData(("lat", "n0", 1800L, 1000.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT name, tsec, value, fc, lo, hi FROM fb")
+      .collect()
+    q.stop()
+    assert(during == 0, s"the tracked ramp must not page, got $during")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "lat" && r.getLong(1) == 1800L)
+    // the forecast continued the ramp (~400) and the break left the band
+    assert(math.abs(r.getDouble(3) - 400.0) < 20.0)
+    assert(r.getDouble(2) > r.getDouble(5), "value above hi")
+  }
+
   test("stream-static enrichment broadcasts the dimension into each batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")

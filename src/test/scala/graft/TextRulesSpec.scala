@@ -106,6 +106,39 @@ class TextRulesSpec extends SparkTestBase {
     assert(e0 != e1)
   }
 
+  test("packBfd places each doc in the fullest fitting bin, worked example") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // sizes 7,6,4,3,3,2 at budget 10 → bins {7,3} {6,4} {3,2}
+    val docs = Seq(
+      (1L, txt(7), "en"), (2L, txt(6), "en"), (3L, txt(4), "en"),
+      (4L, txt(3), "en"), (5L, txt(3), "en"), (6L, txt(2), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.packBfd(docs, budget = 10).collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("pack_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("mixKlReport: shares normalize, flattening direction, nonnegative total KL") {
+    val docs = ((1 to 80).map(i => (i.toLong, s"t$i", "en")) ++
+      (81 to 95).map(i => (i.toLong, s"t$i", "de")) ++
+      (96 to 100).map(i => (i.toLong, s"t$i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.mixKlReport(docs, "lang",
+      org.apache.spark.sql.functions.col("doc_id").cast("string")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    def s(c: String) = out.values.map(_.getAs[Double](c)).sum
+    assert(math.abs(s("natural_share") - 1.0) < 0.001)
+    assert(math.abs(s("achieved_share") - 1.0) < 0.001)
+    // √p flattening: the head's target share sits below its natural share
+    assert(out("en").getAs[Double]("target_share") <
+      out("en").getAs[Double]("natural_share"))
+    assert(out("fr").getAs[Double]("target_share") >
+      out("fr").getAs[Double]("natural_share"))
+    // total KL of two normalized distributions is nonnegative (Gibbs)
+    assert(s("kl_term") >= -1e-9)
+  }
+
   test("semDedup keeps exactly one survivor per duplicate group — the farthest from centroid") {
     // first-k init seeds the three axes; the duplicates then fall into
     // the seed cells. Group {0,3,4} pins the farthest-keep policy
