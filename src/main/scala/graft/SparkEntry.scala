@@ -621,6 +621,39 @@ object SparkEntry {
   private def sqlLet(bind: String, v: String, body: String): String =
     s"list_transform([$bind], $v -> $body)[1]"
 
+  /** The BFD packing fold as CTEs `t`/`rk`/`st` (shared by pack_bfd
+    * and pack_compare): docs ranked (n DESC, doc_id) per lang, the
+    * recursion carrying the bin-load list; each step binds the fullest
+    * fitting load via [[sqlLet]] and either tops that bin up or opens
+    * a new one — the exact decision sequence of Curation.packBfd.
+    */
+  private def sqlBfdSt(budget: Int): String = {
+    val mx = s"list_max(list_transform(list_filter(s.bins, b -> b.load + r.n <= $budget), b -> b.load))"
+    val binsNew = sqlLet(mx, "mx",
+      "CASE WHEN mx IS NULL THEN list_append(s.bins, {'id': len(s.bins) + 1, 'load': r.n}) " +
+        "ELSE " + sqlLet("list_filter(s.bins, b2 -> b2.load = mx)[1].id", "bid",
+          "list_transform(s.bins, b -> CASE WHEN b.id = bid " +
+            "THEN {'id': b.id, 'load': b.load + r.n} ELSE b END)") +
+        " END")
+    val asg = sqlLet(mx, "mx",
+      "CASE WHEN mx IS NULL THEN CAST(len(s.bins) + 1 AS BIGINT) " +
+        "ELSE CAST(list_filter(s.bins, b2 -> b2.load = mx)[1].id AS BIGINT) END")
+    s"""t AS (SELECT lang, doc_id,
+       |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
+       | FROM documents),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id) AS rk
+       | FROM t),
+       |st AS (
+       |  SELECT lang, rk, doc_id, n,
+       |    [{'id': CAST(1 AS BIGINT), 'load': n}] AS bins, CAST(1 AS BIGINT) AS assigned
+       |  FROM rk WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.lang, r.rk, r.doc_id, r.n,
+       |    $binsNew,
+       |    $asg
+       |  FROM st s JOIN rk r ON r.lang = s.lang AND r.rk = s.rk + 1)""".stripMargin
+  }
+
   /** Max-Q struct (v, nt := −t) of the engine's bestSplitQ over a
     * 1-based BIGINT list expr; NULL when the segment is shorter than
     * 2·minSize (= the engine's (−1, 0.0) leaf). Names suffixed 0 to
@@ -2625,6 +2658,46 @@ object SparkEntry {
          |   + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
          |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
+    Q("corr_cluster", (s, dir) => {
+      // correlation-graph signal grouping: edges where any bucket's
+      // |r| ≥ 0.8, components over the fleet-bounded vertex set — the
+      // "these metrics move together" dashboard grouping
+      Correlate.corrCluster(corrGrid(s, dir), threshold = 0.8)
+        .orderBy("signal")
+    }, Some(
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |mx AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mq AS (SELECT name, node, b, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |cells AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, count(*) AS n,
+         |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
+         |   CAST(sum(x.qv * y.qv) AS DOUBLE) AS sxy,
+         |   CAST(sum(x.qv * x.qv) AS DOUBLE) AS sxx,
+         |   CAST(sum(y.qv * y.qv) AS DOUBLE) AS syy
+         | FROM mq x JOIN mq y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         | GROUP BY 1, 2, 3, 4, 5),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells),
+         |ed AS (SELECT a_name || '|' || a_node AS s1, b_name || '|' || b_node AS s2
+         | FROM fin
+         | WHERE n >= 8 AND vx > 0 AND vy > 0
+         |  AND abs(floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4) >= 0.8
+         | GROUP BY 1, 2),
+         |edges AS (SELECT s1 AS a, s2 AS b FROM ed
+         |  UNION ALL SELECT s2, s1 FROM ed),
+         |vt AS (SELECT DISTINCT name || '|' || node AS sid FROM g2),
+         |comp AS (SELECT sid, sid AS lab FROM vt
+         |  UNION
+         |  SELECT e.b AS sid, c.lab FROM comp c JOIN edges e ON e.a = c.sid)
+         |SELECT sid AS signal, min(lab) AS group_id,
+         | CAST(sid != min(lab) AS INT) AS is_member
+         |FROM comp GROUP BY sid ORDER BY signal""".stripMargin)),
 
     Q("corr_spearman", (s, dir) => {
       Correlate.spearmanMatrix(corrGrid(s, dir))
@@ -4711,36 +4784,32 @@ object SparkEntry {
       // greedy fold replays as a recursive CTE carrying the bin loads
       Curation.packBfd(Tables.documents(s, dir), budget = 256)
         .orderBy("lang", "doc_id"),
-    Some {
-      val budget = 256
-      val mx = s"list_max(list_transform(list_filter(s.bins, b -> b.load + r.n <= $budget), b -> b.load))"
-      val binsNew = sqlLet(mx, "mx",
-        "CASE WHEN mx IS NULL THEN list_append(s.bins, {'id': len(s.bins) + 1, 'load': r.n}) " +
-          "ELSE " + sqlLet("list_filter(s.bins, b2 -> b2.load = mx)[1].id", "bid",
-            "list_transform(s.bins, b -> CASE WHEN b.id = bid " +
-              "THEN {'id': b.id, 'load': b.load + r.n} ELSE b END)") +
-          " END")
-      val asg = sqlLet(mx, "mx",
-        "CASE WHEN mx IS NULL THEN CAST(len(s.bins) + 1 AS BIGINT) " +
-          "ELSE CAST(list_filter(s.bins, b2 -> b2.load = mx)[1].id AS BIGINT) END")
-      s"""WITH RECURSIVE
-         |t AS (SELECT lang, doc_id,
-         |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
-         | FROM documents),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id) AS rk
-         | FROM t),
-         |st AS (
-         |  SELECT lang, rk, doc_id, n,
-         |    [{'id': CAST(1 AS BIGINT), 'load': n}] AS bins, CAST(1 AS BIGINT) AS assigned
-         |  FROM rk WHERE rk = 1
-         |  UNION ALL
-         |  SELECT r.lang, r.rk, r.doc_id, r.n,
-         |    $binsNew,
-         |    $asg
-         |  FROM st s JOIN rk r ON r.lang = s.lang AND r.rk = s.rk + 1)
+    Some(
+      s"""WITH RECURSIVE ${sqlBfdSt(256)}
          |SELECT lang, doc_id, n AS n_tokens, assigned AS pack_id
-         |FROM st ORDER BY lang, doc_id""".stripMargin
-    }),
+         |FROM st ORDER BY lang, doc_id""".stripMargin)),
+
+    Q("pack_compare", (s, dir) =>
+      // the packing trade on one screen: BFD bins/utilization next to
+      // concat-and-cut bins/straddlers, per stratum, same corpus
+      Curation.packCompare(Tables.documents(s, dir), budget = 256)
+        .orderBy("lang"),
+    Some(
+      s"""WITH RECURSIVE ${sqlBfdSt(256)},
+         |b1 AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  max(assigned) AS bins_bfd FROM st GROUP BY 1),
+         |cb AS (SELECT lang, doc_id, n,
+         |  CAST(COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM t),
+         |c1 AS (SELECT lang,
+         |  CAST(sum(CAST((cum_before % 256) + n > 256 AS INT)) AS BIGINT) AS straddlers
+         | FROM cb GROUP BY 1)
+         |SELECT b1.lang, n_docs, total_tokens, bins_bfd,
+         | (total_tokens - 1) // 256 + 1 AS bins_concat, straddlers,
+         | floor((CAST(total_tokens AS DOUBLE) / CAST(bins_bfd * 256 AS DOUBLE)
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS util_bfd
+         |FROM b1 JOIN c1 ON b1.lang = c1.lang ORDER BY b1.lang""".stripMargin)),
 
     Q("pack_efficiency", (s, dir) => {
       // the one-screen packing answer: packs, straddlers, padding, util

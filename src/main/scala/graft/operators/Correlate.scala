@@ -376,4 +376,51 @@ object Correlate {
         r4(col("s").cast("double") / col("n") / lit(1e6)).as("mi_nats"))
       .orderBy("cand_name", "node")
   }
+
+  /** Correlation-graph signal grouping: signals whose |r| reaches
+    * `threshold` in ANY bucket are edges; connected components label
+    * each signal with the lexicographically-smallest member of its
+    * group — the "these metrics move together" structure a dashboard
+    * collapses a fleet by, and the redundancy map an alert-routing
+    * review reads (paging on five members of one group is one page).
+    *
+    * The vertex set is the SIGNAL fleet — bounded by names × nodes ×
+    * nothing (retention and corpus size don't enter) — so the
+    * component pass is a driver-side union-find over a few hundred
+    * strings (the k-centroids/bounded-state convention), fed by one
+    * distinct edge aggregate off the shared correlation cells. The
+    * heavy object stays the corr matrix, which is the already-audited
+    * [[corrMatrix]] plan.
+    */
+  def corrCluster(indexedGrid: DataFrame, threshold: Double = 0.8,
+                  minOverlap: Int = 8): DataFrame = {
+    val spark = indexedGrid.sparkSession
+    import spark.implicits._
+    val edges = corrMatrix(indexedGrid, minOverlap)
+      .filter(abs(col("r")) >= threshold)
+      .select(concat(col("a_name"), lit("|"), col("a_node")).as("s1"),
+        concat(col("b_name"), lit("|"), col("b_node")).as("s2"))
+      .distinct().as[(String, String)].collect()
+    val verts = indexedGrid
+      .select(concat(col("name"), lit("|"), col("node")).as("s"))
+      .distinct().as[String].collect().sorted
+    val lab = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(x: String): String = {
+      var r = x
+      while (lab(r) != r) r = lab(r)
+      r
+    }
+    // union by lexicographic min keeps every root the smallest member
+    // of its tree, so the final label IS the component minimum
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) lab(rb) = ra else lab(ra) = rb
+      }
+    }
+    verts.toSeq.map { v =>
+      val g = find(v)
+      (v, g, if (v != g) 1 else 0)
+    }.toDF("signal", "group_id", "is_member")
+  }
 }

@@ -716,6 +716,28 @@ object Curation {
       .toDF(strataCol, "doc_id", "n_tokens", "pack_id")
   }
 
+  /** The packing trade-off on one screen: per stratum, BFD's bin count
+    * and utilization next to concat-and-cut's bin count and straddler
+    * count — the two ends of the padding-vs-wholeness trade
+    * ([[packBfd]] vs [[packingPlan]]) measured on the same corpus, so
+    * the context-window decision is made on numbers, not taste.
+    */
+  def packCompare(docs: DataFrame, budget: Long,
+                  strataCol: String = "lang"): DataFrame = {
+    val bfd = packBfd(docs, budget, strataCol).groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        max("pack_id").as("bins_bfd"))
+    val cc = packingPlan(docs, budget, strataCol).groupBy(col(strataCol))
+      .agg(sum("crosses").as("straddlers"))
+    bfd.join(cc, strataCol)
+      .select(col(strataCol), col("n_docs"), col("total_tokens"),
+        col("bins_bfd"),
+        (expr(s"(total_tokens - 1) div $budget") + 1).as("bins_concat"),
+        col("straddlers"),
+        r4(col("total_tokens").cast("double") /
+          (col("bins_bfd") * lit(budget)).cast("double")).as("util_bfd"))
+  }
+
   /** Achieved-vs-target mixture audit for [[temperatureSample]]: per
     * stratum, the natural share, the √p target share, the share the
     * deterministic Bernoulli ACTUALLY kept, their delta, and the

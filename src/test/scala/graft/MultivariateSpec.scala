@@ -74,6 +74,24 @@ class MultivariateSpec extends SparkTestBase {
     assert(math.abs(out("s").getAs[Double]("fc1") - 70.0) < 5.0)
   }
 
+  test("corrCluster groups co-moving signals and leaves the independent one alone") {
+    // a and b move together; c is independent noise. indexed-grid shape
+    // (name, node, b, i, qv consumed via withQuant → needs gval, i, b)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 30).flatMap { i =>
+      val base = math.sin(i * 0.7) * 10.0
+      Seq(("ma", "n0", i * 3600L, base, i.toLong, 0L),
+        ("mb", "n0", i * 3600L, base * 2.0 + 1.0, i.toLong, 0L),
+        ("mc", "n0", i * 3600L, rnd.nextGaussian(), i.toLong, 0L))
+    }
+    val grid = rows.toDF("name", "node", "tsb", "gval", "i", "b")
+    val out = graft.operators.Correlate.corrCluster(grid, threshold = 0.8)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out("ma|n0") == ("ma|n0", 0))
+    assert(out("mb|n0") == ("ma|n0", 1), "mb joins ma's group")
+    assert(out("mc|n0") == ("mc|n0", 0), "independent signal stays alone")
+  }
+
   test("trendStrength separates a ramp from noise-only") {
     val rnd = new scala.util.Random(3)
     val ramp = (0 until 40).map(i =>
