@@ -5390,6 +5390,36 @@ object SparkEntry {
         | count(*) AS n_pairs
         |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    Q("embed_ood_knn", (s, dir) =>
+      // kNN-distance OOD: farthest-from-kth-neighbor vectors via the
+      // IVF cells — the outlier the centroid distance misses
+      Similarity.oodKnnDist(Tables.embeddings(s, dir), nCells = 8, k = 5,
+        topN = 50),
+    Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1),
+        |sims AS (SELECT a.vec_id, a.cid AS cell,
+        |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
+        |  b.vec_id AS nid
+        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY sim DESC, nid ASC) AS rn,
+        |  count(*) OVER (PARTITION BY vec_id) AS m FROM sims)
+        |SELECT vec_id, cell, m + 1 AS n_cell, sim AS knn_sim,
+        | floor((1.0 - sim + 1e-9) * 1e4 + 0.5) / 1e4 AS ood_score
+        |FROM rk WHERE rn = CASE WHEN m < 5 THEN m ELSE 5 END
+        |ORDER BY ood_score DESC, vec_id LIMIT 50""".stripMargin)),
+
     Q("dedup_embed_ivf", (s, dir) =>
       Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 8,
           threshold = 0.3)

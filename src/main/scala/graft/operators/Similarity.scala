@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -305,5 +306,50 @@ object Similarity {
         sum(col("sg") * col("sg")).cast("double").as("syy"))
       .select(col("batch"), col("n_vecs"),
         r4(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy")))).as("cos_global"))
+  }
+
+  /** kNN-distance OOD scoring: the top-N vectors FARTHEST from their
+    * k-th nearest in-cell neighbor — the standard non-parametric
+    * out-of-distribution detector (a point deep in a mode has close
+    * neighbors; an outlier's k-th neighbor is far even when its
+    * centroid distance looks normal, the case that fools
+    * Clustering.distanceOutliers). Candidates come from the IVF cell
+    * (the scale path: Σ|cell|² pairs, never all-pairs); vectors in
+    * singleton cells have no neighbors and drop (unsupported, not
+    * silently zero). Ranks compare ROUNDED similarities with neighbor
+    * and vector id tiebreaks, so the k-th value and the top-N set are
+    * engine-deterministic. Cells with fewer than k neighbors use the
+    * farthest available (rank min(k, |cell|−1)).
+    */
+  def oodKnnDist(embs: DataFrame, nCells: Int = 8, k: Int = 5,
+                 topN: Int = 50): DataFrame = {
+    val base = embs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .persist().tracked
+    val sims = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("sim"),
+        col("b.vec_id").as("nid"))
+    val byBest = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rn", row_number().over(byBest))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("vec_id")))
+      .filter(col("rn") === least(lit(k.toLong), col("m")))
+      .select(col("vec_id"), col("cell"), (col("m") + 1).as("n_cell"),
+        col("sim").as("knn_sim"), r4(lit(1.0) - col("sim")).as("ood_score"))
+      .orderBy(col("ood_score").desc, col("vec_id"))
+      .limit(topN)
   }
 }

@@ -74,6 +74,24 @@ class MultivariateSpec extends SparkTestBase {
     assert(math.abs(out("s").getAs[Double]("fc1") - 70.0) < 5.0)
   }
 
+  test("oodKnnDist ranks the isolated vector first, not the dense-mode members") {
+    // two tight direction-modes + one isolated vector; seeds 0 and 1
+    // define the cells (nCells = 2)
+    val rows = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 10.0f, 0.0f)),
+      (2L, Array(10.1f, 0.2f, 0.0f)), (3L, Array(9.9f, 0.1f, 0.0f)),
+      (4L, Array(10.2f, 0.0f, 0.1f)), (5L, Array(0.1f, 10.1f, 0.0f)),
+      (6L, Array(0.0f, 9.8f, 0.2f)),
+      (7L, Array(4.0f, 4.0f, 9.0f))) // isolated: oblique to both modes
+      .map { case (id, v) => (id, v, 0) }
+    val out = graft.operators.Similarity.oodKnnDist(
+        rows.toDF("vec_id", "embedding", "label"), nCells = 2, k = 2, topN = 8)
+      .collect()
+    assert(out.head.getLong(0) == 7L, s"isolated vector should top OOD, got ${out.head}")
+    assert(out.head.getAs[Double]("ood_score") >
+      out(1).getAs[Double]("ood_score") + 0.05)
+  }
+
   test("corrCluster groups co-moving signals and leaves the independent one alone") {
     // a and b move together; c is independent noise. indexed-grid shape
     // (name, node, b, i, qv consumed via withQuant → needs gval, i, b)
