@@ -5737,6 +5737,151 @@ object SparkEntry {
          |FROM fl WHERE ks_flag + mad_flag + iqr_flag >= 1
          |ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ad_scoreboard", (s, dir) => {
+      // the fleet-health triage page: per signal, robust-ensemble flag
+      // counts, trend strength, forecast-band breaches, and the top
+      // matrix-profile discord — four proven detectors joined on the
+      // shared grid (persisted once; each leg is its audited plan)
+      val gd = grid(s, dir).persist().tracked
+      val sigs = gd.select("name", "node").distinct()
+      val ens = Anomaly.ensemble(gd).groupBy("name", "node").agg(
+        sum(when(col("votes") >= 1, 1L).otherwise(0L)).as("n_flags1"),
+        sum(when(col("votes") >= 2, 1L).otherwise(0L)).as("n_flags2"))
+      val ts = TimeSeries.trendStrength(gd)
+        .select("name", "node", "trend_strength")
+      val fc = TimeSeries.forecastInterval(gd)
+        .select(col("name"), col("node"), col("n_breach"))
+      val dc = Anomaly.discords(gd).groupBy("name", "node")
+        .agg(max("dist2").as("top_discord"))
+      sigs.join(ens, Seq("name", "node"), "left")
+        .join(ts, Seq("name", "node"), "left")
+        .join(fc, Seq("name", "node"), "left")
+        .join(dc, Seq("name", "node"), "left")
+        .select(col("name"), col("node"),
+          coalesce(col("n_flags1"), lit(0L)).as("n_flags1"),
+          coalesce(col("n_flags2"), lit(0L)).as("n_flags2"),
+          coalesce(col("trend_strength"), lit(0.0)).as("trend_strength"),
+          coalesce(col("n_breach"), lit(0L)).as("n_breach"),
+          coalesce(col("top_discord"), lit(0.0)).as("top_discord"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb, gval,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2,
+         |  quantile_cont(gval, 0.5) AS med,
+         |  quantile_cont(gval, 0.25) AS q1, quantile_cont(gval, 0.75) AS q3
+         | FROM qd GROUP BY 1, 2),
+         |st AS (SELECT name, node, n, med, q1, q3, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM st0),
+         |wd AS (SELECT g.name, g.node, g.tsb, g.gval, g.d, st.n, st.med, st.q1,
+         |  st.q3, st.mu_s, st.sigma_s, abs(g.gval - st.med) AS dev
+         | FROM qd g JOIN st ON g.name = st.name AND g.node = st.node),
+         |md AS (SELECT name, node, quantile_cont(dev, 0.5) AS mad_v
+         | FROM wd GROUP BY 1, 2),
+         |fl AS (SELECT wd.name, wd.node, wd.tsb, wd.gval,
+         |  CASE WHEN wd.n >= 3 AND wd.sigma_s > 0 AND
+         |    floor((abs((CAST(wd.d AS DOUBLE) - wd.mu_s) / wd.sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 2.5
+         |   THEN 1 ELSE 0 END AS ks_flag,
+         |  CASE WHEN md.mad_v > 0 AND
+         |    floor((abs(0.6745 * (wd.gval - wd.med) / md.mad_v) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0
+         |   THEN 1 ELSE 0 END AS mad_flag,
+         |  CASE WHEN wd.gval < wd.q1 - 1.5 * (wd.q3 - wd.q1)
+         |    OR wd.gval > wd.q3 + 1.5 * (wd.q3 - wd.q1) THEN 1 ELSE 0 END AS iqr_flag
+         | FROM wd JOIN md ON wd.name = md.name AND wd.node = md.node),
+         |eg AS (SELECT name, node,
+         |  CAST(sum(CASE WHEN ks_flag + mad_flag + iqr_flag >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flags1,
+         |  CAST(sum(CASE WHEN ks_flag + mad_flag + iqr_flag >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flags2
+         | FROM fl GROUP BY 1, 2),
+         |t9 AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
+         | FROM grid),
+         |mx9 AS (SELECT *, CASE WHEN (max(abs(gval)) OVER (PARTITION BY name, node)) > 0
+         |  THEN max(abs(gval)) OVER (PARTITION BY name, node) ELSE 1.0 END AS mm FROM t9),
+         |q9 AS (SELECT name, node,
+         |  CAST(floor((gval / mm) * 1e9 + 0.5) AS HUGEINT) AS qg,
+         |  CAST(floor(((gval - trend) / mm) * 1e9 + 0.5) AS HUGEINT) AS qr
+         | FROM mx9),
+         |m9 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(qg) AS DOUBLE) AS sg, CAST(sum(qg * qg) AS DOUBLE) AS sgg,
+         |  CAST(sum(qr) AS DOUBLE) AS sr, CAST(sum(qr * qr) AS DOUBLE) AS srr
+         | FROM q9 GROUP BY 1, 2),
+         |v9 AS (SELECT *, CAST(n AS DOUBLE) * sgg - sg * sg AS vg,
+         |  CAST(n AS DOUBLE) * srr - sr * sr AS vr FROM m9),
+         |tsl AS (SELECT name, node,
+         |  floor((greatest(0.0, 1.0 - vr / vg) + 1e-9) * 1e4 + 0.5) / 1e4 AS trend_strength
+         | FROM v9 WHERE n >= 3 AND vg > 0),
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2 HAVING count(*) >= 3),
+         |step AS (
+         |  SELECT a.name, a.node, CAST(2 AS BIGINT) AS i, a.gval AS l,
+         |    b.gval - a.gval AS bt, CAST(NULL AS DOUBLE) AS resid
+         |  FROM iv a JOIN iv b ON a.name = b.name AND a.node = b.node
+         |   AND a.i = 1 AND b.i = 2
+         |  JOIN nn ON nn.name = a.name AND nn.node = a.node
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    0.3 * v.gval + (1 - 0.3) * (s.l + s.bt),
+         |    0.2 * ((0.3 * v.gval + (1 - 0.3) * (s.l + s.bt)) - s.l) + (1 - 0.2) * s.bt,
+         |    v.gval - (s.l + s.bt)
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node
+         |   AND v.i = s.i + 1),
+         |rs AS (SELECT name, node, i,
+         |  CAST(floor((abs(resid) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qr
+         | FROM step WHERE resid IS NOT NULL),
+         |nf AS (SELECT name, node, count(*) AS nf FROM rs GROUP BY 1, 2),
+         |rr AS (SELECT name, node, qr,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY qr, i) AS rk FROM rs),
+         |qb AS (SELECT rr.name, rr.node, rr.qr AS qb
+         | FROM rr JOIN nf ON nf.name = rr.name AND nf.node = rr.node
+         | WHERE rr.rk = CAST(ceil(0.9 * nf.nf) AS BIGINT)),
+         |fcl AS (SELECT rs.name, rs.node,
+         |  CAST(sum(CASE WHEN rs.qr > 2 * qb.qb THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+         | FROM rs JOIN qb ON qb.name = rs.name AND qb.node = rs.node
+         | GROUP BY 1, 2),
+         |qp AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS i
+         | FROM grid),
+         |cn AS (SELECT name, node, count(*) AS n FROM qp GROUP BY 1, 2),
+         |sub AS (SELECT name, node, i, tsb,
+         |  list(q) OVER (PARTITION BY name, node ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS v
+         | FROM qp),
+         |ss AS (SELECT sub.name, sub.node, sub.i, sub.tsb, v
+         | FROM sub JOIN cn USING (name, node)
+         | WHERE sub.i <= n - 8 AND n >= 16),
+         |pp AS (SELECT a.name, a.node, a.i,
+         |  min(list_sum(list_transform(range(1, 9),
+         |    t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])))) AS prof
+         | FROM ss a JOIN ss b ON a.name = b.name AND a.node = b.node
+         |   AND abs(a.i - b.i) >= 8
+         | GROUP BY 1, 2, 3),
+         |dcl AS (SELECT name, node,
+         |  floor((CAST(max(prof) AS DOUBLE) / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS top_discord
+         | FROM pp GROUP BY 1, 2),
+         |sg AS (SELECT DISTINCT name, node FROM grid)
+         |SELECT sg.name, sg.node,
+         | COALESCE(eg.n_flags1, 0) AS n_flags1,
+         | COALESCE(eg.n_flags2, 0) AS n_flags2,
+         | COALESCE(tsl.trend_strength, 0.0) AS trend_strength,
+         | COALESCE(fcl.n_breach, 0) AS n_breach,
+         | COALESCE(dcl.top_discord, 0.0) AS top_discord
+         |FROM sg
+         | LEFT JOIN eg ON eg.name = sg.name AND eg.node = sg.node
+         | LEFT JOIN tsl ON tsl.name = sg.name AND tsl.node = sg.node
+         | LEFT JOIN fcl ON fcl.name = sg.name AND fcl.node = sg.node
+         | LEFT JOIN dcl ON dcl.name = sg.name AND dcl.node = sg.node
+         |ORDER BY sg.name, sg.node""".stripMargin)),
+
     Q("ad_forecast_interval", (s, dir) =>
       TimeSeries.forecastInterval(grid(s, dir)).orderBy("name", "node"),
     Some(
