@@ -4382,11 +4382,13 @@ object SparkEntry {
         |SELECT lang, CAST(cnt AS BIGINT) AS n_docs, CAST(kept AS BIGINT) AS kept,
         | floor((cnt / tot + 1e-9) * 1e4 + 0.5) / 1e4 AS natural_share,
         | floor((CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS target_share,
-        | floor((CAST(kept AS DOUBLE) / ktot + 1e-9) * 1e4 + 0.5) / 1e4 AS achieved_share,
-        | floor((CAST(kept AS DOUBLE) / ktot - CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+        | floor(((CASE WHEN ktot > 0 THEN CAST(kept AS DOUBLE) / ktot ELSE 0.0 END)
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS achieved_share,
+        | floor(((CASE WHEN ktot > 0 THEN CAST(kept AS DOUBLE) / ktot ELSE 0.0 END)
+        |   - CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS delta,
         | CASE WHEN kept > 0 THEN
-        |   floor(((CAST(kept AS DOUBLE) / ktot)
+        |   floor(((CASE WHEN ktot > 0 THEN CAST(kept AS DOUBLE) / ktot ELSE 0.0 END)
         |     * CAST(CAST(floor((ln((CAST(kept AS DOUBLE) / ktot)
         |         / (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
         |     / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4

@@ -770,7 +770,11 @@ object Curation {
     val j = base.join(kept, Seq(strataCol), "left")
       .withColumn("kept", coalesce(col("kept"), lit(0L)))
       .withColumn("ktot", sum(col("kept")).over(all).cast("double"))
-    val ach = col("kept").cast("double") / col("ktot")
+    // an aggressive beta can keep NOTHING: 0/0 is NULL on Spark but NaN
+    // on DuckDB (IEEE division) — pin the empty-sample share to 0.0 so
+    // the degenerate corpus still replays
+    val ach = when(col("ktot") > 0,
+      col("kept").cast("double") / col("ktot")).otherwise(lit(0.0))
     val tgt = col("wq").cast("double") / col("wsum").cast("double")
     val qln = floor((log(ach / tgt) + lit(1e-9)) * lit(1e6) + lit(0.5))
       .cast("long")

@@ -307,4 +307,42 @@ class EdgeCaseSpec extends SparkTestBase {
         r.getAs[Double]("recall") == 0.0))
     assert(ChangePoints.seasonalEsd(grid()).count() == 0)
   }
+
+  test("r5 continuation operators survive degenerate inputs") {
+    // text battery: empty corpus → empty profiles, never a throw
+    val emptyDocs = docs()
+    assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
+    assert(TextAnalysis.dupLines(emptyDocs).count() == 0)
+    // short series: discords need 2w; forecast needs 3 points;
+    // trend strength needs variance
+    val short = grid(("a", "n", 0L, 1.0), ("a", "n", 900L, 2.0))
+    assert(Anomaly.discords(short).count() == 0)
+    assert(TimeSeries.forecastInterval(short).count() == 0)
+    assert(TimeSeries.trendStrength(
+      grid((0 until 10).map(i => ("f", "n", i * 900L, 7.0)): _*)).count() == 0)
+    // packing: an oversize doc gets its own bin, nothing lost
+    val over = Seq((1L, Seq.fill(20)("w").mkString(" "), "en"),
+      (2L, "small doc", "en")).toDF("doc_id", "text", "lang")
+    val packed = Curation.packBfd(over, budget = 10).collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("pack_id")).toMap
+    assert(packed.size == 2 && packed(1L) != packed(2L))
+    // single-stratum mix with enough docs that the Bernoulli keeps
+    // some: achieved = target = 1, zero KL
+    val one = Curation.mixKlReport(
+      (1L to 10L).map(i => (i, s"x$i", "en")).toDF("doc_id", "text", "lang"),
+      "lang", $"doc_id".cast("string")).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[Long]("kept") > 0)
+    assert(one.head.getAs[Double]("achieved_share") == 1.0)
+    assert(math.abs(one.head.getAs[Double]("kl_term")) < 1e-9)
+    // two docs whose hashes both fall above the 0.5 threshold: the
+    // sampler keeps NOTHING — shares must pin to 0.0, not NULL/NaN
+    // (Spark 0/0 is NULL, DuckDB 0/0 is NaN; the guard makes them agree)
+    val none = Curation.mixKlReport(
+      Seq((1L, "x", "en"), (2L, "y", "en")).toDF("doc_id", "text", "lang"),
+      "lang", $"doc_id".cast("string")).collect()
+    assert(none.head.getAs[Long]("kept") == 0)
+    assert(none.head.getAs[Double]("achieved_share") == 0.0)
+    assert(none.head.getAs[Double]("kl_term") == 0.0)
+  }
 }
