@@ -2546,6 +2546,31 @@ object SparkEntry {
          | floor((gval - trend + 1e-9) * 1e4 + 0.5) / 1e4 AS resid
          |FROM t ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("ts_seasonal_strength", (s, dir) =>
+      TimeSeries.seasonalStrength(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |mxs AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qds AS (SELECT name, node, (tsb % 86400) // 3600 AS h,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS dq FROM mxs),
+         |hh AS (SELECT name, node, h, count(*) AS nh,
+         |  CAST(sum(dq) AS DOUBLE) AS s1h, CAST(sum(dq * dq) AS DOUBLE) AS s2h
+         | FROM qds GROUP BY 1, 2, 3),
+         |ht AS (SELECT *, s2h - s1h * s1h / CAST(nh AS DOUBLE) AS term FROM hh),
+         |ag AS (SELECT name, node,
+         |  list(nh ORDER BY h) AS lnh, list(s1h ORDER BY h) AS ls1,
+         |  list(s2h ORDER BY h) AS ls2, list(term ORDER BY h) AS lt
+         | FROM ht GROUP BY 1, 2),
+         |fin AS (SELECT name, node, CAST(len(lt) AS INT) AS n_hours,
+         |  CAST(list_sum(lnh) AS BIGINT) AS n, list_sum(ls1) AS s1,
+         |  list_sum(ls2) AS s2, list_sum(lt) AS ssw FROM ag),
+         |sx AS (SELECT *, s2 - s1 * s1 / CAST(n AS DOUBLE) AS sst FROM fin)
+         |SELECT name, node, n, n_hours,
+         | floor((greatest(0.0, 1.0 - ssw / sst) + 1e-9) * 1e4 + 0.5) / 1e4 AS seasonal_strength
+         |FROM sx WHERE sst > 0 ORDER BY name, node""".stripMargin)),
+
     Q("ts_trend_strength", (s, dir) =>
       TimeSeries.trendStrength(grid(s, dir)).orderBy("name", "node"),
     Some(
@@ -3966,6 +3991,17 @@ object SparkEntry {
         |FROM sl GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin)),
 
     // ================= H. deterministic sampling & mixing =================
+
+    Q("sample_kfold", (s, dir) =>
+      // deterministic 5-fold CV assignment by doc hash; append-stable
+      Sampling.kfoldAssign(Tables.documents(s, dir),
+          col("doc_id").cast("string"), k = 5)
+        .select(col("doc_id"), col("lang"), col("fold"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, lang,
+        | CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("sample_split", (s, dir) => {
       // deterministic 80/10/10 train/val/test assignment by doc hash —

@@ -149,4 +149,14 @@ object Sampling {
       .filter(col("_hrk") <= n)
       .drop("_hrk")
   }
+
+  /** Deterministic k-fold assignment: fold = md5-hash(key) mod k — the
+    * cross-validation companion of [[splitAssign]]. Same contract:
+    * append-stable (a document's fold never changes as the corpus
+    * grows), partition-invariant, and leakage-safe when `keyCol` is a
+    * GROUP key (pass the exact-dup canonical id to keep duplicate
+    * groups inside one fold, the sample_split_grouped move).
+    */
+  def kfoldAssign(df: DataFrame, keyCol: Column, k: Int = 5): DataFrame =
+    df.withColumn("fold", (hash32(keyCol) % k).cast("int"))
 }

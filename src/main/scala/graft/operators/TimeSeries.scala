@@ -632,6 +632,46 @@ object TimeSeries {
           .as("trend_strength"))
   }
 
+  /** Seasonal strength per signal — the daily-cycle sibling of
+    * [[trendStrength]] (together they're the Hyndman feature pair):
+    * hour-of-day ANOVA η² = 1 − SS_within/SS_total over the grid, ~1
+    * when the hour explains the variance (strong daily seasonality),
+    * ~0 for aperiodic signals. The triage split between "route to the
+    * seasonal detector" and "route to the residual detector".
+    *
+    * Determinism: per-hour moments are exact integer sums; the two
+    * order-sensitive double reductions (Σ_h of the ≤24 per-hour terms)
+    * run as ORDERED folds — Spark `aggregate` over the hour-sorted
+    * struct array, DuckDB `list_sum` over `list(... ORDER BY h)` —
+    * so both engines execute the identical IEEE sequence.
+    */
+  def seasonalStrength(grid: DataFrame): DataFrame = {
+    val q = grid.withColumn("mm", signalScale("gval"))
+      .withColumn("dq", quantRel(col("gval"), col("mm")))
+      .withColumn("h", expr("(tsb % 86400) div 3600"))
+    val hourly = q.groupBy("name", "node", "h").agg(
+        count(lit(1)).as("nh"),
+        sum(col("dq")).cast("double").as("s1h"),
+        sum(col("dq") * col("dq")).cast("double").as("s2h"))
+      .withColumn("term",
+        col("s2h") - col("s1h") * col("s1h") / col("nh").cast("double"))
+    hourly.groupBy("name", "node")
+      .agg(sort_array(collect_list(struct(col("h"), col("nh"), col("s1h"),
+        col("s2h"), col("term")))).as("hs"))
+      .select(col("name"), col("node"),
+        size(col("hs")).as("n_hours"),
+        expr("aggregate(hs, 0L, (a, x) -> a + x.nh)").as("n"),
+        expr("aggregate(hs, 0D, (a, x) -> a + x.s1h)").as("s1"),
+        expr("aggregate(hs, 0D, (a, x) -> a + x.s2h)").as("s2"),
+        expr("aggregate(hs, 0D, (a, x) -> a + x.term)").as("ssw"))
+      .withColumn("sst",
+        col("s2") - col("s1") * col("s1") / col("n").cast("double"))
+      .filter(col("sst") > 0)
+      .select(col("name"), col("node"), col("n"), col("n_hours"),
+        r4(greatest(lit(0.0), lit(1.0) - col("ssw") / col("sst")))
+          .as("seasonal_strength"))
+  }
+
   /** Forecast-interval alerting: per signal, the Holt 1-step forecast
     * with an empirical residual band — the prediction-interval page a
     * forecast-based monitor raises when reality leaves [lo, hi]. The

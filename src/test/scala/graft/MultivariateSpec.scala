@@ -110,6 +110,24 @@ class MultivariateSpec extends SparkTestBase {
     assert(out("mc|n0") == ("mc|n0", 0), "independent signal stays alone")
   }
 
+  test("seasonalStrength separates a daily cycle from noise") {
+    val rnd = new scala.util.Random(9)
+    // three days of hourly samples: value is a pure function of
+    // hour-of-day (+tiny noise) vs pure noise
+    val cyc = (0 until 72).map { i =>
+      val h = i % 24
+      ("cy", "n0", i * 3600L, 10.0 + math.sin(h / 24.0 * 2 * math.Pi) * 5.0 +
+        rnd.nextGaussian() * 0.05)
+    }
+    val wn = (0 until 72).map(i => ("wn", "n0", i * 3600L, rnd.nextGaussian()))
+    val out = TimeSeries.seasonalStrength((cyc ++ wn)
+        .toDF("name", "node", "tsb", "gval"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("seasonal_strength")).toMap
+    assert(out("cy") > 0.95, s"daily cycle should dominate, got ${out("cy")}")
+    assert(out("wn") < 0.6, s"noise should not, got ${out("wn")}")
+  }
+
   test("trendStrength separates a ramp from noise-only") {
     val rnd = new scala.util.Random(3)
     val ramp = (0 until 40).map(i =>
