@@ -293,6 +293,11 @@ object Anomaly {
     * the ×1e6-quantized grid (order-independent — no IEEE replay needed
     * anywhere), the exclusion zone |i−j| ≥ w suppresses trivial
     * matches, and the per-signal top-k ranks (profile DESC, i ASC).
+    * Magnitude note: the Long distance accumulator holds w·(Δq)² —
+    * safe through |gval| ≈ 1e4 at the ×1e6 quantization (1.3e18 at
+    * this grid's scale); signals beyond that should be pre-scaled
+    * with [[TimeSeries.relative]] (the decomposition family's
+    * convention) before discord discovery.
     *
     * Plan: one keyed shuffle groups each signal into a task; the kernel
     * walks DIAGONALS of the distance matrix with the rolling update
