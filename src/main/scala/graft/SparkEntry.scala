@@ -2910,6 +2910,36 @@ object SparkEntry {
          |FROM pfin WHERE total > 0 AND bst IS NOT NULL
          |ORDER BY name, node""".stripMargin)),
 
+    Q("ts_spectral_entropy", (s, dir) => {
+      ChangePoints.spectralEntropy(
+          corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM ff36 GROUP BY 1, 2),
+         |pmean AS (SELECT name, node, n, xs,
+         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         | FROM pser WHERE n >= 8),
+         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
+         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
+         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
+         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
+         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
+         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
+         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
+         | GROUP BY 1, 2, 3, 4, 5),
+         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
+         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
+         |  list(p ORDER BY k) AS ps FROM ppow GROUP BY 1, 2, 3, 4)
+         |SELECT name, node, CAST(n AS BIGINT) AS n,
+         | floor((list_sum(list_transform(ps, pp ->
+         |    CASE WHEN pp > 0 THEN -(pp / total) * ln(pp / total) ELSE 0.0 END))
+         |   / ln(CAST(m // 2 AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS spec_entropy
+         |FROM pfin WHERE total > 0 ORDER BY name, node""".stripMargin)),
+
     Q("ad_lowpass_seasonal", (s, dir) => {
       ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
         .select(col("name"), col("node"), col("tsb"),

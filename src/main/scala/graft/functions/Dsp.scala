@@ -99,6 +99,40 @@ object Dsp {
     else Some((m.toDouble / best, bestP / total))
   }
 
+  /** Normalized spectral entropy of a series: Shannon entropy of the
+    * positive-frequency power distribution, divided by ln(m/2) so 0 =
+    * one pure tone (perfectly forecastable) and 1 = white noise — the
+    * forecastability score completing the Hyndman feature triple next
+    * to trend and seasonal strength. Same FFT pipeline as
+    * [[dominantPeriod]]; the entropy fold runs k-ascending so the
+    * oracle's k-ordered list_sum replays the same sequence (direct-DFT
+    * float noise absorbed by the 4-dp guard, the period_detect
+    * precedent). None for short or variance-free series.
+    */
+  def spectralEntropy(x: Array[Double]): Option[(Double, Long)] = {
+    val n = x.length
+    if (n < 8) return None
+    val mean = x.sum / n
+    val m = nextPow2(n)
+    val re = new Array[Double](m)
+    val im = new Array[Double](m)
+    var i = 0
+    while (i < n) { re(i) = x(i) - mean; i += 1 }
+    fft(re, im, invert = false)
+    var total = 0.0
+    var k = 1
+    while (k <= m / 2) { total += re(k) * re(k) + im(k) * im(k); k += 1 }
+    if (total <= 0) return None
+    var h = 0.0
+    k = 1
+    while (k <= m / 2) {
+      val p = (re(k) * re(k) + im(k) * im(k)) / total
+      if (p > 0) h -= p * math.log(p)
+      k += 1
+    }
+    Some((h / math.log((m / 2).toDouble), n.toLong))
+  }
+
   /** Ideal lowpass: keep frequency bins with |f| <= fMin (f in Hz given
     * sample interval `stepSec`), zero the rest. Returns the filtered
     * series (the "seasonality"); `x - lowpass(x)` is the noise.

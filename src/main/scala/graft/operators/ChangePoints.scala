@@ -176,6 +176,25 @@ object ChangePoints {
       .toDF("name", "node", "period_sec", "strength", "n")
   }
 
+  /** Per-signal normalized spectral entropy (see [[Dsp.spectralEntropy]]):
+    * the forecastability score — route low-entropy signals to the
+    * forecast family, high-entropy ones to the robust residual gates.
+    */
+  def spectralEntropy(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        Dsp.spectralEntropy(pts.map(_._4)).map { case (h, n) =>
+          (key._1, key._2, n, r4d(h))
+        }
+      }
+      .toDF("name", "node", "n", "spec_entropy")
+  }
+
   /** Per-signal measured lowpass cutoff: when the RAW series has a
     * confident dominant period (spectral strength ≥ strengthMin), the
     * seasonal cutoff is set 25% above that period's frequency — safely

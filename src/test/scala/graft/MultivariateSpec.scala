@@ -110,6 +110,18 @@ class MultivariateSpec extends SparkTestBase {
     assert(out("mc|n0") == ("mc|n0", 0), "independent signal stays alone")
   }
 
+  test("spectralEntropy: pure tone near 0, white noise near 1") {
+    val rnd = new scala.util.Random(13)
+    val tone = (0 until 64).map(i =>
+      ("t", "n0", i * 900L, math.sin(i * 2 * math.Pi / 16.0)))
+    val noise = (0 until 64).map(i => ("w", "n0", i * 900L, rnd.nextGaussian()))
+    val out = graft.operators.ChangePoints.spectralEntropy(
+        (tone ++ noise).toDF("name", "node", "tsb", "gval"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("spec_entropy")).toMap
+    assert(out("t") < 0.2, s"pure tone should be near 0, got ${out("t")}")
+    assert(out("w") > 0.75, s"white noise should be near 1, got ${out("w")}")
+  }
+
   test("seasonalStrength separates a daily cycle from noise") {
     val rnd = new scala.util.Random(9)
     // three days of hourly samples: value is a pure function of
