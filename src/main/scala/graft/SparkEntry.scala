@@ -2571,6 +2571,91 @@ object SparkEntry {
          | floor((greatest(0.0, 1.0 - ssw / sst) + 1e-9) * 1e4 + 0.5) / 1e4 AS seasonal_strength
          |FROM sx WHERE sst > 0 ORDER BY name, node""".stripMargin)),
 
+    Q("ts_features", (s, dir) => {
+      // the per-signal feature vector for downstream fleet ML: the
+      // Hyndman triple on ONE persisted grid; signals missing a leg
+      // (short series, zero variance) carry NULL, not a fake zero
+      val gd = grid(s, dir).persist().tracked
+      gd.select("name", "node").distinct()
+        .join(TimeSeries.trendStrength(gd)
+          .select("name", "node", "trend_strength"), Seq("name", "node"), "left")
+        .join(TimeSeries.seasonalStrength(gd)
+          .select("name", "node", "seasonal_strength"), Seq("name", "node"), "left")
+        .join(ChangePoints.spectralEntropy(gd)
+          .select("name", "node", "spec_entropy"), Seq("name", "node"), "left")
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |t9 AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
+         | FROM grid),
+         |mx9 AS (SELECT *, CASE WHEN (max(abs(gval)) OVER (PARTITION BY name, node)) > 0
+         |  THEN max(abs(gval)) OVER (PARTITION BY name, node) ELSE 1.0 END AS mm FROM t9),
+         |q9 AS (SELECT name, node,
+         |  CAST(floor((gval / mm) * 1e9 + 0.5) AS HUGEINT) AS qg,
+         |  CAST(floor(((gval - trend) / mm) * 1e9 + 0.5) AS HUGEINT) AS qr
+         | FROM mx9),
+         |m9 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(qg) AS DOUBLE) AS sg, CAST(sum(qg * qg) AS DOUBLE) AS sgg,
+         |  CAST(sum(qr) AS DOUBLE) AS sr, CAST(sum(qr * qr) AS DOUBLE) AS srr
+         | FROM q9 GROUP BY 1, 2),
+         |v9 AS (SELECT *, CAST(n AS DOUBLE) * sgg - sg * sg AS vg,
+         |  CAST(n AS DOUBLE) * srr - sr * sr AS vr FROM m9),
+         |tsl AS (SELECT name, node,
+         |  floor((greatest(0.0, 1.0 - vr / vg) + 1e-9) * 1e4 + 0.5) / 1e4 AS trend_strength
+         | FROM v9 WHERE n >= 3 AND vg > 0),
+         |mxs AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qds AS (SELECT name, node, (tsb % 86400) // 3600 AS h,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS dq FROM mxs),
+         |hh AS (SELECT name, node, h, count(*) AS nh,
+         |  CAST(sum(dq) AS DOUBLE) AS s1h, CAST(sum(dq * dq) AS DOUBLE) AS s2h
+         | FROM qds GROUP BY 1, 2, 3),
+         |ht AS (SELECT *, s2h - s1h * s1h / CAST(nh AS DOUBLE) AS term FROM hh),
+         |ag AS (SELECT name, node,
+         |  list(s1h ORDER BY h) AS ls1, list(s2h ORDER BY h) AS ls2,
+         |  list(nh ORDER BY h) AS lnh, list(term ORDER BY h) AS lt
+         | FROM ht GROUP BY 1, 2),
+         |fins AS (SELECT name, node, CAST(list_sum(lnh) AS BIGINT) AS n,
+         |  list_sum(ls1) AS s1, list_sum(ls2) AS s2, list_sum(lt) AS ssw FROM ag),
+         |sxs AS (SELECT *, s2 - s1 * s1 / CAST(n AS DOUBLE) AS sst FROM fins),
+         |ssl AS (SELECT name, node,
+         |  floor((greatest(0.0, 1.0 - ssw / sst) + 1e-9) * 1e4 + 0.5) / 1e4 AS seasonal_strength
+         | FROM sxs WHERE sst > 0),
+         |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM grid GROUP BY 1, 2),
+         |pmean AS (SELECT name, node, n, xs,
+         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         | FROM pser WHERE n >= 8),
+         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
+         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
+         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
+         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
+         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
+         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
+         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
+         | GROUP BY 1, 2, 3, 4, 5),
+         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
+         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
+         |  list(p ORDER BY k) AS ps FROM ppow GROUP BY 1, 2, 3, 4),
+         |sel AS (SELECT name, node,
+         |  floor((list_sum(list_transform(ps, pp ->
+         |     CASE WHEN pp > 0 THEN -(pp / total) * ln(pp / total) ELSE 0.0 END))
+         |    / ln(CAST(m // 2 AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS spec_entropy
+         | FROM pfin WHERE total > 0),
+         |sg AS (SELECT DISTINCT name, node FROM grid)
+         |SELECT sg.name, sg.node, tsl.trend_strength, ssl.seasonal_strength,
+         | sel.spec_entropy
+         |FROM sg
+         | LEFT JOIN tsl ON tsl.name = sg.name AND tsl.node = sg.node
+         | LEFT JOIN ssl ON ssl.name = sg.name AND ssl.node = sg.node
+         | LEFT JOIN sel ON sel.name = sg.name AND sel.node = sg.node
+         |ORDER BY sg.name, sg.node""".stripMargin)),
+
     Q("ts_trend_strength", (s, dir) =>
       TimeSeries.trendStrength(grid(s, dir)).orderBy("name", "node"),
     Some(
