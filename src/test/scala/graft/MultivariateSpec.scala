@@ -110,6 +110,35 @@ class MultivariateSpec extends SparkTestBase {
     assert(out("mc|n0") == ("mc|n0", 0), "independent signal stays alone")
   }
 
+  test("the scoreboard composition surfaces each leg's signal") {
+    val rnd = new scala.util.Random(21)
+    // a trending signal with a level spike: trend strength high,
+    // forecast breach present; a flat-noise signal: neither
+    val spiky = (0 until 40).map { i =>
+      ("sp", "n0", i * 900L,
+        10.0 + i * 2.0 + (if (i == 25) 60.0 else 0.0) + rnd.nextGaussian() * 0.1)
+    }
+    val quiet = (0 until 40).map(i => ("qt", "n0", i * 900L, rnd.nextGaussian()))
+    val gd = (spiky ++ quiet).toDF("name", "node", "tsb", "gval")
+    val sigs = gd.select("name", "node").distinct()
+    val ens = Anomaly.ensemble(gd).groupBy("name", "node").agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("votes") >= 2, 1L).otherwise(0L))
+        .as("n_flags2"))
+    val out = sigs
+      .join(TimeSeries.trendStrength(gd).select("name", "node", "trend_strength"),
+        Seq("name", "node"), "left")
+      .join(TimeSeries.forecastInterval(gd).select("name", "node", "n_breach"),
+        Seq("name", "node"), "left")
+      .join(ens, Seq("name", "node"), "left")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the spike itself inflates the residual leg a little
+    assert(out("sp").getAs[Double]("trend_strength") > 0.8)
+    assert(out("sp").getAs[Long]("n_breach") >= 1)
+    assert(out("qt").getAs[Double]("trend_strength") < 0.7)
+  }
+
   test("spectralEntropy: pure tone near 0, white noise near 1") {
     val rnd = new scala.util.Random(13)
     val tone = (0 until 64).map(i =>
