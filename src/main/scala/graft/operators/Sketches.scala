@@ -100,7 +100,11 @@ object Sketches {
     * deterministic, append-stable sample; MERGEABLE (union two sketches
     * and re-take the k smallest ranks — exactly how per-partition
     * partial top-k already combines); the sample median estimates the
-    * group median with O(1/√k) error.
+    * group median with O(1/√k) error. The sample keys on the ROW id,
+    * so the contract is exactly-once ids: an at-least-once feed must
+    * dedup by `idCol` upstream (EventStream.dedupStream) or replayed
+    * rows enter the sample twice — unlike the HLL registers, whose
+    * max-fold absorbs replays natively (pinned in MultivariateSpec).
     *
     * The only exchange carries (group, rank, value) — three narrow
     * columns, never whole rows — and the per-group top-k is the

@@ -110,6 +110,35 @@ class MultivariateSpec extends SparkTestBase {
     assert(out("mc|n0") == ("mc|n0", 0), "independent signal stays alone")
   }
 
+  test("sketch estimates are replay-invariant (the mergeable-state property)") {
+    import graft.operators.Sketches
+    // registers are max-based and KMV bottom-k keys on unique ids, so
+    // re-delivering every row (the at-least-once scale scenario, and
+    // the black-box face of mergeability) must not move either estimate
+    val df = (1 to 3000).map(i => (s"t${i % 3}", i.toLong, (i % 700).toLong,
+      (i % 97).toDouble)).toDF("event_type", "event_id", "user_id", "value")
+    val doubled = df.unionAll(df)
+    val one = Sketches.hllDistinct(df, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val two = Sketches.hllDistinct(doubled, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == two, "HLL registers must absorb replays")
+    // and the estimate lands inside the p=9 error regime (~4.6% typical)
+    one.values.foreach(est =>
+      assert(math.abs(est - 700.0) / 700.0 < 0.2, s"estimate $est vs 700"))
+    // KMV keys its sample on the row id, so its contract is
+    // exactly-once ids (dedupStream upstream under at-least-once) —
+    // the property here is the one it does promise: the bottom-k
+    // sample median tracks the exact median computed beside it
+    val m = Sketches.kmvMedian(df, "event_type", "event_id", "value")
+      .collect()
+    m.foreach { r =>
+      val approx = r.getDouble(1); val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) <= 10.0,
+        s"sample median $approx should track exact $exact")
+    }
+  }
+
   test("the scoreboard composition surfaces each leg's signal") {
     val rnd = new scala.util.Random(21)
     // a trending signal with a level spike: trend strength high,
