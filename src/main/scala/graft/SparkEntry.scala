@@ -437,6 +437,68 @@ object SparkEntry {
        |FROM sc CROSS JOIN mom ORDER BY d2 DESC, node, tsb LIMIT $topN""".stripMargin
   }
 
+  /** Oracle for q33_markov, generated from the SAME index loops as the
+    * driver-side power iteration (the Mahalanobis device): 5×5
+    * conditional-sum transition counts in one row, row-normalized with
+    * the absorbing-row (r=0 → self-loop) rule, then `iters` unrolled
+    * π·P steps whose 5-term sums are written in ascending-i order —
+    * the exact IEEE chain the Scala loop executes.
+    */
+  private def sqlMarkov(types: Seq[String], iters: Int): String = {
+    val k = types.length
+    val cs = (for { i <- 0 until k; j <- 0 until k } yield
+      s"  CAST(sum(CASE WHEN a = '${types(i)}' AND nx = '${types(j)}' THEN 1 ELSE 0 END) AS BIGINT) AS c$i$j")
+      .mkString(",\n")
+    val rs = (0 until k).map(i =>
+      s"  " + (0 until k).map(j => s"c$i$j").mkString(" + ") + s" AS r$i").mkString(",\n")
+    val ps = (for { i <- 0 until k; j <- 0 until k } yield {
+      val selfv = if (i == j) "1.0" else "0.0"
+      s"  CASE WHEN r$i = 0 THEN $selfv ELSE CAST(c$i$j AS DOUBLE) / CAST(r$i AS DOUBLE) END AS p$i$j"
+    }).mkString(",\n")
+    val pi0 = (0 until k).map(j => s"  0.2 AS pi0_$j").mkString(",\n")
+    val its = (1 to iters).map { t =>
+      val cols = (0 until k).map { j =>
+        s"  " + (0 until k).map(i => s"pi${t - 1}_$i * p$i$j").mkString(" + ") +
+          s" AS pi${t}_$j"
+      }.mkString(",\n")
+      s"it$t AS (SELECT *,\n$cols\n FROM it${t - 1})"
+    }.mkString(",\n")
+    val vals = types.zipWithIndex.map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    def pick(prefix: String): String =
+      "CASE t.i " + (0 until k).map(i => s"WHEN $i THEN $prefix$i").mkString(" ") + " END"
+    def pickIJ(f: Int => String): String =
+      "CASE t.i " + (0 until k).map(i => s"WHEN $i THEN ${f(i)}").mkString(" ") + " END"
+    s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
+       |b AS (SELECT user_id, tsec, event_id, event_type,
+       |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+       | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+       |sd AS (SELECT user_id, tsec, event_id, event_type,
+       |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+       |px AS (SELECT event_type AS a,
+       |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
+       | FROM sd),
+       |cj AS (SELECT
+       |$cs
+       | FROM px WHERE nx IS NOT NULL),
+       |pr AS (SELECT *,
+       |$rs
+       | FROM cj),
+       |pp AS (SELECT *,
+       |$ps
+       | FROM pr),
+       |it0 AS (SELECT *,
+       |$pi0
+       | FROM pp),
+       |$its
+       |SELECT t.event_type,
+       | ${pick("r")} AS n_out,
+       | floor((${pickIJ(i => s"p$i$i")} + 1e-9) * 1e4 + 0.5) / 1e4 AS p_self,
+       | floor((${pick(s"pi${iters}_")} + 1e-9) * 1e4 + 0.5) / 1e4 AS stationary
+       |FROM it$iters CROSS JOIN (VALUES $vals) t(i, event_type)
+       |ORDER BY t.event_type""".stripMargin
+  }
+
   private val SQL_CORR_CTES =
     """signals4 AS (SELECT event_type AS name, 'u' || CAST(user_id % 4 AS VARCHAR) AS node,
       | CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value FROM events),
@@ -1740,6 +1802,61 @@ object SparkEntry {
          | n_cells - n_obs AS n_missing,
          | floor((CAST(n_cells - n_obs AS DOUBLE) / n_cells + 1e-9) * 1e4 + 0.5) / 1e4 AS missing_frac
          |FROM a ORDER BY name, node""".stripMargin)),
+
+    Q("q33_markov", (s, dir) => {
+      // in-session event-type Markov chain: transition counts (5×5,
+      // bounded driver state like k-centroids), row-normalized, and
+      // the stationary distribution by 24 fixed power-iteration steps
+      // whose 5-term sums run in ascending-i order — the oracle's
+      // unrolled CTE chain executes the identical IEEE sequence
+      // (generated from the same loops, see sqlMarkov)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val sess = ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      val sw = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+      val cnt = sess.withColumn("nxt", lead("event_type", 1).over(sw))
+        .filter(col("nxt").isNotNull)
+        .groupBy("event_type", "nxt").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val kk = types.length
+      val c = Array.tabulate(kk, kk)((i, j) =>
+        cnt.getOrElse((types(i), types(j)), 0L))
+      val rsum = c.map(_.sum)
+      val p = Array.tabulate(kk, kk) { (i, j) =>
+        if (rsum(i) == 0) { if (i == j) 1.0 else 0.0 }
+        else c(i)(j).toDouble / rsum(i).toDouble
+      }
+      var pi = Array.fill(kk)(0.2)
+      for (_ <- 0 until 24) {
+        val nx = new Array[Double](kk)
+        var j = 0
+        while (j < kk) {
+          var acc = 0.0
+          var i = 0
+          while (i < kk) { acc += pi(i) * p(i)(j); i += 1 }
+          nx(j) = acc
+          j += 1
+        }
+        pi = nx
+      }
+      val r4d = (v: Double) => math.floor((v + 1e-9) * 1e4 + 0.5) / 1e4
+      import s.implicits._
+      types.zipWithIndex.map { case (t, i) =>
+        (t, rsum(i), r4d(p(i)(i)), r4d(pi(i)))
+      }.toDF("event_type", "n_out", "p_self", "stationary")
+        .orderBy("event_type")
+    }, Some(sqlMarkov(Seq("click", "error", "purchase", "signup", "view"), 24))),
 
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
