@@ -1858,6 +1858,76 @@ object SparkEntry {
         .orderBy("event_type")
     }, Some(sqlMarkov(Seq("click", "error", "purchase", "signup", "view"), 24))),
 
+    Q("q34_session_surprise", (s, dir) => {
+      // journey anomaly: sessions whose transition sequence is most
+      // improbable under the corpus's own Markov model — surprise =
+      // −mean ln P(aᵢ→aᵢ₊₁). Each transition's ln is quantized ×1e6
+      // (the perplexity device), so the per-session sum is an EXACT
+      // integer (order-free) and one division chain de-scales at the
+      // edge; the transition model is a 25-row broadcast
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"), col("event_type"))
+        .withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      val sw = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+      val pairs = sess.withColumn("nxt", lead("event_type", 1).over(sw))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("sid"), col("event_type").as("a"),
+          col("nxt").as("nx"))
+        .persist().tracked
+      val rw = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      val model = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
+        .withColumn("r", sum("c").over(rw))
+        .withColumn("qln", floor((log(col("c").cast("double") /
+          col("r").cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .select("a", "nx", "qln")
+      pairs.join(broadcast(model), Seq("a", "nx"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_trans"), sum("qln").as("sq"))
+        .filter(col("n_trans") >= 2)
+        .select(col("user_id"), col("sid"), col("n_trans"),
+          r4((-col("sq")).cast("double") / col("n_trans") / lit(1e6))
+            .as("surprise"))
+        .orderBy(col("surprise").desc, col("user_id"), col("sid"))
+        .limit(20)
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
+        |b AS (SELECT user_id, tsec, event_id, event_type,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |sd AS (SELECT user_id, tsec, event_id, event_type,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+        |px AS (SELECT user_id, sid, event_type AS a,
+        |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
+        | FROM sd),
+        |pp AS (SELECT * FROM px WHERE nx IS NOT NULL),
+        |md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
+        |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
+        |mq AS (SELECT a, nx,
+        |  CAST(floor((ln(CAST(c AS DOUBLE) / CAST(r AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
+        | FROM mr)
+        |SELECT user_id, sid, n_trans,
+        | floor((CAST(-sq AS DOUBLE) / n_trans / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS surprise
+        |FROM (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
+        |   CAST(sum(mq.qln) AS BIGINT) AS sq
+        |  FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
+        |  GROUP BY 1, 2)
+        |WHERE n_trans >= 2
+        |ORDER BY surprise DESC, user_id, sid LIMIT 20""".stripMargin)),
+
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
       // aggregation expands grouping sets map-side — one shuffle)
