@@ -51,6 +51,42 @@ class MultivariateSpec extends SparkTestBase {
     assert(sTop.getAs[Long]("dist2q") > 0L)
   }
 
+  test("discords match a brute-force matrix profile on random series") {
+    val rnd = new scala.util.Random(31)
+    // brute-force reference: naive O(n²·w) profile + top-k
+    def brute(vals: Array[Double], w: Int, k: Int): Seq[(Long, Long)] = {
+      val q = vals.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      val m = q.length - w + 1
+      if (m < w + 1) return Seq.empty
+      val prof = Array.fill(m)(Long.MaxValue)
+      for (i <- 0 until m; j <- 0 until m if math.abs(i - j) >= w) {
+        var d = 0L
+        var t = 0
+        while (t < w) { val df = q(i + t) - q(j + t); d += df * df; t += 1 }
+        if (d < prof(i)) prof(i) = d
+      }
+      (0 until m).sortBy(i => (-prof(i), i)).take(k).sorted
+        .map(i => (i.toLong, prof(i)))
+    }
+    val series = (0 until 5).map { s =>
+      s"r$s" -> Array.fill(24 + rnd.nextInt(30))(rnd.nextGaussian() * 3.0)
+    }
+    val grid = series.flatMap { case (nm, vals) =>
+      vals.zipWithIndex.map { case (v, i) => (nm, "n0", i * 900L, v) }
+    }.toDF("name", "node", "tsb", "gval")
+    val got = Anomaly.discords(grid, w = 8, k = 3).collect()
+      .groupBy(_.getString(0))
+      .map { case (nm, rows) =>
+        nm -> rows.sortBy(_.getAs[Long]("i"))
+          .map(r => (r.getAs[Long]("i"), r.getAs[Long]("dist2q"))).toSeq
+      }
+    series.foreach { case (nm, vals) =>
+      val exp = brute(vals, 8, 3)
+      assert(got.getOrElse(nm, Seq.empty) == exp,
+        s"$nm: kernel ${got.get(nm)} vs brute $exp")
+    }
+  }
+
   test("forecastInterval: tight band on a clean trend, breach counted for the spike") {
     // constant signal: zero residuals everywhere, zero band, zero
     // breaches (a trend would carry Holt's initial transient into the

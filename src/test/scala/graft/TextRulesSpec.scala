@@ -118,6 +118,29 @@ class TextRulesSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("packBfd matches a reference best-fit-decreasing on random corpora") {
+    val rnd = new scala.util.Random(17)
+    def ref(sizes: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sizes.sortBy { case (id, n) => (-n, id) }.map { case (id, n) =>
+        val fits = bins.zipWithIndex.filter { case (l, _) => l + n <= budget }
+        if (fits.isEmpty) { bins += n; id -> bins.length.toLong }
+        else {
+          val (_, bi) = fits.maxBy { case (l, i) => (l, -i) }
+          bins(bi) += n
+          id -> (bi + 1).toLong
+        }
+      }.toMap
+    }
+    val sizes = (1L to 60L).map(i => i -> (1L + rnd.nextInt(12)))
+    val docs = sizes.map { case (id, n) =>
+      (id, Seq.fill(n.toInt)("w").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val got = Curation.packBfd(docs, budget = 16).collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("pack_id")).toMap
+    assert(got == ref(sizes, 16))
+  }
+
   test("mixKlReport: shares normalize, flattening direction, nonnegative total KL") {
     val docs = ((1 to 80).map(i => (i.toLong, s"t$i", "en")) ++
       (81 to 95).map(i => (i.toLong, s"t$i", "de")) ++
