@@ -30,6 +30,34 @@ class MultivariateSpec extends SparkTestBase {
     assert(top.getAs[Double]("d2") > 2.0 * out(1).getAs[Double]("d2"))
   }
 
+  test("mahalanobis d2 equals the textbook (x-mu)' Sigma^-1 (x-mu) on random data") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 50).flatMap { t =>
+      val a = rnd.nextGaussian() * 4.0 + 10.0
+      val b = a * 0.5 + rnd.nextGaussian()
+      Seq(("x", "n0", t * 3600L, a), ("y", "n0", t * 3600L, b))
+    }
+    val out = Anomaly.mahalanobis(rows.toDF("name", "node", "tsb", "gval"),
+      Seq("x", "y"), topN = 1000).collect()
+    // reference: sample covariance of the reported z-vectors (exactly
+    // the operator's quantized inputs, recovered from z = qz/1e4),
+    // inverted in closed form
+    val zs = out.map(r => (r.getAs[Double]("z_x"), r.getAs[Double]("z_y")))
+    val n = zs.length.toDouble
+    val (mx, my) = (zs.map(_._1).sum / n, zs.map(_._2).sum / n)
+    val sxx = zs.map(z => (z._1 - mx) * (z._1 - mx)).sum / (n - 1)
+    val syy = zs.map(z => (z._2 - my) * (z._2 - my)).sum / (n - 1)
+    val sxy = zs.map(z => (z._1 - mx) * (z._2 - my)).sum / (n - 1)
+    val det = sxx * syy - sxy * sxy
+    out.foreach { r =>
+      val dx = r.getAs[Double]("z_x") - mx
+      val dy = r.getAs[Double]("z_y") - my
+      val ref = (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det
+      assert(math.abs(r.getAs[Double]("d2") - ref) < 2e-3,
+        s"d2 ${r.getAs[Double]("d2")} vs textbook $ref")
+    }
+  }
+
   test("discords surface the planted spike and stay silent on pure periodicity") {
     val periodic = (0 until 40).map(i =>
       ("p", "n0", i * 900L, (i % 4 + 1).toDouble))
