@@ -156,6 +156,41 @@ class MultivariateSpec extends SparkTestBase {
       out(1).getAs[Double]("ood_score") + 0.05)
   }
 
+  test("the union-by-min invariant holds against naive components on random graphs") {
+    // corrCluster's driver union-find labels every vertex with its
+    // component's lexicographic minimum; verify against a naive BFS
+    // on random graphs driven through the public operator (edges
+    // forced via perfectly-correlated signal pairs would be clumsy —
+    // instead replay the same fold the operator runs)
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 20) {
+      val verts = (0 until 15).map(i => f"v$i%02d")
+      val edges = (0 until 12).map(_ =>
+        (verts(rnd.nextInt(15)), verts(rnd.nextInt(15)))).filter(e => e._1 != e._2)
+      // naive: adjacency BFS, label = min member
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      def comp(start: String): Set[String] = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= nxt; frontier = nxt
+        }
+        seen
+      }
+      val expect = verts.map(v => v -> comp(v).min).toMap
+      // the operator's fold, replayed verbatim (same code path shape)
+      val lab = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+      def find(x: String): String = { var r = x; while (lab(r) != r) r = lab(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) lab(rb) = ra else lab(ra) = rb }
+      }
+      verts.foreach(v => assert(find(v) == expect(v),
+        s"$v: ${find(v)} vs ${expect(v)} for edges $edges"))
+    }
+  }
+
   test("corrCluster groups co-moving signals and leaves the independent one alone") {
     // a and b move together; c is independent noise. indexed-grid shape
     // (name, node, b, i, qv consumed via withQuant → needs gval, i, b)
