@@ -305,7 +305,15 @@ object Clustering {
                threshold: Double = 0.3): DataFrame = {
     import graft.Num.r4
     import org.apache.spark.sql.graft.VectorExpressions.vecNorm
-    val (asgRaw, _) = lloydExact(embs, k, iters)
+    // k <= 0 → self-scaling cell count (Similarity.autoCells): holds
+    // the mean cluster at ~targetCell vectors so Σ|cluster|² grows
+    // linearly with the corpus instead of n²/k at pinned k. Lloyd's
+    // assignment plan carries k centroid-literal arrays (O(k·d)
+    // expression nodes) — fine to k ≈ low hundreds; past that the
+    // first-k IVF partitioner (Dedup.embedCosinePairsIvf) with a
+    // broadcast centroid TABLE is the partitioner of record.
+    val kEff = if (k > 0) k else graft.operators.Similarity.autoCells(embs)
+    val (asgRaw, _) = lloydExact(embs, kEff, iters)
     val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))
       .persist().tracked
     val base = embs.select(col("vec_id"),

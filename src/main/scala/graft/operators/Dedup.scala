@@ -529,13 +529,20 @@ object Dedup {
     *
     * Cell assignment and cosine use the same rounded-cosine +
     * id-tiebreak determinism as the rest of the embedding family.
+    *
+    * `nCells <= 0` derives the cell count from the corpus size
+    * ([[graft.operators.Similarity.autoCells]]) so Σ|cell|² stays
+    * linear as the corpus grows; the gate query pins nCells = 8 so
+    * its oracle replays unchanged on the fixed test corpus.
     */
   def embedCosinePairsIvf(embs: DataFrame, nCells: Int = 8,
                           threshold: Double = 0.9): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells else graft.operators.Similarity.autoCells(embs)
     val base = embs
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
-    val cents = base.filter(col("vec_id") < nCells)
+    val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
