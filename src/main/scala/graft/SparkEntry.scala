@@ -2843,6 +2843,52 @@ object SparkEntry {
          | LEFT JOIN sel ON sel.name = sg.name AND sel.node = sg.node
          |ORDER BY sg.name, sg.node""".stripMargin)),
 
+    Q("ts_hurst", (s, dir) =>
+      TimeSeries.hurstRS(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |mxh AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qh AS (SELECT name, node,
+         |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS BIGINT) AS idx,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxh),
+         |scl AS (SELECT unnest([8, 16, 32]) AS w),
+         |hb AS (SELECT q.name, q.node, s.w, q.idx // s.w AS wid, q.idx, q.qv FROM qh q, scl s),
+         |hst AS (SELECT *,
+         |  sum(qv) OVER (PARTITION BY name, node, w, wid ORDER BY idx) AS cum,
+         |  CAST(row_number() OVER (PARTITION BY name, node, w, wid ORDER BY idx) AS BIGINT) AS j,
+         |  sum(qv) OVER (PARTITION BY name, node, w, wid) AS s1,
+         |  sum(qv * qv) OVER (PARTITION BY name, node, w, wid) AS s2,
+         |  count(*) OVER (PARTITION BY name, node, w, wid) AS cnt FROM hb),
+         |hwin AS (SELECT name, node, w, wid,
+         |  max(w * cum - j * s1) AS maxp, min(w * cum - j * s1) AS minp,
+         |  max(s1) AS s1, max(s2) AS s2
+         | FROM hst WHERE cnt = w GROUP BY 1, 2, 3, 4),
+         |hrs AS (SELECT name, node, w,
+         |  CAST(floor((CAST(maxp - minp AS DOUBLE) / sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE))
+         |    + 1e-11) * 1e6 + 0.5) AS BIGINT) AS rq
+         | FROM hwin WHERE w * s2 - s1 * s1 > 0),
+         |hms AS (SELECT name, node, w, count(*) AS nw, sum(rq) AS srq
+         | FROM hrs GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND sum(rq) > 0),
+         |hys AS (SELECT name, node, w, CAST(srq AS DOUBLE) / (nw * 1e6) AS mrs,
+         |  CAST(floor((ln(CAST(srq AS DOUBLE) / (nw * 1e6)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq,
+         |  CAST(CASE w WHEN 8 THEN 2079442 WHEN 16 THEN 2772589 ELSE 3465736 END AS BIGINT) AS xq
+         | FROM hms),
+         |hft AS (SELECT name, node, count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
+         |  sum(xq * yq) AS sxy, sum(xq * xq) AS sxx,
+         |  max(CASE WHEN w = 8 THEN mrs END) AS m8,
+         |  max(CASE WHEN w = 16 THEN mrs END) AS m16,
+         |  max(CASE WHEN w = 32 THEN mrs END) AS m32
+         | FROM hys GROUP BY 1, 2)
+         |SELECT name, node,
+         | floor((m8 + 1e-9) * 1e4 + 0.5) / 1e4 AS rs8,
+         | floor((m16 + 1e-9) * 1e4 + 0.5) / 1e4 AS rs16,
+         | floor((m32 + 1e-9) * 1e4 + 0.5) / 1e4 AS rs32,
+         | floor((CAST(3 * sxy - sx * sy AS DOUBLE) / CAST(3 * sxx - sx * sx AS DOUBLE)
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS hurst
+         |FROM hft WHERE k = 3 ORDER BY name, node""".stripMargin)),
+
     Q("ts_trend_strength", (s, dir) =>
       TimeSeries.trendStrength(grid(s, dir)).orderBy("name", "node"),
     Some(
@@ -3028,6 +3074,71 @@ object SparkEntry {
          |   + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
          |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
+    Q("corr_kendall", (s, dir) => {
+      Correlate.kendallMatrix(corrGrid(s, dir))
+        .orderBy("a_name", "a_node", "b_name", "b_node", "b")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mxk AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mqk AS (SELECT name, node, b, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxk),
+         |al AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, x.i AS i, x.qv AS av, y.qv AS bv
+         | FROM mqk x JOIN mqk y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))),
+         |aln AS (SELECT *, count(*) OVER (PARTITION BY a_name, a_node, b_name, b_node, b) AS cn FROM al),
+         |pr AS (SELECT p.a_name, p.a_node, p.b_name, p.b_node, p.b, p.cn,
+         |   p.av - q.av AS dx, p.bv - q.bv AS dy
+         | FROM aln p JOIN aln q ON q.a_name = p.a_name AND q.a_node = p.a_node
+         |  AND q.b_name = p.b_name AND q.b_node = p.b_node AND q.b = p.b AND p.i < q.i),
+         |ag AS (SELECT a_name, a_node, b_name, b_node, b, cn, count(*) AS n0,
+         |   sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 1 ELSE 0 END) AS c,
+         |   sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0) THEN 1 ELSE 0 END) AS d,
+         |   sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+         |   sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+         | FROM pr GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT a_name, a_node, b_name, b_node, b,
+         | floor(((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+         |   / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS tau,
+         | CAST(cn AS BIGINT) AS n
+         |FROM ag WHERE cn >= 8 AND (n0 - tx) > 0 AND (n0 - ty) > 0
+         |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
+    Q("corr_tail_dep", (s, dir) => {
+      Correlate.tailDependence(corrGrid(s, dir))
+        .orderBy("a_name", "a_node", "b_name", "b_node")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mx2 AS (SELECT name, node, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mq2 AS (SELECT name, node, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx2),
+         |fl AS (SELECT name, node, i, qv,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY qv, i) AS rn,
+         |  count(*) OVER (PARTITION BY name, node) AS nsig FROM mq2),
+         |thr AS (SELECT name, node,
+         |  max(CASE WHEN rn = CAST(floor(0.9 * (nsig - 1)) AS BIGINT) + 1 THEN qv END) AS thr
+         | FROM fl GROUP BY 1, 2),
+         |exq AS (SELECT f.name, f.node, f.i,
+         |  CASE WHEN f.qv > t.thr THEN 1 ELSE 0 END AS ex
+         | FROM fl f JOIN thr t ON f.name = t.name AND f.node = t.node),
+         |prt AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.ex AS aex, y.ex AS bex
+         | FROM exq x JOIN exq y ON y.i = x.i
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))),
+         |agt AS (SELECT a_name, a_node, b_name, b_node, count(*) AS n,
+         |   CAST(sum(aex) AS BIGINT) AS na, CAST(sum(bex) AS BIGINT) AS nb,
+         |   CAST(sum(aex * bex) AS BIGINT) AS nboth
+         | FROM prt GROUP BY 1, 2, 3, 4)
+         |SELECT a_name, a_node, b_name, b_node, n, na, nb, nboth,
+         | floor((CAST(nboth * n AS DOUBLE) / CAST(na * nb AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS lift,
+         | floor((CAST(nboth AS DOUBLE) / CAST(nb AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS cond_ba
+         |FROM agt WHERE n >= 24 AND na > 0 AND nb > 0
+         |ORDER BY a_name, a_node, b_name, b_node""".stripMargin)),
 
     // Converted from rows-only (r5) — the last kernel family the r4
     // verdict listed as SQL-inexpressible. Gate config: 19 permutations

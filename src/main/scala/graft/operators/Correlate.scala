@@ -161,6 +161,129 @@ object Correlate {
     corrMatrix(ranked, minOverlap)
   }
 
+  /** Kendall tau-b matrix per bucket: rank-concordance association,
+    * the third leg of the correlation family (Pearson = linear,
+    * Spearman = monotone-via-ranks, Kendall = pairwise concordance —
+    * the most outlier-robust of the three and the one with a direct
+    * probabilistic reading: P(concordant) − P(discordant)).
+    *
+    * Every statistic is computed from exact integer pair counts: for
+    * each aligned (i < j) sample pair, dx/dy are differences of the
+    * quantized values, so concordant/discordant/tied classification is
+    * integer-exact; tau-b's tie correction uses the pair-form
+    * identities tx = #{dx = 0}, ty = #{dy = 0}, n0 = #pairs, giving
+    * tau = (C − D) / sqrt((n0 − tx)·(n0 − ty)) as one fixed IEEE
+    * sequence over exact integers — bit-identical on any engine.
+    *
+    * Scale: the pairwise expansion is O(n²) per (pair, bucket) cell —
+    * n is the per-bucket grid width (24 hourly samples per day
+    * bucket), a constant fixed by retention and bucketing, never the
+    * corpus; the only shuffles are the alignment join (keyed on
+    * (bucket, index), same shape as [[corrMatrix]]) and the cell
+    * aggregate. At 1000 signals × a year this is the same
+    * signals²·buckets cell count every matrix query here carries.
+    */
+  def kendallMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    val q = withQuant(indexedGrid)
+      .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
+      .persist().tracked
+    val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
+      col("b"), col("i"), col("qv").as("av"))
+    val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
+      col("b").as("bb"), col("i").as("bi"), col("qv").as("bv"))
+    val cond = col("bi") === col("i") && col("bb") === col("b") &&
+      (col("a_name") < col("b_name") ||
+        (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
+    val cellW = Window.partitionBy("a_name", "a_node", "b_name", "b_node", "b")
+    val aligned = a.join(bdf, cond)
+      .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
+        col("b"), col("i"), col("av"), col("bv"))
+      .withColumn("cn", count(lit(1)).over(cellW))
+      .persist().tracked
+    val pairKey = col("x.a_name") === col("y.a_name") &&
+      col("x.a_node") === col("y.a_node") &&
+      col("x.b_name") === col("y.b_name") &&
+      col("x.b_node") === col("y.b_node") &&
+      col("x.b") === col("y.b") && col("x.i") < col("y.i")
+    val pairs = aligned.as("x").join(aligned.as("y"), pairKey)
+      .select(col("x.a_name").as("a_name"), col("x.a_node").as("a_node"),
+        col("x.b_name").as("b_name"), col("x.b_node").as("b_node"),
+        col("x.b").as("b"), col("x.cn").as("cn"),
+        (col("x.av") - col("y.av")).as("dx"),
+        (col("x.bv") - col("y.bv")).as("dy"))
+    val one = lit(1L)
+    val zero = lit(0L)
+    pairs.groupBy("a_name", "a_node", "b_name", "b_node", "b", "cn")
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("dx") > 0 && col("dy") > 0) ||
+          (col("dx") < 0 && col("dy") < 0), one).otherwise(zero)).as("c"),
+        sum(when((col("dx") > 0 && col("dy") < 0) ||
+          (col("dx") < 0 && col("dy") > 0), one).otherwise(zero)).as("d"),
+        sum(when(col("dx") === 0, one).otherwise(zero)).as("tx"),
+        sum(when(col("dy") === 0, one).otherwise(zero)).as("ty"))
+      .filter(col("cn") >= minOverlap &&
+        (col("n0") - col("tx")) > 0 && (col("n0") - col("ty")) > 0)
+      .withColumn("tau", r4((col("c") - col("d")).cast("double") /
+        sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast("double"))))
+      .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
+        col("b"), col("tau"), col("cn").cast("long").as("n"))
+  }
+
+  /** Upper-tail dependence per signal pair: when signal A is in its
+    * own top decile, how often is B simultaneously in its own — the
+    * co-spike question linear correlation dilutes (two metrics can be
+    * uncorrelated in the bulk yet always saturate together, which is
+    * the regime incidents live in).
+    *
+    * Each signal's threshold is the exact ascending-rank element at
+    * position floor(0.9·(n−1)) + 1 of its OWN grid values (selection,
+    * not interpolation → engine-deterministic; strict `>` exceedance).
+    * Per aligned pair: n overlap samples, na/nb marginal exceedances,
+    * nboth joint. `lift` = (nboth·n)/(na·nb) — the joint rate over the
+    * independence rate (1 = independent, ≫1 = tail-coupled); `cond_ba`
+    * = nboth/nb = P(A spikes | B spikes). All counts exact integers;
+    * the two ratios are single IEEE divisions at the edge.
+    *
+    * Scale: two window functions per signal (rank + threshold pick),
+    * one alignment self-join keyed on the grid index — the corrMatrix
+    * shuffle shape; no pairwise expansion at all.
+    */
+  def tailDependence(indexedGrid: DataFrame, q: Double = 0.9,
+                     minOverlap: Int = 24): DataFrame = {
+    val quant = withQuant(indexedGrid)
+      .select(col("name"), col("node"), col("i"), col("qv"))
+    val sigW = Window.partitionBy("name", "node")
+    val byVal = sigW.orderBy(col("qv").asc, col("i").asc)
+    val flagged = quant
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("nsig", count(lit(1)).over(sigW))
+      .withColumn("thr_rank",
+        floor(lit(q) * (col("nsig") - 1)).cast("long") + 1)
+      .withColumn("thr", max(when(col("rn") === col("thr_rank"), col("qv")))
+        .over(sigW))
+      .withColumn("ex", (col("qv") > col("thr")).cast("long"))
+      .select(col("name"), col("node"), col("i"), col("ex"))
+      .persist().tracked
+    val a = flagged.select(col("name").as("a_name"), col("node").as("a_node"),
+      col("i"), col("ex").as("aex"))
+    val bdf = flagged.select(col("name").as("b_name"), col("node").as("b_node"),
+      col("i").as("bi"), col("ex").as("bex"))
+    val cond = col("bi") === col("i") &&
+      (col("a_name") < col("b_name") ||
+        (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
+    a.join(bdf, cond)
+      .groupBy("a_name", "a_node", "b_name", "b_node")
+      .agg(count(lit(1)).as("n"),
+        sum(col("aex")).as("na"), sum(col("bex")).as("nb"),
+        sum(col("aex") * col("bex")).as("nboth"))
+      .filter(col("n") >= minOverlap && col("na") > 0 && col("nb") > 0)
+      .withColumn("lift", r4((col("nboth") * col("n")).cast("double") /
+        (col("na") * col("nb")).cast("double")))
+      .withColumn("cond_ba", r4(col("nboth").cast("double") /
+        col("nb").cast("double")))
+  }
+
   /** Full pairwise correlation matrix per bucket (zero lag), upper
     * triangle only. Self-join on (bucket, index) → one shuffle. Same
     * exact-integer-moment determinism as [[nccLag]].

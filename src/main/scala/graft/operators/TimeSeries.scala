@@ -672,6 +672,95 @@ object TimeSeries {
           .as("seasonal_strength"))
   }
 
+  /** Hurst exponent by rescaled range: long-memory diagnostic per
+    * signal (H ≈ 0.5 random walk / no memory, H → 1 persistent trends,
+    * H → 0 mean-reverting) — the number that says whether a metric's
+    * excursions tend to CONTINUE, which decides between trend-following
+    * and mean-reversion alerting policies.
+    *
+    * Classic R/S: at each scale w ∈ {8, 16, 32}, split the series into
+    * consecutive full windows; per window, R = range of the cumulative
+    * mean-deviation and S = population stddev; H = slope of
+    * ln(mean R/S) against ln w.
+    *
+    * Determinism end-to-end: values quantize ×1e9 relative (the
+    * [[trendStrength]] contract); within a window both R and S scale
+    * linearly, so the normalization drops out of R/S. The cumulative
+    * deviations are kept INTEGER by scaling with w — P'_j = w·cum_j −
+    * j·S is exact, R' = max P' − min P', and V' = w·Σq² − S² is the
+    * exact integer w²·variance — so R/S = R'/√V' is a single IEEE
+    * sqrt-and-divide over exact integers. Per-scale means sum
+    * ×1e6-quantized R/S integers exactly; ln is ×1e6-quantized (the
+    * PMI/perplexity move that absorbs ulp-level engine noise); the OLS
+    * slope over the three (ln w, ln R/S) points is an exact integer
+    * cross-moment ratio with one IEEE division at the edge.
+    *
+    * Scale: one signal-keyed shuffle; three window passes per scale
+    * over the same grid — per-signal work retention-bounded, never
+    * corpus-bounded. Signals need ≥ 2 full windows at every scale
+    * (n ≥ 64) or they drop.
+    */
+  def hurstRS(grid: DataFrame): DataFrame = {
+    val scales = Seq(8, 16, 32)
+    // floor((ln w + 1e-9)·1e6 + 0.5) precomputed so both engines carry
+    // identical integer abscissae
+    val lnQ = Map(8 -> 2079442L, 16 -> 2772589L, 32 -> 3465736L)
+    val idxW = Window.partitionBy("name", "node").orderBy("tsb")
+    val q = grid
+      .withColumn("mm", signalScale("gval"))
+      .withColumn("qv", quantRel(col("gval"), col("mm")))
+      .withColumn("idx", (row_number().over(idxW) - 1).cast("long"))
+      .select("name", "node", "idx", "qv")
+      .persist().tracked
+    val perScale = scales.map { w =>
+      val wf = Window.partitionBy("name", "node", "wid")
+      val wo = wf.orderBy("idx")
+      val st = q.withColumn("wid", expr(s"idx div $w"))
+        .withColumn("cum", sum(col("qv")).over(wo))
+        .withColumn("j", row_number().over(wo).cast("long"))
+        .withColumn("s1", sum(col("qv")).over(wf))
+        .withColumn("s2", sum(col("qv") * col("qv")).over(wf))
+        .withColumn("cnt", count(lit(1)).over(wf))
+        .filter(col("cnt") === w)
+        .withColumn("p", lit(w) * col("cum") - col("j") * col("s1"))
+      st.groupBy("name", "node", "wid")
+        .agg(max(col("p")).as("maxp"), min(col("p")).as("minp"),
+          max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+        .withColumn("vp", lit(w) * col("s2") - col("s1") * col("s1"))
+        .filter(col("vp") > 0)
+        .withColumn("rs", (col("maxp") - col("minp")).cast("double") /
+          sqrt(col("vp").cast("double")))
+        .withColumn("rq",
+          floor((col("rs") + lit(1e-11)) * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("name", "node")
+        .agg(count(lit(1)).as("nw"), sum(col("rq")).as("srq"))
+        .filter(col("nw") >= 2 && col("srq") > 0)
+        .withColumn("mrs", col("srq").cast("double") /
+          (col("nw") * lit(1000000L)).cast("double"))
+        .withColumn("w", lit(w))
+        .withColumn("yq",
+          floor((log(col("mrs")) + lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("xq", lit(lnQ(w)))
+        .select("name", "node", "w", "mrs", "xq", "yq")
+    }
+    perScale.reduce(_ unionByName _)
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("k"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        max(when(col("w") === 8, col("mrs"))).as("m8"),
+        max(when(col("w") === 16, col("mrs"))).as("m16"),
+        max(when(col("w") === 32, col("mrs"))).as("m32"))
+      .filter(col("k") === 3)
+      .select(col("name"), col("node"),
+        r4(col("m8")).as("rs8"), r4(col("m16")).as("rs16"),
+        r4(col("m32")).as("rs32"),
+        r4((lit(3L) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (lit(3L) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("hurst"))
+  }
+
   /** Forecast-interval alerting: per signal, the Holt 1-step forecast
     * with an empirical residual band — the prediction-interval page a
     * forecast-based monitor raises when reality leaves [lo, hi]. The
