@@ -116,6 +116,15 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
        | FROM lscored)""".stripMargin
 
+  /** The 32-plane sign-sketch constants (embed_bitsketch) — same
+    * splitmix family as [[SQL_LSH_PLANES]], first 8 rows shared with
+    * the LSH index.
+    */
+  private lazy val SQL_SKETCH_PLANES: String =
+    Similarity.hyperplanes(32, 64).zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(d => f"$d%.17e").mkString(", ")}])"
+    }.mkString(", ")
+
   /** IVF assign + probe + rank CTEs → `iranked(qid, rank, nid, cos_sim)`. */
   private val SQL_ANN_IVF =
     """ic AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
@@ -3960,6 +3969,36 @@ object SparkEntry {
          |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
          |ORDER BY nt.qid""".stripMargin)),
 
+    Q("embed_bitsketch", (s, dir) =>
+      Similarity.bitSketchCalibration(Tables.embeddings(s, dir))
+        .orderBy("hamming"),
+    Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_IVF,
+         |bpl AS (SELECT p, w FROM (VALUES $SQL_SKETCH_PLANES) t(p, w)),
+         |bsk AS (SELECT n.vec_id,
+         |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * w[i])) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sk
+         | FROM n CROSS JOIN bpl GROUP BY n.vec_id),
+         |bav AS (SELECT iasg.vec_id, iasg.v, iasg.nrm, iasg.cid, bsk.sk
+         | FROM iasg JOIN bsk ON iasg.vec_id = bsk.vec_id),
+         |bpr AS (SELECT CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming,
+         |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+         |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+         | FROM bav a JOIN bav b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |bqq AS (SELECT hamming,
+         |  CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) AS qc,
+         |  floor((cos(pi() * hamming / 3.2e1) + 1e-9) * 1e4 + 0.5) / 1e4 AS est
+         | FROM bpr),
+         |bq2 AS (SELECT *, CAST(floor(est * 1e4 + 0.5) AS BIGINT) AS qe FROM bqq),
+         |bag AS (SELECT hamming, count(*) AS n_pairs, max(est) AS est_cos,
+         |  CAST(sum(qc) AS BIGINT) AS sqc, CAST(sum(abs(qc - qe)) AS BIGINT) AS sqd
+         | FROM bq2 GROUP BY 1)
+         |SELECT hamming, n_pairs, est_cos,
+         | floor((CAST(sqc AS DOUBLE) / CAST(n_pairs * 10000 AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_cos,
+         | floor((CAST(sqd AS DOUBLE) / CAST(n_pairs * 10000 AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_abs_err
+         |FROM bag ORDER BY hamming""".stripMargin)),
+
     Q("ann_recall_curve", (s, dir) => {
       // recall@k CURVE (k = 1, 3, 5) of the LSH index per query — one
       // scalar hides where an index fails (perfect @1, useless @5 or
@@ -4707,6 +4746,61 @@ object SparkEntry {
         | floor((COALESCE(CAST(dup_chars AS DOUBLE) / line_chars, 0.0) + 1e-9) * 1e4
         |   + 0.5) / 1e4 AS dup_char_frac
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("text_readability", (s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sent,
+        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sent, n_syll,
+        | floor((2.06835e2 - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |   - 8.46e1 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS flesch,
+        | floor((3.9e-1 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |   + 1.18e1 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 1.559e1
+        |   + 1e-9) * 1e4 + 0.5) / 1e4 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_zipf", (s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir)).orderBy("source"),
+    Some(
+      """WITH tz AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        | FROM documents),
+        |cz AS (SELECT source, w, count(*) AS c FROM tz WHERE length(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |  CAST(max(c) AS BIGINT) AS c1 FROM cz GROUP BY 1),
+        |hd0 AS (SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rnk FROM cz),
+        |hd AS (SELECT source,
+        |  CAST(floor((ln(CAST(rnk AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS xq,
+        |  CAST(floor((ln(CAST(c AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq
+        | FROM hd0 WHERE rnk <= 64),
+        |ft AS (SELECT source, count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
+        |  sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM hd GROUP BY 1)
+        |SELECT f.source, t.n_tokens, t.vocab, f.k,
+        | floor((CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
+        |   / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS zipf_slope,
+        | floor((CAST(t.c1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS top1_share
+        |FROM ft f JOIN tot t ON f.source = t.source WHERE f.k >= 8
+        |ORDER BY f.source""".stripMargin)),
+
+    Q("text_hapax", (s, dir) =>
+      TextAnalysis.hapaxProfile(Tables.documents(s, dir)).orderBy("source"),
+    Some(
+      """WITH th AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        | FROM documents),
+        |ch AS (SELECT source, w, count(*) AS c FROM th WHERE length(w) > 0 GROUP BY 1, 2),
+        |ah AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT) AS hapax_tokens
+        | FROM ch GROUP BY 1)
+        |SELECT source, n_tokens, vocab, hapax,
+        | floor((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_vocab_share,
+        | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
+        |FROM ah ORDER BY source""".stripMargin)),
 
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the

@@ -308,6 +308,64 @@ object Similarity {
         r4(col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy")))).as("cos_global"))
   }
 
+  /** Sign-sketch compression audit: fold each embedding to an
+    * nPlanes-bit sign sketch (bit p = sign⟨v, plane_p⟩ over the shared
+    * splitmix hyperplanes), then measure — per hamming distance — how
+    * well the sketch's angular estimate cos(π·h/nPlanes) tracks the
+    * true cosine over the IVF-cell candidate pairs. This is the
+    * decision table for replacing 256-byte float vectors with 4-byte
+    * sketches in the dedup/ANN exchanges (a 64× shuffle-width cut):
+    * read mean_abs_err at the hamming band your threshold lives in.
+    *
+    * Determinism: sketches are integer bitmasks from sign comparisons
+    * (the LSH bucketing contract); hamming is exact; true cosines
+    * round 4 dp and aggregate as exact ×1e4 integers, so the per-band
+    * means are single IEEE divisions over exact sums. Scale: the only
+    * pair generation is in-cell (Σ|cell|², [[autoCells]]-governed);
+    * sketch construction is one codegen scan.
+    */
+  def bitSketchCalibration(embs: DataFrame, nPlanes: Int = 32,
+                           nCells: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val planeCols = planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*))
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val sk = planeCols.zipWithIndex.map { case (pc, i) =>
+      when(dot(col("v"), pc) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .withColumn("sk", sk)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"),
+        r4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .withColumn("qc", floor(col("cos_sim") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("est", r4(cos(lit(math.Pi) * col("hamming").cast("double") /
+        lit(nPlanes.toDouble))))
+      .withColumn("qe", floor(col("est") * lit(1e4) + lit(0.5)).cast("long"))
+    pairs.groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("est")).as("est_cos"),
+        sum(col("qc")).as("sqc"),
+        sum(abs(col("qc") - col("qe"))).as("sqd"))
+      .select(col("hamming"), col("n_pairs"), col("est_cos"),
+        r4(col("sqc").cast("double") /
+          (col("n_pairs") * lit(10000L)).cast("double")).as("mean_cos"),
+        r4(col("sqd").cast("double") /
+          (col("n_pairs") * lit(10000L)).cast("double")).as("mean_abs_err"))
+  }
+
   /** Self-scaling IVF cell knob: cells = max(minCells, ceil(n /
     * targetCell)). Holding the MEAN cell population at `targetCell`
     * as the corpus grows keeps the in-cell candidate volume Σ|cell|²

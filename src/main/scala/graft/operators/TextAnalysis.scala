@@ -3,6 +3,7 @@ package graft.operators
 import graft.Caches._
 import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text statistics for training-data curation: token counts, quality
@@ -669,5 +670,99 @@ object TextAnalysis {
           .as("dup_line_frac"),
         r4(coalesce(col("dup_chars").cast("double") / col("line_chars"), lit(0.0)))
           .as("dup_char_frac"))
+  }
+
+  /** Flesch readability per document — reading ease + Flesch–Kincaid
+    * grade from the three classic counts: letter-run words, sentence
+    * terminators ([.!?]+ runs, floored at 1 so unpunctuated docs read
+    * as one sentence), and the vowel-group syllable proxy (runs of
+    * [aeiouyAEIOUY]; vowel runs never span whitespace, so the
+    * whole-text count equals the per-word sum without an explode).
+    * Counts are exact integers; each score is the one fixed IEEE
+    * mul-sub chain over two divisions, rounded 4 dp. The curation
+    * read: extreme ease (< 0) or grade (> 20) marks word-salad and
+    * boilerplate that per-word quality ratios miss.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = regexp_count(col("text"), lit("[A-Za-z]+")).cast("bigint")
+    val nSent = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("bigint"), lit(1L))
+    val nSyll = regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("bigint")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sent"),
+        nSyll.as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", col("n_words").cast("double") / col("n_sent").cast("double"))
+      .withColumn("spw", col("n_syll").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syll"),
+        r4(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          .as("flesch"),
+        r4(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          .as("fk_grade"))
+  }
+
+  /** Zipf exponent per source: OLS slope of ln(count) on ln(rank) over
+    * the top-`topK` words — natural text sits near −1; a flatter slope
+    * flags templated/synthetic word-soup, a steeper one keyword
+    * stuffing. The distribution-shape companion to the share-based
+    * source profile.
+    *
+    * Determinism: ranks are row_number over (count DESC, word ASC);
+    * both lns are ×1e6-quantized (the PMI move), the slope is the
+    * exact integer cross-moment ratio with one IEEE division, and
+    * `top1_share` divides exact counts. One tokenization feeds both
+    * the ranked head and the totals.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 64): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist().tracked
+    val totals = counts.groupBy("source").agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+      max(col("c")).as("c1"))
+    val rankW = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("w").asc)
+    val qln = (c: Column) =>
+      floor((log(c.cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long")
+    val head = counts.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select(col("source"), qln(col("rank")).as("xq"), qln(col("c")).as("yq"))
+    val fit = head.groupBy("source").agg(
+      count(lit(1)).as("k"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("xq") * col("xq")).as("sxx"))
+    fit.join(totals, "source")
+      .filter(col("k") >= 8)
+      .select(col("source"), col("n_tokens"), col("vocab"), col("k"),
+        r4((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"),
+        r4(col("c1").cast("double") / col("n_tokens").cast("double"))
+          .as("top1_share"))
+  }
+
+  /** Hapax profile per source: share of vocabulary seen exactly once
+    * and the token share those words carry — the classic
+    * vocabulary-health number (natural corpora run ~40–60% hapax
+    * vocab; near-zero means templated text, near-one OCR noise or
+    * tokenizer damage). Exact counts end-to-end, two IEEE divisions
+    * at the edge.
+    */
+  def hapaxProfile(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 1, col("c")).otherwise(0L)).as("hapax_tokens"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        r4(col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_vocab_share"),
+        r4(col("hapax_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_token_share"))
   }
 }
