@@ -6550,6 +6550,164 @@ object SparkEntry {
          |   WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym
          |FROM ag ORDER BY name, node, win""".stripMargin)),
 
+    Q("ts_motif_sax", (s, dir) =>
+      TimeSeries.motifSax(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |qd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM mx),
+         |st AS (SELECT name, node, tsb, d,
+         |  CAST(count(*) OVER w AS DOUBLE) AS nd,
+         |  CAST(sum(d) OVER w AS DOUBLE) AS s1,
+         |  CAST(sum(d * d) OVER w AS DOUBLE) AS s2
+         | FROM qd WINDOW w AS (PARTITION BY name, node)),
+         |zz AS (SELECT name, node, tsb,
+         |  CAST(floor(((CAST(d AS DOUBLE) - s1 / nd)
+         |    / sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))) + 1e-9) * 1e4 + 0.5)
+         |    AS BIGINT) AS zq
+         | FROM st WHERE (nd * s2 - s1 * s1) > 0),
+         |wn AS (SELECT name, node, tsb, zq,
+         |  (row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1) // 4 AS win
+         | FROM zz),
+         |ag AS (SELECT name, node, win, count(*) AS n_pts,
+         |  CAST(sum(zq) AS BIGINT) AS sq
+         | FROM wn GROUP BY 1, 2, 3),
+         |sx2 AS (SELECT name, node, win,
+         |  CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+         |    WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym
+         | FROM (SELECT name, node, win,
+         |    floor((CAST(sq AS DOUBLE) / (n_pts * 1e4) + 1e-9) * 1e4 + 0.5) / 1e4 AS paa
+         |   FROM ag)),
+         |wd0 AS (SELECT name, node, win,
+         |  sym || lead(sym, 1) OVER o || lead(sym, 2) OVER o || lead(sym, 3) OVER o AS wd
+         | FROM sx2 WINDOW o AS (PARTITION BY name, node ORDER BY win)),
+         |wd1 AS (SELECT name, node, wd FROM wd0 WHERE wd IS NOT NULL),
+         |wdn AS (SELECT name, node, count(*) AS n_words FROM wd1 GROUP BY 1, 2),
+         |wc AS (SELECT name, node, wd, count(*) AS n_occur FROM wd1 GROUP BY 1, 2, 3),
+         |tp AS (SELECT name, node, wd, n_occur,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY n_occur DESC, wd ASC) AS rn
+         | FROM wc)
+         |SELECT t.name, t.node, t.wd AS motif, t.n_occur, w.n_words,
+         | floor((CAST(t.n_occur AS DOUBLE) / CAST(w.n_words AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS support
+         |FROM tp t JOIN wdn w ON t.name = w.name AND t.node = w.node
+         |WHERE t.rn = 1 ORDER BY t.name, t.node""".stripMargin)),
+
+    Q("ad_level_shift", (s, dir) =>
+      Anomaly.levelShift(grid(s, dir)).orderBy("name", "node", "tsb"),
+    Some(
+      s"""$WITH_GRID,
+         |mxl AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |ql AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxl),
+         |gm AS (SELECT name, node,
+         |  list_sort(list(qv))[CAST((count(*) + 1) // 2 AS INT)] AS gmed
+         | FROM ql GROUP BY 1, 2),
+         |mdd AS (SELECT q.name, q.node,
+         |  list_sort(list(abs(q.qv - g.gmed)))[CAST((count(*) + 1) // 2 AS INT)] AS gmad
+         | FROM ql q JOIN gm g ON q.name = g.name AND q.node = g.node
+         | GROUP BY q.name, q.node),
+         |wl AS (SELECT name, node, tsb,
+         |  median(qv) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS med_b,
+         |  count(qv) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS cnt_b,
+         |  median(qv) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS med_a,
+         |  count(qv) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt_a
+         | FROM ql),
+         |sc AS (SELECT f.name, f.node, f.tsb,
+         |  floor((abs(f.med_a - f.med_b) / (1.4826e0 * CAST(m.gmad AS DOUBLE))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS score,
+         |  floor((f.med_b / 1e9 + 1e-9) * 1e4 + 0.5) / 1e4 AS level_before,
+         |  floor((f.med_a / 1e9 + 1e-9) * 1e4 + 0.5) / 1e4 AS level_after
+         | FROM wl f JOIN mdd m ON f.name = m.name AND f.node = m.node
+         | WHERE f.cnt_b = 5 AND f.cnt_a = 5 AND m.gmad > 0)
+         |SELECT name, node, tsb, score, level_before, level_after
+         |FROM sc WHERE score >= 4.4478e0 ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("q35_cohort_ltv", (s, dir) => {
+      // cohort lifetime value: users cohorted by first-seen day; per
+      // (cohort, age-week): active users, exact decimal revenue, and
+      // cumulative revenue per cohort member. The cohort frame is one
+      // row per user (broadcastable at any scale); the cumulative sum
+      // runs over the DECIMAL, so LTV is exact until the final edge
+      // division.
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"),
+        expr("ts div 1000000000 div 86400").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val sizes = cohort.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      val wc = Window.partitionBy("cohort_day").orderBy("age_week")
+      ev.join(broadcast(cohort), "user_id")
+        .withColumn("age_week", expr("(day - cohort_day) div 7"))
+        .groupBy("cohort_day", "age_week")
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(dec(col("value"))).as("rev_d"))
+        .withColumn("cum_d", sum(col("rev_d")).over(wc))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("age_week"), col("n_active"),
+          col("rev_d").cast("double").as("revenue"),
+          r4(col("cum_d").cast("double") / col("cohort_size").cast("double"))
+            .as("ltv_per_user"),
+          col("cohort_size"))
+        .orderBy("cohort_day", "age_week")
+    }, Some(
+      """WITH ev AS (SELECT user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM ch GROUP BY 1),
+        |cl AS (SELECT c.cohort_day, (e.day - c.cohort_day) // 7 AS age_week,
+        |  count(DISTINCT e.user_id) AS n_active,
+        |  sum(CAST(e.value AS DECIMAL(12,2))) AS rev_d
+        | FROM ev e JOIN ch c USING (user_id) GROUP BY 1, 2),
+        |cm AS (SELECT *, sum(rev_d) OVER (PARTITION BY cohort_day ORDER BY age_week) AS cum_d
+        | FROM cl)
+        |SELECT m.cohort_day, m.age_week, m.n_active,
+        | CAST(m.rev_d AS DOUBLE) AS revenue,
+        | floor((CAST(m.cum_d AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS ltv_per_user,
+        | s.cohort_size
+        |FROM cm m JOIN sz s ON m.cohort_day = s.cohort_day
+        |ORDER BY m.cohort_day, m.age_week""".stripMargin)),
+
+    Q("sample_curriculum", (s, dir) =>
+      // easy-to-hard curriculum phases over the quality score: exact
+      // global ranks WITHOUT a global sort (tiny distinct-value frame
+      // + per-value row_number), md5 within-phase shuffle keys
+      Sampling.curriculum(
+          TextAnalysis.qualityScore(Tables.documents(s, dir))
+            .select("doc_id", "quality"),
+          col("doc_id"), col("quality"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |    - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
+        | FROM t),
+        |vc AS (SELECT quality AS s4, count(*) AS c FROM q GROUP BY 1),
+        |cmv AS (SELECT s4, sum(c) OVER (ORDER BY s4 DESC) - c AS cum_before,
+        |  sum(c) OVER () AS n FROM vc),
+        |rw AS (SELECT q.doc_id, q.quality,
+        |  v.cum_before + row_number() OVER (PARTITION BY q.quality ORDER BY q.doc_id) AS grank,
+        |  v.n
+        | FROM q JOIN cmv v ON q.quality = v.s4),
+        |ph AS (SELECT doc_id, quality,
+        |  CAST((grank - 1) * 10 // n + 1 AS INT) AS phase FROM rw)
+        |SELECT doc_id, quality, phase,
+        | substr(md5(CAST(phase AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        |FROM ph ORDER BY doc_id""".stripMargin)),
+
     Q("ad_esd", (s, dir) =>
       ChangePoints.esd(grid(s, dir)).orderBy("name", "node", "tsb"),
     Some(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Caches._
 import graft.Num._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -425,5 +425,64 @@ object Anomaly {
         d2.as("d2"): _*)
       .orderBy(col("d2").desc, col("node"), col("tsb"))
       .limit(topN)
+  }
+
+  /** Level-shift detector: points where the median of the NEXT w
+    * samples sits far from the median of the PREVIOUS w samples, in
+    * units of the signal's own MAD — the step-change alarm that
+    * k-sigma misses (a clean step has small residuals on both sides)
+    * and that e-divisive/PELT only report after a full segmentation
+    * pass. This is the cheap streaming-friendly sibling: two rolling
+    * medians and one robust scale, no DP.
+    *
+    * Determinism: values relative-quantize ×1e9 (integer); both
+    * rolling medians use FULL odd-width frames only (edge rows drop —
+    * a shrunk even frame would need an averaging step), so each median
+    * is an exact element selection; the global median and MAD are
+    * exact lower-median selections over the signal's sorted integers.
+    * score = |Δmedian| / (1.4826·MAD) rounds 4 dp and the flag
+    * compares the ROUNDED score, so the row set replays on any engine.
+    *
+    * Scale: two per-signal sorted aggregates (median, then MAD) and
+    * one windowed pass — all keyed on (name, node), per-signal work
+    * retention-bounded.
+    */
+  def levelShift(grid: DataFrame, w: Int = 5,
+                 thresh: Double = 4.4478): DataFrame = {
+    require(w % 2 == 1, s"levelShift needs an odd window, got $w")
+    val sw = Window.partitionBy("name", "node").orderBy("tsb")
+    val mid = w / 2 + 1
+    val q = grid
+      .withColumn("mm", TimeSeries.signalScale("gval"))
+      .withColumn("qv", TimeSeries.quantRel(col("gval"), col("mm")))
+    def winMed(lo: Int, hi: Int): (Column, Column) = {
+      val arr = sort_array(collect_list(col("qv")).over(sw.rowsBetween(lo, hi)))
+      (element_at(arr, mid), size(arr))
+    }
+    val (medB, cntB) = winMed(-w, -1)
+    val (medA, cntA) = winMed(0, w - 1)
+    val sorted = q.groupBy("name", "node")
+      .agg(sort_array(collect_list(col("qv"))).as("qs"))
+      .withColumn("gmed", element_at(col("qs"),
+        ((size(col("qs")) + 1) / 2).cast("int")))
+      .select(col("name"), col("node"), col("gmed"))
+    val mad = q.join(sorted, bySignal)
+      .withColumn("ad", abs(col("qv") - col("gmed")))
+      .groupBy("name", "node")
+      .agg(sort_array(collect_list(col("ad"))).as("ads"))
+      .select(col("name"), col("node"),
+        element_at(col("ads"),
+          ((size(col("ads")) + 1) / 2).cast("int")).as("gmad"))
+    q.withColumn("med_b", medB).withColumn("cnt_b", cntB)
+      .withColumn("med_a", medA).withColumn("cnt_a", cntA)
+      .filter(col("cnt_b") === w && col("cnt_a") === w)
+      .join(mad, bySignal)
+      .filter(col("gmad") > 0)
+      .withColumn("score", r4(abs(col("med_a") - col("med_b")).cast("double") /
+        (lit(1.4826) * col("gmad").cast("double"))))
+      .filter(col("score") >= thresh)
+      .select(col("name"), col("node"), col("tsb"), col("score"),
+        r4(col("med_b").cast("double") / lit(1e9)).as("level_before"),
+        r4(col("med_a").cast("double") / lit(1e9)).as("level_after"))
   }
 }

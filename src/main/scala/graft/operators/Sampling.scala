@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic (hash-based) sampling and dataset mixing — the
@@ -159,4 +160,39 @@ object Sampling {
     */
   def kfoldAssign(df: DataFrame, keyCol: Column, k: Int = 5): DataFrame =
     df.withColumn("fold", (hash32(keyCol) % k).cast("int"))
+
+  /** Deterministic curriculum assignment: phase 1 = the top score
+    * decile, phase `nPhases` = the bottom — the easy-to-hard (or
+    * clean-to-noisy) ordering curriculum-training schedules consume —
+    * plus an md5 shuffle key for within-phase order (sequential reads
+    * of a phase stay internally shuffled without a global sort).
+    *
+    * Exact global ranks WITHOUT a global sort: scores are 4-dp
+    * rounded, so the distinct-value frame is tiny (≤ ~10⁴ rows);
+    * cumulative counts over it give each value's rank offset, and a
+    * per-value row_number (id tiebreak) completes an exact dense
+    * global rank — two windows, one over the tiny frame, one
+    * partitioned by score value. phase = ⌊(rank−1)·nPhases/n⌋ + 1 in
+    * pure integer arithmetic, so boundaries replay on any engine.
+    */
+  def curriculum(scored: DataFrame, keyCol: Column, scoreCol: Column,
+                 nPhases: Int = 10): DataFrame = {
+    val base = scored.withColumn("s4", scoreCol).withColumn("ck", keyCol)
+    val vc = base.groupBy("s4").agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cum_before",
+        sum(col("c")).over(Window.orderBy(col("s4").desc)) - col("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy()))
+      .select(col("s4"), col("cum_before"), col("n"))
+    val perVal = Window.partitionBy("s4").orderBy("ck")
+    base.join(cum, "s4")
+      .withColumn("grank", col("cum_before") + row_number().over(perVal))
+      .withColumn("phase",
+        expr(s"(grank - 1) * $nPhases div n + 1").cast("int"))
+      .withColumn("shuffle_key",
+        substring(md5(concat(col("phase").cast("string"), lit(":"),
+          col("ck").cast("string")).cast("binary")), 1, 8))
+      .drop("s4", "ck", "cum_before", "n", "grank")
+  }
 }

@@ -1101,4 +1101,39 @@ object TimeSeries {
         when(paa < -0.6745, "a").when(paa < 0.0, "b")
           .when(paa < 0.6745, "c").otherwise("d").as("sym"))
   }
+
+  /** Top SAX motif per signal: the most frequent `wordLen`-symbol SAX
+    * word (sliding over consecutive [[sax]] windows) with its count
+    * and support — the recurring-shape answer that complements
+    * ad_discord's novel-shape answer (a motif is what the signal
+    * USUALLY does; a discord is the one excursion that matches
+    * nothing). High-support motifs like "bcbc" are the fingerprint of
+    * an oscillating metric; "aaaa"/"dddd" a saturated one.
+    *
+    * Determinism rides entirely on [[sax]] (rounded PAA symbolization)
+    * plus exact word counts; the top pick breaks ties by word
+    * lexicographically. Scale: one signal-keyed window to form words,
+    * one count aggregate — nothing beyond the sax pass itself.
+    */
+  def motifSax(grid: DataFrame, w: Int = 4, wordLen: Int = 4): DataFrame = {
+    val byWin = Window.partitionBy("name", "node").orderBy("win")
+    val wordCol = concat(
+      (0 until wordLen).map(i =>
+        if (i == 0) col("sym") else lead(col("sym"), i).over(byWin)): _*)
+    val words = sax(grid, w)
+      .select(col("name"), col("node"), col("win"), col("sym"))
+      .withColumn("wd", wordCol)
+      .filter(col("wd").isNotNull)
+    val nW = words.groupBy("name", "node").agg(count(lit(1)).as("n_words"))
+    val counts = words.groupBy("name", "node", "wd")
+      .agg(count(lit(1)).as("n_occur"))
+    val rk = Window.partitionBy("name", "node")
+      .orderBy(col("n_occur").desc, col("wd").asc)
+    counts.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
+      .join(nW, Seq("name", "node"))
+      .select(col("name"), col("node"), col("wd").as("motif"),
+        col("n_occur"), col("n_words"),
+        r4(col("n_occur").cast("double") / col("n_words").cast("double"))
+          .as("support"))
+  }
 }
