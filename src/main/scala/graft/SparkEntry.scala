@@ -3969,6 +3969,46 @@ object SparkEntry {
          |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
          |ORDER BY nt.qid""".stripMargin)),
 
+    Q("ann_recall_sketch", (s, dir) => {
+      // recall@5 of the sketch-prefilter + exact-rerank pipeline vs
+      // brute truth — the honesty number for the 4-byte index
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(Similarity.sketchRerankAnn(e),
+          Similarity.knnBruteCosine(e, nQueries = 10, k = 5), k = 5)
+        .orderBy("qid")
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_TRUTH,
+         |spl AS (SELECT p, w FROM (VALUES $SQL_SKETCH_PLANES) t(p, w)),
+         |ssk AS (SELECT n.vec_id,
+         |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * w[i])) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sk
+         | FROM n CROSS JOIN spl GROUP BY n.vec_id),
+         |sbase AS (SELECT n.vec_id, n.v, n.nrm, ssk.sk
+         | FROM n JOIN ssk ON n.vec_id = ssk.vec_id),
+         |sq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sk AS qsk
+         | FROM sbase WHERE vec_id < 10),
+         |scand AS (SELECT qid, vec_id, qv, qn, v, nrm FROM (
+         |  SELECT sq.qid, sbase.vec_id, sq.qv, sq.qn, sbase.v, sbase.nrm,
+         |    row_number() OVER (PARTITION BY sq.qid ORDER BY
+         |      bit_count(xor(sbase.sk, sq.qsk)) ASC, sbase.vec_id ASC) AS hrn
+         |  FROM sbase CROSS JOIN sq WHERE sbase.vec_id != sq.qid)
+         | WHERE hrn <= 32),
+         |srr AS (SELECT qid, vec_id AS nid FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+         |        / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 DESC, vec_id ASC) AS rank
+         |  FROM scand) WHERE rank <= 5),
+         |shits AS (SELECT srr.qid, count(*) AS hits
+         | FROM srr JOIN truth ON truth.qid = srr.qid AND truth.nid = srr.nid
+         | GROUP BY srr.qid),
+         |snt AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid)
+         |SELECT snt.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         | floor((CAST(COALESCE(hits, 0) AS DOUBLE) / n_truth + 1e-9) * 1e4 + 0.5) / 1e4 AS recall
+         |FROM snt LEFT JOIN shits ON snt.qid = shits.qid
+         |ORDER BY snt.qid""".stripMargin)),
+
     Q("embed_bitsketch", (s, dir) =>
       Similarity.bitSketchCalibration(Tables.embeddings(s, dir))
         .orderBy("hamming"),

@@ -366,6 +366,48 @@ object Similarity {
           (col("n_pairs") * lit(10000L)).cast("double")).as("mean_abs_err"))
   }
 
+  /** Sketch-prefilter ANN: rank the corpus by sketch hamming distance
+    * to the query (4-byte integers — the index that fits in memory at
+    * any corpus size), keep the best `cand`, then rerank those few by
+    * EXACT cosine — the standard binary-prefilter + float-rerank
+    * retrieval pipeline, whose recall [[bitSketchCalibration]] prices
+    * and ann_recall_sketch measures. No float vector ever moves for a
+    * non-candidate; the hamming pass is bitwise ops over a broadcast
+    * query side.
+    *
+    * Determinism: hamming is exact; the candidate cut ranks
+    * (hamming ASC, vec_id ASC) and the rerank ranks (rounded cosine
+    * DESC, nid ASC) — both engine-exact.
+    */
+  def sketchRerankAnn(embs: DataFrame, nPlanes: Int = 32, cand: Int = 32,
+                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val planeCols = planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*))
+    val sk = planeCols.zipWithIndex.map { case (pc, i) =>
+      when(dot(col("v"), pc) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sk", sk)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sk").as("qsk"))
+    val byHam = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val candidates = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        bit_count(col("sk").bitwiseXOR(col("qsk"))).cast("long"))
+      .withColumn("hrn", row_number().over(byHam))
+      .filter(col("hrn") <= cand)
+    val byCos = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    candidates
+      .select(col("qid"), col("vec_id").as("nid"), col("hamming"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= k)
+  }
+
   /** Self-scaling IVF cell knob: cells = max(minCells, ceil(n /
     * targetCell)). Holding the MEAN cell population at `targetCell`
     * as the corpus grows keeps the in-cell candidate volume Σ|cell|²

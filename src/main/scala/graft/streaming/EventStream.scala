@@ -318,4 +318,73 @@ object EventStream {
         graft.Num.r4(col("e") / col("n") / lit(budget)).as("burn_1h"))
       .withColumn("pre_page", col("burn_1h") >= lit(thresh))
   }
+
+  final case class LevelState(buf: Seq[Double], times: Seq[Long],
+                              mr: Double, n: Long, last: Double)
+  final case class LevelShiftAlert(name: String, node: String, tsec: Long,
+                                   level_before: Double, level_after: Double,
+                                   score: Double)
+
+  /** Streaming level-shift pager: the at-ingest companion of batch
+    * `ad_level_shift`. Keyed state per signal is a 2w-point ring of
+    * recent values plus an EWMA of the point-to-point moving range —
+    * the control-chart scale estimator σ ≈ MR̄/1.128 (a streaming MAD
+    * would need a quantile sketch; the moving-range EWMA is the
+    * fast-at-ingest stand-in, with the exact-at-rest batch query as
+    * the authority — the split every streaming detector here
+    * applies). When the ring is full, score = |median(next w) −
+    * median(prev w)| / σ̂; a score ≥ thresh emits an alert stamped at
+    * the first after-window point (where the new level starts). State
+    * is O(w) doubles per signal; event-time timeout retires silent
+    * signals.
+    */
+  def levelShiftStream(signals: DataFrame, w: Int = 5,
+                       thresh: Double = 6.0, mrAlpha: Double = 0.2,
+                       lateness: String = "10 seconds",
+                       idleTimeoutSec: Long = 86400L): Dataset[LevelShiftAlert] = {
+    require(w % 2 == 1, s"levelShiftStream needs an odd window, got $w")
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val withTs = signals.withColumn("tstamp", timestamp_seconds(col("tsec")))
+    val wm = if (signals.isStreaming) withTs.withWatermark("tstamp", lateness)
+             else withTs
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    wm.select(col("name"), col("node"), col("tsec"), col("value"), col("tstamp"))
+      .as[(String, String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[LevelState, LevelShiftAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[LevelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (name, node) = key
+            val pts = rows.toArray.sortBy(_._3)
+            var s = state.getOption.getOrElse(
+              LevelState(Vector.empty, Vector.empty, 0.0, 0L, 0.0))
+            val out = Seq.newBuilder[LevelShiftAlert]
+            pts.foreach { case (_, _, tsec, v, _) =>
+              val mr1 = if (s.n == 0) 0.0
+                        else if (s.n == 1) math.abs(v - s.last)
+                        else mrAlpha * math.abs(v - s.last) + (1 - mrAlpha) * s.mr
+              val buf1 = (s.buf :+ v).takeRight(2 * w)
+              val times1 = (s.times :+ tsec).takeRight(2 * w)
+              if (buf1.length == 2 * w && mr1 > 0) {
+                val before = med(buf1.take(w))
+                val after = med(buf1.drop(w))
+                val sigma = mr1 / 1.128
+                val score = math.abs(after - before) / sigma
+                if (score >= thresh)
+                  out += LevelShiftAlert(name, node, times1(w), before, after,
+                    math.floor((score + 1e-9) * 1e4 + 0.5) / 1e4)
+              }
+              s = LevelState(buf1, times1, mr1, s.n + 1, v)
+            }
+            state.update(s)
+            if (pts.nonEmpty)
+              state.setTimeoutTimestamp((pts.last._3 + idleTimeoutSec) * 1000)
+            out.result().iterator
+          }
+      }
+  }
 }

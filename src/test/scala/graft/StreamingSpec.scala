@@ -288,4 +288,37 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     succeed
   }
+
+  test("levelShiftStream pages at the step, stays quiet on wobble and flat") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val streamDF = mem.toDF().toDF("name", "node", "tsec", "value")
+    val q = EventStream.levelShiftStream(streamDF)
+      .writeStream.format("memory").queryName("lvl").outputMode("append").start()
+    // wobbling baseline around 1, then a clean step to 10; a second
+    // exactly-flat signal proves zero-range state never divides by zero
+    val warm = (0 until 10).map(i => ("lat", "n0", i * 60L, 1.0 + (i % 2) * 0.1)) ++
+      (0 until 10).map(i => ("flat", "n0", i * 60L, 5.0))
+    mem.addData(warm: _*)
+    q.processAllAvailable()
+    val during = spark.sql("SELECT count(*) FROM lvl").head().getLong(0)
+    val post = (10 until 20).map(i => ("lat", "n0", i * 60L, 10.0 + (i % 2) * 0.1)) ++
+      (10 until 20).map(i => ("flat", "n0", i * 60L, 5.0))
+    mem.addData(post: _*)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT name, tsec, level_before, level_after FROM lvl")
+      .collect()
+    q.stop()
+    assert(during == 0, s"wobble paged $during times")
+    assert(rows.nonEmpty, "step not paged")
+    assert(rows.forall(_.getString(0) == "lat"))
+    // every page stamps inside the straddle region (the median flips
+    // once the after-window holds a majority of new-level points, so
+    // the stamp can lead the step by up to (w−1)/2 samples) and reads
+    // the 1 → 10 transition
+    assert(rows.forall { r =>
+      val t = r.getLong(1) / 60
+      t >= 8 && t <= 19 && r.getDouble(2) <= 1.1 + 1e-9 && r.getDouble(3) >= 9.9
+    }, rows.mkString(";"))
+  }
 }
