@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused benchmark: time the named queries at SPARK_GRAFT_SF_DIR
+  * (cold run + warm re-run, cache cleared between) — the per-query
+  * companion of [[Bench]] for optimizing individual operators without
+  * paying for the whole suite.
+  */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = args.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.prepare(spark)
+    Seq("events","documents","embeddings").foreach(t => Tables.table(spark, sfDir, t).count())
+    SparkEntry.queries.get("ts_resample").foreach(fn => fn(spark, sfDir).count())
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      val c = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt2 = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      println(f"BENCHQ $n%-24s $dt%8.2f s / $dt2%8.2f s  rows=$c")
+    }
+    spark.stop()
+  }
+}

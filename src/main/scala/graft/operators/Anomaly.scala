@@ -455,6 +455,7 @@ object Anomaly {
     val q = grid
       .withColumn("mm", TimeSeries.signalScale("gval"))
       .withColumn("qv", TimeSeries.quantRel(col("gval"), col("mm")))
+      .persist().tracked // windowed pass + median aggregate + MAD pass
     def winMed(lo: Int, hi: Int): (Column, Column) = {
       val arr = sort_array(collect_list(col("qv")).over(sw.rowsBetween(lo, hi)))
       (element_at(arr, mid), size(arr))

@@ -184,8 +184,11 @@ object Correlate {
     * signals²·buckets cell count every matrix query here carries.
     */
   def kendallMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    val spark = indexedGrid.sparkSession
+    import spark.implicits._
     val q = withQuant(indexedGrid)
-      .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
+      .select(col("name"), col("node"), col("b"), col("i"),
+        col("qv").cast("long").as("qv"))
       .persist().tracked
     val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
       col("b"), col("i"), col("qv").as("av"))
@@ -194,40 +197,48 @@ object Correlate {
     val cond = col("bi") === col("i") && col("bb") === col("b") &&
       (col("a_name") < col("b_name") ||
         (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
-    val cellW = Window.partitionBy("a_name", "a_node", "b_name", "b_node", "b")
-    val aligned = a.join(bdf, cond)
+    // the O(n²) pair classification runs IN-TASK over each cell's
+    // value arrays (n = per-bucket grid width, a retention-bounded
+    // constant) — a pairwise self-JOIN here would shuffle n²/2 rows
+    // per cell with four string keys each (measured 3× the total cost
+    // of this whole query at sf0.1); the alignment join is the only
+    // exchange
+    a.join(bdf, cond)
       .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
-        col("b"), col("i"), col("av"), col("bv"))
-      .withColumn("cn", count(lit(1)).over(cellW))
-      .persist().tracked
-    val pairKey = col("x.a_name") === col("y.a_name") &&
-      col("x.a_node") === col("y.a_node") &&
-      col("x.b_name") === col("y.b_name") &&
-      col("x.b_node") === col("y.b_node") &&
-      col("x.b") === col("y.b") && col("x.i") < col("y.i")
-    val pairs = aligned.as("x").join(aligned.as("y"), pairKey)
-      .select(col("x.a_name").as("a_name"), col("x.a_node").as("a_node"),
-        col("x.b_name").as("b_name"), col("x.b_node").as("b_node"),
-        col("x.b").as("b"), col("x.cn").as("cn"),
-        (col("x.av") - col("y.av")).as("dx"),
-        (col("x.bv") - col("y.bv")).as("dy"))
-    val one = lit(1L)
-    val zero = lit(0L)
-    pairs.groupBy("a_name", "a_node", "b_name", "b_node", "b", "cn")
-      .agg(
-        count(lit(1)).as("n0"),
-        sum(when((col("dx") > 0 && col("dy") > 0) ||
-          (col("dx") < 0 && col("dy") < 0), one).otherwise(zero)).as("c"),
-        sum(when((col("dx") > 0 && col("dy") < 0) ||
-          (col("dx") < 0 && col("dy") > 0), one).otherwise(zero)).as("d"),
-        sum(when(col("dx") === 0, one).otherwise(zero)).as("tx"),
-        sum(when(col("dy") === 0, one).otherwise(zero)).as("ty"))
-      .filter(col("cn") >= minOverlap &&
-        (col("n0") - col("tx")) > 0 && (col("n0") - col("ty")) > 0)
-      .withColumn("tau", r4((col("c") - col("d")).cast("double") /
-        sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast("double"))))
-      .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
-        col("b"), col("tau"), col("cn").cast("long").as("n"))
+        col("b"), col("av"), col("bv"))
+      .as[(String, String, String, String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
+      .flatMapGroups { (key: (String, String, String, String, Long),
+                        it: Iterator[(String, String, String, String, Long, Long, Long)]) =>
+        val pts = it.map(t => (t._6, t._7)).toArray
+        val n = pts.length
+        if (n < minOverlap) Iterator.empty
+        else {
+          var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val dx = java.lang.Long.compare(pts(i)._1, pts(j)._1)
+              val dy = java.lang.Long.compare(pts(i)._2, pts(j)._2)
+              if (dx == 0) tx += 1
+              if (dy == 0) ty += 1
+              if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+              j += 1
+            }
+            i += 1
+          }
+          val n0 = n.toLong * (n - 1) / 2
+          if (n0 - tx <= 0 || n0 - ty <= 0) Iterator.empty
+          else {
+            val tau = (c - d).toDouble /
+              math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+            Iterator((key._1, key._2, key._3, key._4, key._5,
+              math.floor((tau + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
+          }
+        }
+      }
+      .toDF("a_name", "a_node", "b_name", "b_node", "b", "tau", "n")
   }
 
   /** Upper-tail dependence per signal pair: when signal A is in its

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,6 +179,7 @@ object Sampling {
   def curriculum(scored: DataFrame, keyCol: Column, scoreCol: Column,
                  nPhases: Int = 10): DataFrame = {
     val base = scored.withColumn("s4", scoreCol).withColumn("ck", keyCol)
+      .persist().tracked // feeds the distinct-value aggregate AND the rank join
     val vc = base.groupBy("s4").agg(count(lit(1)).as("c"))
     val cum = vc
       .withColumn("cum_before",

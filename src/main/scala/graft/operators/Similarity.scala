@@ -344,6 +344,7 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
       .withColumn("sk", sk)
+      .persist().tracked // both sides of the pair self-join
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -389,6 +390,7 @@ object Similarity {
     val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("sk", sk)
+      .persist().tracked // query side + probe side
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("sk").as("qsk"))

@@ -1120,17 +1120,20 @@ object TimeSeries {
     val wordCol = concat(
       (0 until wordLen).map(i =>
         if (i == 0) col("sym") else lead(col("sym"), i).over(byWin)): _*)
-    val words = sax(grid, w)
+    // n_words rides the count aggregate as a window over the same
+    // signal partitioning — ONE pass over the sax pipeline, no second
+    // consumer, no join
+    val counts = sax(grid, w)
       .select(col("name"), col("node"), col("win"), col("sym"))
       .withColumn("wd", wordCol)
       .filter(col("wd").isNotNull)
-    val nW = words.groupBy("name", "node").agg(count(lit(1)).as("n_words"))
-    val counts = words.groupBy("name", "node", "wd")
+      .groupBy("name", "node", "wd")
       .agg(count(lit(1)).as("n_occur"))
+      .withColumn("n_words",
+        sum(col("n_occur")).over(Window.partitionBy("name", "node")))
     val rk = Window.partitionBy("name", "node")
       .orderBy(col("n_occur").desc, col("wd").asc)
     counts.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
-      .join(nW, Seq("name", "node"))
       .select(col("name"), col("node"), col("wd").as("motif"),
         col("n_occur"), col("n_words"),
         r4(col("n_occur").cast("double") / col("n_words").cast("double"))
