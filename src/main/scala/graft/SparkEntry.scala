@@ -6671,6 +6671,98 @@ object SparkEntry {
          |SELECT name, node, tsb, score, level_before, level_after
          |FROM sc WHERE score >= 4.4478e0 ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("q36_rfm", (s, dir) => {
+      // RFM segmentation: per user, recency (days since last event
+      // vs the corpus horizon), frequency, exact-decimal monetary;
+      // quintile scores from exact global ranks (the user frame is
+      // one row per user — window over it is bounded by |users|, and
+      // at larger scale the distinct-value rank trick from
+      // sample_curriculum drops in). Segment = concatenated scores,
+      // 5 = best on every axis.
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"),
+        expr("ts div 1000000000 div 86400").as("day"))
+      val horizon = Window.partitionBy()
+      val users = ev.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+          sum(dec(col("value"))).as("mon_d"))
+        .withColumn("recency", max(col("last_day")).over(horizon) - col("last_day"))
+        .withColumn("nu", count(lit(1)).over(horizon))
+      val rR = row_number().over(Window.orderBy(col("recency").asc, col("user_id").asc))
+      val rF = row_number().over(Window.orderBy(col("frequency").desc, col("user_id").asc))
+      val rM = row_number().over(Window.orderBy(col("mon_d").desc, col("user_id").asc))
+      users
+        .withColumn("rr", rR).withColumn("rf", rF).withColumn("rm", rM)
+        .withColumn("r_score", expr("CAST(5 - (rr - 1) * 5 div nu AS INT)"))
+        .withColumn("f_score", expr("CAST(5 - (rf - 1) * 5 div nu AS INT)"))
+        .withColumn("m_score", expr("CAST(5 - (rm - 1) * 5 div nu AS INT)"))
+        .select(col("user_id"), col("recency"), col("frequency"),
+          col("mon_d").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH ev AS (SELECT user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |us AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS mon_d FROM ev GROUP BY 1),
+        |ux AS (SELECT *, max(last_day) OVER () - last_day AS recency,
+        |  count(*) OVER () AS nu FROM us),
+        |rk AS (SELECT *,
+        |  row_number() OVER (ORDER BY recency ASC, user_id ASC) AS rr,
+        |  row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS rf,
+        |  row_number() OVER (ORDER BY mon_d DESC, user_id ASC) AS rm
+        | FROM ux),
+        |sc AS (SELECT user_id, recency, frequency,
+        |  CAST(mon_d AS DOUBLE) AS monetary,
+        |  CAST(5 - (rr - 1) * 5 // nu AS INT) AS r_score,
+        |  CAST(5 - (rf - 1) * 5 // nu AS INT) AS f_score,
+        |  CAST(5 - (rm - 1) * 5 // nu AS INT) AS m_score
+        | FROM rk)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |  || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin)),
+
+    Q("embed_dim_stats", (s, dir) =>
+      // per-dimension embedding audit: exact ×1e6-integer moments →
+      // mean/var + range per dim (dead dimensions, scale outliers —
+      // the read before int8 quantization or PCA); one posexplode
+      // scan, |dims| output rows
+      Tables.embeddings(s, dir)
+        .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+        .withColumn("q", floor((col("x") + lit(1e-9)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          r4(col("s1").cast("double") / (col("n") * lit(1000000L)).cast("double"))
+            .as("mean"),
+          // n·s2 can pass 2⁶³ (q² sums): exact DECIMAL(38) arithmetic,
+          // one conversion to double — HUGEINT-identical in the oracle
+          r4(((col("n") * col("s2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) -
+            col("s1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              col("s1").cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double") /
+            (col("n") * col("n")).cast("double")) / lit(1e12)).as("variance"),
+          r4(col("qmin").cast("double") / lit(1e6)).as("dmin"),
+          r4(col("qmax").cast("double") / lit(1e6)).as("dmax"))
+        .orderBy("dim"),
+    Some(
+      """WITH dx AS (SELECT i.i - 1 AS dim,
+        |  CAST(floor((CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) + 1e-9) * 1e6 + 0.5)
+        |    AS BIGINT) AS q
+        | FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+        |ag AS (SELECT dim, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2,
+        |  min(q) AS qmin, max(q) AS qmax FROM dx GROUP BY 1)
+        |SELECT dim, n,
+        | floor((CAST(s1 AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean,
+        | floor((CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS variance,
+        | floor((CAST(qmin AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS dmin,
+        | floor((CAST(qmax AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS dmax
+        |FROM ag ORDER BY dim""".stripMargin)),
+
     Q("q35_cohort_ltv", (s, dir) => {
       // cohort lifetime value: users cohorted by first-seen day; per
       // (cohort, age-week): active users, exact decimal revenue, and
