@@ -6671,6 +6671,109 @@ object SparkEntry {
          |SELECT name, node, tsb, score, level_before, level_after
          |FROM sc WHERE score >= 4.4478e0 ORDER BY name, node, tsb""".stripMargin)),
 
+    Q("q37_active_users", (s, dir) => {
+      // DAU/WAU/MAU + stickiness: each (user, day) supports the
+      // trailing windows of the next 6/29 target days (explode-to-
+      // target, clipped at the data horizon) — the count-distinct is
+      // then one keyed aggregate per granularity; trailing windows at
+      // the data's leading edge are partial by declared contract. The
+      // bounds row is a broadcast scalar.
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct().persist().tracked
+      val bounds = broadcast(ud.agg(max("day").as("dmax")))
+      def trailing(span: Int, name: String) = ud.crossJoin(bounds)
+        .select(explode(sequence(col("day"),
+          least(col("day") + lit(span.toLong), col("dmax")))).as("d"),
+          col("user_id"))
+        .groupBy("d").agg(countDistinct("user_id").as(name))
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(countDistinct("user_id").as("dau"))
+      dau.join(trailing(6, "wau"), "d").join(trailing(29, "mau"), "d")
+        .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+          r4(col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    }, Some(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |bb AS (SELECT max(day) AS dmax FROM ud),
+        |wa AS (SELECT dd.d, count(DISTINCT u.user_id) AS wau
+        | FROM ud u, bb, LATERAL (SELECT unnest(range(u.day, least(u.day + 6, bb.dmax) + 1)) AS d) dd
+        | GROUP BY 1),
+        |ma AS (SELECT dd.d, count(DISTINCT u.user_id) AS mau
+        | FROM ud u, bb, LATERAL (SELECT unnest(range(u.day, least(u.day + 29, bb.dmax) + 1)) AS d) dd
+        | GROUP BY 1),
+        |da AS (SELECT day AS d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        |SELECT da.d AS day, dau, wau, mau,
+        | floor((CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS stickiness
+        |FROM da JOIN wa ON wa.d = da.d JOIN ma ON ma.d = da.d
+        |ORDER BY day""".stripMargin)),
+
+    Q("sketch_active_users", (s, dir) => {
+      // the WAU scale path: per-day HLL registers (|days|·512 rows
+      // after ONE exchange over the raw feed) merge across each
+      // trailing 7-day window by register max — the sketch equivalent
+      // of the q37 explode, except the merge operates on 512-row
+      // sketches instead of the user-day corpus. Exact WAU rides
+      // beside it; rel_err is the honesty column.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      val regs = Sketches.hllRegisters(ev, "day", "user_id")
+        .persist().tracked
+      val bounds = broadcast(regs.agg(max("day").as("dmax")))
+      val merged = regs.crossJoin(bounds)
+        .select(explode(sequence(col("day"),
+          least(col("day") + lit(6L), col("dmax")))).as("d"),
+          col("bucket"), col("r"))
+        .groupBy("d", "bucket").agg(max("r").as("r"))
+      val est = Sketches.hllFold(merged, "d", "wau_hll")
+      val exact = ev.distinct().crossJoin(bounds)
+        .select(explode(sequence(col("day"),
+          least(col("day") + lit(6L), col("dmax")))).as("d"), col("user_id"))
+        .groupBy("d").agg(countDistinct("user_id").as("wau_exact"))
+      est.join(exact, "d")
+        .select(col("d").as("day"), col("wau_hll"), col("wau_exact"),
+          r4(abs(col("wau_hll") - col("wau_exact")).cast("double") /
+            col("wau_exact").cast("double")).as("rel_err"))
+        .orderBy("day")
+    }, Some(
+      s"""WITH ev AS (SELECT user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+         |hh AS (SELECT day,
+         |  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16) AS UBIGINT) AS HUGEINT) AS hu
+         | FROM ev),
+         |hb AS (SELECT day, hu // 36028797018963968 AS bucket,
+         |  CAST(hu % 36028797018963968 AS BIGINT) AS w FROM hh),
+         |hr AS (SELECT day, bucket,
+         |  max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS r
+         | FROM hb GROUP BY 1, 2),
+         |bb AS (SELECT max(day) AS dmax FROM hr),
+         |hm AS (SELECT dd.d, hr.bucket, max(hr.r) AS r
+         | FROM hr, bb, LATERAL (SELECT unnest(range(hr.day, least(hr.day + 6, bb.dmax) + 1)) AS d) dd
+         | GROUP BY 1, 2),
+         |ht AS (SELECT d, count(*) AS nb,
+         |  sum(CAST(1 AS HUGEINT) << CAST(56 - r AS INT)) AS s_occ
+         | FROM hm GROUP BY 1),
+         |hf AS (SELECT d, 512 - nb AS v,
+         |  CAST(s_occ + CAST(512 - nb AS HUGEINT) * (CAST(1 AS HUGEINT) << 56) AS DOUBLE) AS s_full
+         | FROM ht),
+         |hx AS (SELECT d, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw FROM hf),
+         |hest AS (SELECT d,
+         |  CAST(CASE WHEN e_raw <= 1.28e3 AND v > 0
+         |    THEN floor(5.12e2 * ln(5.12e2 / CAST(v AS DOUBLE)) + 5e-1)
+         |    ELSE floor(e_raw + 5e-1) END AS BIGINT) AS wau_hll
+         | FROM hx),
+         |ud2 AS (SELECT DISTINCT user_id, day FROM ev),
+         |hex AS (SELECT dd.d, count(DISTINCT u.user_id) AS wau_exact
+         | FROM ud2 u, bb, LATERAL (SELECT unnest(range(u.day, least(u.day + 6, bb.dmax) + 1)) AS d) dd
+         | GROUP BY 1)
+         |SELECT e.d AS day, e.wau_hll, x.wau_exact,
+         | floor((CAST(abs(e.wau_hll - x.wau_exact) AS DOUBLE) / CAST(x.wau_exact AS DOUBLE)
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM hest e JOIN hex x ON x.d = e.d
+         |ORDER BY day""".stripMargin)),
+
     Q("q36_rfm", (s, dir) => {
       // RFM segmentation: per user, recency (days since last event
       // vs the corpus horizon), frequency, exact-decimal monetary;

@@ -65,16 +65,34 @@ object Sketches {
     * count (floor(E + 0.5)), so sub-ULP ln/division noise cannot
     * surface.
     */
-  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    hllFold(hllRegisters(df, keyCol, valueCol), keyCol)
+
+  /** The register half of [[hllDistinct]]: (key, bucket, max ρ) — at
+    * most |groups|·512 rows after the one exchange. Exposed because
+    * registers are the MERGEABLE currency of the sketch: a trailing
+    * window (sketch_active_users), an incremental ingest, or a
+    * cross-shard union all combine registers with the same max-fold
+    * before [[hllFold]] produces the estimate.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val h = md5Low64(col(valueCol))
     val bucket = shiftrightunsigned(h, WBits)
     val w = h.bitwiseAND(lit((1L << WBits) - 1))
     val rho = when(w === 0L, lit(WMax))
       .otherwise(lit(WMax) - length(bin(w)))
-    val regs = df
-      .select(col(keyCol), bucket.as("bucket"), rho.as("rho"))
+    df.select(col(keyCol), bucket.as("bucket"), rho.as("rho"))
       .groupBy(keyCol, "bucket")
       .agg(max("rho").as("r"))
+  }
+
+  /** The estimate half of [[hllDistinct]]: fold (key, bucket, r)
+    * registers into the α_m m²/Σ2^-ρ estimate with linear-counting
+    * small-range correction. Same exact-integer contract as the
+    * one-shot path.
+    */
+  def hllFold(regs: DataFrame, keyCol: String,
+              out: String = "hll_users"): DataFrame = {
     val folded = regs.groupBy(keyCol).agg(
       count(lit(1)).as("nb"),
       sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(56 - r AS INT)) AS DECIMAL(38,0))"))
@@ -92,7 +110,7 @@ object Sketches {
       when(eRaw <= lit(2.5 * HllM) && col("v") > 0,
         floor(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v").cast("double")) + 0.5))
         .otherwise(floor(eRaw + 0.5))
-        .cast("long").as("hll_users"))
+        .cast("long").as(out))
   }
 
   /** KMV-style bottom-k quantile sketch per group: keep the k rows
