@@ -345,4 +345,51 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(none.head.getAs[Double]("achieved_share") == 0.0)
     assert(none.head.getAs[Double]("kl_term") == 0.0)
   }
+
+  test("r5 continuation-3 operators survive degenerate inputs") {
+    // hurst needs ≥ 2 full windows at every scale (n ≥ 64); short and
+    // constant series drop, never throw
+    val shortG = grid((0 until 40).map(i => ("s", "n", i * 900L, i.toDouble)): _*)
+    assert(TimeSeries.hurstRS(shortG).count() == 0)
+    val constG = grid((0 until 80).map(i => ("c", "n", i * 900L, 3.0)): _*)
+    assert(TimeSeries.hurstRS(constG).count() == 0, "zero variance windows drop")
+    // kendall: an all-ties pair (both constant) has no concordance
+    // denominator → dropped; a constant-vs-varying pair keeps ty=n0 → dropped
+    val kk = (0 until 12).flatMap(i => Seq(
+      ("k1", "n", 0L, i.toLong, 5.0), ("k2", "n", 0L, i.toLong, 5.0)))
+      .toDF("name", "node", "b", "i", "gval")
+    assert(Correlate.kendallMatrix(kk).count() == 0)
+    // tail dependence: a constant signal never exceeds its own p90
+    // (strict >) → na = 0 → dropped
+    val td = (0L until 30L).flatMap(i => Seq(
+      ("t1", "n", i, 1.0), ("t2", "n", i, i.toDouble)))
+      .toDF("name", "node", "i", "gval")
+    assert(Correlate.tailDependence(td, minOverlap = 24).count() == 0)
+    // level shift: series shorter than before+after windows → empty
+    assert(Anomaly.levelShift(grid((0 until 8).map(i =>
+      ("l", "n", i * 900L, i.toDouble)): _*)).count() == 0)
+    // motif: fewer sax windows than the word length → empty
+    assert(TimeSeries.motifSax(grid((0 until 8).map(i =>
+      ("m", "n", i * 900L, (i % 3).toDouble)): _*)).count() == 0)
+    // readability: empty / wordless text drops (no divide-by-zero);
+    // zipf needs ≥ 8 distinct head words
+    val weird = Seq((1L, ""), (2L, "12 34 !!"), (3L, "ok word here")).toDF("doc_id", "text")
+    val rd = TextAnalysis.readability(weird).collect()
+    assert(rd.map(_.getLong(0)).toSet == Set(3L))
+    val tiny = Seq((1L, "s0", "a b a")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.zipfSlope(tiny).count() == 0, "k < 8 drops")
+    assert(TextAnalysis.hapaxProfile(tiny).collect().head.getAs[Long]("hapax") == 1L)
+    // curriculum: one distinct score still yields balanced integer phases
+    val flat = (1 to 10).map(i => (i.toLong, 0.5)).toDF("doc_id", "sc")
+    val ph = Sampling.curriculum(flat, $"doc_id", $"sc").collect()
+      .map(_.getAs[Int]("phase"))
+    assert(ph.sorted.toSeq == (1 to 10), "id tiebreak spreads one value across phases")
+    // bitsketch: a singleton corpus has no pairs
+    val one = Seq((0L, Array.fill(64)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.bitSketchCalibration(one, nCells = 1).count() == 0)
+    // active-users sketch path: single-user corpus → HLL == exact == 1
+    val regs = Sketches.hllRegisters(
+      Seq((0L, 5L)).toDF("day", "user_id"), "day", "user_id")
+    assert(Sketches.hllFold(regs, "day").collect().head.getLong(1) == 1L)
+  }
 }
