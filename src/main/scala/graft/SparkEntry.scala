@@ -76,6 +76,16 @@ object SparkEntry {
     * keeps every literal DOUBLE (a bare decimal literal is DECIMAL in
     * DuckDB and would silently decimal-ize the fold).
     */
+  /** Benford first-digit expectation ln(1+1/d)/ln(10), shared as the
+    * SAME double literals by the engine and the oracle (%.17e
+    * round-trips a double exactly) — no cross-engine libm dependence.
+    */
+  private lazy val BENFORD: Seq[Double] =
+    (1 to 9).map(d => math.log1p(1.0 / d) / math.log(10.0))
+  private lazy val SQL_BENFORD: String =
+    BENFORD.zipWithIndex.map { case (e, i) => s"(${i + 1}, ${f"$e%.17e"})" }
+      .mkString(", ")
+
   private lazy val SQL_LSH_PLANES: String =
     Similarity.hyperplanes(8, 64).zipWithIndex.map { case (row, p) =>
       s"($p, [${row.map(d => f"$d%.17e").mkString(", ")}])"
@@ -2552,6 +2562,28 @@ object SparkEntry {
          | min(value) AS min_v, max(value) AS max_v
          |FROM signals GROUP BY name, node, b ORDER BY name, node, b""".stripMargin)),
 
+    Q("ts_twap", (s, dir) => {
+      TimeSeries.twap(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+        .orderBy("name", "node", "b")
+    }, Some(
+      s"""WITH $SQL_SIG,
+         |tsec2 AS (SELECT name, node, tsec, tsec // 86400 * 86400 AS b,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS v
+         | FROM signals GROUP BY 1, 2, 3, 4),
+         |tq AS (SELECT name, node, tsec, b,
+         |  CAST(floor((v + 1e-9) * 1e4 + 0.5) AS HUGEINT) AS q FROM tsec2),
+         |thw AS (SELECT name, node, b, q,
+         |  coalesce(lead(tsec) OVER (PARTITION BY name, node, b ORDER BY tsec),
+         |    b + 86400) - tsec AS hold
+         | FROM tq),
+         |tag AS (SELECT name, node, b, count(*) AS n,
+         |  sum(q * hold) AS qw, sum(hold) AS wsum
+         | FROM thw GROUP BY 1, 2, 3)
+         |SELECT name, node, b, n,
+         | floor((CAST(qw AS DOUBLE) / (CAST(wsum AS DOUBLE) * 1e4) + 1e-9) * 1e4 + 0.5) / 1e4 AS twap,
+         | CAST(wsum AS BIGINT) AS covered_sec
+         |FROM tag ORDER BY name, node, b""".stripMargin)),
+
     Q("ts_percentiles", (s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -3114,6 +3146,48 @@ object SparkEntry {
          |   / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS tau,
          | CAST(cn AS BIGINT) AS n
          |FROM ag WHERE cn >= 8 AND (n0 - tx) > 0 AND (n0 - ty) > 0
+         |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
+
+    Q("corr_dcor", (s, dir) => {
+      Correlate.dcorMatrix(corrGrid(s, dir))
+        .orderBy("a_name", "a_node", "b_name", "b_node", "b")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mxd AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mqd AS (SELECT name, node, b, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxd),
+         |ald AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, x.i AS i, x.qv AS av, y.qv AS bv
+         | FROM mqd x JOIN mqd y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))),
+         |dcc AS (SELECT a_name, a_node, b_name, b_node, b, count(*) AS n,
+         |   list(av ORDER BY i) AS xs, list(bv ORDER BY i) AS ys
+         | FROM ald GROUP BY 1, 2, 3, 4, 5 HAVING count(*) >= 8),
+         |djk AS (SELECT a_name, a_node, b_name, b_node, b, n, jj.j AS j, kk.k AS k,
+         |   abs(xs[CAST(jj.j AS INT)] - xs[CAST(kk.k AS INT)]) AS ax,
+         |   abs(ys[CAST(jj.j AS INT)] - ys[CAST(kk.k AS INT)]) AS ay
+         | FROM dcc, LATERAL (SELECT unnest(range(1, n + 1)) AS j) jj,
+         |   LATERAL (SELECT unnest(range(1, n + 1)) AS k) kk),
+         |dcen AS (SELECT *,
+         |   sum(ax) OVER wj AS rxj, sum(ax) OVER wk AS rxk, sum(ax) OVER wc AS tx,
+         |   sum(ay) OVER wj AS ryj, sum(ay) OVER wk AS ryk, sum(ay) OVER wc AS ty
+         | FROM djk WINDOW
+         |   wj AS (PARTITION BY a_name, a_node, b_name, b_node, b, j),
+         |   wk AS (PARTITION BY a_name, a_node, b_name, b_node, b, k),
+         |   wc AS (PARTITION BY a_name, a_node, b_name, b_node, b)),
+         |dterm AS (SELECT a_name, a_node, b_name, b_node, b, n,
+         |   n * n * ax - n * rxj - n * rxk + tx AS cx,
+         |   n * n * ay - n * ryj - n * ryk + ty AS cy
+         | FROM dcen),
+         |dagg AS (SELECT a_name, a_node, b_name, b_node, b, max(n) AS n,
+         |   sum(cx * cy) AS sxy, sum(cx * cx) AS sxx, sum(cy * cy) AS syy
+         | FROM dterm GROUP BY 1, 2, 3, 4, 5)
+         |SELECT a_name, a_node, b_name, b_node, b,
+         | floor((sqrt(CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) + 1e-9) * 1e4 + 0.5) / 1e4 AS dcor,
+         | CAST(n AS BIGINT) AS n
+         |FROM dagg WHERE sxx > 0 AND syy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
     Q("corr_tail_dep", (s, dir) => {
@@ -6709,6 +6783,123 @@ object SparkEntry {
         | floor((CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS stickiness
         |FROM da JOIN wa ON wa.d = da.d JOIN ma ON ma.d = da.d
         |ORDER BY day""".stripMargin)),
+
+    Q("q38_time_to_convert", (s, dir) => {
+      // conversion latency funnel: per signup-day cohort, how many
+      // users signed up, how many later purchased, and the exact
+      // p50/p90 of the signup→first-purchase latency. The per-user
+      // frame (first signup, first qualifying purchase) is one row per
+      // user — broadcastable at any scale; percentiles are exact
+      // integer rank picks (rank = ceil(q·n), latency ties broken by
+      // user_id), so no approximate-percentile sketch and no doubles
+      // until the one conversion-rate division.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("tsec"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tsec").as("s_sec"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsec").as("p_sec"))
+      val conv = su.join(pu, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("s_sec"))
+        .agg(min(when(col("p_sec") >= col("s_sec"), col("p_sec"))).as("c_sec"))
+        .withColumn("cohort_day", expr("s_sec div 86400"))
+        .persist().tracked
+      val agg = conv.groupBy("cohort_day").agg(
+        count(lit(1)).as("n_signups"),
+        count(col("c_sec")).as("n_converted"))
+      val wl = Window.partitionBy("cohort_day").orderBy("lat", "user_id")
+      val lats = conv.filter(col("c_sec").isNotNull)
+        .withColumn("lat", col("c_sec") - col("s_sec"))
+        .withColumn("rk", row_number().over(wl))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy("cohort_day")))
+      val p50 = lats.filter(col("rk") === expr("(nc + 1) div 2"))
+        .select(col("cohort_day"), col("lat").as("p50_sec"))
+      val p90 = lats.filter(col("rk") === expr("(nc * 9 + 9) div 10"))
+        .select(col("cohort_day"), col("lat").as("p90_sec"))
+      agg.join(p50, Seq("cohort_day"), "left")
+        .join(p90, Seq("cohort_day"), "left")
+        .select(col("cohort_day"), col("n_signups"), col("n_converted"),
+          r4(col("n_converted").cast("double") / col("n_signups").cast("double"))
+            .as("cvr"),
+          col("p50_sec"), col("p90_sec"))
+        .orderBy("cohort_day")
+    }, Some(
+      """WITH sg AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS s_sec
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pr AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |cv AS (SELECT s.user_id, s.s_sec,
+        |  min(CASE WHEN p.p_sec >= s.s_sec THEN p.p_sec END) AS c_sec
+        | FROM sg s LEFT JOIN pr p ON p.user_id = s.user_id
+        | GROUP BY 1, 2),
+        |cd AS (SELECT *, s_sec // 86400 AS cohort_day FROM cv),
+        |ag AS (SELECT cohort_day, count(*) AS n_signups, count(c_sec) AS n_converted
+        | FROM cd GROUP BY 1),
+        |lt AS (SELECT cohort_day, user_id, c_sec - s_sec AS lat FROM cd
+        | WHERE c_sec IS NOT NULL),
+        |rk AS (SELECT cohort_day, lat,
+        |  row_number() OVER (PARTITION BY cohort_day ORDER BY lat, user_id) AS rk,
+        |  count(*) OVER (PARTITION BY cohort_day) AS nc
+        | FROM lt),
+        |p50 AS (SELECT cohort_day, lat AS p50_sec FROM rk WHERE rk = (nc + 1) // 2),
+        |p90 AS (SELECT cohort_day, lat AS p90_sec FROM rk WHERE rk = (nc * 9 + 9) // 10)
+        |SELECT a.cohort_day, n_signups, n_converted,
+        | floor((CAST(n_converted AS DOUBLE) / CAST(n_signups AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS cvr,
+        | p50_sec, p90_sec
+        |FROM ag a LEFT JOIN p50 ON p50.cohort_day = a.cohort_day
+        | LEFT JOIN p90 ON p90.cohort_day = a.cohort_day
+        |ORDER BY a.cohort_day""".stripMargin)),
+
+    Q("profile_benford", (s, dir) => {
+      // Benford first-digit audit of event values per type — the
+      // classic "is this measure organic or synthetic/capped?" data-
+      // quality screen. First digits come from exact integer cents
+      // (no cross-engine log10), expectations are shared double
+      // literals, and the chi-square rides an exact integer sum of
+      // 1e6-quantized per-digit terms. One scan, two tiny aggregates;
+      // output is |types|×9 rows.
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), qint(col("value"), 100).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+      val counts = ev.groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("tot"))
+      val expArr = array(BENFORD.map(lit): _*)
+      val frame = totals.select(col("event_type"), col("tot"),
+        explode(sequence(lit(1L), lit(9L))).as("digit"))
+      val wt = Window.partitionBy("event_type")
+      frame.join(counts, Seq("event_type", "digit"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("e", element_at(expArr, col("digit").cast("int")))
+        .withColumn("m", col("n").cast("double") - col("tot").cast("double") * col("e"))
+        .withColumn("tq",
+          qint(col("m") * col("m") / (col("tot").cast("double") * col("e")), 1e6))
+        .select(col("event_type"), col("digit"), col("n"),
+          r4(col("n").cast("double") / col("tot").cast("double")).as("obs_share"),
+          r4(col("e")).as("exp_share"),
+          r4(col("n").cast("double") / col("tot").cast("double") - col("e")).as("delta"),
+          r4(sum(col("tq")).over(wt).cast("double") / lit(1e6)).as("chi2"))
+        .orderBy("event_type", "digit")
+    }, Some(
+      s"""WITH bc AS (SELECT event_type,
+         |  CAST(floor((value + 1e-9) * 100 + 0.5) AS BIGINT) AS c FROM events),
+         |bd AS (SELECT event_type, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         | FROM bc WHERE c > 0),
+         |bn AS (SELECT event_type, digit, count(*) AS n FROM bd GROUP BY 1, 2),
+         |bt AS (SELECT event_type, count(*) AS tot FROM bd GROUP BY 1),
+         |bv AS (SELECT CAST(d AS BIGINT) AS digit, e FROM (VALUES $SQL_BENFORD) x(d, e)),
+         |bf AS (SELECT t.event_type, v.digit, v.e, t.tot, coalesce(n.n, 0) AS n
+         | FROM bt t CROSS JOIN bv v
+         | LEFT JOIN bn n ON n.event_type = t.event_type AND n.digit = v.digit),
+         |bm AS (SELECT *, CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * e AS m FROM bf),
+         |btm AS (SELECT *, CAST(floor((m * m / (CAST(tot AS DOUBLE) * e) + 1e-9) * 1e6 + 0.5)
+         |    AS HUGEINT) AS tq FROM bm)
+         |SELECT event_type, digit, n,
+         | floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS obs_share,
+         | floor((e + 1e-9) * 1e4 + 0.5) / 1e4 AS exp_share,
+         | floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - e + 1e-9) * 1e4 + 0.5) / 1e4 AS delta,
+         | floor((CAST(sum(tq) OVER (PARTITION BY event_type) AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS chi2
+         |FROM btm ORDER BY event_type, digit""".stripMargin)),
 
     Q("sketch_active_users", (s, dir) => {
       // the WAU scale path: per-day HLL registers (|days|·512 rows

@@ -241,6 +241,94 @@ object Correlate {
       .toDF("a_name", "a_node", "b_name", "b_node", "b", "tau", "n")
   }
 
+  /** Distance correlation (Székely–Rizzo) per signal pair per bucket —
+    * zero iff independent (in the population), so it catches the
+    * nonlinear/non-monotone couplings Pearson AND Kendall both miss
+    * (V-shaped load curves, phase-locked oscillations). Uses the
+    * V-statistic with double-centered distance matrices:
+    * dCor² = Σ Â·B̂ / √(Σ Â² · Σ B̂²).
+    *
+    * Determinism: values are the per-signal 1e9-quantized integers
+    * ([[withQuant]]); multiplying the centering through by n² keeps
+    * every matrix entry integer (n²aⱼₖ − n·rowⱼ − n·rowₖ + total), so
+    * the three moment sums are EXACT BigInt totals — the n⁶ scale
+    * cancels in the ratio, and the only floating-point is the final
+    * div/sqrt chain, bit-identical across engines.
+    *
+    * Scale: identical shape to [[kendallMatrix]] — the O(n²) centering
+    * runs IN-TASK per (pair, bucket) cell (n = bucket grid width, a
+    * retention-bounded constant), and the alignment join is the only
+    * exchange. BigInt cost is 3n² multiplies per cell, n ≤ tens.
+    */
+  def dcorMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    val spark = indexedGrid.sparkSession
+    import spark.implicits._
+    val q = withQuant(indexedGrid)
+      .select(col("name"), col("node"), col("b"), col("i"),
+        col("qv").cast("long").as("qv"))
+      .persist().tracked
+    val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
+      col("b"), col("i"), col("qv").as("av"))
+    val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
+      col("b").as("bb"), col("i").as("bi"), col("qv").as("bv"))
+    val cond = col("bi") === col("i") && col("bb") === col("b") &&
+      (col("a_name") < col("b_name") ||
+        (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
+    a.join(bdf, cond)
+      .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
+        col("b"), col("av"), col("bv"))
+      .as[(String, String, String, String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
+      .flatMapGroups { (key: (String, String, String, String, Long),
+                        it: Iterator[(String, String, String, String, Long, Long, Long)]) =>
+        val pts = it.map(t => (t._6, t._7)).toArray
+        val n = pts.length
+        if (n < minOverlap) Iterator.empty
+        else {
+          val nL = n.toLong
+          // row sums and totals of the two distance matrices (longs:
+          // |q| ≤ 1e9 → row sum ≤ n·2e9, total ≤ n²·2e9)
+          val rx = new Array[Long](n); val ry = new Array[Long](n)
+          var tx = 0L; var ty = 0L
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < n) {
+              val ax = math.abs(pts(i)._1 - pts(j)._1)
+              val ay = math.abs(pts(i)._2 - pts(j)._2)
+              rx(i) += ax; ry(i) += ay
+              j += 1
+            }
+            tx += rx(i); ty += ry(i)
+            i += 1
+          }
+          val n2 = nL * nL
+          var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+          i = 0
+          while (i < n) {
+            var j = 0
+            while (j < n) {
+              val ax = math.abs(pts(i)._1 - pts(j)._1)
+              val ay = math.abs(pts(i)._2 - pts(j)._2)
+              val cx = BigInt(n2 * ax - nL * rx(i) - nL * rx(j) + tx)
+              val cy = BigInt(n2 * ay - nL * ry(i) - nL * ry(j) + ty)
+              sxy += cx * cy; sxx += cx * cx; syy += cy * cy
+              j += 1
+            }
+            i += 1
+          }
+          if (sxx.signum <= 0 || syy.signum <= 0) Iterator.empty
+          else {
+            val dcor = math.sqrt(
+              sxy.doubleValue / math.sqrt(sxx.doubleValue * syy.doubleValue))
+            Iterator((key._1, key._2, key._3, key._4, key._5,
+              math.floor((dcor + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
+          }
+        }
+      }
+      .toDF("a_name", "a_node", "b_name", "b_node", "b", "dcor", "n")
+  }
+
   /** Upper-tail dependence per signal pair: when signal A is in its
     * own top decile, how often is B simultaneously in its own — the
     * co-spike question linear correlation dilutes (two metrics can be

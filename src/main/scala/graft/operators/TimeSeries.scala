@@ -856,6 +856,44 @@ object TimeSeries {
       .toDF("name", "node", "n", "level", "gain", "p_var")
   }
 
+  /** Time-WEIGHTED average per (signal, bucket) — the correct mean for
+    * irregularly-sampled gauges, where a plain row average over-weights
+    * chatty intervals (a gauge that reports once an hour at 100 and
+    * once a second at 0 has a row mean near 0 but spends half its time
+    * at 100). Each sample holds its value until the next sample; the
+    * last sample in a bucket extends to the bucket end; the span before
+    * the first sample is unobserved and excluded from the denominator.
+    *
+    * Determinism: co-timestamped samples are first collapsed to their
+    * exact decimal-mean second (one keyed aggregate), the per-second
+    * value is 1e4-quantized to an integer, and the hold-weighted sum
+    * Σ qᵢ·wᵢ runs in DECIMAL(38,0) — exact in any engine — so the one
+    * final division is the only floating-point op. Plan: one (name,
+    * node, bucket)-keyed aggregate plus one per-signal-bucket window
+    * (lead) — the same single exchange every grid op pays; per-bucket
+    * state is retention-bounded.
+    */
+  def twap(signals: DataFrame, bucket: Long = BucketSec): DataFrame = {
+    val sec = signals
+      .groupBy(col("name"), col("node"), col("tsec"),
+        (expr(s"tsec div $bucket") * bucket).as("b"))
+      .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("v"))
+      .withColumn("q", qint(col("v"), 1e4).cast("long"))
+    val w = Window.partitionBy("name", "node", "b").orderBy("tsec")
+    sec
+      .withColumn("hold",
+        coalesce(lead(col("tsec"), 1).over(w), col("b") + lit(bucket)) - col("tsec"))
+      .groupBy("name", "node", "b")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("q") * col("hold")).cast(DecimalType(38, 0))).as("qw"),
+        sum(col("hold")).as("wsum"))
+      .select(col("name"), col("node"), col("b"), col("n"),
+        r4(col("qw").cast("double") / (col("wsum") * lit(1e4)).cast("double"))
+          .as("twap"),
+        col("wsum").as("covered_sec"))
+  }
+
   /** Per-bucket stats (reference buckets 40 samples = 10 min, :123-136). */
   def bucketAgg(signals: DataFrame, bucket: Long = BucketSec): DataFrame =
     signals
