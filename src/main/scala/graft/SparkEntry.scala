@@ -740,6 +740,34 @@ object SparkEntry {
     * 2·minSize (= the engine's (−1, 0.0) leaf). Names suffixed 0 to
     * dodge lambda-param collisions when nested under the perm loop.
     */
+  /** Unrolled greedy-MMR CTE chain (k steps over `mcand`/`msim`) —
+    * the k-step selection is sequential by definition, so the oracle
+    * replays it as k chained argmax CTEs on the same integer scores.
+    * Emits `mp0..mp{k-1}` pick CTEs and `mall` unioning them.
+    */
+  private def sqlMmrGreedy(k: Int, lamPpm: Long): String = {
+    val mu = 1000000L - lamPpm
+    val sb = new StringBuilder
+    sb.append(
+      """msel0 AS MATERIALIZED (SELECT vec_id FROM mcand ORDER BY relq DESC, vec_id LIMIT 1),
+        |mp0 AS MATERIALIZED (SELECT 1 AS rank, c.vec_id, c.relq, CAST(0 AS BIGINT) AS msq
+        | FROM mcand c WHERE c.vec_id IN (SELECT vec_id FROM msel0))""".stripMargin)
+    for (t <- 1 until k) {
+      sb.append(s""",
+        |mst$t AS MATERIALIZED (SELECT c.vec_id, c.relq, m.ms
+        |  FROM mcand c JOIN (SELECT a AS vec_id, max(simq) AS ms FROM msim
+        |     WHERE b IN (SELECT vec_id FROM msel${t - 1})
+        |       AND a NOT IN (SELECT vec_id FROM msel${t - 1})
+        |     GROUP BY a) m ON m.vec_id = c.vec_id),
+        |mp$t AS MATERIALIZED (SELECT ${t + 1} AS rank, vec_id, relq, ms AS msq FROM mst$t
+        |  ORDER BY $lamPpm * relq - $mu * ms DESC, vec_id LIMIT 1),
+        |msel$t AS MATERIALIZED (SELECT vec_id FROM msel${t - 1} UNION ALL SELECT vec_id FROM mp$t)""".stripMargin)
+    }
+    sb.append(",\nmall AS (" +
+      (0 until k).map(t => s"SELECT * FROM mp$t").mkString(" UNION ALL ") + ")")
+    sb.toString
+  }
+
   private def sqlEdivMaxQ(xs: String): String = {
     val dl = s"list_transform(range(1, len($xs) + 1), b -> " +
       s"CAST(coalesce(list_sum(list_transform($xs[1:CAST(b - 1 AS INT)], " +
@@ -4043,6 +4071,40 @@ object SparkEntry {
          |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
          |ORDER BY nt.qid""".stripMargin)),
 
+    Q("ann_range_search", (s, dir) => {
+      Similarity.rangeSearch(Tables.embeddings(s, dir), nQueries = 10, minCos = 0.3)
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |bq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |rsc AS (SELECT qid, n.vec_id AS nid,
+         |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+         | FROM n CROSS JOIN bq WHERE n.vec_id != qid)
+         |SELECT qid, nid, cos_sim FROM rsc WHERE cos_sim >= 3e-1
+         |ORDER BY qid, cos_sim DESC, nid""".stripMargin)),
+
+    Q("embed_mmr", (s, dir) => {
+      Similarity.mmrSelect(Tables.embeddings(s, dir), candK = 32, k = 8)
+        .orderBy("rank")
+    }, Some(
+      s"""WITH mc AS MATERIALIZED (SELECT vec_id, i.i - 1 AS d,
+         |  CAST(floor((CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS q
+         | FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+         |mg AS MATERIALIZED (SELECT d, sum(q) AS sg FROM mc GROUP BY 1),
+         |mrel AS MATERIALIZED (SELECT vec_id,
+         |  CAST(floor((CAST(sum(q * sg) AS DOUBLE) / (sqrt(CAST(sum(q * q) AS DOUBLE)) * sqrt(CAST(sum(sg * sg) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS relq
+         | FROM mc JOIN mg USING (d) GROUP BY 1),
+         |mcand AS MATERIALIZED (SELECT vec_id, relq FROM mrel ORDER BY relq DESC, vec_id LIMIT 32),
+         |mcc AS MATERIALIZED (SELECT c.vec_id, d, q FROM mc c JOIN mcand USING (vec_id)),
+         |msim AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+         |  CAST(floor((CAST(sum(x.q * y.q) AS DOUBLE) / (sqrt(CAST(sum(x.q * x.q) AS DOUBLE)) * sqrt(CAST(sum(y.q * y.q) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS simq
+         | FROM mcc x JOIN mcc y ON x.d = y.d AND x.vec_id != y.vec_id GROUP BY 1, 2),
+         |${sqlMmrGreedy(8, 700000L)}
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         | floor((CAST(relq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS rel,
+         | floor((CAST(msq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS max_sim_selected
+         |FROM mall ORDER BY rank""".stripMargin)),
+
     Q("ann_recall_sketch", (s, dir) => {
       // recall@5 of the sketch-prefilter + exact-rerank pipeline vs
       // brute truth — the honesty number for the 4-byte index
@@ -4915,6 +4977,38 @@ object SparkEntry {
         | floor((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_vocab_share,
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
+
+    Q("text_source_jsd", (s, dir) =>
+      TextAnalysis.sourceJsd(Tables.documents(s, dir)).orderBy("a_src", "b_src"),
+    Some(
+      """WITH tk AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |tc AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |ja AS (SELECT tc.source AS a_src, t, c AS ca, n AS na FROM tc JOIN tt USING (source)),
+        |jb AS (SELECT tc.source AS b_src, t, c AS cb, n AS nb FROM tc JOIN tt USING (source)),
+        |jx AS (SELECT a_src, b_src, ca, cb, na, nb,
+        |   CAST(ca AS HUGEINT) * nb AS pa, CAST(cb AS HUGEINT) * na AS pb
+        | FROM ja JOIN jb USING (t) WHERE a_src < b_src),
+        |jl AS (SELECT *,
+        |   CAST(floor((ln(CAST(pa * 2 AS DOUBLE) / CAST(pa + pb AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l1,
+        |   CAST(floor((ln(CAST(pb * 2 AS DOUBLE) / CAST(pa + pb AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l2
+        | FROM jx),
+        |jc AS (SELECT a_src, b_src, sum(pa * l1 + pb * l2) AS s_common,
+        |   sum(ca) AS c_a, sum(cb) AS c_b, count(*) AS shared_terms,
+        |   max(na) AS na, max(nb) AS nb
+        | FROM jl GROUP BY 1, 2),
+        |pp AS (SELECT x.source AS a_src, y.source AS b_src, x.n AS p_na, y.n AS p_nb
+        | FROM tt x JOIN tt y ON x.source < y.source),
+        |jf AS (SELECT p.a_src, p.b_src, p.p_na, p.p_nb,
+        |   coalesce(s_common, 0) AS s_common, coalesce(c_a, 0) AS c_a,
+        |   coalesce(c_b, 0) AS c_b, coalesce(shared_terms, 0) AS shared_terms
+        | FROM pp p LEFT JOIN jc ON jc.a_src = p.a_src AND jc.b_src = p.b_src)
+        |SELECT a_src, b_src, p_na AS n_a, p_nb AS n_b, shared_terms,
+        | floor((CAST(s_common + (CAST(p_na - c_a AS HUGEINT) * p_nb
+        |     + CAST(p_nb - c_b AS HUGEINT) * p_na) * 693147 AS DOUBLE)
+        |   / (2.0 * CAST(p_na AS DOUBLE) * CAST(p_nb AS DOUBLE) * 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS jsd
+        |FROM jf ORDER BY a_src, b_src""".stripMargin)),
 
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the

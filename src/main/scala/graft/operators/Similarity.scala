@@ -477,4 +477,104 @@ object Similarity {
       .orderBy(col("ood_score").desc, col("vec_id"))
       .limit(topN)
   }
+
+  /** Radius (range) search: every corpus vector within a cosine
+    * threshold of each query — the "find ALL near-duplicates / all
+    * in-policy matches" sibling of top-k, where the result size is
+    * data-driven rather than fixed. Queries broadcast; the threshold
+    * applies to the ROUNDED cosine so row membership is
+    * engine-deterministic.
+    *
+    * Scale: the query-side scan is one broadcast-join pass over the
+    * corpus (codegen, no corpus shuffle) — linear for bounded query
+    * sets. For corpus×corpus radius search use
+    * [[Dedup.embedCosinePairsIvf]] — the IVF-bucketed all-pairs path.
+    */
+  def rangeSearch(embs: DataFrame, nQueries: Int = 10,
+                  minCos: Double = 0.3): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Maximal-marginal-relevance selection: a k-item subset that is
+    * both relevant (cosine to the corpus centroid) and mutually
+    * diverse — the standard greedy for picking exemplar documents /
+    * eval seeds from a cluster without taking k near-copies.
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Determinism: centroid = per-dim DECIMAL sum of 1e6-quantized
+    * coordinates (cosine is scale-invariant, so the un-divided sum
+    * vector IS the centroid); every cosine is computed from exact
+    * integer moments and 1e6-quantized BEFORE any comparison, and the
+    * greedy compares pure-integer scores (λ as parts-per-million) with
+    * id tiebreaks.
+    *
+    * Scale: relevance is one corpus scan + a 64-row broadcast;
+    * only the top `candK` candidates (a distributed TakeOrdered, no
+    * global sort) enter the O(candK²) sim matrix and the k-step
+    * greedy, which run on a BOUNDED candK-sized frame — the greedy's
+    * sequential nature never touches the corpus.
+    */
+  def mmrSelect(embs: DataFrame, candK: Int = 32, k: Int = 8,
+                lamPpm: Long = 700000L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val q6 = (sxy: Column, sxx: Column, syy: Column) =>
+      floor(((sxy / (sqrt(sxx) * sqrt(syy))) + lit(1e-9)) * lit(1e6) + lit(0.5))
+        .cast("long")
+    val cells = embs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), qint(col("x").cast("double"), 1e6).as("q"))
+      .persist().tracked
+    val sg = cells.groupBy("d").agg(sum(col("q")).cast(dec18).as("sg"))
+    val rel = cells.join(broadcast(sg), "d")
+      .groupBy("vec_id")
+      .agg(sum(col("q") * col("sg")).cast("double").as("sxy"),
+        sum(col("q") * col("q")).cast("double").as("sxx"),
+        sum(col("sg") * col("sg")).cast("double").as("syy"))
+      .select(col("vec_id"), q6(col("sxy"), col("sxx"), col("syy")).as("relq"))
+    val cand = rel.orderBy(col("relq").desc, col("vec_id").asc).limit(candK)
+      .persist().tracked
+    val cc = cand.select(col("vec_id")).join(cells, "vec_id")
+    val aa = cc.select(col("vec_id").as("a"), col("d"), col("q").as("qa"))
+    val bb = cc.select(col("vec_id").as("b"), col("d").as("db"), col("q").as("qb"))
+    val sims = aa.join(bb, col("d") === col("db") && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("qa") * col("qb")).cast("double").as("sxy"),
+        sum(col("qa") * col("qa")).cast("double").as("sxx"),
+        sum(col("qb") * col("qb")).cast("double").as("syy"))
+      .select(col("a"), col("b"), q6(col("sxy"), col("sxx"), col("syy")).as("simq"))
+    // bounded driver state: candK relevances + candK² quantized sims
+    val relArr = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      relArr.map(r => r._1 -> r._2): _*)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var step = 0
+    while (step < k && remaining.nonEmpty) {
+      val selIds = picks.map(_._2)
+      val best = remaining.iterator.map { case (id, rq) =>
+        val ms = if (selIds.isEmpty) 0L
+          else selIds.map(sid => simMap.getOrElse((id, sid), 0L)).max
+        (id, rq, ms, lamPpm * rq - (1000000L - lamPpm) * ms)
+      }.reduceLeft { (x, y) =>
+        if (y._4 > x._4 || (y._4 == x._4 && y._1 < x._1)) y else x
+      }
+      picks += (((step + 1).toLong, best._1, best._2, best._3))
+      remaining.remove(best._1)
+      step += 1
+    }
+    picks.toSeq.toDF("rank", "vec_id", "relq", "msq")
+      .select(col("rank"), col("vec_id"),
+        r4(col("relq").cast("double") / lit(1e6)).as("rel"),
+        r4(col("msq").cast("double") / lit(1e6)).as("max_sim_selected"))
+  }
 }

@@ -75,14 +75,24 @@ object Sketches {
     * cross-shard union all combine registers with the same max-fold
     * before [[hllFold]] produces the estimate.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    val h = md5Low64(col(valueCol))
+  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    hllRegistersBy(df, Seq(keyCol), col(valueCol))
+
+  /** [[hllRegisters]] over arbitrary grouping columns. Streaming-safe:
+    * with a watermarked window column among the keys this is a plain
+    * supported streaming aggregate (`max` commutes and never retracts),
+    * and the state is ≤ 512 register rows per group — the streaming
+    * distinct-users state that does NOT grow with traffic.
+    */
+  def hllRegistersBy(df: DataFrame, keyNames: Seq[String],
+                     valueCol: Column): DataFrame = {
+    val h = md5Low64(valueCol)
     val bucket = shiftrightunsigned(h, WBits)
     val w = h.bitwiseAND(lit((1L << WBits) - 1))
     val rho = when(w === 0L, lit(WMax))
       .otherwise(lit(WMax) - length(bin(w)))
-    df.select(col(keyCol), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(keyCol, "bucket")
+    df.withColumn("bucket", bucket).withColumn("rho", rho)
+      .groupBy(keyNames.head, (keyNames.tail :+ "bucket"): _*)
       .agg(max("rho").as("r"))
   }
 

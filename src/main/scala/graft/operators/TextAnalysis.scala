@@ -5,6 +5,7 @@ import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text statistics for training-data curation: token counts, quality
   * scores, heuristic language ID, content fingerprints. Pure column
@@ -764,5 +765,68 @@ object TextAnalysis {
           .as("hapax_vocab_share"),
         r4(col("hapax_tokens").cast("double") / col("n_tokens").cast("double"))
           .as("hapax_token_share"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the "which corpora are interchangeable, which are
+    * a different language/register entirely" matrix a mixing plan
+    * starts from (0 = identical, ln 2 ≈ 0.693 = disjoint).
+    *
+    * Determinism: for p = c/N and q = d/M, the log arguments
+    * 2cM/(cM+dN) are ratios of exact integers, so each ln is quantized
+    * ×1e6 (the PMI/perplexity playbook) and the divergence numerator
+    * Σ cM·L₁ + dN·L₂ is an exact DECIMAL(38) sum; terms private to one
+    * source collapse to a closed form ((N−ΣC)·M·ln 2) computed from
+    * the SAME integer totals, so no outer join is needed. The one
+    * division happens at the end.
+    *
+    * Scale: per-(source, term) counts are the only big frame; the
+    * pairwise join is on the term key, so a term's cost is
+    * |sources sharing it|² — the |sources|²-bounded matrix contract
+    * every pairwise operator here declares (sources are a telemetry
+    * dimension, not the corpus).
+    */
+  def sourceJsd(docs: DataFrame): DataFrame = {
+    val big = (c: Column) => c.cast(DecimalType(38, 0))
+    val ln2q = lit(693147L) // floor(ln(2)·1e6 + 0.5), shared literal
+    val cnt = docs.select(col("source"), explode(words(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .persist().tracked
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val a = cnt.join(tot, "source").select(col("source").as("a_src"), col("t"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = cnt.join(tot, "source").select(col("source").as("b_src"), col("t"),
+      col("c").as("cb"), col("n").as("nb"))
+    val jx = a.join(b, Seq("t")).filter(col("a_src") < col("b_src"))
+      .withColumn("pa", big(col("ca")) * col("nb"))
+      .withColumn("pb", big(col("cb")) * col("na"))
+    val qln = (num: Column, den: Column) =>
+      floor((log((num * lit(2)).cast("double") / den.cast("double")) + lit(1e-9)) *
+        lit(1e6) + lit(0.5)).cast(DecimalType(38, 0))
+    val common = jx
+      .withColumn("l1", qln(col("pa"), col("pa") + col("pb")))
+      .withColumn("l2", qln(col("pb"), col("pa") + col("pb")))
+      .groupBy("a_src", "b_src")
+      .agg(sum(col("pa") * col("l1") + col("pb") * col("l2")).as("s_common"),
+        sum("ca").as("c_a"), sum("cb").as("c_b"),
+        count(lit(1)).as("shared_terms"),
+        max("na").as("na"), max("nb").as("nb"))
+    val pairs = tot.select(col("source").as("a_src"), col("n").as("p_na"))
+      .crossJoin(tot.select(col("source").as("b_src"), col("n").as("p_nb")))
+      .filter(col("a_src") < col("b_src"))
+    pairs.join(common, Seq("a_src", "b_src"), "left")
+      .select(col("a_src"), col("b_src"), col("p_na"), col("p_nb"),
+        coalesce(col("s_common"), lit(0L).cast(DecimalType(38, 0))).as("s_common"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"))
+      .withColumn("s_tail",
+        (big(col("p_na") - col("c_a")) * col("p_nb") +
+          big(col("p_nb") - col("c_b")) * col("p_na")) * ln2q)
+      .select(col("a_src"), col("b_src"),
+        col("p_na").as("n_a"), col("p_nb").as("n_b"), col("shared_terms"),
+        r4((col("s_common") + col("s_tail")).cast("double") /
+          (lit(2.0) * col("p_na").cast("double") * col("p_nb").cast("double") *
+            lit(1e6))).as("jsd"))
   }
 }

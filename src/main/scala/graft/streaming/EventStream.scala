@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Sketches
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -289,6 +290,28 @@ object EventStream {
     wm.groupBy(window(col("tstamp"), "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("user_id"), col("n_events"))
+  }
+
+  /** Streaming distinct-users sketch: the HLL registers of
+    * [[graft.operators.Sketches.hllRegisters]] maintained AS the
+    * streaming state — `max(ρ)` per (day window, bucket) is a plain
+    * supported streaming aggregate (max commutes, never retracts), so
+    * per-day state is a fixed ≤ 512 integers regardless of traffic and
+    * the watermark evicts closed days. Emitted registers are the
+    * mergeable currency: fold one day with
+    * [[graft.operators.Sketches.hllFold]], or max-merge trailing days
+    * for streaming WAU/MAU — and they are bit-identical to the batch
+    * registers over the same events, so the estimate never forks
+    * between the ingest path and the at-rest path.
+    */
+  def hllStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val withTs = events
+      .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+    val wm = if (events.isStreaming) withTs.withWatermark("tstamp", watermark) else withTs
+    Sketches.hllRegistersBy(
+        wm.withColumn("day", window(col("tstamp"), "1 day")),
+        Seq("day"), col("user_id"))
+      .select(col("day.start").as("day_start"), col("bucket"), col("r"))
   }
 
   /** Streaming SHORT-window burn-rate pre-alert: per (node, 1 h

@@ -201,6 +201,36 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged == Seq(("cpu", 1300L, 99.0)))
   }
 
+  test("hllStream registers match batch bit-for-bit and fold to the exact count") {
+    implicit val sqlCtx = spark.sqlContext
+    // two days, overlapping users; day 2 has exactly 3 distinct users
+    val rows = (1 to 40).map(i =>
+      (i.toLong, (i % 17).toLong * 3600L * 1000000000L, (i % 7).toLong, "click", 1.0, "{}")) ++
+      Seq((100L, 90000L * 1000000000L, 1L, "view", 1.0, "{}"),
+        (101L, 91000L * 1000000000L, 2L, "view", 1.0, "{}"),
+        (102L, 92000L * 1000000000L, 1L, "view", 1.0, "{}"),
+        (103L, 93000L * 1000000000L, 9L, "view", 1.0, "{}"))
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDF = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hllStream(streamDF).writeStream
+      .format("memory").queryName("hllregs").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT day_start, bucket, r FROM hllregs")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+    val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventStream.hllStream(batchDf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch, "stream and batch registers must be bit-identical")
+    // folding the streamed registers gives the exact small-range count
+    // (linear counting is exact when every user occupies its own bucket)
+    val est = graft.operators.Sketches.hllFold(
+        EventStream.hllStream(batchDf).withColumnRenamed("day_start", "d"), "d")
+      .orderBy("d").collect().map(_.getLong(1)).toSeq
+    assert(est == Seq(7L, 3L), est.toString)
+  }
+
   test("forecastBreachStream pages on the trend break, not the trend") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Long, Double)]
