@@ -2477,6 +2477,43 @@ object SparkEntry {
          |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
          |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
 
+    Q("ts_holtwinters", (s, dir) => {
+      TimeSeries.holtWinters(corrGrid(s, dir)).orderBy("name", "node")
+    }, Some {
+      // recursive CTE carrying the 24-slot season LIST (the ts_holt
+      // precedent plus list state); coefficients as SCIENTIFIC literals
+      // so both engines fold with bit-identical doubles
+      val xp = "s.xs[CAST(s.t + 1 AS INT)]"
+      val slot = "CAST((s.t % 24) + 1 AS INT)"
+      val lNew = s"(3e-1 * ($xp - s.sl[$slot]) + (1 - 3e-1) * (s.l + s.bt))"
+      val snext = "s.sl[CAST((s.n % 24) + 1 AS INT)]"
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |hws AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM ff36 GROUP BY 1, 2 HAVING count(*) >= 49),
+         |hwi AS (SELECT name, node, n, xs,
+         |  list_sum(xs[1:24]) / 24 AS mean1,
+         |  list_sum(xs[25:48]) / 24 AS mean2 FROM hws),
+         |hwr AS (
+         |  SELECT name, node, n, xs, CAST(24 AS BIGINT) AS t, mean1 AS l,
+         |    (mean2 - mean1) / 24 AS bt,
+         |    list_transform(range(1, 25), j -> xs[CAST(j AS INT)] - mean1) AS sl
+         |  FROM hwi
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.n, s.xs, s.t + 1,
+         |    $lNew AS l,
+         |    2e-1 * ($lNew - s.l) + (1 - 2e-1) * s.bt AS bt,
+         |    list_transform(range(1, 25), k -> CASE WHEN k = (s.t % 24) + 1
+         |      THEN 1e-1 * ($xp - $lNew) + (1 - 1e-1) * s.sl[$slot]
+         |      ELSE s.sl[CAST(k AS INT)] END) AS sl
+         |  FROM hwr s WHERE s.t < s.n)
+         |SELECT s.name, s.node, s.n AS n,
+         | floor((s.l + 1e-9) * 1e4 + 0.5) / 1e4 AS level,
+         | floor((s.bt + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
+         | floor(($snext + 1e-9) * 1e4 + 0.5) / 1e4 AS s_next,
+         | floor((s.l + s.bt + $snext + 1e-9) * 1e4 + 0.5) / 1e4 AS fc1
+         |FROM hwr s WHERE s.t = s.n ORDER BY s.name, s.node""".stripMargin
+    }),
+
     Q("ts_kalman", (s, dir) => {
       TimeSeries.kalman(grid(s, dir)).orderBy("name", "node")
     }, Some(
@@ -6943,6 +6980,63 @@ object SparkEntry {
         |FROM ag a LEFT JOIN p50 ON p50.cohort_day = a.cohort_day
         | LEFT JOIN p90 ON p90.cohort_day = a.cohort_day
         |ORDER BY a.cohort_day""".stripMargin)),
+
+    Q("q39_market_share", (s, dir) => {
+      // TPC-H Q8-shaped market share: for PROMO parts sold to ASIA
+      // customers, each supplier nation's share of yearly revenue.
+      // Only the key-handful dims (nation, region) are forced
+      // broadcasts; lineitem⋈orders⋈customer are keyed shuffles AQE
+      // can re-plan (the Q8 join tree a 100 TB fact table needs).
+      // Revenue is the exact decimal product-sum; the one division
+      // (share) happens on the final |years|×|nations| frame.
+      val nat = Tables.nation(s, dir)
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNat = Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val rev = Tables.lineitem(s, dir)
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("supp_nation"),
+          (dec(col("l_extendedprice")) *
+            (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+            .as("rev_d"))
+      val byNat = rev.groupBy("o_year", "supp_nation")
+        .agg(sum(col("rev_d")).as("nat_d"))
+      byNat
+        .withColumn("tot_d", sum(col("nat_d")).over(Window.partitionBy("o_year")))
+        .select(col("o_year"), col("supp_nation"),
+          col("nat_d").cast("double").as("revenue"),
+          r4(col("nat_d").cast("double") / col("tot_d").cast("double")).as("share"))
+        .orderBy("o_year", "supp_nation")
+    }, Some(
+      """WITH ca AS (SELECT c_custkey FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |rv AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, sn.supp_nation,
+        |  CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev_d
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN ca ON o.o_custkey = ca.c_custkey
+        | JOIN sn ON l.l_suppkey = sn.s_suppkey),
+        |agm AS (SELECT o_year, supp_nation, sum(rev_d) AS nat_d FROM rv GROUP BY 1, 2),
+        |wtm AS (SELECT *, sum(nat_d) OVER (PARTITION BY o_year) AS tot_d FROM agm)
+        |SELECT o_year, supp_nation, CAST(nat_d AS DOUBLE) AS revenue,
+        | floor((CAST(nat_d AS DOUBLE) / CAST(tot_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
+        |FROM wtm ORDER BY o_year, supp_nation""".stripMargin)),
 
     Q("profile_benford", (s, dir) => {
       // Benford first-digit audit of event values per type — the

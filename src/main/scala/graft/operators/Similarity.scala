@@ -526,9 +526,13 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    // NaN (zero-norm side: zero centroid or zero vector) → relevance /
+    // similarity 0, not a null that breaks the bounded collect
     val q6 = (sxy: Column, sxx: Column, syy: Column) =>
-      floor(((sxy / (sqrt(sxx) * sqrt(syy))) + lit(1e-9)) * lit(1e6) + lit(0.5))
-        .cast("long")
+      coalesce(
+        floor(((sxy / (sqrt(sxx) * sqrt(syy))) + lit(1e-9)) * lit(1e6) + lit(0.5))
+          .cast("long"),
+        lit(0L))
     val cells = embs
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), qint(col("x").cast("double"), 1e6).as("q"))

@@ -513,6 +513,60 @@ object TimeSeries {
     * sequential field evaluation against a half-updated accumulator
     * silently corrupts coupled recursions (see the verify skill notes).
     */
+  /** Additive Holt–Winters (level + trend + m-period season) — the
+    * seasonal completion of [[holt]]: for fleets with daily rhythm the
+    * two-state Holt chases the cycle into its trend; the seasonal state
+    * absorbs it, so `fc1 = l + b + s_next` is the right next-period
+    * expectation and the forecast-band pagers inherit a far tighter
+    * band. Classic init (Hyndman & Athanasopoulos): l = mean of season
+    * one, b = (mean₂ − mean₁)/m, sⱼ = xⱼ − mean₁, recursion from point
+    * m+1. Signals shorter than 2m+1 drop.
+    *
+    * Determinism: one sequential IEEE fold per signal (sorted array,
+    * fixed op order) — the oracle replays it as a recursive CTE
+    * carrying the m-slot season LIST (the [[holt]] precedent plus list
+    * state). Scale: per-signal state is m+2 doubles, work is one pass
+    * over a retention-bounded series, parallel across signals.
+    */
+  def holtWinters(grid: DataFrame, m: Int = 24, alpha: Double = 0.3,
+                  beta: Double = 0.2, gamma: Double = 0.1): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val xs = it.toArray.sortBy(_._3).map(_._4)
+        val n = xs.length
+        if (n < 2 * m + 1) Iterator.empty
+        else {
+          var sum1 = 0.0; var sum2 = 0.0
+          var i = 0
+          while (i < m) { sum1 += xs(i); i += 1 }
+          while (i < 2 * m) { sum2 += xs(i); i += 1 }
+          val mean1 = sum1 / m
+          val mean2 = sum2 / m
+          var l = mean1
+          var b = (mean2 - mean1) / m
+          val sArr = Array.tabulate(m)(j => xs(j) - mean1)
+          var t = m
+          while (t < n) {
+            val slot = t % m
+            val lNew = alpha * (xs(t) - sArr(slot)) + (1 - alpha) * (l + b)
+            val bNew = beta * (lNew - l) + (1 - beta) * b
+            sArr(slot) = gamma * (xs(t) - lNew) + (1 - gamma) * sArr(slot)
+            l = lNew; b = bNew
+            t += 1
+          }
+          val sNext = sArr(n % m)
+          val rd = (x: Double) => math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+          Iterator((key._1, key._2, n.toLong,
+            rd(l), rd(b), rd(sNext), rd(l + b + sNext)))
+        }
+      }
+      .toDF("name", "node", "n", "level", "trend", "s_next", "fc1")
+  }
+
   def holt(grid: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._

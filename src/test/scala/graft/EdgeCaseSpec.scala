@@ -392,4 +392,65 @@ class EdgeCaseSpec extends SparkTestBase {
       Seq((0L, 5L)).toDF("day", "user_id"), "day", "user_id")
     assert(Sketches.hllFold(regs, "day").collect().head.getLong(1) == 1L)
   }
+
+  test("r5 wave operators survive degenerate inputs") {
+    // dcor: a constant cell has zero distance variance → dropped; a
+    // perfectly linear pair scores dcor = 1
+    val cells = (0 until 12).flatMap(i => Seq(
+      ("c1", "n", 0L, i.toLong, 5.0), ("c2", "n", 0L, i.toLong, i.toDouble)))
+      .toDF("name", "node", "b", "i", "gval")
+    assert(Correlate.dcorMatrix(cells).count() == 0, "constant side drops")
+    val lin = (0 until 12).flatMap(i => Seq(
+      ("l1", "n", 0L, i.toLong, i.toDouble), ("l2", "n", 0L, i.toLong, 2.0 * i + 3)))
+      .toDF("name", "node", "b", "i", "gval")
+    val d = Correlate.dcorMatrix(lin).collect()
+    assert(d.length == 1 && d.head.getAs[Double]("dcor") == 1.0, d.mkString)
+    // twap: one sample holds to bucket end; co-timestamped samples
+    // collapse to their exact mean before weighting
+    val tw = TimeSeries.twap(Seq(
+      ("g", "n", 10L, 4.0), ("g", "n", 86400L + 0L, 1.0),
+      ("g", "n", 86400L + 0L, 3.0), ("g", "n", 86400L + 43200L, 10.0))
+      .toDF("name", "node", "tsec", "value")).orderBy("b").collect()
+    assert(tw.length == 2)
+    assert(tw(0).getAs[Double]("twap") == 4.0, "single sample = its value")
+    assert(tw(0).getAs[Long]("covered_sec") == 86390L, "lead-in excluded")
+    assert(tw(1).getAs[Double]("twap") == 6.0, "(2.0 for half) + (10 for half)")
+    // jsd: a single source yields no pairs; disjoint vocabularies pin
+    // to ln 2 exactly (the closed-form tail is the whole divergence)
+    val one = Seq((1L, "a b c", "s0")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sourceJsd(one).count() == 0)
+    val disj = Seq((1L, "aa bb", "s0"), (2L, "cc dd", "s1"))
+      .toDF("doc_id", "text", "source")
+    val dj = TextAnalysis.sourceJsd(disj).collect().head
+    assert(dj.getAs[Long]("shared_terms") == 0L)
+    assert(dj.getAs[Double]("jsd") == 0.6931, dj.toString)
+    // mmr: corpus smaller than k still returns every vector once
+    val tiny = Seq(
+      (0L, Array.fill(64)(0.1f), 0), (1L, Array.fill(64)(-0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val mm = Similarity.mmrSelect(tiny, candK = 32, k = 8).collect()
+    assert(mm.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 1L))
+    assert(mm.length == 2)
+    // range search: an impossible threshold returns empty, not error
+    assert(Similarity.rangeSearch(tiny, nQueries = 1, minCos = 0.99).count() == 0)
+    // benford first digits come from cents: 0.004 rounds to 0 cents →
+    // excluded; negative values excluded
+    val ev = Seq((1L, 0L, 1L, "t", 0.004, "{}"), (2L, 0L, 1L, "t", -5.0, "{}"),
+      (3L, 0L, 1L, "t", 93.27, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    withEventsDir(ev) { dir =>
+      val bf = graft.SparkEntry.queries("profile_benford")(spark, dir)
+        .filter(col("n") > 0).collect()
+      assert(bf.length == 1 && bf.head.getAs[Long]("digit") == 9L)
+    }
+  }
+
+  /** Write an events frame to a temp dir as parquet so dir-shaped
+    * queries can run on synthetic rows.
+    */
+  private def withEventsDir(ev: org.apache.spark.sql.DataFrame)(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toFile
+    ev.write.mode("overwrite").parquet(new java.io.File(dir, "events.parquet").getAbsolutePath)
+    f(dir.getAbsolutePath)
+  }
 }

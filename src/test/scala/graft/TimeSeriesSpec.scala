@@ -259,6 +259,24 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == ((6L, r4d(l), r4d(b), r4d(l + b))))
   }
 
+  test("holtWinters absorbs a pure cycle into the season, not the trend") {
+    // 5 full periods of a clean m=4 cycle around level 10: the
+    // seasonal state should capture the cycle (fc1 ≈ next true value)
+    // and the trend should stay ~0 — the failure mode plain Holt has
+    val season = Seq(2.0, -1.0, -3.0, 2.0)
+    val vals = (0 until 20).map(i => 10.0 + season(i % 4))
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", "a", i * 900L, v) }
+    val out = TimeSeries.holtWinters(grid(rows: _*), m = 4)
+      .select("n", "level", "trend", "s_next", "fc1")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(out._1 == 20L)
+    assert(math.abs(out._3) < 0.05, s"trend leaked the cycle: ${out._3}")
+    // next point (i=20, slot 0) is 12.0
+    assert(math.abs(out._5 - 12.0) < 0.2, s"fc1 missed the cycle: ${out._5}")
+    // short series (< 2m+1) drop
+    assert(TimeSeries.holtWinters(grid(rows.take(8): _*), m = 4).count() == 0)
+  }
+
   test("stabilityLumpiness is the variance of tile means resp. variances") {
     // 3 tiles of 5 samples (tileSec=4500, step 900):
     //   tile 0: 0..4   -> mean 2, var 2.5
