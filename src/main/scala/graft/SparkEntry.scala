@@ -740,13 +740,30 @@ object SparkEntry {
     * 2·minSize (= the engine's (−1, 0.0) leaf). Names suffixed 0 to
     * dodge lambda-param collisions when nested under the perm loop.
     */
+  /** Shared base CTEs for the greedy-selection oracles (embed_mmr /
+    * embed_kcenter): quantized cells, centroid-sum relevance, the
+    * top-32 candidate cut, and the candidate pairwise-sim matrix.
+    */
+  private val SQL_GREEDY_BASE: String =
+    """mc AS MATERIALIZED (SELECT vec_id, i.i - 1 AS d,
+      |  CAST(floor((CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS q
+      | FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+      |mg AS MATERIALIZED (SELECT d, sum(q) AS sg FROM mc GROUP BY 1),
+      |mrel AS MATERIALIZED (SELECT vec_id,
+      |  CAST(floor((CAST(sum(q * sg) AS DOUBLE) / (sqrt(CAST(sum(q * q) AS DOUBLE)) * sqrt(CAST(sum(sg * sg) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS relq
+      | FROM mc JOIN mg USING (d) GROUP BY 1),
+      |mcand AS MATERIALIZED (SELECT vec_id, relq FROM mrel ORDER BY relq DESC, vec_id LIMIT 32),
+      |mcc AS MATERIALIZED (SELECT c.vec_id, d, q FROM mc c JOIN mcand USING (vec_id)),
+      |msim AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+      |  CAST(floor((CAST(sum(x.q * y.q) AS DOUBLE) / (sqrt(CAST(sum(x.q * x.q) AS DOUBLE)) * sqrt(CAST(sum(y.q * y.q) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS simq
+      | FROM mcc x JOIN mcc y ON x.d = y.d AND x.vec_id != y.vec_id GROUP BY 1, 2)""".stripMargin
+
   /** Unrolled greedy-MMR CTE chain (k steps over `mcand`/`msim`) —
     * the k-step selection is sequential by definition, so the oracle
     * replays it as k chained argmax CTEs on the same integer scores.
     * Emits `mp0..mp{k-1}` pick CTEs and `mall` unioning them.
     */
-  private def sqlMmrGreedy(k: Int, lamPpm: Long): String = {
-    val mu = 1000000L - lamPpm
+  private def sqlMmrGreedy(k: Int, scoreSql: String): String = {
     val sb = new StringBuilder
     sb.append(
       """msel0 AS MATERIALIZED (SELECT vec_id FROM mcand ORDER BY relq DESC, vec_id LIMIT 1),
@@ -760,7 +777,7 @@ object SparkEntry {
         |       AND a NOT IN (SELECT vec_id FROM msel${t - 1})
         |     GROUP BY a) m ON m.vec_id = c.vec_id),
         |mp$t AS MATERIALIZED (SELECT ${t + 1} AS rank, vec_id, relq, ms AS msq FROM mst$t
-        |  ORDER BY $lamPpm * relq - $mu * ms DESC, vec_id LIMIT 1),
+        |  ORDER BY $scoreSql DESC, vec_id LIMIT 1),
         |msel$t AS MATERIALIZED (SELECT vec_id FROM msel${t - 1} UNION ALL SELECT vec_id FROM mp$t)""".stripMargin)
     }
     sb.append(",\nmall AS (" +
@@ -2514,6 +2531,52 @@ object SparkEntry {
          |FROM hwr s WHERE s.t = s.n ORDER BY s.name, s.node""".stripMargin
     }),
 
+    Q("ad_hw_residual", (s, dir) => {
+      Anomaly.hwResidual(corrGrid(s, dir)).orderBy("name", "node", "tsb")
+    }, Some {
+      // the ts_holtwinters recursion plus Welford residual moments —
+      // scoring reads ONLY pre-update state (one-step-ahead, no
+      // lookahead), so the flag replay is the same sequential fold
+      val xp = "s.xs[CAST(s.t + 1 AS INT)]"
+      val slot = "CAST((s.t % 24) + 1 AS INT)"
+      val fc = s"(s.l + s.bt + s.sl[$slot])"
+      val resid = s"($xp - $fc)"
+      val muNew = s"(s.mu + ($resid - s.mu) / (s.kk + 1))"
+      val lNew = s"(3e-1 * ($xp - s.sl[$slot]) + (1 - 3e-1) * (s.l + s.bt))"
+      val zrE = s"floor((($resid - s.mu) / sqrt(s.m2 / (s.kk - 1)) + 1e-9) * 1e4 + 0.5) / 1e4"
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |hrs AS MATERIALIZED (SELECT name, node, count(*) AS n,
+         |  list(gval ORDER BY tsb) AS xs, list(tsb ORDER BY tsb) AS ts
+         | FROM ff36 GROUP BY 1, 2 HAVING count(*) >= 49),
+         |hri AS (SELECT name, node, n, xs, ts,
+         |  list_sum(xs[1:24]) / 24 AS mean1,
+         |  list_sum(xs[25:48]) / 24 AS mean2 FROM hrs),
+         |hrr AS (
+         |  SELECT name, node, n, xs, ts, CAST(24 AS BIGINT) AS t, mean1 AS l,
+         |    (mean2 - mean1) / 24 AS bt,
+         |    list_transform(range(1, 25), j -> xs[CAST(j AS INT)] - mean1) AS sl,
+         |    CAST(0 AS BIGINT) AS kk, 0e0 AS mu, 0e0 AS m2,
+         |    false AS flg, 0e0 AS fcp, 0e0 AS xv, 0e0 AS zr
+         |  FROM hri
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.n, s.xs, s.ts, s.t + 1,
+         |    $lNew AS l,
+         |    2e-1 * ($lNew - s.l) + (1 - 2e-1) * s.bt AS bt,
+         |    list_transform(range(1, 25), k2 -> CASE WHEN k2 = (s.t % 24) + 1
+         |      THEN 1e-1 * ($xp - $lNew) + (1 - 1e-1) * s.sl[$slot]
+         |      ELSE s.sl[CAST(k2 AS INT)] END) AS sl,
+         |    s.kk + 1 AS kk,
+         |    $muNew AS mu,
+         |    s.m2 + ($resid - s.mu) * ($resid - $muNew) AS m2,
+         |    (s.kk >= 48 AND s.m2 > 0 AND ($zrE > 3e0 OR $zrE < -3e0)) AS flg,
+         |    floor(($fc + 1e-9) * 1e4 + 0.5) / 1e4 AS fcp,
+         |    $xp AS xv,
+         |    CASE WHEN s.kk >= 48 AND s.m2 > 0 THEN $zrE ELSE 0e0 END AS zr
+         |  FROM hrr s WHERE s.t < s.n)
+         |SELECT name, node, ts[CAST(t AS INT)] AS tsb, xv AS gval, fcp AS fc, zr AS z
+         |FROM hrr WHERE flg ORDER BY name, node, tsb""".stripMargin
+    }),
+
     Q("ts_kalman", (s, dir) => {
       TimeSeries.kalman(grid(s, dir)).orderBy("name", "node")
     }, Some(
@@ -4124,19 +4187,19 @@ object SparkEntry {
       Similarity.mmrSelect(Tables.embeddings(s, dir), candK = 32, k = 8)
         .orderBy("rank")
     }, Some(
-      s"""WITH mc AS MATERIALIZED (SELECT vec_id, i.i - 1 AS d,
-         |  CAST(floor((CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS q
-         | FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
-         |mg AS MATERIALIZED (SELECT d, sum(q) AS sg FROM mc GROUP BY 1),
-         |mrel AS MATERIALIZED (SELECT vec_id,
-         |  CAST(floor((CAST(sum(q * sg) AS DOUBLE) / (sqrt(CAST(sum(q * q) AS DOUBLE)) * sqrt(CAST(sum(sg * sg) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS relq
-         | FROM mc JOIN mg USING (d) GROUP BY 1),
-         |mcand AS MATERIALIZED (SELECT vec_id, relq FROM mrel ORDER BY relq DESC, vec_id LIMIT 32),
-         |mcc AS MATERIALIZED (SELECT c.vec_id, d, q FROM mc c JOIN mcand USING (vec_id)),
-         |msim AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
-         |  CAST(floor((CAST(sum(x.q * y.q) AS DOUBLE) / (sqrt(CAST(sum(x.q * x.q) AS DOUBLE)) * sqrt(CAST(sum(y.q * y.q) AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS simq
-         | FROM mcc x JOIN mcc y ON x.d = y.d AND x.vec_id != y.vec_id GROUP BY 1, 2),
-         |${sqlMmrGreedy(8, 700000L)}
+      s"""WITH $SQL_GREEDY_BASE,
+         |${sqlMmrGreedy(8, "700000 * relq - 300000 * ms")}
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         | floor((CAST(relq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS rel,
+         | floor((CAST(msq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS max_sim_selected
+         |FROM mall ORDER BY rank""".stripMargin)),
+
+    Q("embed_kcenter", (s, dir) => {
+      Similarity.kcenterSelect(Tables.embeddings(s, dir), candK = 32, k = 8)
+        .orderBy("rank")
+    }, Some(
+      s"""WITH $SQL_GREEDY_BASE,
+         |${sqlMmrGreedy(8, "-ms * 10000000 + relq")}
          |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
          | floor((CAST(relq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS rel,
          | floor((CAST(msq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS max_sim_selected

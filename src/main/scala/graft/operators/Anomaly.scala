@@ -486,4 +486,72 @@ object Anomaly {
         r4(col("med_b").cast("double") / lit(1e9)).as("level_before"),
         r4(col("med_a").cast("double") / lit(1e9)).as("level_after"))
   }
+
+  /** Seasonal-aware anomaly detection: z-score of the ONE-STEP-AHEAD
+    * Holt–Winters forecast residual against the running (Welford)
+    * residual moments seen so far — a point is anomalous relative to
+    * what the level+trend+season model EXPECTED, so the daily rhythm
+    * that k-sigma flags as outliers and ad_decompose needs a full
+    * series to remove is absorbed online. Scoring starts after
+    * `minSamples` residuals; both the forecast and the moments use
+    * only the past (no lookahead — the same detector runs at ingest).
+    *
+    * Determinism: one sequential IEEE fold per signal (the
+    * [[graft.operators.TimeSeries.holtWinters]] recursion plus Welford
+    * state); the flag compares the ROUNDED z so row membership is
+    * engine-deterministic, and the oracle replays the fold as a
+    * recursive CTE. Scale: per-signal state is m+5 doubles, one pass,
+    * parallel across signals.
+    */
+  def hwResidual(grid: DataFrame, m: Int = 24, alpha: Double = 0.3,
+                 beta: Double = 0.2, gamma: Double = 0.1,
+                 level: Double = 3.0, minSamples: Int = 48): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String),
+                        it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        val n = pts.length
+        if (n < 2 * m + 1) Iterator.empty
+        else {
+          val xs = pts.map(_._4); val ts = pts.map(_._3)
+          var sum1 = 0.0; var sum2 = 0.0; var i = 0
+          while (i < m) { sum1 += xs(i); i += 1 }
+          while (i < 2 * m) { sum2 += xs(i); i += 1 }
+          val mean1 = sum1 / m; val mean2 = sum2 / m
+          var l = mean1; var b = (mean2 - mean1) / m
+          val sArr = Array.tabulate(m)(j => xs(j) - mean1)
+          var kk = 0L; var mu = 0.0; var m2 = 0.0
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long, Double, Double, Double)]
+          var t = m
+          while (t < n) {
+            val slot = t % m
+            val fc = l + b + sArr(slot)
+            val resid = xs(t) - fc
+            if (kk >= minSamples && m2 > 0) {
+              val sd = math.sqrt(m2 / (kk - 1))
+              val zr = math.floor(((resid - mu) / sd + 1e-9) * 1e4 + 0.5) / 1e4
+              if (zr > level || zr < -level)
+                out += ((key._1, key._2, ts(t), xs(t),
+                  math.floor((fc + 1e-9) * 1e4 + 0.5) / 1e4, zr))
+            }
+            val d1 = resid - mu
+            kk += 1
+            mu = mu + d1 / kk
+            m2 = m2 + d1 * (resid - mu)
+            val lNew = alpha * (xs(t) - sArr(slot)) + (1 - alpha) * (l + b)
+            val bNew = beta * (lNew - l) + (1 - beta) * b
+            sArr(slot) = gamma * (xs(t) - lNew) + (1 - gamma) * sArr(slot)
+            l = lNew; b = bNew
+            t += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("name", "node", "tsb", "gval", "fc", "z")
+  }
 }

@@ -522,7 +522,34 @@ object Similarity {
     * sequential nature never touches the corpus.
     */
   def mmrSelect(embs: DataFrame, candK: Int = 32, k: Int = 8,
-                lamPpm: Long = 700000L): DataFrame = {
+                lamPpm: Long = 700000L): DataFrame =
+    greedySelect(embs, candK, k) { (rq, ms) =>
+      lamPpm * rq - (1000000L - lamPpm) * ms
+    }
+
+  /** Greedy k-center (farthest-point) selection: after the most
+    * central seed, each step takes the candidate FARTHEST from the
+    * already-selected set (min score = max-sim-to-selected) — the
+    * classic 2-approximation coreset that covers a corpus's spread
+    * where [[mmrSelect]] trades coverage against centrality. Same
+    * integer-quantized machinery and bounded candidate frame.
+    */
+  def kcenterSelect(embs: DataFrame, candK: Int = 32, k: Int = 8): DataFrame =
+    greedySelect(embs, candK, k) { (rq, ms) =>
+      // seed step (ms = 0 for every candidate) falls back to
+      // relevance; afterwards pure farthest-point: score = −max-sim,
+      // scaled so relevance only breaks exact sim ties
+      -ms * 10000000L + rq
+    }
+
+  /** Shared greedy-subset machinery (see [[mmrSelect]] for the
+    * determinism and scale contract): integer relevance + pairwise
+    * sim frames over a TakeOrdered candidate cut, then a k-step
+    * argmax of `score(relq, maxSimToSelected)` with id tiebreaks on a
+    * BOUNDED collect.
+    */
+  private def greedySelect(embs: DataFrame, candK: Int, k: Int)
+                          (score: (Long, Long) => Long): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
@@ -568,7 +595,7 @@ object Similarity {
       val best = remaining.iterator.map { case (id, rq) =>
         val ms = if (selIds.isEmpty) 0L
           else selIds.map(sid => simMap.getOrElse((id, sid), 0L)).max
-        (id, rq, ms, lamPpm * rq - (1000000L - lamPpm) * ms)
+        (id, rq, ms, score(rq, ms))
       }.reduceLeft { (x, y) =>
         if (y._4 > x._4 || (y._4 == x._4 && y._1 < x._1)) y else x
       }
