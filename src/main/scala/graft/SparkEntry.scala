@@ -4620,6 +4620,20 @@ object SparkEntry {
         | floor((avg(CAST(width AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_width
         |FROM meta GROUP BY format ORDER BY format""".stripMargin)),
 
+    Q("mm_aspect_hist", (s, dir) => {
+      Multimodal.aspectHist(Multimodal.decodeMeta(Tables.documents(s, dir)))
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents") +
+      """,
+        |ar AS (SELECT format,
+        |  CASE WHEN CAST(width AS BIGINT) * 1000 // height < 900 THEN 'portrait'
+        |       WHEN CAST(width AS BIGINT) * 1000 // height <= 1111 THEN 'square'
+        |       ELSE 'landscape' END AS aspect
+        | FROM meta),
+        |ac AS (SELECT format, aspect, count(*) AS n FROM ar GROUP BY 1, 2)
+        |SELECT format, aspect, n,
+        | floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY format) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
+        |FROM ac ORDER BY format, aspect""".stripMargin)),
+
     Q("mm_resize", (s, dir) => {
       Multimodal.resizePlan(
           Multimodal.decodeMeta(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)))
@@ -4696,6 +4710,36 @@ object SparkEntry {
         |SELECT event_type, tsec // 3600 * 3600 AS hour_start, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY event_type, hour_start ORDER BY event_type, hour_start""".stripMargin)),
+
+    Q("stream_session_window", (s, dir) => {
+      // native session_window — the streaming-capable session op (with
+      // a watermark the SAME expression runs on readStream, state
+      // merged and evicted by the engine instead of hand-rolled
+      // mapGroupsWithState). min/max/count aggregates keep the output
+      // engine-neutral: window.end embeds the gap padding, the span
+      // does not.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("tstamp"),
+          expr("ts div 1000000000").as("tsec"))
+      ev.groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min("tsec").as("s_start"), max("tsec").as("s_end"))
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          (col("s_end") - col("s_start")).as("span_sec"), col("n_events"))
+        .orderBy("user_id", "s_start")
+    }, Some(
+      """WITH sev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |slg AS (SELECT user_id, tsec,
+        |  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev FROM sev),
+        |sfl AS (SELECT user_id, tsec,
+        |  CASE WHEN prev IS NULL OR tsec - prev >= 1800 THEN 1 ELSE 0 END AS brk FROM slg),
+        |sgr AS (SELECT user_id, tsec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM sfl)
+        |SELECT user_id, min(tsec) AS s_start, max(tsec) AS s_end,
+        | max(tsec) - min(tsec) AS span_sec, count(*) AS n_events
+        |FROM sgr GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
 
     Q("stream_sliding_agg", (s, dir) => {
       // batch equivalent of window(ts, "1 hour", slide "15 minutes"):

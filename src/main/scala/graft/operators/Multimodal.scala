@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
@@ -127,4 +128,24 @@ object Multimodal {
         sum("byte_len").as("total_bytes"),
         graft.Num.r4(avg(col("width").cast("double"))).as("mean_width"))
       .orderBy("format")
+
+  /** Aspect-ratio mix per format — the pre-training telemetry behind
+    * bucketed-resolution batching (images are grouped into aspect
+    * buckets so a batch shares one canvas): integer milli-ratio
+    * width·1000 div height, three standard buckets, share within
+    * format. Pure integer arithmetic on the decoded metadata — one
+    * aggregate over the meta frame, |formats|×3 output rows.
+    */
+  def aspectHist(meta: DataFrame): DataFrame = {
+    val ratioM = expr("CAST(width AS BIGINT) * 1000 div height")
+    val bucket = when(ratioM < 900L, "portrait")
+      .when(ratioM <= 1111L, "square")
+      .otherwise("landscape")
+    meta.withColumn("aspect", bucket)
+      .groupBy("format", "aspect")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", graft.Num.r4(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("format")).cast("double")))
+      .orderBy("format", "aspect")
+  }
 }
