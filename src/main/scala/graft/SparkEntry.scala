@@ -3171,6 +3171,46 @@ object SparkEntry {
          |FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0
          |ORDER BY a_name, a_node, b_name, b_node, b""".stripMargin)),
 
+    Q("corr_degree", (s, dir) => {
+      Correlate.corrDegree(corrGrid(s, dir), threshold = 0.7)
+        .orderBy("name", "node")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mxg AS (SELECT name, node, b, i, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM g2),
+         |mqg AS (SELECT name, node, b, i,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxg),
+         |gcl AS (SELECT x.name AS a_name, x.node AS a_node, y.name AS b_name, y.node AS b_node,
+         |   x.b AS b, count(*) AS n,
+         |   CAST(sum(x.qv) AS DOUBLE) AS sx, CAST(sum(y.qv) AS DOUBLE) AS sy,
+         |   CAST(sum(x.qv * y.qv) AS DOUBLE) AS sxy,
+         |   CAST(sum(x.qv * x.qv) AS DOUBLE) AS sxx,
+         |   CAST(sum(y.qv * y.qv) AS DOUBLE) AS syy
+         | FROM mqg x JOIN mqg y ON y.i = x.i AND y.b = x.b
+         |  AND (x.name < y.name OR (x.name = y.name AND x.node < y.node))
+         | GROUP BY 1, 2, 3, 4, 5),
+         |gfn AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |   CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM gcl),
+         |grm AS (SELECT a_name, a_node, b_name, b_node,
+         |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r
+         | FROM gfn WHERE n >= 8 AND vx > 0 AND vy > 0),
+         |gqd AS (SELECT a_name, a_node, b_name, b_node,
+         |  max(CAST(floor((abs(r) + 1e-9) * 1e4 + 0.5) AS BIGINT)) AS mq
+         | FROM grm GROUP BY 1, 2, 3, 4),
+         |ged AS (SELECT * FROM gqd WHERE mq >= 7000),
+         |gdd AS (SELECT a_name AS name, a_node AS node,
+         |   b_name || '|' || b_node AS partner, mq FROM ged
+         | UNION ALL SELECT b_name, b_node, a_name || '|' || a_node, mq FROM ged),
+         |gdr AS (SELECT *, row_number() OVER (PARTITION BY name, node
+         |   ORDER BY mq DESC, partner) AS rn FROM gdd)
+         |SELECT name, node, count(*) AS degree,
+         | floor((CAST(sum(mq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e4) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_top_r,
+         | max(CASE WHEN rn = 1 THEN partner END) AS top_partner,
+         | floor((CAST(max(mq) AS DOUBLE) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS top_r
+         |FROM gdr GROUP BY 1, 2 ORDER BY name, node""".stripMargin)),
+
     Q("corr_cluster", (s, dir) => {
       // correlation-graph signal grouping: edges where any bucket's
       // |r| ≥ 0.8, components over the fleet-bounded vertex set — the
@@ -4193,6 +4233,22 @@ object SparkEntry {
          | floor((CAST(relq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS rel,
          | floor((CAST(msq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS max_sim_selected
          |FROM mall ORDER BY rank""".stripMargin)),
+
+    Q("embed_hard_negatives", (s, dir) => {
+      Similarity.hardNegatives(Tables.embeddings(s, dir), k = 3)
+        .orderBy("la", "lb", "rank")
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |hl AS (SELECT vec_id, label, v, nrm FROM embeddings
+         |  JOIN n USING (vec_id)),
+         |hp AS (SELECT a.label AS la, b.label AS lb, a.vec_id AS ida, b.vec_id AS idb,
+         |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+         |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+         | FROM hl a JOIN hl b ON a.label < b.label),
+         |hr AS (SELECT *, CAST(row_number() OVER (PARTITION BY la, lb
+         |   ORDER BY cos_sim DESC, ida, idb) AS INT) AS rank FROM hp)
+         |SELECT la, lb, rank, ida, idb, cos_sim FROM hr WHERE rank <= 3
+         |ORDER BY la, lb, rank""".stripMargin)),
 
     Q("embed_kcenter", (s, dir) => {
       Similarity.kcenterSelect(Tables.embeddings(s, dir), candK = 32, k = 8)
@@ -7144,6 +7200,45 @@ object SparkEntry {
         |SELECT o_year, supp_nation, CAST(nat_d AS DOUBLE) AS revenue,
         | floor((CAST(nat_d AS DOUBLE) / CAST(tot_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
         |FROM wtm ORDER BY o_year, supp_nation""".stripMargin)),
+
+    Q("q40_basket_affinity", (s, dir) => {
+      // market-basket brand affinity: for brand pairs co-purchased in
+      // one order, lift = P(a,b)/(P(a)·P(b)). The (order, brand)
+      // distinct frame is the only corpus-sized exchange; pair counts
+      // live on the |brands|²-bounded frame, totals broadcast.
+      val ob = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct().persist().tracked
+      val bn = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
+      val tot = broadcast(ob.select(countDistinct(col("okey")).as("n_orders")))
+      val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
+        .join(ob.select(col("okey").as("ok2"), col("brand").as("brand_b")),
+          col("okey") === col("ok2") && col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(bn.select(col("brand").as("brand_a"), col("nb").as("n_a"))), "brand_a")
+        .join(broadcast(bn.select(col("brand").as("brand_b"), col("nb").as("n_b"))), "brand_b")
+        .crossJoin(tot)
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+          r4(col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    }, Some(
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |bn AS (SELECT brand, count(*) AS nb FROM ob GROUP BY 1),
+        |tt AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        | FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        | GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, x.nb AS n_a, y.nb AS n_b,
+        | floor((CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |   / (CAST(x.nb AS DOUBLE) * CAST(y.nb AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS lift
+        |FROM pr JOIN bn x ON x.brand = pr.brand_a
+        | JOIN bn y ON y.brand = pr.brand_b CROSS JOIN tt
+        |ORDER BY brand_a, brand_b""".stripMargin)),
 
     Q("profile_benford", (s, dir) => {
       // Benford first-digit audit of event values per type — the

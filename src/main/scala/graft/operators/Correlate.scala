@@ -614,6 +614,39 @@ object Correlate {
     * heavy object stays the corr matrix, which is the already-audited
     * [[corrMatrix]] plan.
     */
+  /** Correlation-graph degree telemetry: per signal, how many partners
+    * it moves with (any-bucket max |r| over the threshold), its mean
+    * and strongest coupling, and WHO the strongest partner is — the
+    * hub/leaf read of the fleet graph that [[corrCluster]] groups,
+    * answering "which metric drags the most others" before an incident
+    * review. Edges compare the 1e4-quantized |r| (exact integers), so
+    * membership and ordering are engine-deterministic; the output is
+    * one row per signal, aggregated from the |signals|²-bounded matrix
+    * every pairwise operator here already carries.
+    */
+  def corrDegree(indexedGrid: DataFrame, threshold: Double = 0.7,
+                 minOverlap: Int = 8): DataFrame = {
+    val m = corrMatrix(indexedGrid, minOverlap)
+      .withColumn("aq",
+        floor((abs(col("r")) + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long"))
+    val pair = m.groupBy("a_name", "a_node", "b_name", "b_node")
+      .agg(max("aq").as("mq"))
+    val thrq = math.floor((threshold + 1e-9) * 1e4 + 0.5).toLong
+    val edges = pair.filter(col("mq") >= thrq)
+    val dirs = edges.select(col("a_name").as("name"), col("a_node").as("node"),
+        concat(col("b_name"), lit("|"), col("b_node")).as("partner"), col("mq"))
+      .unionByName(edges.select(col("b_name").as("name"), col("b_node").as("node"),
+        concat(col("a_name"), lit("|"), col("a_node")).as("partner"), col("mq")))
+    val w = Window.partitionBy("name", "node").orderBy(col("mq").desc, col("partner"))
+    dirs.withColumn("rn", row_number().over(w))
+      .groupBy("name", "node")
+      .agg(count(lit(1)).as("degree"),
+        r4(sum("mq").cast("double") /
+          (count(lit(1)).cast("double") * lit(1e4))).as("mean_top_r"),
+        max(when(col("rn") === 1, col("partner"))).as("top_partner"),
+        r4(max("mq").cast("double") / lit(1e4)).as("top_r"))
+  }
+
   def corrCluster(indexedGrid: DataFrame, threshold: Double = 0.8,
                   minOverlap: Int = 8): DataFrame = {
     val spark = indexedGrid.sparkSession

@@ -502,6 +502,43 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Hard-negative mining: per ordered label pair, the top-k CROSS-label
+    * vector pairs by cosine — the confusable examples contrastive
+    * training wants as negatives and a labeler wants re-checked.
+    * Ranking compares the ROUNDED cosine with id tiebreaks.
+    *
+    * Scale: the join is label-blocked (Σ|la|·|lb| pairs over label
+    * pairs, never the full corpus²); for web-scale classes cap each
+    * label to a hash-ranked sample first (the sample_capped move) or
+    * route through the IVF cells — class size is the declared knob.
+    */
+  def hardNegatives(embs: DataFrame, k: Int = 3): DataFrame = {
+    val base = embs.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist().tracked
+    val a = base.select(col("label").as("la"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("label").as("lb"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("la", "lb")
+      .orderBy(col("cos_sim").desc, col("ida"), col("idb"))
+    // the (la, lb) pair list is a broadcast handful; routing through it
+    // makes BOTH corpus joins keyed hash joins on the label (the
+    // label-blocked exchange), never a nested-loop over corpus²
+    val labels = base.select(col("label")).distinct()
+    val pairsLl = labels.select(col("label").as("la"))
+      .crossJoin(labels.select(col("label").as("lb")))
+      .filter(col("la") < col("lb"))
+    a.join(broadcast(pairsLl), "la").join(b, "lb")
+      .select(col("la"), col("lb"), col("ida"), col("idb"),
+        r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("la"), col("lb"), col("rank"), col("ida"), col("idb"),
+        col("cos_sim"))
+  }
+
   /** Maximal-marginal-relevance selection: a k-item subset that is
     * both relevant (cosine to the corpus centroid) and mutually
     * diverse — the standard greedy for picking exemplar documents /
