@@ -4234,6 +4234,34 @@ object SparkEntry {
          | floor((CAST(msq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS max_sim_selected
          |FROM mall ORDER BY rank""".stripMargin)),
 
+    Q("embed_label_knn_acc", (s, dir) => {
+      Similarity.labelKnnAccuracy(Tables.embeddings(s, dir), nCells = 8)
+        .orderBy("label")
+    }, Some(
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, label, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.label, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1),
+        |ksims AS (SELECT a.vec_id, a.label,
+        |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
+        |  b.vec_id AS nid, b.label AS nlabel
+        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+        |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)
+        |SELECT label, count(*) AS n,
+        | CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | floor((CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS acc_1nn
+        |FROM krk WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin)),
+
     Q("embed_hard_negatives", (s, dir) => {
       Similarity.hardNegatives(Tables.embeddings(s, dir), k = 3)
         .orderBy("la", "lb", "rank")

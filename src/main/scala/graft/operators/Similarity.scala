@@ -478,6 +478,45 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Embedding-quality scorecard: leave-one-out 1-NN label agreement
+    * per class over the IVF cells — if an embedding is any good for
+    * retrieval/classification, a vector's nearest neighbor should
+    * share its label; per-class accuracy exposes both a weak encoder
+    * (all classes low) and confusable class pairs (two classes low —
+    * then [[hardNegatives]] names the offending pairs). In-cell
+    * candidates make it the oodKnnDist plan: Σ|cell|² pairs, rounded
+    * sims, id tiebreaks; vectors alone in their cell drop (declared).
+    */
+  def labelKnnAccuracy(embs: DataFrame, nCells: Int = 8): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val base = embs.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cid").as("cell"))
+      .persist().tracked
+    val sims = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nid"), col("b.label").as("nlabel"),
+        r4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        r4(col("n_correct").cast("double") / col("n").cast("double")).as("acc_1nn"))
+  }
+
   /** Radius (range) search: every corpus vector within a cosine
     * threshold of each query — the "find ALL near-duplicates / all
     * in-policy matches" sibling of top-k, where the result size is
