@@ -445,6 +445,32 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("wave H/I operators survive degenerate inputs") {
+    // corr_degree: no pair clears the threshold → empty, not error
+    val uncorr = (0 until 12).flatMap(i => Seq(
+      ("u1", "n", 0L, i.toLong, (i % 3).toDouble),
+      ("u2", "n", 0L, i.toLong, ((i * 7) % 5).toDouble)))
+      .toDF("name", "node", "b", "i", "gval")
+    assert(Correlate.corrDegree(uncorr, threshold = 0.999).count() == 0)
+    // hard negatives: a single label has no cross-label pairs
+    val mono = (0L to 3L).map(i => (i, Array.fill(64)(0.1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(mono).count() == 0)
+    // 1-NN accuracy: a vector alone in its cell drops; two same-label
+    // vectors sharing a cell score acc 1.0
+    val two = Seq((0L, Array.fill(64)(0.2f), 1), (1L, Array.fill(64)(0.21f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val acc = Similarity.labelKnnAccuracy(two, nCells = 1).collect()
+    assert(acc.length == 1 && acc.head.getAs[Double]("acc_1nn") == 1.0)
+    // aspect hist: exact boundary ratios land in their buckets
+    val meta = Seq((1L, 10L, "png", 900, 1000, 0L), (2L, 10L, "png", 1000, 1000, 0L),
+      (3L, 10L, "png", 1112, 1000, 0L), (4L, 10L, "png", 899, 1000, 0L))
+      .toDF("doc_id", "byte_len", "format", "width", "height", "checksum")
+    val ah = Multimodal.aspectHist(meta).collect()
+      .map(r => (r.getAs[String]("aspect"), r.getAs[Long]("n"))).toMap
+    assert(ah == Map("portrait" -> 1L, "square" -> 2L, "landscape" -> 1L), ah.toString)
+  }
+
   /** Write an events frame to a temp dir as parquet so dir-shaped
     * queries can run on synthetic rows.
     */
