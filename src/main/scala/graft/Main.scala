@@ -1,7 +1,7 @@
 package graft
 
 import graft.report.AdvisorReport
-import graft.sources.{MetricsCsv, MetricsTar}
+import graft.sources.{MetricsCsv, MetricsProm, MetricsTar}
 import org.apache.spark.sql.SparkSession
 
 /** The CLI the reference exposes (`python metrics_advisor.py <bundle>`,
@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main <bundle.tar.gz | csv-dir> [out.md] [obj1,obj2,...]
   *
-  * The bundle is read with MetricsTar (.tar.gz/.tgz) or MetricsCsv
-  * (directory of reshaped CSVs); the advisor pipeline runs distributed
-  * and only the final ranked rows are collected for rendering.
+  * The bundle is read with MetricsTar (.tar.gz/.tgz), MetricsProm
+  * (.prom/.txt Prometheus exposition dumps) or MetricsCsv (directory
+  * of reshaped CSVs); the advisor pipeline runs distributed and only
+  * the final ranked rows are collected for rendering.
   */
 object Main {
 
@@ -21,6 +22,8 @@ object Main {
     val signals =
       if (input.endsWith(".tar.gz") || input.endsWith(".tgz"))
         MetricsTar.read(spark, input)
+      else if (input.endsWith(".prom") || input.endsWith(".txt"))
+        MetricsProm.signals(spark, input)
       else MetricsCsv.read(spark, input)
     val cfg = AdvisorReport.Config(objNames = objNames)
     val grid = AdvisorReport.gatedGrid(signals, cfg)

@@ -3125,6 +3125,29 @@ object SparkEntry {
          |FROM cr
          |ORDER BY obj_name, obj_node, cand_name, cand_node, b, lag""".stripMargin)),
 
+    Q("corr_lag_consistency", (s, dir) => {
+      Correlate.lagConsistency(corrGrid(s, dir), ObjSignals)
+        .orderBy("obj_name", "obj_node", "cand_name", "cand_node")
+    }, Some(
+      s"""WITH $SQL_CORR_CTES,
+         |$SQL_NCC_CR,
+         |lcb AS (SELECT *, row_number() OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node, b
+         |   ORDER BY abs(r) DESC, lag ASC) AS rn FROM cr),
+         |lcc AS (SELECT obj_name, obj_node, cand_name, cand_node, lag, count(*) AS c
+         | FROM lcb WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5),
+         |lcm AS (SELECT *, row_number() OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node
+         |   ORDER BY c DESC, lag ASC) AS rn,
+         |  sum(c) OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node) AS nb,
+         |  max(lag) OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node)
+         |   - min(lag) OVER (PARTITION BY obj_name, obj_node, cand_name, cand_node) AS lag_span
+         | FROM lcc)
+         |SELECT obj_name, obj_node, cand_name, cand_node,
+         | CAST(nb AS BIGINT) AS n_buckets, lag AS mode_lag,
+         | floor((CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mode_share,
+         | lag_span
+         |FROM lcm WHERE rn = 1
+         |ORDER BY obj_name, obj_node, cand_name, cand_node""".stripMargin)),
+
     Q("corr_topk", (s, dir) => {
       Correlate.topCorr(Correlate.nccLag(corrGrid(s, dir), ObjSignals), 5)
         .select(col("obj_name"), col("obj_node"), col("cand_name"), col("cand_node"),

@@ -138,6 +138,38 @@ object Correlate {
       .filter(col("rank") <= k)
   }
 
+  /** Lead-lag stability per (objective, candidate) pair: the best lag
+    * is recomputed per bucket ([[topCorr]] semantics — max |r|, lag
+    * tiebreak); a pair whose best lag is the SAME day after day is a
+    * dependable leading indicator, while a pair whose lag wanders is a
+    * coincidence the advisor should rank down. Reports the modal best
+    * lag, its share of buckets, and the lag span — all integer
+    * arithmetic over the already-rounded r frame, so membership and
+    * ordering replay exactly. Output is one row per pair (the
+    * |obj|×|signals|-bounded frame the NCC family already carries).
+    */
+  def lagConsistency(indexedGrid: DataFrame, objNames: Seq[String],
+                     lagMax: Int = 3, minOverlap: Int = 8): DataFrame = {
+    val pairCols = Seq("obj_name", "obj_node", "cand_name", "cand_node")
+    val byCell = Window.partitionBy((pairCols :+ "b").map(col): _*)
+      .orderBy(abs(col("r")).desc, col("lag").asc)
+    val best = nccLag(indexedGrid, objNames, lagMax, minOverlap)
+      .withColumn("rn", row_number().over(byCell)).filter(col("rn") === 1)
+    val counts = best.groupBy((pairCols :+ "lag").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val pairW = Window.partitionBy(pairCols.map(col): _*)
+    val byMode = pairW.orderBy(col("c").desc, col("lag").asc)
+    counts
+      .withColumn("rn", row_number().over(byMode))
+      .withColumn("nb", sum("c").over(pairW))
+      .withColumn("lag_span", max("lag").over(pairW) - min("lag").over(pairW))
+      .filter(col("rn") === 1)
+      .select(col("obj_name"), col("obj_node"), col("cand_name"), col("cand_node"),
+        col("nb").as("n_buckets"), col("lag").as("mode_lag"),
+        r4(col("c").cast("double") / col("nb").cast("double")).as("mode_share"),
+        col("lag_span"))
+  }
+
   /** Spearman rank-correlation matrix: Pearson over average ranks
     * within each (signal, bucket) — the robust companion to
     * [[corrMatrix]] (monotone association, insensitive to outliers the
