@@ -4840,7 +4840,7 @@ object SparkEntry {
         |slg AS (SELECT user_id, tsec,
         |  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev FROM sev),
         |sfl AS (SELECT user_id, tsec,
-        |  CASE WHEN prev IS NULL OR tsec - prev >= 1800 THEN 1 ELSE 0 END AS brk FROM slg),
+        |  CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS brk FROM slg),
         |sgr AS (SELECT user_id, tsec,
         |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS sid
         | FROM sfl)
