@@ -551,10 +551,23 @@ object Similarity {
     * label to a hash-ranked sample first (the sample_capped move) or
     * route through the IVF cells — class size is the declared knob.
     */
-  def hardNegatives(embs: DataFrame, k: Int = 3): DataFrame = {
-    val base = embs.select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+  def hardNegatives(embs: DataFrame, k: Int = 3,
+                    maxPerLabel: Int = 256): DataFrame = {
+    val base0 = embs.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    // the scale knob, engaged not just documented: classes above
+    // `maxPerLabel` are cut to a deterministic md5-ranked sample (the
+    // sample_capped move — append-stable, partition-invariant), so the
+    // label-blocked pair volume is ≤ |pairs|·cap² — LINEAR in class
+    // count — instead of Σ|la|·|lb|. Below the cap (the gate corpora)
+    // the filter keeps everything and results are bit-identical.
+    val capped = if (maxPerLabel > 0)
+      base0.withColumn("hrk", row_number().over(
+          Window.partitionBy("label")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .filter(col("hrk") <= maxPerLabel).drop("hrk")
+    else base0
+    val base = capped.withColumn("nrm", norm(col("v")))
       .persist().tracked
     val a = base.select(col("label").as("la"), col("vec_id").as("ida"),
       col("v").as("va"), col("nrm").as("na"))
