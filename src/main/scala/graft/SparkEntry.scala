@@ -4108,6 +4108,42 @@ object SparkEntry {
          |FROM cfg LEFT JOIN nc USING (bands) LEFT JOIN ht USING (bands)
          | CROSS JOIN nt ORDER BY cfg.bands""".stripMargin)),
 
+    Q("dedup_winnowing", (s, dir) => {
+      // dfMax = 64 engaged: the template corpus's boilerplate grams
+      // produce fingerprints shared by hundreds of docs — exactly the
+      // hot keys the Σ df² bound exists for (measured 19 s → ~2 s at
+      // sf0.1); MOSS itself drops ubiquitous fingerprints the same way
+      Dedup.winnowingPairs(Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
+          dfMax = 64)
+        .orderBy("id1", "id2")
+    }, Some(
+      """WITH wd AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND length(text) >= 11),
+        |wg AS (SELECT doc_id, CAST(p.p AS BIGINT) AS pos,
+        |  CAST(CAST('0x' || substr(md5(substr(text, CAST(p.p AS INT), 8)), 17, 16) AS UBIGINT) AS HUGEINT) AS hu
+        | FROM wd, LATERAL (SELECT unnest(range(1, length(text) - 7 + 1)) AS p) p),
+        |wsg AS (SELECT doc_id, pos,
+        |  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+        | FROM wg),
+        |wmn AS (SELECT doc_id, pos, h,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+        |  count(*) OVER (PARTITION BY doc_id) AS lg
+        | FROM wsg),
+        |wv AS (SELECT * FROM wmn WHERE pos <= lg - 3),
+        |wc AS (SELECT v.doc_id, v.pos AS s, v.minh, v.pos + j.j AS q
+        | FROM wv v, LATERAL (SELECT unnest(range(0, 4)) AS j) j),
+        |wh AS (SELECT c.doc_id, c.s, max(c.q) AS fp_pos, max(c.minh) AS fp_h
+        | FROM wc c JOIN wsg g ON g.doc_id = c.doc_id AND g.pos = c.q AND g.h = c.minh
+        | GROUP BY 1, 2),
+        |wf0 AS (SELECT DISTINCT doc_id, fp_pos, fp_h FROM wh),
+        |wdf AS (SELECT fp_h, count(*) AS dfc FROM wf0 GROUP BY 1),
+        |wf AS (SELECT wf0.* FROM wf0 JOIN wdf USING (fp_h) WHERE dfc <= 64),
+        |wp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(DISTINCT a.fp_h) AS shared_fp
+        | FROM wf a JOIN wf b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id1, id2, shared_fp FROM wp WHERE shared_fp >= 3
+        |ORDER BY id1, id2""".stripMargin)),
+
     Q("dedup_simhash", (s, dir) => {
       // md5-low64 word hash (Dedup.simhash doc) → the whole pipeline
       // (bit tally, signature, pigeonhole blocks, hamming) is

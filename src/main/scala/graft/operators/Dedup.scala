@@ -651,4 +651,58 @@ object Dedup {
       // this exchange)
       verified.groupBy("doc1", "doc2").agg(countDistinct(col("s1")).as("n_shared"))
   }
+  /** Winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every k-char gram, slide a w-gram
+    * window, keep the RIGHTMOST minimal hash per window — guaranteeing
+    * any shared substring of length ≥ k + w − 1 shares a fingerprint,
+    * at ~2/(w+1) the density of full gram sets. The POSITIONAL sibling
+    * of the shingle-set family: it finds where the overlap is, with a
+    * bounded fingerprint budget per document.
+    *
+    * Determinism: the house md5-low64 gram hash (signed-long compare
+    * mirrored in the oracle), integer window minima, rightmost-tie via
+    * max(position) — every selection is exact integer arithmetic.
+    *
+    * Scale: grams explode in-task (w rows per window start is the only
+    * fan-out); the pair stage is the standard inverted index on
+    * fingerprint hashes — Σ df² bounded, with `dfMax` dropping
+    * ultra-common fingerprints (boilerplate) the way every inverted-
+    * index dedup here prunes its hot keys (0 = off; the gate leaves it
+    * off so the oracle replays the untruncated index).
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                     minShared: Long = 3, dfMax: Long = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        Sketches.md5Low64(expr(s"substring(text, CAST(pos AS INT), $k)")).as("h"))
+      .persist().tracked
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val valid = grams
+      .withColumn("minh", min("h").over(wd.rowsBetween(0, w - 1)))
+      .withColumn("lg", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("lg") - lit(w - 1))
+    val fps = valid
+      .select(col("doc_id"), col("pos").as("s"), col("minh"),
+        explode(sequence(lit(0L), lit((w - 1).toLong))).as("j"))
+      .withColumn("q", col("s") + col("j"))
+      .join(grams.select(col("doc_id"), col("pos").as("q"), col("h")),
+        Seq("doc_id", "q"))
+      .filter(col("h") === col("minh"))
+      .groupBy("doc_id", "s")
+      .agg(max("q").as("fp_pos"), max("minh").as("fp_h"))
+      .select(col("doc_id"), col("fp_pos"), col("fp_h")).distinct()
+    val pruned = if (dfMax > 0) {
+      val df = fps.groupBy("fp_h").agg(count(lit(1)).as("dfc"))
+      fps.join(df.filter(col("dfc") <= dfMax).select("fp_h"), "fp_h")
+    } else fps
+    pruned.select(col("doc_id").as("id1"), col("fp_h"))
+      .join(pruned.select(col("doc_id").as("id2"), col("fp_h").as("h2")),
+        col("fp_h") === col("h2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(countDistinct(col("fp_h")).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
 }
