@@ -5265,6 +5265,38 @@ object SparkEntry {
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
 
+    Q("text_code_detect", (s, dir) =>
+      TextAnalysis.codeDetect(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH cdt AS (SELECT doc_id, text,
+        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+        |  CAST(length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g')) AS DOUBLE) AS sym,
+        |  string_split(text, chr(10)) AS ls,
+        |  string_split_regex(trim(text), '\s+') AS tk
+        | FROM documents),
+        |cdm AS (SELECT doc_id, n, sym,
+        |  CAST(greatest(len(ls), 1) AS DOUBLE) AS nl,
+        |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^(\t|  )'))) AS DOUBLE) AS ind,
+        |  CAST(len(list_filter(ls, l -> regexp_matches(l, '[;{}]\s*$'))) AS DOUBLE) AS eol,
+        |  CAST(greatest(len(tk), 1) AS DOUBLE) AS nt,
+        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '^[a-z0-9]+(_[a-z0-9]+)+$')
+        |    OR regexp_matches(t, '^[a-z]+[A-Z]'))) AS DOUBLE) AS idt,
+        |  CAST(len(list_filter(tk, t -> t IN ('def', 'return', 'import', 'const',
+        |    'var', 'function', 'class', 'void', 'fn', 'let'))) AS DOUBLE) AS kw
+        | FROM cdt),
+        |cds AS (SELECT doc_id, n, sym, nl, ind, idt, nt, kw,
+        |  floor((sym / n * 4e-1 + ind / nl * 2e-1 + eol / nl * 2e-1
+        |    + idt / nt * 1e-1 + least(kw, 5e0) / 5e0 * 1e-1 + 1e-9) * 1e4 + 0.5) / 1e4 AS code_score
+        | FROM cdm)
+        |SELECT doc_id,
+        | floor((sym / n + 1e-9) * 1e4 + 0.5) / 1e4 AS sym_ratio,
+        | floor((ind / nl + 1e-9) * 1e4 + 0.5) / 1e4 AS indent_frac,
+        | floor((idt / nt + 1e-9) * 1e4 + 0.5) / 1e4 AS ident_frac,
+        | CAST(kw AS BIGINT) AS kw_hits,
+        | code_score,
+        | code_score >= 25e-2 AS is_code
+        |FROM cds ORDER BY doc_id""".stripMargin)),
+
     Q("text_source_jsd", (s, dir) =>
       TextAnalysis.sourceJsd(Tables.documents(s, dir)).orderBy("a_src", "b_src"),
     Some(

@@ -767,6 +767,42 @@ object TextAnalysis {
           .as("hapax_token_share"))
   }
 
+  /** Code-vs-prose detection: the mix-policy gate that keeps source
+    * code out of a prose corpus (or routes it to a code stratum)
+    * without an ML classifier — symbol density, indented/terminator
+    * line fractions, identifier-shaped tokens (snake_case/camelCase),
+    * and a small keyword panel, combined into one weighted score. All
+    * counts are exact; the score is ONE fixed IEEE chain with
+    * scientific-literal weights, and the flag compares the ROUNDED
+    * score — one codegen scan, no UDFs, trivially scalable.
+    */
+  def codeDetect(docs: DataFrame, threshold: Double = 0.25): DataFrame = {
+    val n = greatest(length(col("text")), lit(1)).cast("double")
+    val sym = length(regexp_replace(col("text"), "[^{}()\\[\\];=<>]", ""))
+      .cast("double")
+    val lines0 = split(col("text"), "\n")
+    val nl = greatest(size(lines0), lit(1)).cast("double")
+    val indent = size(filter(lines0, l => l.rlike("^(\t|  )"))).cast("double")
+    val eol = size(filter(lines0, l => l.rlike("[;{}]\\s*$"))).cast("double")
+    val toks = split(trim(col("text")), "\\s+")
+    val nt = greatest(size(toks), lit(1)).cast("double")
+    val ident = size(filter(toks, t =>
+      t.rlike("^[a-z0-9]+(_[a-z0-9]+)+$") || t.rlike("^[a-z]+[A-Z]")))
+      .cast("double")
+    val kw = size(filter(toks, t => t.isin("def", "return", "import", "const",
+      "var", "function", "class", "void", "fn", "let"))).cast("double")
+    val score = r4(sym / n * lit(4e-1) + indent / nl * lit(2e-1) +
+      eol / nl * lit(2e-1) + ident / nt * lit(1e-1) +
+      least(kw, lit(5e0)) / lit(5e0) * lit(1e-1))
+    docs.select(col("doc_id"),
+      r4(sym / n).as("sym_ratio"),
+      r4(indent / nl).as("indent_frac"),
+      r4(ident / nt).as("ident_frac"),
+      kw.cast("long").as("kw_hits"),
+      score.as("code_score"),
+      (score >= lit(threshold)).as("is_code"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions — the "which corpora are interchangeable, which are
     * a different language/register entirely" matrix a mixing plan
