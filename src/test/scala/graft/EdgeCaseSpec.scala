@@ -471,6 +471,33 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(ah == Map("portrait" -> 1L, "square" -> 2L, "landscape" -> 1L), ah.toString)
   }
 
+  test("winnowing guarantees and code detection semantics") {
+    // guarantee: any shared substring of length >= k+w-1 (11) shares a
+    // fingerprint; identical docs share everything
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated content with zero overlap at all"),
+      (4L, "short"))
+    val pairs = Dedup.winnowingPairs(d, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "sub-window doc drops")
+    // a doc embedding a >= 11-char run of another must share a fingerprint
+    val e = docs(
+      (1L, "xxxx THE-SHARED-RUN-IS-HERE yyyy zz qq ww ee rr tt"),
+      (2L, "aaaa bbbb cccc THE-SHARED-RUN-IS-HERE dddd ffff gggg"))
+    assert(Dedup.winnowingPairs(e, minShared = 1).count() >= 1)
+    // code detection: a code-shaped doc flags, prose does not
+    val cd = Seq(
+      (1L, "def total_sum(xs):\n    return sum(xs);\nclass FooBar {\n    int myVar = 0;\n}"),
+      (2L, "the gentle rain fell softly on the quiet village all through the evening"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetect(cd).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
+    assert(out(1L) && !out(2L), out.toString)
+  }
+
   /** Write an events frame to a temp dir as parquet so dir-shaped
     * queries can run on synthetic rows.
     */
