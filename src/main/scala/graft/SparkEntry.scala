@@ -2531,6 +2531,50 @@ object SparkEntry {
          |FROM hwr s WHERE s.t = s.n ORDER BY s.name, s.node""".stripMargin
     }),
 
+    Q("ts_model_compare", (s, dir) => {
+      TimeSeries.modelCompare(corrGrid(s, dir)).orderBy("name", "node")
+    }, Some {
+      // one recursion carries BOTH models' state; the per-model MAE
+      // sums accumulate inside it (holt_backtest precedent), scored
+      // over the same post-warmup window
+      val xp = "s.xs[CAST(s.t + 1 AS INT)]"
+      val slot = "CAST((s.t % 24) + 1 AS INT)"
+      val hlNew = s"(3e-1 * $xp + (1 - 3e-1) * (s.hl + s.hbt))"
+      val lNew = s"(3e-1 * ($xp - s.sl[$slot]) + (1 - 3e-1) * (s.l + s.bt))"
+      s"""WITH RECURSIVE $SQL_CORR_CTES,
+         |mcs AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
+         | FROM ff36 GROUP BY 1, 2 HAVING count(*) >= 49),
+         |mci AS (SELECT name, node, n, xs,
+         |  list_sum(xs[1:24]) / 24 AS mean1, list_sum(xs[25:48]) / 24 AS mean2 FROM mcs),
+         |mcr AS (
+         |  SELECT name, node, n, xs, CAST(2 AS BIGINT) AS t,
+         |    xs[1] AS hl, xs[2] - xs[1] AS hbt,
+         |    mean1 AS l, (mean2 - mean1) / 24 AS bt,
+         |    list_transform(range(1, 25), j -> xs[CAST(j AS INT)] - mean1) AS sl,
+         |    0e0 AS hsae, 0e0 AS wsae, CAST(0 AS BIGINT) AS cnt
+         |  FROM mci
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.n, s.xs, s.t + 1,
+         |    $hlNew AS hl,
+         |    2e-1 * ($hlNew - s.hl) + (1 - 2e-1) * s.hbt AS hbt,
+         |    CASE WHEN s.t >= 24 THEN $lNew ELSE s.l END AS l,
+         |    CASE WHEN s.t >= 24 THEN 2e-1 * ($lNew - s.l) + (1 - 2e-1) * s.bt ELSE s.bt END AS bt,
+         |    CASE WHEN s.t >= 24 THEN list_transform(range(1, 25), k2 -> CASE WHEN k2 = (s.t % 24) + 1
+         |      THEN 1e-1 * ($xp - $lNew) + (1 - 1e-1) * s.sl[$slot] ELSE s.sl[CAST(k2 AS INT)] END)
+         |    ELSE s.sl END AS sl,
+         |    CASE WHEN s.t >= 48 THEN s.hsae + abs($xp - (s.hl + s.hbt)) ELSE s.hsae END AS hsae,
+         |    CASE WHEN s.t >= 48 THEN s.wsae + abs($xp - (s.l + s.bt + s.sl[$slot])) ELSE s.wsae END AS wsae,
+         |    CASE WHEN s.t >= 48 THEN s.cnt + 1 ELSE s.cnt END AS cnt
+         |  FROM mcr s WHERE s.t < s.n)
+         |SELECT name, node, n, cnt AS n_scored,
+         | floor((hsae / cnt + 1e-9) * 1e4 + 0.5) / 1e4 AS holt_mae,
+         | floor((wsae / cnt + 1e-9) * 1e4 + 0.5) / 1e4 AS hw_mae,
+         | CASE WHEN floor((wsae / cnt + 1e-9) * 1e4 + 0.5) < floor((hsae / cnt + 1e-9) * 1e4 + 0.5) THEN 'hw'
+         |      WHEN floor((hsae / cnt + 1e-9) * 1e4 + 0.5) < floor((wsae / cnt + 1e-9) * 1e4 + 0.5) THEN 'holt'
+         |      ELSE 'tie' END AS winner
+         |FROM mcr WHERE t = n ORDER BY name, node""".stripMargin
+    }),
+
     Q("ad_hw_residual", (s, dir) => {
       Anomaly.hwResidual(corrGrid(s, dir)).orderBy("name", "node", "tsb")
     }, Some {

@@ -567,6 +567,68 @@ object TimeSeries {
       .toDF("name", "node", "n", "level", "trend", "s_next", "fc1")
   }
 
+  /** Forecast-model bake-off per signal: Holt vs additive Holt–Winters
+    * one-step-ahead MAE over the SAME scoring window (points after
+    * both models' warmup, t ≥ 2m) — the measured answer to "should
+    * this signal's pager run the trend model or the seasonal model".
+    * A signal with daily rhythm shows hw_mae ≪ holt_mae; a trending
+    * aperiodic one shows the reverse; the winner column is the
+    * routing bit. One sequential fold per signal computes both models
+    * simultaneously; MAE sums accumulate inside the fold (the
+    * holt_backtest precedent), so the oracle replays everything as one
+    * recursive CTE.
+    */
+  def modelCompare(grid: DataFrame, m: Int = 24, alpha: Double = 0.3,
+                   beta: Double = 0.2, gamma: Double = 0.1): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String),
+                        it: Iterator[(String, String, Long, Double)]) =>
+        val xs = it.toArray.sortBy(_._3).map(_._4)
+        val n = xs.length
+        if (n < 2 * m + 1) Iterator.empty
+        else {
+          // Holt state (warm from the first two points)
+          var hl = xs(0); var hbt = xs(1) - xs(0)
+          // HW init from the first two seasons (holtWinters contract)
+          var sum1 = 0.0; var sum2 = 0.0; var i = 0
+          while (i < m) { sum1 += xs(i); i += 1 }
+          while (i < 2 * m) { sum2 += xs(i); i += 1 }
+          val mean1 = sum1 / m; val mean2 = sum2 / m
+          var l = mean1; var b = (mean2 - mean1) / m
+          val sArr = Array.tabulate(m)(j => xs(j) - mean1)
+          var hsae = 0.0; var wsae = 0.0; var cnt = 0L
+          var t = 2
+          while (t < n) {
+            if (t >= 2 * m) {
+              hsae += math.abs(xs(t) - (hl + hbt))
+              wsae += math.abs(xs(t) - (l + b + sArr(t % m)))
+              cnt += 1
+            }
+            val hlNew = alpha * xs(t) + (1 - alpha) * (hl + hbt)
+            hbt = beta * (hlNew - hl) + (1 - beta) * hbt
+            hl = hlNew
+            if (t >= m) {
+              val slot = t % m
+              val lNew = alpha * (xs(t) - sArr(slot)) + (1 - alpha) * (l + b)
+              val bNew = beta * (lNew - l) + (1 - beta) * b
+              sArr(slot) = gamma * (xs(t) - lNew) + (1 - gamma) * sArr(slot)
+              l = lNew; b = bNew
+            }
+            t += 1
+          }
+          val rd = (x: Double) => math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+          val hm = rd(hsae / cnt); val wm = rd(wsae / cnt)
+          val winner = if (wm < hm) "hw" else if (hm < wm) "holt" else "tie"
+          Iterator((key._1, key._2, n.toLong, cnt, hm, wm, winner))
+        }
+      }
+      .toDF("name", "node", "n", "n_scored", "holt_mae", "hw_mae", "winner")
+  }
+
   def holt(grid: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
