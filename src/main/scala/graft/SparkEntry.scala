@@ -2835,6 +2835,99 @@ object SparkEntry {
          |FROM grid ORDER BY name, node, tsb""".stripMargin)),
 
     // ================= C. anomaly & correlation =================
+    Q("ts_drawdown", (s, dir) => {
+      // max drawdown per signal: worst peak-to-trough fraction under
+      // the running max — the "how far below its best has this metric
+      // fallen" read (capacity headroom, error-budget burn, QPS
+      // regressions). One per-signal window; argmax on the rounded
+      // drawdown with earliest-trough tiebreak.
+      val w = Window.partitionBy("name", "node").orderBy("tsb")
+      val pk = grid(s, dir)
+        .withColumn("peak", max("gval").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("peak") > 0)
+        .withColumn("dd", r4((col("peak") - col("gval")) / col("peak")))
+      pk.withColumn("rn", row_number().over(Window.partitionBy("name", "node")
+          .orderBy(col("dd").desc, col("tsb"))))
+        .filter(col("rn") === 1)
+        .select(col("name"), col("node"), col("tsb").as("trough_tsb"),
+          r4(col("peak")).as("peak"), r4(col("gval")).as("trough"),
+          col("dd").as("max_drawdown"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |dpk AS (SELECT name, node, tsb, gval,
+         |  max(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         | FROM grid),
+         |ddd AS (SELECT *, floor(((peak - gval) / peak + 1e-9) * 1e4 + 0.5) / 1e4 AS dd
+         | FROM dpk WHERE peak > 0),
+         |drk AS (SELECT *, row_number() OVER (PARTITION BY name, node
+         |   ORDER BY dd DESC, tsb) AS rn FROM ddd)
+         |SELECT name, node, tsb AS trough_tsb,
+         | floor((peak + 1e-9) * 1e4 + 0.5) / 1e4 AS peak,
+         | floor((gval + 1e-9) * 1e4 + 0.5) / 1e4 AS trough,
+         | dd AS max_drawdown
+         |FROM drk WHERE rn = 1 ORDER BY name, node""".stripMargin)),
+
+    Q("ad_flag_episodes", (s, dir) => {
+      // anomaly episode structure: consecutive flagged grid steps
+      // merge into episodes (gaps-and-islands on the k-sigma flag
+      // frame) — the alert-fatigue read (one 2-hour incident vs 8
+      // scattered blips) that decides paging policy.
+      val fl = Anomaly.ksigma(grid(s, dir), 3.0).select("name", "node", "tsb")
+      val w = Window.partitionBy("name", "node").orderBy("tsb")
+      val eps = fl
+        .withColumn("sid", expr("tsb div 900") - row_number().over(w))
+        .groupBy("name", "node", "sid")
+        .agg(count(lit(1)).as("run"), min("tsb").as("ep_start"))
+      val wp = Window.partitionBy("name", "node")
+      eps
+        .withColumn("rn", row_number().over(
+          wp.orderBy(col("run").desc, col("ep_start"))))
+        .withColumn("n_flags", sum("run").over(wp))
+        .withColumn("n_episodes", count(lit(1)).over(wp))
+        .withColumn("max_run", max("run").over(wp))
+        .filter(col("rn") === 1)
+        .select(col("name"), col("node"), col("n_flags"), col("n_episodes"),
+          col("max_run"), col("ep_start").as("longest_start"),
+          r4(col("n_flags").cast("double") / col("n_episodes").cast("double"))
+            .as("mean_run"))
+        .orderBy("name", "node")
+    }, Some(
+      s"""$WITH_GRID,
+         |fmx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |fqd AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS d FROM fmx),
+         |fst0 AS (SELECT name, node, count(*) AS n,
+         |  CAST(sum(d) AS DOUBLE) AS s1, CAST(sum(d * d) AS DOUBLE) AS s2
+         | FROM fqd GROUP BY 1, 2),
+         |fst AS (SELECT name, node, n, s1 / CAST(n AS DOUBLE) AS mu_s,
+         |  sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sigma_s
+         | FROM fst0),
+         |ffl AS (SELECT g.name, g.node, g.tsb
+         | FROM fqd g JOIN fst ON g.name = fst.name AND g.node = fst.node
+         | WHERE n >= 3 AND sigma_s > 0
+         |  AND floor((abs((CAST(g.d AS DOUBLE) - mu_s) / sigma_s) + 1e-9) * 1e4 + 0.5) / 1e4 >= 3.0),
+         |fis AS (SELECT name, node, tsb,
+         |  tsb // 900 - row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS sid
+         | FROM ffl),
+         |fep AS (SELECT name, node, sid, count(*) AS run, min(tsb) AS ep_start
+         | FROM fis GROUP BY 1, 2, 3),
+         |fag AS (SELECT *, row_number() OVER (PARTITION BY name, node
+         |   ORDER BY run DESC, ep_start) AS rn,
+         |  sum(run) OVER (PARTITION BY name, node) AS n_flags,
+         |  count(*) OVER (PARTITION BY name, node) AS n_episodes,
+         |  max(run) OVER (PARTITION BY name, node) AS max_run
+         | FROM fep)
+         |SELECT name, node, CAST(n_flags AS BIGINT) AS n_flags, n_episodes, max_run,
+         | ep_start AS longest_start,
+         | floor((CAST(n_flags AS DOUBLE) / CAST(n_episodes AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_run
+         |FROM fag WHERE rn = 1 ORDER BY name, node""".stripMargin)),
+
     Q("ad_ksigma", (s, dir) => {
       // level=3 mirrors the reference call site (metrics_advisor.py:150)
       Anomaly.ksigma(grid(s, dir), 3.0)
