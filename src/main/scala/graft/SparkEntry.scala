@@ -7457,6 +7457,46 @@ object SparkEntry {
         | floor((CAST(nat_d AS DOUBLE) / CAST(tot_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
         |FROM wtm ORDER BY o_year, supp_nation""".stripMargin)),
 
+    Q("q41_returned_revenue", (s, dir) => {
+      // TPC-H Q10-shaped returned-item report: the top-20 customers by
+      // revenue lost to returns, with their nation — keyed fact joins
+      // (AQE-replannable), broadcast nation, exact decimal loss sums;
+      // the top-k ranks the EXACT decimal (engines order decimals
+      // identically) with custkey tiebreak.
+      val lost = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+          .as("lost_d"),
+          count(lit(1)).as("n_items"))
+      // distributed TakeOrdered cuts to 20 rows BEFORE the unkeyed
+      // rank window (which then runs on a bounded frame, not a
+      // global single-partition sort)
+      lost.orderBy(col("lost_d").desc, col("c_custkey")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("lost_d").desc, col("c_custkey"))))
+        .select(col("rank").cast("long").as("rank"), col("c_custkey"),
+          col("c_name"), col("n_name"),
+          col("lost_d").cast("double").as("lost_revenue"), col("n_items"))
+        .orderBy("rank")
+    }, Some(
+      """WITH rr AS (SELECT c_custkey, c_name, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS lost_d,
+        |  count(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY lost_d DESC, c_custkey) AS rank FROM rr)
+        |SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, n_name,
+        | CAST(lost_d AS DOUBLE) AS lost_revenue, n_items
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     Q("q40_basket_affinity", (s, dir) => {
       // market-basket brand affinity: for brand pairs co-purchased in
       // one order, lift = P(a,b)/(P(a)·P(b)). The (order, brand)
