@@ -7497,6 +7497,55 @@ object SparkEntry {
         | CAST(lost_d AS DOUBLE) AS lost_revenue, n_items
         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    Q("mix_diversity", (s, dir) => {
+      // corpus diversity on one screen: Shannon entropy of the source
+      // and language shares (nats + normalized by ln k) — the single
+      // number that says "this mix is dominated by two strata" before
+      // a mixing spec is even written. Quantized-ln integer sums (the
+      // PMI playbook): Σ c·⌊ln(c/N)·1e6⌉ is exact, one division at
+      // the edge.
+      val docs = Tables.documents(s, dir)
+      def ent(dim: String) = {
+        val big = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val cs = docs.groupBy(col(dim).as("stratum")).agg(count(lit(1)).as("c"))
+        val tot = cs.agg(sum("c").as("nn"), count(lit(1)).as("k"))
+        val lq = floor((log(col("c").cast("double") / col("nn").cast("double")) +
+          lit(1e-9)) * lit(1e6) + lit(0.5)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val lkq = floor((log(col("k").cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5))
+        cs.crossJoin(broadcast(tot))
+          .withColumn("sq", big(col("c")) * lq)
+          .groupBy().agg(sum(col("sq")).as("s"), max("nn").as("nn"), max("k").as("k"))
+          .select(lit(dim).as("dimension"), col("k"), col("nn").as("n_docs"),
+            r4(-col("s").cast("double") / (col("nn").cast("double") * lit(1e6)))
+              .as("entropy_nats"),
+            when(col("k") > 1,
+              r4((-col("s").cast("double") / (col("nn").cast("double") * lit(1e6))) /
+                (lkq.cast("double") / lit(1e6))))
+              .as("norm_entropy"))
+      }
+      ent("source").unionByName(ent("lang")).orderBy("dimension")
+    }, Some(
+      """WITH dv AS (
+        |  SELECT 'source' AS dimension, source AS stratum FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents),
+        |dc AS (SELECT dimension, stratum, count(*) AS c FROM dv GROUP BY 1, 2),
+        |dt AS (SELECT dimension, CAST(sum(c) AS BIGINT) AS nn, count(*) AS k
+        | FROM dc GROUP BY 1),
+        |dq AS (SELECT dc.dimension, c,
+        |  CAST(floor((ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS lq,
+        |  nn, k
+        | FROM dc JOIN dt ON dc.dimension = dt.dimension),
+        |ds AS (SELECT dimension, sum(CAST(c AS HUGEINT) * lq) AS s,
+        |  max(nn) AS nn, max(k) AS k
+        | FROM dq GROUP BY 1)
+        |SELECT dimension, k, nn AS n_docs,
+        | floor((-CAST(s AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS entropy_nats,
+        | CASE WHEN k > 1 THEN
+        |  floor(((-CAST(s AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e6))
+        |    / (floor((ln(CAST(k AS DOUBLE)) + 1e-9) * 1e6 + 0.5) / 1e6) + 1e-9) * 1e4 + 0.5) / 1e4
+        | END AS norm_entropy
+        |FROM ds ORDER BY dimension""".stripMargin)),
+
     Q("q40_basket_affinity", (s, dir) => {
       // market-basket brand affinity: for brand pairs co-purchased in
       // one order, lift = P(a,b)/(P(a)·P(b)). The (order, brand)
