@@ -5402,6 +5402,32 @@ object SparkEntry {
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
 
+    Q("text_html_strip", (s, dir) => {
+      // markup-stripping curation pass: tag count, stripped length,
+      // content ratio, and the md5 digest of the STRIPPED text (the
+      // proof-of-transform a downstream exact-dedup keys on). One
+      // codegen scan; on a clean corpus it degenerates honestly
+      // (0 tags, ratio 1.0, digest = digest of the trimmed text).
+      val stripped = trim(regexp_replace(col("text"), "<[^>]*>", " "))
+      val nTags = (size(split(col("text"), "<")) - lit(1)).cast("long")
+      Tables.documents(s, dir).select(col("doc_id"),
+        nTags.as("n_lt"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(stripped).cast("long").as("stripped_len"),
+        r4(length(stripped).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("content_ratio"),
+        md5(stripped).as("stripped_digest"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        | CAST(len(string_split(text, '<')) - 1 AS BIGINT) AS n_lt,
+        | CAST(length(text) AS BIGINT) AS raw_len,
+        | CAST(length(trim(regexp_replace(text, '<[^>]*>', ' ', 'g'))) AS BIGINT) AS stripped_len,
+        | floor((CAST(length(trim(regexp_replace(text, '<[^>]*>', ' ', 'g'))) AS DOUBLE)
+        |   / CAST(greatest(length(text), 1) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS content_ratio,
+        | md5(trim(regexp_replace(text, '<[^>]*>', ' ', 'g'))) AS stripped_digest
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_code_detect", (s, dir) =>
       TextAnalysis.codeDetect(Tables.documents(s, dir)).orderBy("doc_id"),
     Some(
@@ -7456,6 +7482,39 @@ object SparkEntry {
         |SELECT o_year, supp_nation, CAST(nat_d AS DOUBLE) AS revenue,
         | floor((CAST(nat_d AS DOUBLE) / CAST(tot_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
         |FROM wtm ORDER BY o_year, supp_nation""".stripMargin)),
+
+    Q("q42_late_shipments", (s, dir) => {
+      // TPC-H Q4-shaped exists-check: per order priority, the share of
+      // orders with ANY lineitem shipped > 60 days after the order
+      // date — a LEFT SEMI join keyed on orderkey (no fact-fact row
+      // blowup), then one tiny priority aggregate.
+      val ord = Tables.orders(s, dir)
+      val late = Tables.lineitem(s, dir)
+        .join(ord.select(col("o_orderkey").as("ok2"), col("o_orderdate").as("od2")),
+          col("l_orderkey") === col("ok2"))
+        .filter(unix_date(col("l_shipdate").cast("date")) -
+          unix_date(col("od2").cast("date")) > 60)
+        .select(col("l_orderkey")).distinct()
+      ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+        .join(ord.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders")),
+          Seq("o_orderpriority"), "right")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"), col("n_orders"),
+          r4(coalesce(col("n_late"), lit(0L)).cast("double") /
+            col("n_orders").cast("double")).as("late_share"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """WITH lt AS (SELECT DISTINCT l_orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60),
+        |no AS (SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1),
+        |nl AS (SELECT o_orderpriority, count(*) AS n_late
+        | FROM orders JOIN lt ON o_orderkey = l_orderkey GROUP BY 1)
+        |SELECT no.o_orderpriority, coalesce(n_late, 0) AS n_late, n_orders,
+        | floor((CAST(coalesce(n_late, 0) AS DOUBLE) / CAST(n_orders AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS late_share
+        |FROM no LEFT JOIN nl ON nl.o_orderpriority = no.o_orderpriority
+        |ORDER BY no.o_orderpriority""".stripMargin)),
 
     Q("q41_returned_revenue", (s, dir) => {
       // TPC-H Q10-shaped returned-item report: the top-20 customers by

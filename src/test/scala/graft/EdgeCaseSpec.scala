@@ -498,6 +498,19 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out(1L) && !out(2L), out.toString)
   }
 
+  test("html strip removes markup and keys the stripped digest") {
+    val d = Seq(
+      (1L, "<html><body>hello <b>world</b></body></html>"),
+      (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val stripped = d.select(col("doc_id"),
+      trim(regexp_replace(col("text"), "<[^>]*>", " ")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // tags become single spaces; the markup doc's words survive
+    assert(stripped(1L).replaceAll("\\s+", " ") == "hello world", stripped(1L))
+    assert(stripped(2L) == "hello world")
+  }
+
   /** Write an events frame to a temp dir as parquet so dir-shaped
     * queries can run on synthetic rows.
     */
