@@ -4245,6 +4245,49 @@ object SparkEntry {
          |FROM cfg LEFT JOIN nc USING (bands) LEFT JOIN ht USING (bands)
          | CROSS JOIN nt ORDER BY cfg.bands""".stripMargin)),
 
+    Q("dedup_shingle_profile", (s, dir) => {
+      // the Σ df² cost predictor, measured BEFORE running a dedup: the
+      // bigram-shingle document-frequency histogram (log2 buckets) with
+      // each bucket's share of Σ df² — the inverted-index join cost
+      // every near-dup candidate stage here pays. A heavy top bucket
+      // says "prune hot shingles / widen the gram" before the big run,
+      // not after. Buckets via integer bit-length (no cross-engine
+      // log2); df² sums exact.
+      val sh = Tables.documents(s, dir)
+        .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i])))")).as("sv"))
+      val dfc = sh.groupBy("sv").agg(count(lit(1)).as("dfc"))
+      val prof = dfc
+        .select((length(bin(col("dfc"))) - lit(1)).cast("long").as("df_bucket"),
+          col("dfc"))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_shingles"), sum("dfc").as("sum_df"),
+          sum((col("dfc") * col("dfc"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("df2"))
+      prof
+        .withColumn("df2_share", r4(col("df2").cast("double") /
+          sum(col("df2")).over(Window.partitionBy()).cast("double")))
+        .select(col("df_bucket"), col("n_shingles"), col("sum_df"),
+          col("df2").cast("double").as("sum_df2"), col("df2_share"))
+        .orderBy("df_bucket")
+    }, Some(
+      """WITH spw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sps AS (SELECT unnest(list_distinct(list_transform(range(1, len(w)),
+        |   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]))) AS sv
+        | FROM spw WHERE len(w) >= 2),
+        |spd AS (SELECT sv, count(*) AS dfc FROM sps GROUP BY 1),
+        |spb AS (SELECT CAST(length(bin(dfc)) - 1 AS BIGINT) AS df_bucket, dfc FROM spd),
+        |spp AS (SELECT df_bucket, count(*) AS n_shingles,
+        |  CAST(sum(dfc) AS BIGINT) AS sum_df,
+        |  sum(CAST(dfc AS HUGEINT) * dfc) AS df2
+        | FROM spb GROUP BY 1)
+        |SELECT df_bucket, n_shingles, sum_df, CAST(df2 AS DOUBLE) AS sum_df2,
+        | floor((CAST(df2 AS DOUBLE) / CAST(sum(df2) OVER () AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS df2_share
+        |FROM spp ORDER BY df_bucket""".stripMargin)),
+
     Q("dedup_winnowing", (s, dir) => {
       // dfMax = 64 engaged: the template corpus's boilerplate grams
       // produce fingerprints shared by hundreds of docs — exactly the
@@ -5401,6 +5444,38 @@ object SparkEntry {
         | floor((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_vocab_share,
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
+
+    Q("text_numeric_density", (s, dir) => {
+      // numeric-junk screen: share of numeric tokens and digit chars
+      // per doc (+ the flag) — catches table dumps, log spew, and
+      // serial-number spam that length/stopword gates miss. One scan.
+      val toks = split(trim(col("text")), "\\s+")
+      val nt = greatest(size(toks), lit(1)).cast("double")
+      val numTok = size(filter(toks, t => t.rlike("^[-+]?[0-9.,:%/]+$")))
+        .cast("double")
+      val digits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+      val nc = greatest(length(col("text")), lit(1)).cast("double")
+      val tokShare = r4(numTok / nt)
+      Tables.documents(s, dir).select(col("doc_id"),
+        numTok.cast("long").as("n_numeric_tokens"),
+        tokShare.as("numeric_token_share"),
+        r4(digits / nc).as("digit_char_share"),
+        (tokShare >= lit(3e-1)).as("is_numeric_junk"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH ndt AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |ndm AS (SELECT doc_id,
+        |  CAST(greatest(len(tk), 1) AS DOUBLE) AS nt,
+        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '^[-+]?[0-9.,:%/]+$'))) AS DOUBLE) AS numtok,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |  CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+        | FROM ndt)
+        |SELECT doc_id, CAST(numtok AS BIGINT) AS n_numeric_tokens,
+        | floor((numtok / nt + 1e-9) * 1e4 + 0.5) / 1e4 AS numeric_token_share,
+        | floor((digits / nc + 1e-9) * 1e4 + 0.5) / 1e4 AS digit_char_share,
+        | floor((numtok / nt + 1e-9) * 1e4 + 0.5) / 1e4 >= 3e-1 AS is_numeric_junk
+        |FROM ndm ORDER BY doc_id""".stripMargin)),
 
     Q("text_html_strip", (s, dir) => {
       // markup-stripping curation pass: tag count, stripped length,
