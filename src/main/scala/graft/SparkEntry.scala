@@ -7631,6 +7631,205 @@ object SparkEntry {
         | CAST(lost_d AS DOUBLE) AS lost_revenue, n_items
         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    Q("q43_min_cost_supplier", (s, dir) => {
+      // TPC-H Q2-shaped min-cost supplier: for each small PROMO part,
+      // the supplier offering the lowest observed unit price
+      // (extendedprice / quantity over lineitem — the offer book this
+      // schema has in place of partsupp), ranked Q2-style by the
+      // winning supplier's account balance. The correlated min-
+      // subquery decorrelates to ONE hash aggregate
+      // min(struct(unit, suppkey)) per part (argmin without a window
+      // sort); every dim join is a broadcast; the distributed
+      // TakeOrdered cuts to 100 rows before the bounded rank window.
+      // Unit price rounds to 4 dp (identical IEEE divide on both
+      // engines) so the argmin and its suppkey tiebreak are
+      // deterministic.
+      val parts = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO" && col("p_size") <= 10)
+      val best = Tables.lineitem(s, dir)
+        .join(broadcast(parts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          r4(col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .groupBy("l_partkey")
+        .agg(min(struct(col("unit"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"), col("m.unit").as("min_unit"),
+          col("m.l_suppkey").as("best_supp"))
+      val wr = Window.orderBy(col("s_acctbal").desc, col("s_name"),
+        col("p_partkey"))
+      best.join(broadcast(parts.select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("best_supp") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .select(col("rank"), col("p_partkey"), col("p_brand"),
+          col("s_name"), col("n_name"), col("s_acctbal"), col("min_unit"))
+        .orderBy("rank")
+    }, Some(
+      """WITH pp AS (SELECT p_partkey, p_brand FROM part
+        |  WHERE p_type = 'PROMO' AND p_size <= 10),
+        |ofr AS (SELECT l_partkey, l_suppkey,
+        |  floor((l_extendedprice / l_quantity + 1e-9) * 1e4 + 0.5) / 1e4 AS unit
+        | FROM lineitem JOIN pp ON l_partkey = p_partkey),
+        |bu AS (SELECT l_partkey, unit AS min_unit, l_suppkey AS best_supp,
+        |  row_number() OVER (PARTITION BY l_partkey ORDER BY unit, l_suppkey) AS rn
+        | FROM ofr),
+        |bj AS (SELECT l_partkey AS p_partkey, p_brand, s_name, n_name,
+        |  s_acctbal, min_unit
+        | FROM bu JOIN pp ON bu.l_partkey = pp.p_partkey
+        |  JOIN supplier ON best_supp = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE rn = 1),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY s_acctbal DESC, s_name, p_partkey) AS rank
+        | FROM bj)
+        |SELECT CAST(rank AS BIGINT) AS rank, p_partkey, p_brand, s_name,
+        | n_name, s_acctbal, min_unit
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
+    Q("q44_important_stock", (s, dir) => {
+      // TPC-H Q11-shaped important stock: parts whose revenue share of
+      // the whole book exceeds 1.5× the mean part share. The classic
+      // scalar subquery decorrelates to ONE broadcast totals row; the
+      // threshold is a cross-multiplied compare (2·value·n_parts >
+      // 3·total) on doubles cast from the SAME exact decimals on both
+      // engines — identical inputs through an identical IEEE sequence,
+      // so membership is deterministic without decimal-width games.
+      val value = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+          .as("value_d"))
+      val tot = value.agg(sum("value_d").as("total_d"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_d").cast("double") * col("n_parts") * lit(2) >
+          col("total_d").cast("double") * lit(3))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_d").cast("double").as("part_value"),
+          r4(col("value_d").cast("double") / col("total_d").cast("double") *
+            lit(1e4)).as("share_bp"))
+        .orderBy("p_partkey")
+    }, Some(
+      """WITH pv AS (SELECT l_partkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS value_d
+        | FROM lineitem GROUP BY 1),
+        |pt AS (SELECT sum(value_d) AS total_d, count(*) AS n_parts FROM pv)
+        |SELECT l_partkey AS p_partkey, CAST(value_d AS DOUBLE) AS part_value,
+        | floor((CAST(value_d AS DOUBLE) / CAST(total_d AS DOUBLE) * 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS share_bp
+        |FROM pv, pt
+        |WHERE CAST(value_d AS DOUBLE) * n_parts * 2 > CAST(total_d AS DOUBLE) * 3
+        |ORDER BY p_partkey""".stripMargin)),
+
+    Q("q45_concurrent_sessions", (s, dir) => {
+      // peak concurrency per day: sessionized intervals (q10's
+      // 30-min-gap islands) clipped to day boundaries, then the
+      // classic +1/−1 interval sweep. Deltas aggregate per second
+      // BEFORE the cumulative sum (same-second joins and leaves
+      // commute), and the leave fires at end+1 so a session ending at
+      // T overlaps one starting at T. Everything is exact integers;
+      // the first peak second comes from max(struct(level, −tsec)) —
+      // one aggregate, no second pass. Day clipping fans a session
+      // into ≤ 2 segments (sessions are minutes, days are not).
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+      val sess = ev.withColumn("brk", brk)
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("tsec").as("st"), max("tsec").as("en"))
+      val seg = sess
+        .select(explode(expr("sequence(st div 86400, en div 86400)")).as("day"),
+          col("st"), col("en"))
+        .select(col("day"),
+          greatest(col("st"), col("day") * 86400).as("cst"),
+          least(col("en"), col("day") * 86400 + 86399).as("cen"))
+      val segP = seg.persist().tracked
+      val deltas = segP.select(col("day"), col("cst").as("tsec"), lit(1L).as("d"))
+        .unionAll(segP.select(col("day"), (col("cen") + 1).as("tsec"),
+          lit(-1L).as("d")))
+        .groupBy("day", "tsec").agg(sum("d").as("dd"))
+      val wd = Window.partitionBy("day").orderBy("tsec")
+      val lev = deltas.withColumn("lev", sum("dd").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peaks = lev.groupBy("day").agg(
+        max(struct(col("lev"), (-col("tsec")).as("nt"))).as("m"))
+      peaks.join(
+          segP.groupBy("day").agg(count(lit(1)).as("n_sessions")), Seq("day"))
+        .select(col("day").cast("long").as("day"), col("n_sessions"),
+          col("m.lev").cast("long").as("peak_concurrent"),
+          (-col("m.nt")).cast("long").as("peak_tsec"))
+        .orderBy("day")
+    }, Some(
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id FROM events),
+        |b AS (SELECT user_id, tsec, event_id,
+        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |s2 AS (SELECT user_id, tsec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM b),
+        |ss AS (SELECT user_id, sid, min(tsec) AS st, max(tsec) AS en
+        | FROM s2 GROUP BY 1, 2),
+        |seg AS (SELECT unnest(range(st // 86400, en // 86400 + 1)) AS day, st, en FROM ss),
+        |sc AS (SELECT day, greatest(st, day * 86400) AS cst,
+        |  least(en, day * 86400 + 86399) AS cen FROM seg),
+        |dl AS (SELECT day, tsec, sum(d) AS dd FROM (
+        |  SELECT day, cst AS tsec, 1 AS d FROM sc
+        |  UNION ALL SELECT day, cen + 1, -1 FROM sc) GROUP BY 1, 2),
+        |lv AS (SELECT day, tsec,
+        |  sum(dd) OVER (PARTITION BY day ORDER BY tsec ROWS UNBOUNDED PRECEDING) AS lev
+        | FROM dl),
+        |pk AS (SELECT day, max(lev) AS peak FROM lv GROUP BY 1),
+        |pt AS (SELECT lv.day, min(tsec) AS peak_tsec
+        | FROM lv JOIN pk ON lv.day = pk.day AND lv.lev = pk.peak GROUP BY 1),
+        |ns AS (SELECT day, count(*) AS n_sessions FROM sc GROUP BY 1)
+        |SELECT CAST(pk.day AS BIGINT) AS day, n_sessions,
+        | CAST(peak AS BIGINT) AS peak_concurrent, peak_tsec
+        |FROM pk JOIN pt ON pk.day = pt.day JOIN ns ON pk.day = ns.day
+        |ORDER BY day""".stripMargin)),
+
+    Q("q46_idle_customers", (s, dir) => {
+      // TPC-H Q22-shaped lapsed-customer report: customers with an
+      // above-average positive balance and NO order in the last 90
+      // days of the book. Both scalar subqueries (mean balance, max
+      // order date) decorrelate to ONE broadcast row; the NOT EXISTS
+      // is a left-anti join against the distinct recent-buyer keys.
+      // Per-segment counts + exact decimal balance totals.
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), unix_date(col("o_orderdate").cast("date")).as("od"))
+      val bounds = cust.filter(col("c_acctbal") > 0)
+        .agg((sumDec(col("c_acctbal")) / count(lit(1))).as("abar"))
+        .crossJoin(ord.agg(max("od").as("mx")))
+      val recent = ord.crossJoin(broadcast(bounds))
+        .filter(col("od") >= col("mx") - 90)
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(bounds))
+        .filter(col("c_acctbal") > col("abar"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sumDec(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS abar
+        |  FROM customer WHERE c_acctbal > 0),
+        |od AS (SELECT o_custkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od FROM orders),
+        |mx AS (SELECT max(od) AS mx FROM od),
+        |rec AS (SELECT DISTINCT o_custkey FROM od, mx WHERE od >= mx - 90)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > abar
+        | AND NOT EXISTS (SELECT 1 FROM rec WHERE rec.o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("mix_diversity", (s, dir) => {
       // corpus diversity on one screen: Shannon entropy of the source
       // and language shares (nats + normalized by ln k) — the single
@@ -8110,6 +8309,120 @@ object SparkEntry {
          | floor((CAST(sum(cxy * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
          |   AS mi_nats
          |FROM t GROUP BY cand_name, node, n ORDER BY cand_name, node""".stripMargin)),
+
+    Q("corr_transfer_entropy", (s, dir) =>
+      // directed information flow cand → obj: the model-free Granger —
+      // zero when the candidate's past adds nothing beyond the
+      // objective's own past, so it orients couplings MI can't
+      Correlate.transferEntropy(corrGrid(s, dir), "error", 8),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |rng AS (SELECT name, node, min(gval) AS lo, max(gval) AS hi
+         | FROM g2 GROUP BY 1, 2),
+         |bn AS (SELECT g2.name, g2.node, g2.i,
+         |  CASE WHEN hi > lo THEN
+         |    least(CAST(floor((gval - lo) * 8.0 / (hi - lo)) AS INT), 7)
+         |  ELSE 0 END AS bin
+         | FROM g2 JOIN rng USING (name, node)),
+         |o AS (SELECT node, i, bin AS yt,
+         |  lag(bin) OVER (PARTITION BY node ORDER BY i) AS y1
+         | FROM bn WHERE name = 'error'),
+         |o2 AS (SELECT * FROM o WHERE y1 IS NOT NULL),
+         |c AS (SELECT name AS cand_name, node, i + 1 AS i, bin AS x1 FROM bn
+         | WHERE name <> 'error'),
+         |j AS (SELECT cand_name, node, yt, y1, x1, count(*) AS c3
+         | FROM c JOIN o2 USING (node, i) GROUP BY 1, 2, 3, 4, 5),
+         |nn AS (SELECT cand_name, node, CAST(sum(c3) AS BIGINT) AS n
+         | FROM j GROUP BY 1, 2),
+         |m2a AS (SELECT cand_name, node, y1, x1, CAST(sum(c3) AS BIGINT) AS c2a
+         | FROM j GROUP BY 1, 2, 3, 4),
+         |m2b AS (SELECT cand_name, node, yt, y1, CAST(sum(c3) AS BIGINT) AS c2b
+         | FROM j GROUP BY 1, 2, 3, 4),
+         |m1 AS (SELECT cand_name, node, y1, CAST(sum(c3) AS BIGINT) AS c1
+         | FROM j GROUP BY 1, 2, 3),
+         |t AS (SELECT j.cand_name, j.node, nn.n, j.c3,
+         |  CAST(floor((ln((j.c3 * m1.c1) / (m2a.c2a * m2b.c2b)) + 1e-9) * 1e6 + 0.5)
+         |    AS BIGINT) AS qln
+         | FROM j JOIN m2a USING (cand_name, node, y1, x1)
+         |  JOIN m2b USING (cand_name, node, yt, y1)
+         |  JOIN m1 USING (cand_name, node, y1)
+         |  JOIN nn USING (cand_name, node))
+         |SELECT cand_name, node, n,
+         | floor((CAST(sum(c3 * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
+         |   AS te_nats
+         |FROM t GROUP BY cand_name, node, n ORDER BY cand_name, node""".stripMargin)),
+
+    Q("ts_sampen", (s, dir) =>
+      // sample entropy per signal — the texture/regularity feature:
+      // periodic ≈ 0, white noise high; integer tolerance from exact
+      // moments makes both engines count identical template pairs
+      Anomaly.sampleEntropy(grid(s, dir)).orderBy("name", "node"),
+    Some(
+      s"""$WITH_GRID,
+         |qp AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) - 1 AS i
+         | FROM grid),
+         |cn AS (SELECT name, node, count(*) AS n, CAST(sum(q) AS BIGINT) AS sl,
+         |  sum(CAST(q AS HUGEINT) * q) AS s2
+         | FROM qp GROUP BY 1, 2),
+         |tol AS (SELECT name, node, n,
+         |  CAST(greatest(1, CAST(floor(2e-1 * sqrt(
+         |    CAST(n * s2 - CAST(sl AS HUGEINT) * sl AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 5e-1) AS BIGINT))
+         |    AS BIGINT) AS r
+         | FROM cn WHERE n >= 6),
+         |tpl AS (SELECT name, node, i,
+         |  list(q) OVER (PARTITION BY name, node ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS v
+         | FROM qp),
+         |ts2 AS (SELECT tpl.name, tpl.node, i, v, r, n
+         | FROM tpl JOIN tol USING (name, node) WHERE i < n - 2),
+         |pr AS (SELECT a.name, a.node, max(a.n) AS n, max(a.r) AS r,
+         |  sum(CASE WHEN abs(a.v[1] - b.v[1]) <= a.r
+         |    AND abs(a.v[2] - b.v[2]) <= a.r THEN 1 ELSE 0 END) AS bp,
+         |  sum(CASE WHEN abs(a.v[1] - b.v[1]) <= a.r
+         |    AND abs(a.v[2] - b.v[2]) <= a.r
+         |    AND abs(a.v[3] - b.v[3]) <= a.r THEN 1 ELSE 0 END) AS ap
+         | FROM ts2 a JOIN ts2 b
+         |  ON a.name = b.name AND a.node = b.node AND a.i < b.i
+         | GROUP BY 1, 2)
+         |SELECT name, node, n, r AS r_tol,
+         | CAST(bp AS BIGINT) AS b_pairs, CAST(ap AS BIGINT) AS a_pairs,
+         | CASE WHEN ap > 0 AND bp > 0 THEN
+         |  floor((ln(CAST(bp AS DOUBLE) / CAST(ap AS DOUBLE)) + 1e-11) * 1e6 + 0.5) / 1e6
+         | END AS sampen
+         |FROM pr ORDER BY name, node""".stripMargin)),
+
+    Q("ad_variance_shift", (s, dir) =>
+      // volatility regime pages: leading/trailing 12-point windows,
+      // exact integer ssd cross-compare at 9× (3× sigma) — no division
+      // in the flag
+      Anomaly.varianceShift(grid(s, dir)).orderBy("name", "node", "tsb"),
+    Some(
+      s"""$WITH_GRID,
+         |qv AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q FROM grid),
+         |wf AS (SELECT name, node, tsb,
+         |  count(*) OVER wp AS pn, CAST(sum(q) OVER wp AS BIGINT) AS ps,
+         |  sum(CAST(q AS HUGEINT) * q) OVER wp AS ps2,
+         |  count(*) OVER wn AS nn2, CAST(sum(q) OVER wn AS BIGINT) AS ns,
+         |  sum(CAST(q AS HUGEINT) * q) OVER wn AS ns2
+         | FROM qv WINDOW
+         |  wp AS (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+         |  wn AS (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)),
+         |sd AS (SELECT name, node, tsb,
+         |  12 * ps2 - CAST(ps AS HUGEINT) * ps AS pssd,
+         |  12 * ns2 - CAST(ns AS HUGEINT) * ns AS nssd
+         | FROM wf WHERE pn = 12 AND nn2 = 12)
+         |SELECT name, node, tsb,
+         | floor((CAST(pssd AS DOUBLE) / 1584e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_prev,
+         | floor((CAST(nssd AS DOUBLE) / 1584e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_next,
+         | CASE WHEN nssd > pssd * 9 THEN 'up' ELSE 'down' END AS direction
+         |FROM sd WHERE nssd > pssd * 9 OR pssd > nssd * 9
+         |ORDER BY name, node, tsb""".stripMargin)),
 
     Q("text_pmi_bigrams", (s, dir) =>
       // top-25 PMI collocations with a count-5 floor — phrase-mining /

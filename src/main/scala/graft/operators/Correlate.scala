@@ -631,6 +631,73 @@ object Correlate {
       .orderBy("cand_name", "node")
   }
 
+  /** Binned transfer entropy TE(cand → obj) per (candidate, node) —
+    * the DIRECTED companion to [[mutualInfo]] and the model-free
+    * alternative to Granger: how much knowing the candidate's previous
+    * sample reduces uncertainty about the objective's next sample
+    * beyond what the objective's own past already tells.
+    *
+    *   TE = Σ p(y_t, y_{t−1}, x_{t−1}) ·
+    *          ln[ p(y_t | y_{t−1}, x_{t−1}) / p(y_t | y_{t−1}) ]
+    *      = Σ c3/N · ln( c3·c1 / (c2a·c2b) )
+    *
+    * with c3 = #(y_t, y_{t−1}, x_{t−1}), c2a = #(y_{t−1}, x_{t−1}),
+    * c2b = #(y_t, y_{t−1}), c1 = #(y_{t−1}). TE is ZERO when the
+    * candidate adds nothing (a symmetric coupling MI can't orient),
+    * so ranking by TE separates drivers from passengers.
+    *
+    * Determinism and shape are [[mutualInfo]]'s verbatim: equal-width
+    * bins over each signal's own exact range, all four count frames
+    * re-aggregate ONE joint lag-triple frame (≤ bins³ cells per
+    * pair), and the only transcendental — the ratio-of-integers ln —
+    * is ×1e6-quantized per cell before the exact Σ c3·qln sum. The
+    * lag alignment is one extra join key shift (i ↔ i−1) on the same
+    * co-partitioned grid join the correlation family uses.
+    */
+  def transferEntropy(indexedGrid: DataFrame, objName: String = "error",
+                      bins: Int = 8): DataFrame = {
+    val g = indexedGrid.select("name", "node", "i", "gval").persist().tracked
+    val rng = g.groupBy("name", "node")
+      .agg(min("gval").as("lo"), max("gval").as("hi"))
+    val binned = g.join(rng, Seq("name", "node"))
+      .withColumn("bin", when(col("hi") > col("lo"),
+        least(floor((col("gval") - col("lo")) * lit(bins.toDouble) /
+          (col("hi") - col("lo"))).cast("int"), lit(bins - 1)))
+        .otherwise(lit(0)))
+      .select("name", "node", "i", "bin")
+    val wo = Window.partitionBy("node").orderBy("i")
+    val o = binned.filter(col("name") === objName)
+      .select(col("node"), col("i"), col("bin").as("yt"))
+      .withColumn("y1", lag("yt", 1).over(wo))
+      .filter(col("y1").isNotNull)
+    val c = binned.filter(col("name") =!= objName)
+      .select(col("name").as("cand_name"), col("node"),
+        (col("i") + 1).as("i"), col("bin").as("x1"))
+    val joint = c.join(o, Seq("node", "i"))
+      .groupBy("cand_name", "node", "yt", "y1", "x1")
+      .agg(count(lit(1)).as("c3"))
+      .persist().tracked // four marginal frames share it
+    val nn = joint.groupBy("cand_name", "node").agg(sum("c3").as("n"))
+    val c2a = joint.groupBy("cand_name", "node", "y1", "x1")
+      .agg(sum("c3").as("c2a"))
+    val c2b = joint.groupBy("cand_name", "node", "yt", "y1")
+      .agg(sum("c3").as("c2b"))
+    val c1 = joint.groupBy("cand_name", "node", "y1").agg(sum("c3").as("c1"))
+    joint
+      .join(c2a, Seq("cand_name", "node", "y1", "x1"))
+      .join(c2b, Seq("cand_name", "node", "yt", "y1"))
+      .join(c1, Seq("cand_name", "node", "y1"))
+      .join(nn, Seq("cand_name", "node"))
+      .withColumn("qln",
+        floor((log(col("c3") * col("c1") / (col("c2a") * col("c2b"))) +
+          lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("cand_name", "node", "n")
+      .agg(sum(col("c3") * col("qln")).as("s"))
+      .select(col("cand_name"), col("node"), col("n"),
+        r4(col("s").cast("double") / col("n") / lit(1e6)).as("te_nats"))
+      .orderBy("cand_name", "node")
+  }
+
   /** Correlation-graph signal grouping: signals whose |r| reaches
     * `threshold` in ANY bucket are edges; connected components label
     * each signal with the lexicographically-smallest member of its
