@@ -4749,6 +4749,58 @@ object SparkEntry {
          | floor((dist / 1e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS min_dist2
          |FROM af ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin)),
 
+    Q("embed_silhouette", (s, dir) => {
+      // simplified (centroid-based) silhouette per Lloyd cluster — the
+      // k-quality scorecard; a and b are the exact integer distances
+      // the assignment already computed, so the oracle rides SQL_LLOYD
+      Clustering.silhouette(Tables.embeddings(s, dir), 8)
+    }, Some(
+      s"""WITH $SQL_LLOYD,
+         |sab AS (SELECT df.vec_id, af.cluster,
+         |  min(CASE WHEN df.cluster = af.cluster THEN df.dist END) AS a,
+         |  min(CASE WHEN df.cluster <> af.cluster THEN df.dist END) AS b
+         | FROM df JOIN af USING (vec_id) GROUP BY 1, 2),
+         |sq AS (SELECT vec_id, cluster,
+         |  CAST(floor((CASE WHEN b > 0 THEN
+         |    (sqrt(CAST(b AS DOUBLE)) - sqrt(CAST(a AS DOUBLE))) / sqrt(CAST(b AS DOUBLE))
+         |   ELSE 0.0 END + 1e-9) * 1e4 + 0.5) AS BIGINT) AS sq
+         | FROM sab)
+         |SELECT cluster, count(*) AS n,
+         | floor((CAST(sum(sq) AS DOUBLE) / count(*) / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_sil,
+         | CAST(min(sq) AS DOUBLE) / 1e4 AS min_sil
+         |FROM sq GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    Q("decontaminate_semantic", (s, dir) =>
+      // paraphrase-level leak check: train vectors within cosine 0.3
+      // of any eval vector (vec_id%19 stand-in split), IVF-bucketed so
+      // candidates are Σ|cell_ev|·|cell_tr|, never corpus²
+      Similarity.semanticDecontaminate(Tables.embeddings(s, dir)),
+    Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1),
+        |ev AS (SELECT vec_id AS eid, v AS evv, nrm AS en, cid FROM asg WHERE vec_id % 19 = 0),
+        |tr AS (SELECT * FROM asg WHERE vec_id % 19 <> 0),
+        |fl AS (SELECT tr.vec_id, ev.eid,
+        |  floor((list_sum(list_transform(range(1, 65), i -> tr.v[i] * ev.evv[i]))
+        |    / (tr.nrm * ev.en) + 1e-9) * 1e4 + 0.5) / 1e4 AS cs
+        | FROM tr JOIN ev ON tr.cid = ev.cid),
+        |fg AS (SELECT vec_id, eid, cs,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, eid) AS rn,
+        |  count(*) OVER (PARTITION BY vec_id) AS n_eval_hits
+        | FROM fl WHERE cs >= 0.3)
+        |SELECT vec_id, eid AS eval_id, cs AS cos_sim,
+        | CAST(n_eval_hits AS BIGINT) AS n_eval_hits
+        |FROM fg WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // ================= F. text analysis =================
     Q("text_tokens", (s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")

@@ -96,6 +96,49 @@ object Clustering {
     (assignTo(cents), cents)
   }
 
+  /** Simplified silhouette over the [[lloydExact]] assignment — the
+    * cluster-quality scorecard read before trusting k or shipping the
+    * cells to IVF/SemDeDup: per vector, a = distance to its OWN final
+    * centroid and b = distance to the nearest OTHER centroid, so
+    * s = (b − a)/b ∈ [0, 1) (a is the argmin by construction, so
+    * max(a,b) = b and the classic formula collapses; b = 0 → s = 0).
+    * A cluster whose mean s hugs 0 is bisected by a competing
+    * centroid; near 1 it is isolated. The simplified (centroid-based)
+    * variant replaces the O(n²) pairwise silhouette — at 100 TB the
+    * full variant is the one quadratic nobody ships, and the
+    * centroid form needs only the k distances the assignment already
+    * computes.
+    *
+    * Determinism: a and b are EXACT integer squared distances (the
+    * Lloyd invariant); b is the second order statistic of the
+    * distance array (own distance IS the min). The per-vector score
+    * takes two IEEE sqrts and one divide, is ×1e4-quantized, and the
+    * per-cluster mean is an exact integer sum with one edge division.
+    */
+  def silhouette(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val (assigned, cents) = lloydExact(embs, k, iters)
+    val dcols = cents.map { cv =>
+      val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
+      col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
+        lit(cv.map(v => v.toDouble * v.toDouble).sum)
+    }
+    assigned
+      .withColumn("sorted", array_sort(array(dcols.toSeq: _*)))
+      .withColumn("b", element_at(col("sorted"), 2))
+      .withColumn("sil", when(col("b") > 0,
+        (sqrt(col("b")) - sqrt(col("dist2q"))) / sqrt(col("b")))
+        .otherwise(lit(0.0)))
+      .withColumn("sq",
+        floor((col("sil") + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("sq").as("ssq"), min("sq").as("mnq"))
+      .select(col("cluster"), col("n"),
+        graft.Num.r4(col("ssq").cast("double") / col("n") / lit(1e4))
+          .as("mean_sil"),
+        (col("mnq").cast("double") / lit(1e4)).as("min_sil"))
+      .orderBy("cluster")
+  }
+
   /** Per-cluster stats: size and label purity (majority label share). */
   def clusterStats(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
     val assigned = lloydExact(embs, k, iters)._1

@@ -697,4 +697,51 @@ object Similarity {
         r4(col("relq").cast("double") / lit(1e6)).as("rel"),
         r4(col("msq").cast("double") / lit(1e6)).as("max_sim_selected"))
   }
+
+  /** Embedding-space decontamination — the SEMANTIC sibling of the
+    * n-gram `Curation.decontaminate` family: training vectors whose
+    * cosine to ANY held-out/eval vector reaches `threshold` are
+    * paraphrase-level leaks that shingle overlap can't see (reworded
+    * benchmark items share no 8-gram). The eval split here is the
+    * declared `vec_id % evalMod` stand-in (the decontaminate
+    * convention); a deployment passes the benchmark's own embeddings.
+    *
+    * Shape: ONE IVF cell assignment over the whole corpus (first-k
+    * centroid convention shared with every IVF consumer), then an
+    * in-cell eval⋈train join — Σ|cell_eval|·|cell_train| candidates,
+    * never corpus². Per flagged train vector the report carries its
+    * closest eval item (argmax on the ROUNDED cosine, min-eval-id
+    * tiebreak, via one max(struct) aggregate) and the hit count.
+    */
+  def semanticDecontaminate(embs: DataFrame, evalMod: Int = 19,
+                            nCells: Int = 8,
+                            threshold: Double = 0.3): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val base = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .persist().tracked // eval and train splits share one assignment
+    val ev = assigned.filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("eid"), col("v").as("ev"),
+        col("nrm").as("en"), col("cell"))
+    val tr = assigned.filter(col("vec_id") % evalMod =!= 0)
+    tr.join(ev, Seq("cell"))
+      .withColumn("cs", r4(vecDot(col("v"), col("ev")) / (col("nrm") * col("en"))))
+      .filter(col("cs") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("eid")).as("ne"))).as("m"),
+        count(lit(1)).as("n_eval_hits"))
+      .select(col("vec_id"), (-col("m.ne")).as("eval_id"),
+        col("m.cs").as("cos_sim"), col("n_eval_hits"))
+      .orderBy("vec_id")
+  }
 }
