@@ -5044,6 +5044,33 @@ object SparkEntry {
         |   THEN du - 18446744073709551616 ELSE du END AS BIGINT) AS frame_digest
         |FROM dg ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    Q("mm_keyframe_select", (s, dir) => {
+      // top-3 keyframes per video by per-frame score (stub digest mod
+      // 2²⁰ — 2²⁰ | 2⁶⁴ so signed/unsigned views agree and the HUGEINT
+      // oracle replays it); the bounded per-video rank window is the
+      // real keyframe-extraction plumbing a codec-backed score drops
+      // into
+      Multimodal.keyframes(Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 === 0), stride = 2, k = 3)
+        .orderBy("doc_id", "rank")
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0") +
+      """,
+        |fr AS (SELECT doc_id,
+        |  ((CAST(checksum AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+        |    % 18446744073709551616) AS csu,
+        |  unnest(range(0, CAST(floor(byte_len / 100.0) AS INT) + 1)) AS fi
+        | FROM meta),
+        |dg AS (SELECT doc_id, fi,
+        |  (csu * 2862933555777941757 + fi) % 18446744073709551616 AS du
+        | FROM fr WHERE fi % 2 = 0),
+        |sc AS (SELECT doc_id, fi, du % 1048576 AS score FROM dg),
+        |rk AS (SELECT doc_id, fi, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fi) AS rank
+        | FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // the phash stub is small-integer arithmetic end to end, so the
     // oracle replays it exactly (SQL_PHASH) — the multimodal dedup leg
     // is hash-verified like the text/embedding legs
@@ -5769,6 +5796,25 @@ object SparkEntry {
         |             CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_balanced", (s, dir) =>
+      // class-balanced downsample: every lang stratum cut to the
+      // smallest stratum's size by md5 rank — the data-derived-cap
+      // sibling of sample_capped (classifier-training prep); min count
+      // is one broadcast scalar
+      Sampling.balancedPerStratum(Tables.documents(s, dir), "lang",
+          col("doc_id").cast("string"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH bc AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |bm AS (SELECT min(c) AS m FROM bc),
+        |br AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |           CAST(doc_id AS VARCHAR)) AS rk
+        | FROM documents)
+        |SELECT doc_id, lang FROM br, bm WHERE rk <= m
+        |ORDER BY doc_id""".stripMargin)),
 
     Q("curation_verdict", (s, dir) => {
       // the composed keep/drop decision: length + quality + exact-dup
@@ -7882,6 +7928,42 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM rec WHERE rec.o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q47_promo_share", (s, dir) => {
+      // TPC-H Q14-shaped promo revenue share per ship month: one keyed
+      // fact⋈dim join (AQE-replannable — part is a real dim, not
+      // broadcast-pinned), exact decimal conditional sums, ONE division
+      // per month row. The conditional aggregate runs map-side; no
+      // second pass for the denominator.
+      val rev = dec(col("l_extendedprice")) *
+        (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          coalesce(sum(when(col("p_type") === "PROMO", rev)),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(25, 4))).as("promo_d"),
+          sum(rev).as("total_d"))
+        .select(col("ship_month"),
+          col("promo_d").cast("double").as("promo_revenue"),
+          col("total_d").cast("double").as("total_revenue"),
+          r4(lit(100.0) * col("promo_d").cast("double") /
+            col("total_d").cast("double")).as("promo_share_pct"))
+        .orderBy("ship_month")
+    }, Some(
+      """WITH pj AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+        |  p_type
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pm AS (SELECT ship_month,
+        |  coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS promo_d,
+        |  sum(rev) AS total_d
+        | FROM pj GROUP BY 1)
+        |SELECT ship_month, CAST(promo_d AS DOUBLE) AS promo_revenue,
+        | CAST(total_d AS DOUBLE) AS total_revenue,
+        | floor((100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS promo_share_pct
+        |FROM pm ORDER BY ship_month""".stripMargin)),
+
     Q("mix_diversity", (s, dir) => {
       // corpus diversity on one screen: Shannon entropy of the source
       // and language shares (nats + normalized by ln k) — the single
@@ -8403,6 +8485,48 @@ object SparkEntry {
          | floor((CAST(sum(c3 * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
          |   AS te_nats
          |FROM t GROUP BY cand_name, node, n ORDER BY cand_name, node""".stripMargin)),
+
+    Q("corr_cointegration", (s, dir) =>
+      // Engle–Granger spurious-regression guard: OLS obj~cand on exact
+      // integer moments, unit-requantized residual, Durbin–Watson on
+      // exact integer sums — verdict bins the rounded DW at [1.5, 2.5]
+      Correlate.cointegration(corrGrid(s, dir), "error"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |qg AS (SELECT name, node, i,
+         |  CAST(floor((gval + 1e-9) * 1e4 + 0.5) AS BIGINT) AS q FROM g2),
+         |co AS (SELECT node, i, q AS y FROM qg WHERE name = 'error'),
+         |cc AS (SELECT name AS cand_name, node, i, q AS x FROM qg
+         | WHERE name <> 'error'),
+         |cj AS (SELECT cand_name, node, i, x, y FROM cc JOIN co USING (node, i)),
+         |cm AS (SELECT cand_name, node, count(*) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+         | FROM cj GROUP BY 1, 2),
+         |cb AS (SELECT cand_name, node, n,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
+         | FROM cm WHERE n * sxx - sx * sx > 0),
+         |ce AS (SELECT cj.cand_name, cj.node, cj.i,
+         |  CAST(floor(((y - alpha) - beta * x) + 0.5) AS BIGINT) AS eq
+         | FROM cj JOIN cb USING (cand_name, node)),
+         |cd AS (SELECT cand_name, node, eq,
+         |  lag(eq) OVER (PARTITION BY cand_name, node ORDER BY i) AS ep
+         | FROM ce),
+         |cw AS (SELECT cand_name, node,
+         |  sum(CASE WHEN ep IS NOT NULL
+         |    THEN CAST(eq - ep AS HUGEINT) * (eq - ep) END) AS num,
+         |  sum(CAST(eq AS HUGEINT) * eq) AS den
+         | FROM cd GROUP BY 1, 2),
+         |cf AS (SELECT cb.cand_name, cb.node, cb.n,
+         |  floor((beta + 1e-11) * 1e6 + 0.5) / 1e6 AS beta,
+         |  floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS dw
+         | FROM cw JOIN cb USING (cand_name, node) WHERE den > 0)
+         |SELECT cand_name, node, n, beta, dw,
+         | CASE WHEN dw >= 1.5 AND dw <= 2.5 THEN 'stationary_resid'
+         |  ELSE 'autocorr_resid' END AS verdict
+         |FROM cf ORDER BY cand_name, node""".stripMargin)),
 
     Q("ts_sampen", (s, dir) =>
       // sample entropy per signal — the texture/regularity feature:

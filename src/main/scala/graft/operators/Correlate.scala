@@ -698,6 +698,66 @@ object Correlate {
       .orderBy("cand_name", "node")
   }
 
+  /** Engle–Granger cointegration screen obj~cand per node — the
+    * spurious-regression guard for the correlation family: two trending
+    * signals correlate strongly whether or not they are coupled; if the
+    * OLS RESIDUAL obj − (α + β·cand) is stationary the pair shares a
+    * long-run equilibrium, if the residual itself trends the high r is
+    * an artifact. Stationarity is read with the Durbin–Watson statistic
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² (≈2 white residual, →0 unit root);
+    * the verdict bins the ROUNDED DW at the classic [1.5, 2.5] band.
+    *
+    * Determinism: the OLS runs on ×1e4-quantized integers with exact
+    * moment sums (the pearsonFromMoments machinery), α/β are one
+    * mirrored IEEE sequence, the residual is re-quantized to unit
+    * integers (floor(e + 0.5) — identical doubles floor identically),
+    * and both DW sums are exact integer aggregates with one edge
+    * division. Shape: the grid join feeds the moment aggregate AND the
+    * residual pass (persisted once); one keyed window for the lag.
+    */
+  def cointegration(indexedGrid: DataFrame,
+                    objName: String = "error"): DataFrame = {
+    val qg = indexedGrid.select(col("name"), col("node"), col("i"),
+      floor((col("gval") + lit(1e-9)) * lit(1e4) + lit(0.5))
+        .cast("long").as("q"))
+    val o = qg.filter(col("name") === objName)
+      .select(col("node"), col("i"), col("q").as("y"))
+    val c = qg.filter(col("name") =!= objName)
+      .select(col("name").as("cand_name"), col("node"), col("i"),
+        col("q").as("x"))
+    val big = (cc: Column) => cc.cast(DecimalType(38, 0))
+    val j = c.join(o, Seq("node", "i")).persist().tracked
+    val nd = col("n").cast("double")
+    val mom = j.groupBy("cand_name", "node").agg(
+        count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        sum(big(col("x")) * col("y")).cast("double").as("sxy"),
+        sum(big(col("x")) * col("x")).cast("double").as("sxx"))
+      .filter(nd * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("beta", (nd * col("sxy") - col("sx") * col("sy")) /
+        (nd * col("sxx") - col("sx") * col("sx")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / nd)
+    val wl = Window.partitionBy("cand_name", "node").orderBy("i")
+    val e = j.join(mom.select("cand_name", "node", "n", "beta", "alpha"),
+        Seq("cand_name", "node"))
+      .withColumn("eq", floor((col("y").cast("double") - col("alpha")) -
+        col("beta") * col("x").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("ep", lag("eq", 1).over(wl))
+    e.groupBy("cand_name", "node", "n", "beta")
+      .agg(
+        sum(when(col("ep").isNotNull,
+          big(col("eq") - col("ep")) * (col("eq") - col("ep")))).as("num"),
+        sum(big(col("eq")) * col("eq")).as("den"))
+      .filter(col("den") > 0)
+      .withColumn("dw", r4(col("num").cast("double") / col("den").cast("double")))
+      .select(col("cand_name"), col("node"), col("n"), r6(col("beta")).as("beta"),
+        col("dw"),
+        when(col("dw") >= 1.5 && col("dw") <= 2.5, lit("stationary_resid"))
+          .otherwise(lit("autocorr_resid")).as("verdict"))
+      .orderBy("cand_name", "node")
+  }
+
   /** Correlation-graph signal grouping: signals whose |r| reaches
     * `threshold` in ANY bucket are edges; connected components label
     * each signal with the lexicographically-smallest member of its

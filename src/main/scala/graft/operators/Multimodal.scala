@@ -63,6 +63,29 @@ object Multimodal {
         (col("checksum") * lit(2862933555777941757L) + col("frame_idx"))
           .as("frame_digest"))
 
+  /** Keyframe selection over the sampled frame stream: top-`k` frames
+    * per video by a per-frame score, earliest-frame tiebreak — the
+    * vision-LM training-data stage that cuts a video to its most
+    * informative stills before captioning/embedding. The score here is
+    * derived from the stub frame digest (floor-mod 2²⁰ — since 2²⁰
+    * divides 2⁶⁴, the signed and unsigned views agree, so the oracle
+    * replays it on the HUGEINT side); a codec-backed deployment swaps
+    * in a real saliency/sharpness score and the ranking plumbing —
+    * per-video bounded window over the in-task frame fan-out — is
+    * unchanged.
+    */
+  def keyframes(docs: DataFrame, stride: Int = 2, k: Int = 3): DataFrame = {
+    val m = 1048576L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("frame_idx"))
+    frameSample(docs, stride)
+      .withColumn("score",
+        ((col("frame_digest") % m) + m) % m)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("frame_idx"), col("score"))
+  }
+
   /** Resize planning over decoded metadata: aspect-preserving fit into
     * `maxDim`×`maxDim` (integer floor arithmetic — deterministic). A
     * codec-backed implementation would consume these target dims; the

@@ -152,6 +152,28 @@ object Sampling {
       .drop("_hrk")
   }
 
+  /** Class-balanced deterministic downsample: every stratum is cut to
+    * the SIZE OF THE SMALLEST stratum by md5-hash rank — the
+    * classifier-training prep next to [[cappedPerStratum]] (whose cap
+    * is a fixed N; here the cap is data-derived, so the output is
+    * exactly balanced without the caller pre-counting). Same
+    * determinism contract: hash-ranked keep set is append-biased-free,
+    * partition-invariant, and engine-replayable. The min count is ONE
+    * broadcast scalar; the rank window is per-stratum.
+    */
+  def balancedPerStratum(df: DataFrame, strataCol: String,
+                         keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_c"))
+      .agg(min("_c").as("_m"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash32(keyCol), keyCol)
+    df.withColumn("_hrk", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("_hrk") <= col("_m"))
+      .drop("_hrk", "_m")
+  }
+
   /** Deterministic k-fold assignment: fold = md5-hash(key) mod k — the
     * cross-validation companion of [[splitAssign]]. Same contract:
     * append-stable (a document's fold never changes as the corpus
