@@ -193,14 +193,13 @@ object SparkEntry {
     * Yields `qv(vec_id, label, q)` and `af(vec_id, cluster, dist)` —
     * the final assignment with its exact integer squared distance.
     */
-  private val SQL_LLOYD: String = {
+  private def sqlLloyd(kExpr: String): String = {
     val iters = 5
-    val k = 8
     val sb = new StringBuilder
     sb.append("qv AS (SELECT vec_id, label, list_transform(embedding, " +
       "x -> CAST(floor((CAST(x AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),\n")
     sb.append(s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, " +
-      s"q AS cv FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),\n")
+      s"q AS cv FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kExpr)),\n")
     def distCte(name: String, prev: String): String =
       s"$name AS (SELECT qv.vec_id, c.cluster, " +
         "list_sum(list_transform(range(1, 65), j -> (q[j] - cv[j]) * (q[j] - cv[j]))) AS dist " +
@@ -222,6 +221,71 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM df) WHERE rn = 1)")
     sb.toString
   }
+
+  private val SQL_LLOYD: String = sqlLloyd("8")
+
+  /** The autoCells cell count (Similarity.autoCells defaults:
+    * targetCell 64, minCells 8) as a DuckDB scalar subquery — the
+    * oracle twin of the `nCells <= 0` production path.
+    */
+  private val SQL_AUTOCELLS =
+    "(SELECT greatest(8, (count(*) + 63) // 64) FROM embeddings)"
+
+  /** Label-kNN-accuracy oracle with a parametric centroid count —
+    * shared by the fixed-cells gate and the autoCells gate.
+    */
+  private def sqlLabelKnn(cellsExpr: String): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < ($cellsExpr)),
+       |asg AS (SELECT vec_id, label, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.label, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+       |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+       |      c.cid ASC) AS crn
+       |  FROM n CROSS JOIN c) WHERE crn = 1),
+       |ksims AS (SELECT a.vec_id, a.label,
+       |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+       |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
+       |  b.vec_id AS nid, b.label AS nlabel
+       | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+       |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)
+       |SELECT label, count(*) AS n,
+       | CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       | floor((CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS acc_1nn
+       |FROM krk WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
+
+  /** SemDeDup oracle body over a Lloyd CTE chain — shared by the
+    * fixed-k gate and the autoCells production-path gate.
+    */
+  private def sqlSemDedup(lloyd: String): String =
+    s"""WITH RECURSIVE $lloyd,
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |av AS (SELECT af.vec_id, af.cluster, af.dist, n.v, n.nrm
+       | FROM af JOIN n USING (vec_id)),
+       |pr AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2
+       | FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       | WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+       |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pr
+       |  UNION ALL SELECT doc2, doc1 FROM pr),
+       |comp AS (SELECT vec_id AS doc_id, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT ed.b AS doc_id, c.lab FROM comp c JOIN edges ed ON ed.a = c.doc_id),
+       |grp AS (SELECT doc_id AS vec_id, min(lab) AS group_id FROM comp GROUP BY doc_id)
+       |SELECT vec_id, cluster, group_id, n_group, keep FROM (
+       | SELECT g.vec_id, av.cluster, g.group_id,
+       |  count(*) OVER (PARTITION BY g.group_id) AS n_group,
+       |  CAST(row_number() OVER (PARTITION BY g.group_id
+       |    ORDER BY av.dist DESC, g.vec_id ASC) = 1 AS INT) AS keep
+       | FROM grp g JOIN av USING (vec_id))
+       |ORDER BY vec_id""".stripMargin
 
   /** Unrolled engine-exact PCA CTE chain replaying
     * `Clustering.pcaStats` (k=4, 12 iterations, d=64): exact integer
@@ -638,7 +702,7 @@ object SparkEntry {
       |  list_concat(detr, list_transform(range(0, m - n), z -> detr[CAST(n AS INT)])) AS xp,
       |  CAST(m // 24 AS BIGINT) AS c
       | FROM (SELECT name, node, n,
-      |   CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m,
+      |   (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m,
       |   detr FROM dser)),
       |dkern AS MATERIALIZED (SELECT m, d,
       |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
@@ -882,7 +946,7 @@ object SparkEntry {
          | FROM $src GROUP BY 1, 2),
          |rmean AS (SELECT name, node, n, xs,
          |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
          | FROM rser WHERE n >= 8),
          |rcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
          | FROM rmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
@@ -905,7 +969,7 @@ object SparkEntry {
          |    THEN greatest(0, CAST(trunc(((1.25 / ((CAST(d.m AS DOUBLE) / (-r.bst.nk)) * 3600.0)) * 3600.0) * d.m) AS BIGINT))
          |    ELSE greatest(0, CAST(trunc(((1e0 / 86400e0) * 3600e0) * d.m) AS BIGINT)) END AS c
          | FROM (SELECT name, node, count(*) AS n,
-         |    CAST(power(2, ceil(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |    (CASE WHEN count(*) <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(count(*) - 1)) END) AS m
          |   FROM $src GROUP BY 1, 2) d
          | LEFT JOIN rfin r ON r.name = d.name AND r.node = d.node),
          |dser AS MATERIALIZED (SELECT name, node, count(*) AS n,
@@ -1574,11 +1638,16 @@ object SparkEntry {
          | FROM bn GROUP BY 1, 2, 3),
          |tot AS (SELECT name, node, CAST(sum(c1) AS BIGINT) AS n1,
          |  CAST(sum(c2) AS BIGINT) AS n2 FROM cells GROUP BY 1, 2),
-         |t AS (SELECT cells.name, cells.node, n1, n2,
+         |t AS (SELECT name, node, n1, n2,
          |  (c2 * n1 - c1 * n2) *
-         |  CAST(floor((ln((c2 * n1) / (c1 * n2)) + 1e-9) * 1e6 + 0.5) AS BIGINT)
+         |  CAST(floor((lnc2 + lnn1 - lnc1 - lnn2 + 1e-9) * 1e6 + 0.5) AS BIGINT)
          |    AS term
-         | FROM cells JOIN tot USING (name, node) WHERE c1 > 0 AND c2 > 0)
+         | FROM (SELECT cells.name, cells.node, n1, n2, c1, c2,
+         |  ${graft.functions.ExactMath.sqlLnCols("c1", "pa", "lnc1")},
+         |  ${graft.functions.ExactMath.sqlLnCols("c2", "pb", "lnc2")},
+         |  ${graft.functions.ExactMath.sqlLnCols("n1", "pc", "lnn1")},
+         |  ${graft.functions.ExactMath.sqlLnCols("n2", "pd", "lnn2")}
+         |  FROM cells JOIN tot USING (name, node) WHERE c1 > 0 AND c2 > 0))
          |SELECT name, node, n1, n2, count(*) AS n_bins,
          | floor((CAST(sum(term) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) / 1e6
          |   + 1e-9) * 1e4 + 0.5) / 1e4 AS psi
@@ -1735,17 +1804,21 @@ object SparkEntry {
       // entropy per doc (low-entropy-at-length = template spam)
       TextAnalysis.wordEntropy(Tables.documents(s, dir)).orderBy("doc_id"),
     Some(
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
         |wc AS (SELECT doc_id, unnest(w) AS wd FROM d),
         |c AS (SELECT doc_id, wd, count(*) AS c FROM wc GROUP BY 1, 2),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |  count(*) AS n_types,
-        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
-        | FROM c GROUP BY 1)
+        |  CAST(sum(c * CAST(floor((lnc + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS slc
+        | FROM (SELECT doc_id, c,
+        |  ${graft.functions.ExactMath.sqlLnCols("c", "ea", "lnc")} FROM c)
+        | GROUP BY 1)
         |SELECT doc_id, n_tokens, n_types,
         | floor((CAST(n_types AS DOUBLE) / n_tokens + 1e-9) * 1e4 + 0.5) / 1e4 AS ttr,
-        | floor((ln(CAST(n_tokens AS DOUBLE)) - slc / n_tokens + 1e-9) * 1e4 + 0.5) / 1e4 AS h_word
-        |FROM a ORDER BY doc_id""".stripMargin)),
+        | floor((lnnt - CAST(slc AS DOUBLE) / n_tokens / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS h_word
+        |FROM (SELECT doc_id, n_tokens, n_types, slc,
+        |  ${graft.functions.ExactMath.sqlLnCols("n_tokens", "eb", "lnnt")} FROM a)
+        |ORDER BY doc_id""".stripMargin)),
 
     Q("q11_json_extract", (s, dir) => {
       Tables.events(s, dir)
@@ -1951,10 +2024,14 @@ object SparkEntry {
           col("nxt").as("nx"))
         .persist().tracked
       val rw = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      // ln via the cross-engine exact kernel (graft.functions.ExactMath):
+      // ln(c/r) = lnInt(c) − lnInt(r) in pure IEEE ops, bit-identical to
+      // the oracle's replay — a raw libm ln here once flipped a ×1e6
+      // floor by one ulp (the r5 q34 hash FAIL)
       val model = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
         .withColumn("r", sum("c").over(rw))
-        .withColumn("qln", floor((log(col("c").cast("double") /
-          col("r").cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5))
+        .withColumn("qln", floor((graft.functions.ExactMath.lnIntCol(col("c")) -
+          graft.functions.ExactMath.lnIntCol(col("r")) + lit(1e-9)) * lit(1e6) + lit(0.5))
           .cast("long"))
         .select("a", "nx", "qln")
       pairs.join(broadcast(model), Seq("a", "nx"))
@@ -1967,7 +2044,7 @@ object SparkEntry {
         .orderBy(col("surprise").desc, col("user_id"), col("sid"))
         .limit(20)
     }, Some(
-      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
+      s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
         |b AS (SELECT user_id, tsec, event_id, event_type,
         |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
@@ -1981,8 +2058,11 @@ object SparkEntry {
         |md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
         |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
         |mq AS (SELECT a, nx,
-        |  CAST(floor((ln(CAST(c AS DOUBLE) / CAST(r AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
-        | FROM mr)
+        |  CAST(floor((lnc - lnr + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
+        | FROM (SELECT a, nx,
+        |  ${graft.functions.ExactMath.sqlLnCols("c", "lc", "lnc")},
+        |  ${graft.functions.ExactMath.sqlLnCols("r", "lr", "lnr")}
+        | FROM mr))
         |SELECT user_id, sid, n_trans,
         | floor((CAST(-sq AS DOUBLE) / n_trans / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS surprise
         |FROM (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
@@ -3121,7 +3201,7 @@ object SparkEntry {
          | FROM grid GROUP BY 1, 2),
          |pmean AS (SELECT name, node, n, xs,
          |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
          | FROM pser WHERE n >= 8),
          |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
          | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
@@ -3178,7 +3258,9 @@ object SparkEntry {
          |hms AS (SELECT name, node, w, count(*) AS nw, sum(rq) AS srq
          | FROM hrs GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND sum(rq) > 0),
          |hys AS (SELECT name, node, w, CAST(srq AS DOUBLE) / (nw * 1e6) AS mrs,
-         |  CAST(floor((ln(CAST(srq AS DOUBLE) / (nw * 1e6)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq,
+         |  ${graft.functions.ExactMath.sqlLnCols("srq", "ha", "lnsrq")},
+         |  ${graft.functions.ExactMath.sqlLnCols("nw * 1000000", "hb", "lnnw6")},
+         |  CAST(floor((lnsrq - lnnw6 + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq,
          |  CAST(CASE w WHEN 8 THEN 2079442 WHEN 16 THEN 2772589 ELSE 3465736 END AS BIGINT) AS xq
          | FROM hms),
          |hft AS (SELECT name, node, count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
@@ -3602,8 +3684,11 @@ object SparkEntry {
          |pen AS MATERIALIZED (
          |  SELECT name, node, n,
          |    greatest((2e0 * (((md * s2d - s1d * s1d) / (md * (md - 1e0))) / 2e0))
-         |      * (floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9), 1e-12) AS beta
+         |      * (floor(lnn * 1e9 + 0.5) / 1e9), 1e-12) AS beta
          |  FROM (
+         |    SELECT name, node, n, md, s1d, s2d,
+         |      ${graft.functions.ExactMath.sqlLnCols("n", "pl", "lnn")}
+         |    FROM (
          |    SELECT dm.name, dm.node, g.n,
          |      CAST(count(*) AS DOUBLE) AS md,
          |      CAST(sum(dm.dd) AS DOUBLE) AS s1d,
@@ -3613,7 +3698,7 @@ object SparkEntry {
          |        AND p2.idx = p1.idx + 1) dm
          |    JOIN (SELECT name, node, count(*) AS n FROM pts GROUP BY 1, 2) g
          |      ON g.name = dm.name AND g.node = dm.node
-         |    GROUP BY dm.name, dm.node, g.n) q
+         |    GROUP BY dm.name, dm.node, g.n) q0) q
          |  WHERE n >= 3),
          |dp AS (
          |  SELECT name, node, CAST(4 AS BIGINT) AS t,
@@ -3679,7 +3764,7 @@ object SparkEntry {
          | FROM ff36 GROUP BY 1, 2),
          |pmean AS (SELECT name, node, n, xs,
          |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
          | FROM pser WHERE n >= 8),
          |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
          | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
@@ -3714,7 +3799,7 @@ object SparkEntry {
          | FROM ff36 GROUP BY 1, 2),
          |pmean AS (SELECT name, node, n, xs,
          |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  CAST(power(2, ceil(ln(CAST(n AS DOUBLE)) / ln(2.0) - 1e-12)) AS BIGINT) AS m
+         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
          | FROM pser WHERE n >= 8),
          |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
          | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
@@ -3840,10 +3925,12 @@ object SparkEntry {
          |hf AS (SELECT event_type, 512 - nb AS v,
          |  CAST(s_occ + CAST(512 - nb AS HUGEINT) * (CAST(1 AS HUGEINT) << 56) AS DOUBLE) AS s_full
          | FROM ht),
-         |hx AS (SELECT event_type, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw FROM hf),
+         |hx AS (SELECT event_type, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw,
+         |  ${graft.functions.ExactMath.sqlLnCols("greatest(v, 1)", "hl", "lnv")}
+         | FROM hf),
          |hest AS (SELECT event_type,
          |  CAST(CASE WHEN e_raw <= 1.28e3 AND v > 0
-         |    THEN floor(5.12e2 * ln(5.12e2 / CAST(v AS DOUBLE)) + 5e-1)
+         |    THEN floor(5.12e2 * (${Sketches.lnHllMLiteral} - lnv) + 5e-1)
          |    ELSE floor(e_raw + 5e-1) END AS BIGINT) AS hll_users
          | FROM hx),
          |hexact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
@@ -3928,11 +4015,22 @@ object SparkEntry {
         |FROM h JOIN c ON h.hh = c.hh ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_jaccard", (s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.1)
+      // t = 0.1 is below the prefix filter's biting regime, and on a
+      // template-dense corpus the t = 0.1 TRUE-pair set is itself
+      // quadratic — so the gate runs the exact verify on a FIXED-SIZE
+      // md5-ranked sample (the lsh_tune convention, r5 verdict #3):
+      // cost pinned at any corpus size, semantics unchanged. The
+      // corpus-wide scale path is dedup_minhash_lsh beside it; the
+      // full exact sweep stays callable as Dedup.jaccardPairs(docs, t).
+      Dedup.jaccardPairs(Tables.documents(s, dir)
+          .orderBy(Sampling.hash32(col("doc_id").cast("string")), col("doc_id"))
+          .limit(1000), 0.1)
         .orderBy("doc1", "doc2")
     }, Some(
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |  FROM documents WHERE doc_id % 5 = 0),
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id) <= 1000),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM d0),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
         |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -4305,17 +4403,13 @@ object SparkEntry {
         |wsg AS (SELECT doc_id, pos,
         |  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
         | FROM wg),
-        |wmn AS (SELECT doc_id, pos, h,
-        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+        |wmn AS (SELECT doc_id, pos,
+        |  min(struct_pack(h := h, np := -pos)) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
         |  count(*) OVER (PARTITION BY doc_id) AS lg
         | FROM wsg),
-        |wv AS (SELECT * FROM wmn WHERE pos <= lg - 3),
-        |wc AS (SELECT v.doc_id, v.pos AS s, v.minh, v.pos + j.j AS q
-        | FROM wv v, LATERAL (SELECT unnest(range(0, 4)) AS j) j),
-        |wh AS (SELECT c.doc_id, c.s, max(c.q) AS fp_pos, max(c.minh) AS fp_h
-        | FROM wc c JOIN wsg g ON g.doc_id = c.doc_id AND g.pos = c.q AND g.h = c.minh
-        | GROUP BY 1, 2),
-        |wf0 AS (SELECT DISTINCT doc_id, fp_pos, fp_h FROM wh),
+        |wf0 AS (SELECT DISTINCT doc_id, -mn.np AS fp_pos, mn.h AS fp_h
+        | FROM wmn WHERE pos <= lg - 3),
         |wdf AS (SELECT fp_h, count(*) AS dfc FROM wf0 GROUP BY 1),
         |wf AS (SELECT wf0.* FROM wf0 JOIN wdf USING (fp_h) WHERE dfc <= 64),
         |wp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(DISTINCT a.fp_h) AS shared_fp
@@ -4476,38 +4570,28 @@ object SparkEntry {
     Q("embed_label_knn_acc", (s, dir) => {
       Similarity.labelKnnAccuracy(Tables.embeddings(s, dir), nCells = 8)
         .orderBy("label")
-    }, Some(
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-        |asg AS (SELECT vec_id, label, v, nrm, cid FROM (
-        |  SELECT n.vec_id, n.label, n.v, n.nrm, c.cid,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
-        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
-        |      c.cid ASC) AS crn
-        |  FROM n CROSS JOIN c) WHERE crn = 1),
-        |ksims AS (SELECT a.vec_id, a.label,
-        |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
-        |  b.vec_id AS nid, b.label AS nlabel
-        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
-        |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)
-        |SELECT label, count(*) AS n,
-        | CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-        | floor((CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
-        |   / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS acc_1nn
-        |FROM krk WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin)),
+    }, Some(sqlLabelKnn("8"))),
+
+    Q("embed_label_knn_auto", (s, dir) => {
+      // the PRODUCTION path: nCells <= 0 derives the cell count via
+      // Similarity.autoCells — hash-checked here so the self-scaling
+      // Σ|cell|² knob users run is the knob the oracle proves (r5
+      // verdict #4)
+      Similarity.labelKnnAccuracy(Tables.embeddings(s, dir), nCells = 0)
+        .orderBy("label")
+    }, Some(sqlLabelKnn(SQL_AUTOCELLS))),
 
     Q("embed_hard_negatives", (s, dir) => {
       Similarity.hardNegatives(Tables.embeddings(s, dir), k = 3)
         .orderBy("la", "lb", "rank")
     }, Some(
       s"""WITH $SQL_ANN_BASE,
-         |hl AS (SELECT vec_id, label, v, nrm FROM embeddings
+         |hl0 AS (SELECT vec_id, label, v, nrm FROM embeddings
          |  JOIN n USING (vec_id)),
+         |hl AS (SELECT vec_id, label, v, nrm FROM (
+         |  SELECT vec_id, label, v, nrm, row_number() OVER (PARTITION BY label
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hrk
+         |  FROM hl0) WHERE hrk <= 256),
          |hp AS (SELECT a.label AS la, b.label AS lb, a.vec_id AS ida, b.vec_id AS idb,
          |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
          |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
@@ -4956,7 +5040,7 @@ object SparkEntry {
       // quantization grid, so ≤1-ulp engine noise cannot flip a floor
       TextAnalysis.bigramEntropy(Tables.documents(s, dir)).orderBy("doc_id")
     }, Some(
-      """WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
         |  WHERE length(text) >= 2),
         |g AS (SELECT doc_id, substr(tx, CAST(i AS INT), 2) AS gr
         |  FROM t, LATERAL (SELECT unnest(range(1, length(tx))) AS i) r),
@@ -4964,8 +5048,11 @@ object SparkEntry {
         |ctx AS (SELECT substr(gr, 1, 1) AS c1, sum(c) AS ct FROM cg GROUP BY 1),
         |v AS (SELECT count(DISTINCT substr(gr, 2, 1)) AS nv FROM cg),
         |qb AS (SELECT gr,
-        |  CAST(floor((-(ln((c + 1) / (ct + nv)) / ln(2.0)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS q
-        | FROM cg JOIN ctx ON substr(gr, 1, 1) = c1 CROSS JOIN v),
+        |  CAST(floor((-((lnc1 - lnctv) / ${graft.functions.ExactMath.LN2}) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS q
+        | FROM (SELECT gr,
+        |  ${graft.functions.ExactMath.sqlLnCols("c + 1", "xa", "lnc1")},
+        |  ${graft.functions.ExactMath.sqlLnCols("ct + nv", "xb", "lnctv")}
+        |  FROM cg JOIN ctx ON substr(gr, 1, 1) = c1 CROSS JOIN v)),
         |ds AS (SELECT doc_id, sum(q) AS qsum, count(*) AS n
         |  FROM g JOIN qb USING (gr) GROUP BY doc_id),
         |eb AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
@@ -5489,7 +5576,7 @@ object SparkEntry {
     Q("text_zipf", (s, dir) =>
       TextAnalysis.zipfSlope(Tables.documents(s, dir)).orderBy("source"),
     Some(
-      """WITH tz AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      s"""WITH tz AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
         | FROM documents),
         |cz AS (SELECT source, w, count(*) AS c FROM tz WHERE length(w) > 0 GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
@@ -5497,9 +5584,12 @@ object SparkEntry {
         |hd0 AS (SELECT source, c,
         |  row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rnk FROM cz),
         |hd AS (SELECT source,
-        |  CAST(floor((ln(CAST(rnk AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS xq,
-        |  CAST(floor((ln(CAST(c AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq
-        | FROM hd0 WHERE rnk <= 64),
+        |  CAST(floor((lnrnk + 1e-9) * 1e6 + 0.5) AS BIGINT) AS xq,
+        |  CAST(floor((lnc + 1e-9) * 1e6 + 0.5) AS BIGINT) AS yq
+        | FROM (SELECT source,
+        |  ${graft.functions.ExactMath.sqlLnCols("rnk", "za", "lnrnk")},
+        |  ${graft.functions.ExactMath.sqlLnCols("c", "zb", "lnc")}
+        |  FROM hd0 WHERE rnk <= 64)),
         |ft AS (SELECT source, count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
         |  sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM hd GROUP BY 1)
         |SELECT f.source, t.n_tokens, t.vocab, f.k,
@@ -5617,7 +5707,7 @@ object SparkEntry {
     Q("text_source_jsd", (s, dir) =>
       TextAnalysis.sourceJsd(Tables.documents(s, dir)).orderBy("a_src", "b_src"),
     Some(
-      """WITH tk AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      s"""WITH tk AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
         | FROM documents),
         |tc AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2),
         |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
@@ -5627,9 +5717,13 @@ object SparkEntry {
         |   CAST(ca AS HUGEINT) * nb AS pa, CAST(cb AS HUGEINT) * na AS pb
         | FROM ja JOIN jb USING (t) WHERE a_src < b_src),
         |jl AS (SELECT *,
-        |   CAST(floor((ln(CAST(pa * 2 AS DOUBLE) / CAST(pa + pb AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l1,
-        |   CAST(floor((ln(CAST(pb * 2 AS DOUBLE) / CAST(pa + pb AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l2
-        | FROM jx),
+        |   CAST(floor((lnpa2 - lnpab + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l1,
+        |   CAST(floor((lnpb2 - lnpab + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS l2
+        | FROM (SELECT *,
+        |  ${graft.functions.ExactMath.sqlLnCols("pa * 2", "ya", "lnpa2")},
+        |  ${graft.functions.ExactMath.sqlLnCols("pb * 2", "yb", "lnpb2")},
+        |  ${graft.functions.ExactMath.sqlLnCols("pa + pb", "yc", "lnpab")}
+        | FROM jx)),
         |jc AS (SELECT a_src, b_src, sum(pa * l1 + pb * l2) AS s_common,
         |   sum(ca) AS c_a, sum(cb) AS c_b, count(*) AS shared_terms,
         |   max(na) AS na, max(nb) AS nb
@@ -5649,15 +5743,25 @@ object SparkEntry {
     Q("text_containment", (s, dir) => {
       // containment (doc-inside-doc) dedup: |A∩B|/|A| ≥ 0.8 with A the
       // smaller bigram-shingle set — catches the quoted/template-wrapper
-      // duplication Jaccard is blind to. Keyed sample like the other
-      // exact-quadratic-verify paths (this template corpus is
-      // pathologically dense; the prefix filter's candidate bound is
-      // Σ df², which the sample keeps proportionate to its siblings)
+      // duplication Jaccard is blind to. The gate runs on a FIXED-SIZE
+      // md5-ranked sample (the lsh_tune convention, r5 verdict):
+      // asymmetric containment admits no length filter, so on this
+      // template-dense corpus the exact verify is output-bound
+      // quadratic — a proportional sample (the old doc_id % 3) made
+      // the gate scale WITH the corpus; the fixed sample pins its
+      // cost while the full sweep stays available as
+      // Curation.containmentPairs(docs, t). orderBy+limit plans as
+      // TakeOrderedAndProject — no global sort.
       Curation.containmentPairs(
-          Tables.documents(s, dir).filter(col("doc_id") % 3 === 0), 0.8)
+          Tables.documents(s, dir)
+            .orderBy(Sampling.hash32(col("doc_id").cast("string")), col("doc_id"))
+            .limit(1500), 0.8)
         .orderBy("inner_id", "outer_id")
     }, Some(
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents WHERE doc_id % 3 = 0),
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id) <= 1500),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM d0),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
         |  i -> w[i] || ' ' || w[i + 1]))) AS s FROM d),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -5751,7 +5855,7 @@ object SparkEntry {
           col("doc_id").cast("string"), beta = 0.5)
         .orderBy("lang"),
     Some(
-      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang),
         |t AS (SELECT CAST(sum(CAST(cnt AS BIGINT)) AS DOUBLE) AS tot FROM c),
         |wq AS (SELECT lang, cnt, tot,
         |  CAST(floor(sqrt(cnt / tot) * 1e9) AS BIGINT) AS wq FROM c, t),
@@ -5765,7 +5869,13 @@ object SparkEntry {
         |  GROUP BY 1),
         |jj AS (SELECT th.lang, th.cnt, th.tot, th.wq, th.wsum, COALESCE(kp.kept, 0) AS kept
         | FROM th LEFT JOIN kp ON th.lang = kp.lang),
-        |kt AS (SELECT CAST(sum(kept) AS DOUBLE) AS ktot FROM jj)
+        |kt AS (SELECT CAST(sum(kept) AS DOUBLE) AS ktot FROM jj),
+        |jq AS (SELECT lang, cnt, tot, wq, wsum, kept, ktot,
+        |  ${graft.functions.ExactMath.sqlLnCols("kept", "ka", "lnkept")},
+        |  ${graft.functions.ExactMath.sqlLnCols("ktot", "kb", "lnktot")},
+        |  ${graft.functions.ExactMath.sqlLnCols("wq", "kc", "lnwq")},
+        |  ${graft.functions.ExactMath.sqlLnCols("wsum", "kd", "lnwsum")}
+        | FROM jj, kt)
         |SELECT lang, CAST(cnt AS BIGINT) AS n_docs, CAST(kept AS BIGINT) AS kept,
         | floor((cnt / tot + 1e-9) * 1e4 + 0.5) / 1e4 AS natural_share,
         | floor((CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS target_share,
@@ -5776,11 +5886,11 @@ object SparkEntry {
         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS delta,
         | CASE WHEN kept > 0 THEN
         |   floor(((CASE WHEN ktot > 0 THEN CAST(kept AS DOUBLE) / ktot ELSE 0.0 END)
-        |     * CAST(CAST(floor((ln((CAST(kept AS DOUBLE) / ktot)
-        |         / (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE))) + 1e-9) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+        |     * CAST(CAST(floor((lnkept - lnktot - lnwq + lnwsum
+        |         + 1e-9) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
         |     / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
         | ELSE 0.0 END AS kl_term
-        |FROM jj, kt ORDER BY lang""".stripMargin)),
+        |FROM jq ORDER BY lang""".stripMargin)),
 
     Q("sample_capped", (s, dir) => {
       // at most 10 docs per source, hash-ranked: the per-domain cap a
@@ -6897,30 +7007,17 @@ object SparkEntry {
       // survivor window) replays below on the unrolled Lloyd CTE
       Clustering.semDedup(Tables.embeddings(s, dir), k = 8, threshold = 0.3)
         .orderBy("vec_id")
-    }, Some(
-      s"""WITH RECURSIVE $SQL_LLOYD,
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |av AS (SELECT af.vec_id, af.cluster, af.dist, n.v, n.nrm
-         | FROM af JOIN n USING (vec_id)),
-         |pr AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2
-         | FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         | WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-         |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3),
-         |edges AS (SELECT doc1 AS a, doc2 AS b FROM pr
-         |  UNION ALL SELECT doc2, doc1 FROM pr),
-         |comp AS (SELECT vec_id AS doc_id, vec_id AS lab FROM embeddings
-         |  UNION
-         |  SELECT ed.b AS doc_id, c.lab FROM comp c JOIN edges ed ON ed.a = c.doc_id),
-         |grp AS (SELECT doc_id AS vec_id, min(lab) AS group_id FROM comp GROUP BY doc_id)
-         |SELECT vec_id, cluster, group_id, n_group, keep FROM (
-         | SELECT g.vec_id, av.cluster, g.group_id,
-         |  count(*) OVER (PARTITION BY g.group_id) AS n_group,
-         |  CAST(row_number() OVER (PARTITION BY g.group_id
-         |    ORDER BY av.dist DESC, g.vec_id ASC) = 1 AS INT) AS keep
-         | FROM grp g JOIN av USING (vec_id))
-         |ORDER BY vec_id""".stripMargin)),
+    }, Some(sqlSemDedup(SQL_LLOYD))),
+
+    Q("dedup_semdedup_auto", (s, dir) => {
+      // the PRODUCTION SemDeDup path: k <= 0 derives the cell count
+      // via Similarity.autoCells (mean cell ~64 → Σ|cell|² linear in
+      // corpus size), so the knob users run at scale is the knob the
+      // oracle hash-checks (r5 verdict #4 — the fixed-k gate alone
+      // left the self-scaling path unverified)
+      Clustering.semDedup(Tables.embeddings(s, dir), k = 0, threshold = 0.3)
+        .orderBy("vec_id")
+    }, Some(sqlSemDedup(sqlLloyd(SQL_AUTOCELLS)))),
 
     Q("q26_conversion_rate", (s, dir) => {
       // daily conversion funnel: of the users whose first view fell on
@@ -7976,9 +8073,12 @@ object SparkEntry {
         val big = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val cs = docs.groupBy(col(dim).as("stratum")).agg(count(lit(1)).as("c"))
         val tot = cs.agg(sum("c").as("nn"), count(lit(1)).as("k"))
-        val lq = floor((log(col("c").cast("double") / col("nn").cast("double")) +
+        // ExactMath: ln(c/N) = L(c) − L(N), ln k = L(k) — cross-engine
+        // bit-exact quantized-ln inputs (the r5 ln-audit conversion)
+        val L = (c: Column) => graft.functions.ExactMath.lnIntCol(c)
+        val lq = floor((L(col("c")) - L(col("nn")) +
           lit(1e-9)) * lit(1e6) + lit(0.5)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-        val lkq = floor((log(col("k").cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5))
+        val lkq = floor((L(col("k")) + lit(1e-9)) * lit(1e6) + lit(0.5))
         cs.crossJoin(broadcast(tot))
           .withColumn("sq", big(col("c")) * lq)
           .groupBy().agg(sum(col("sq")).as("s"), max("nn").as("nn"), max("k").as("k"))
@@ -7992,26 +8092,32 @@ object SparkEntry {
       }
       ent("source").unionByName(ent("lang")).orderBy("dimension")
     }, Some(
-      """WITH dv AS (
+      s"""WITH dv AS (
         |  SELECT 'source' AS dimension, source AS stratum FROM documents
         |  UNION ALL SELECT 'lang', lang FROM documents),
         |dc AS (SELECT dimension, stratum, count(*) AS c FROM dv GROUP BY 1, 2),
         |dt AS (SELECT dimension, CAST(sum(c) AS BIGINT) AS nn, count(*) AS k
         | FROM dc GROUP BY 1),
-        |dq AS (SELECT dc.dimension, c,
-        |  CAST(floor((ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS lq,
+        |dq AS (SELECT dimension, c,
+        |  CAST(floor((lnc - lnnn + 1e-9) * 1e6 + 0.5) AS HUGEINT) AS lq,
         |  nn, k
-        | FROM dc JOIN dt ON dc.dimension = dt.dimension),
+        | FROM (SELECT dc.dimension, c, nn, k,
+        |  ${graft.functions.ExactMath.sqlLnCols("c", "da", "lnc")},
+        |  ${graft.functions.ExactMath.sqlLnCols("nn", "db", "lnnn")}
+        | FROM dc JOIN dt ON dc.dimension = dt.dimension)),
         |ds AS (SELECT dimension, sum(CAST(c AS HUGEINT) * lq) AS s,
         |  max(nn) AS nn, max(k) AS k
-        | FROM dq GROUP BY 1)
+        | FROM dq GROUP BY 1),
+        |dk AS (SELECT dimension, s, nn, k,
+        |  ${graft.functions.ExactMath.sqlLnCols("k", "dk", "lnk")}
+        | FROM ds)
         |SELECT dimension, k, nn AS n_docs,
         | floor((-CAST(s AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS entropy_nats,
         | CASE WHEN k > 1 THEN
         |  floor(((-CAST(s AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e6))
-        |    / (floor((ln(CAST(k AS DOUBLE)) + 1e-9) * 1e6 + 0.5) / 1e6) + 1e-9) * 1e4 + 0.5) / 1e4
+        |    / (floor((lnk + 1e-9) * 1e6 + 0.5) / 1e6) + 1e-9) * 1e4 + 0.5) / 1e4
         | END AS norm_entropy
-        |FROM ds ORDER BY dimension""".stripMargin)),
+        |FROM dk ORDER BY dimension""".stripMargin)),
 
     Q("q40_basket_affinity", (s, dir) => {
       // market-basket brand affinity: for brand pairs co-purchased in
@@ -8151,10 +8257,12 @@ object SparkEntry {
          |hf AS (SELECT d, 512 - nb AS v,
          |  CAST(s_occ + CAST(512 - nb AS HUGEINT) * (CAST(1 AS HUGEINT) << 56) AS DOUBLE) AS s_full
          | FROM ht),
-         |hx AS (SELECT d, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw FROM hf),
+         |hx AS (SELECT d, v, ${Sketches.hllCoefLiteral} / s_full AS e_raw,
+         |  ${graft.functions.ExactMath.sqlLnCols("greatest(v, 1)", "hl", "lnv")}
+         | FROM hf),
          |hest AS (SELECT d,
          |  CAST(CASE WHEN e_raw <= 1.28e3 AND v > 0
-         |    THEN floor(5.12e2 * ln(5.12e2 / CAST(v AS DOUBLE)) + 5e-1)
+         |    THEN floor(5.12e2 * (${Sketches.lnHllMLiteral} - lnv) + 5e-1)
          |    ELSE floor(e_raw + 5e-1) END AS BIGINT) AS wau_hll
          | FROM hx),
          |ud2 AS (SELECT DISTINCT user_id, day FROM ev),
@@ -8433,12 +8541,17 @@ object SparkEntry {
          | FROM j GROUP BY 1, 2, 3),
          |my AS (SELECT cand_name, node, cb, CAST(sum(cxy) AS BIGINT) AS cy
          | FROM j GROUP BY 1, 2, 3),
-         |t AS (SELECT j.cand_name, j.node, nn.n, j.cxy,
-         |  CAST(floor((ln((j.cxy * nn.n) / (mx.cx * my.cy)) + 1e-9) * 1e6 + 0.5)
+         |t AS (SELECT cand_name, node, n, cxy,
+         |  CAST(floor((lncxy + lnn - lncx - lncy + 1e-9) * 1e6 + 0.5)
          |    AS BIGINT) AS qln
+         | FROM (SELECT j.cand_name, j.node, nn.n, j.cxy,
+         |  ${graft.functions.ExactMath.sqlLnCols("j.cxy", "ma", "lncxy")},
+         |  ${graft.functions.ExactMath.sqlLnCols("nn.n", "mb", "lnn")},
+         |  ${graft.functions.ExactMath.sqlLnCols("mx.cx", "mc", "lncx")},
+         |  ${graft.functions.ExactMath.sqlLnCols("my.cy", "md", "lncy")}
          | FROM j JOIN mx USING (cand_name, node, ob)
          |  JOIN my USING (cand_name, node, cb)
-         |  JOIN nn USING (cand_name, node))
+         |  JOIN nn USING (cand_name, node)))
          |SELECT cand_name, node, n,
          | floor((CAST(sum(cxy * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
          |   AS mi_nats
@@ -8474,13 +8587,18 @@ object SparkEntry {
          | FROM j GROUP BY 1, 2, 3, 4),
          |m1 AS (SELECT cand_name, node, y1, CAST(sum(c3) AS BIGINT) AS c1
          | FROM j GROUP BY 1, 2, 3),
-         |t AS (SELECT j.cand_name, j.node, nn.n, j.c3,
-         |  CAST(floor((ln((j.c3 * m1.c1) / (m2a.c2a * m2b.c2b)) + 1e-9) * 1e6 + 0.5)
+         |t AS (SELECT cand_name, node, n, c3,
+         |  CAST(floor((lnc3 + lnc1 - lnc2a - lnc2b + 1e-9) * 1e6 + 0.5)
          |    AS BIGINT) AS qln
+         | FROM (SELECT j.cand_name, j.node, nn.n, j.c3,
+         |  ${graft.functions.ExactMath.sqlLnCols("j.c3", "ta", "lnc3")},
+         |  ${graft.functions.ExactMath.sqlLnCols("m1.c1", "tb", "lnc1")},
+         |  ${graft.functions.ExactMath.sqlLnCols("m2a.c2a", "tc", "lnc2a")},
+         |  ${graft.functions.ExactMath.sqlLnCols("m2b.c2b", "td", "lnc2b")}
          | FROM j JOIN m2a USING (cand_name, node, y1, x1)
          |  JOIN m2b USING (cand_name, node, yt, y1)
          |  JOIN m1 USING (cand_name, node, y1)
-         |  JOIN nn USING (cand_name, node))
+         |  JOIN nn USING (cand_name, node)))
          |SELECT cand_name, node, n,
          | floor((CAST(sum(c3 * qln) AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4
          |   AS te_nats
@@ -8563,12 +8681,15 @@ object SparkEntry {
          | FROM ts2 a JOIN ts2 b
          |  ON a.name = b.name AND a.node = b.node AND a.i < b.i
          | GROUP BY 1, 2)
-         |SELECT name, node, n, r AS r_tol,
-         | CAST(bp AS BIGINT) AS b_pairs, CAST(ap AS BIGINT) AS a_pairs,
-         | CASE WHEN ap > 0 AND bp > 0 THEN
-         |  floor((ln(CAST(bp AS DOUBLE) / CAST(ap AS DOUBLE)) + 1e-11) * 1e6 + 0.5) / 1e6
+         |SELECT name, node, n, r_tol, b_pairs, a_pairs,
+         | CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+         |  floor((lnbp - lnap + 1e-11) * 1e6 + 0.5) / 1e6
          | END AS sampen
-         |FROM pr ORDER BY name, node""".stripMargin)),
+         |FROM (SELECT name, node, n, r AS r_tol,
+         |  CAST(bp AS BIGINT) AS b_pairs, CAST(ap AS BIGINT) AS a_pairs,
+         |  ${graft.functions.ExactMath.sqlLnCols("greatest(bp, 1)", "sa", "lnbp")},
+         |  ${graft.functions.ExactMath.sqlLnCols("greatest(ap, 1)", "sb", "lnap")}
+         | FROM pr) ORDER BY name, node""".stripMargin)),
 
     Q("ad_variance_shift", (s, dir) =>
       // volatility regime pages: leading/trailing 12-point windows,
@@ -8594,8 +8715,8 @@ object SparkEntry {
          |  12 * ns2 - CAST(ns AS HUGEINT) * ns AS nssd
          | FROM wf WHERE pn = 12 AND nn2 = 12)
          |SELECT name, node, tsb,
-         | floor((CAST(pssd AS DOUBLE) / 1584e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_prev,
-         | floor((CAST(nssd AS DOUBLE) / 1584e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_next,
+         | floor((CAST(pssd AS DOUBLE) / 132e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_prev,
+         | floor((CAST(nssd AS DOUBLE) / 132e12 + 1e-9) * 1e4 + 0.5) / 1e4 AS var_next,
          | CASE WHEN nssd > pssd * 9 THEN 'up' ELSE 'down' END AS direction
          |FROM sd WHERE nssd > pssd * 9 OR pssd > nssd * 9
          |ORDER BY name, node, tsb""".stripMargin)),
@@ -8606,7 +8727,7 @@ object SparkEntry {
       // the quantized integer)
       TextAnalysis.pmiBigrams(Tables.documents(s, dir), 5, 25),
     Some(
-      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      s"""WITH w AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
         |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
         |n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
         |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g FROM w),
@@ -8614,11 +8735,17 @@ object SparkEntry {
         |n2t AS (SELECT count(*) AS n2 FROM bg),
         |jj AS (SELECT g, c12, string_split(g, ' ')[1] AS w1,
         |  string_split(g, ' ')[2] AS w2 FROM bc),
-        |t AS (SELECT jj.g, jj.c12,
-        |  CAST(floor((ln(CAST(jj.c12 * n1 AS DOUBLE) / u1.c * n1 / (n2 * u2.c))
+        |t AS (SELECT g, c12,
+        |  CAST(floor((lnc12 + lnn1 + lnn1 - lnc1 - lnn2 - lnc2
         |    + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
+        | FROM (SELECT jj.g, jj.c12,
+        |  ${graft.functions.ExactMath.sqlLnCols("jj.c12", "pa", "lnc12")},
+        |  ${graft.functions.ExactMath.sqlLnCols("n1", "pb", "lnn1")},
+        |  ${graft.functions.ExactMath.sqlLnCols("u1.c", "pc", "lnc1")},
+        |  ${graft.functions.ExactMath.sqlLnCols("n2", "pd", "lnn2")},
+        |  ${graft.functions.ExactMath.sqlLnCols("u2.c", "pe", "lnc2")}
         | FROM jj JOIN uc u1 ON jj.w1 = u1.t JOIN uc u2 ON jj.w2 = u2.t
-        |  CROSS JOIN n1t CROSS JOIN n2t)
+        |  CROSS JOIN n1t CROSS JOIN n2t))
         |SELECT g, c12,
         | floor((CAST(qln AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS pmi_nats
         |FROM t ORDER BY qln DESC, g LIMIT 25""".stripMargin)),

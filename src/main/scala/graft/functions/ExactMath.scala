@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine BIT-EXACT natural log of positive integers.
+  *
+  * Why this exists: several operators quantize a log-probability
+  * (`floor((ln(c/r) + eps) * 1e6 + 0.5)`) and the driver's oracle
+  * replays the same formula in DuckDB. `ln` is a libm call on both
+  * engines and the two libms disagree at the last ulp; when the
+  * scaled value lands within that ulp of a floor boundary the two
+  * engines quantize to DIFFERENT integers and the hash gate fails —
+  * exactly the r5 `q34_session_surprise` defect (VERDICT r5, What's
+  * wrong #1). Re-quantizing more coarsely only shrinks the window;
+  * this kernel removes it.
+  *
+  * Mechanism: compute ln(n) for integer n ≥ 1 using ONLY IEEE-754
+  * `+ - * /` in a FIXED operation order. IEEE requires those four
+  * ops to be exactly rounded, so any engine that executes the same
+  * sequence on the same inputs produces the same 64-bit double —
+  * JVM (strict FP since Java 17), DuckDB's vectorized C++, and
+  * Spark codegen all qualify. No libm, no engine freedom.
+  *
+  *   k  = bitLength(n) - 1          (integer; `bin()` both engines)
+  *   m  = n / 2^k ∈ [1, 2)          (2^k exact; division exact-rounded)
+  *   z  = (m - 1) / (m + 1) ∈ [0, 1/3)
+  *   ln m = 2z · (1 + z²(1/3 + z²(1/5 + … + z²(1/29))))   [atanh series]
+  *   ln n = k · LN2 + ln m
+  *
+  * The truncation error is ≤ z³¹/31 < 3e-17 (z < 1/3), i.e. below
+  * one ulp of any ln value ≥ ln 2 — the result is a faithful ln —
+  * but the point is NOT accuracy: both engines get the IDENTICAL
+  * double because every step is an exactly-rounded op on identical
+  * inputs. LN2 is a shared decimal literal (decimal→double parsing
+  * is correctly rounded on both engines), and the 1/(2j+1)
+  * coefficients are written as divisions of small exact doubles so
+  * neither side depends on literal-printing precision.
+  *
+  * Three synchronized forms — keep them in lockstep when editing:
+  *  - [[lnInt]]      driver-side Scala (tiny collected models)
+  *  - [[lnIntCol]]   Spark Column (distributed, codegen-friendly)
+  *  - [[sqlLnCols]]  DuckDB SELECT snippet (oracle replay; uses
+  *                   lateral column aliases, so the emitted aliases
+  *                   `<pfx>_k/_m/_z/_q` must not collide)
+  */
+object ExactMath {
+
+  /** Shared ln(2) literal — parse-identical on JVM and DuckDB. */
+  final val LN2 = 0.6931471805599453
+
+  /** atanh-series Horner spine: 1 + z²(1/3 + z²(1/5 + … + z²(1/29))).
+    * Written once; the three forms below replay the same nesting.
+    */
+  private final val OddCoefs: Seq[Int] = Seq(29, 27, 25, 23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3)
+
+  /** ln(n) for a positive integer, bit-identical to [[lnIntCol]] /
+    * [[sqlLnCols]]. n = 1 → exactly 0.0.
+    */
+  def lnInt(n: Long): Double = {
+    require(n >= 1, s"lnInt needs a positive integer, got $n")
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << k).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val q = z * z
+    var acc = 1.0 / OddCoefs.head
+    OddCoefs.tail.foreach { c => acc = 1.0 / c + q * acc }
+    val lnm = 2.0 * z * (1.0 + q * acc)
+    k.toDouble * LN2 + lnm
+  }
+
+  /** ln(c/r) for positive integers — the log-probability form. */
+  def lnRatio(c: Long, r: Long): Double = lnInt(c) - lnInt(r)
+
+  /** Column form of [[lnInt]]; `n` must be a positive integral
+    * column (cast to long internally). Pure arithmetic + `bin` +
+    * `shiftleft` — stays inside whole-stage codegen.
+    */
+  def lnIntCol(n: Column): Column = {
+    val nl = n.cast("long")
+    val k = (length(bin(nl)) - lit(1)).cast("int")
+    val pow2k = call_function("shiftleft", lit(1L), k)
+    val m = nl.cast("double") / pow2k.cast("double")
+    lnWithKM(k, m)
+  }
+
+  private def lnWithKM(k: Column, m: Column): Column = {
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    val q = z * z
+    var acc: Column = lit(1.0) / lit(OddCoefs.head.toDouble)
+    OddCoefs.tail.foreach { c => acc = lit(1.0) / lit(c.toDouble) + q * acc }
+    val lnm = lit(2.0) * z * (lit(1.0) + q * acc)
+    k.cast("double") * lit(LN2) + lnm
+  }
+
+  /** DuckDB SELECT-list snippet computing `<out>` = ln(`<nExpr>`)
+    * via lateral column aliases. Emits four helper aliases prefixed
+    * `<pfx>` — give each call in a SELECT a distinct prefix.
+    */
+  def sqlLnCols(nExpr: String, pfx: String, out: String): String = {
+    val horner = OddCoefs.tail.foldLeft(s"1.0/${OddCoefs.head}.0") {
+      (acc, c) => s"1.0/$c.0 + ${pfx}q * ($acc)"
+    }
+    s"""length(bin(CAST($nExpr AS BIGINT))) - 1 AS ${pfx}k,
+       |  CAST($nExpr AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ${pfx}k) AS DOUBLE) AS ${pfx}m,
+       |  (${pfx}m - 1.0) / (${pfx}m + 1.0) AS ${pfx}z,
+       |  ${pfx}z * ${pfx}z AS ${pfx}q,
+       |  CAST(${pfx}k AS DOUBLE) * $LN2 + 2.0 * ${pfx}z * (1.0 + ${pfx}q * ($horner)) AS $out""".stripMargin
+  }
+}

@@ -104,7 +104,9 @@ object Pelt {
     val md = m.toDouble
     val v = (md * s2.toDouble - s1.toDouble * s1.toDouble) / (md * (md - 1.0))
     val sigma2 = v / 2.0
-    val lnq = math.floor(math.log(n.toDouble) * 1e9 + 0.5) / 1e9
+    // ExactMath.lnInt: the ×1e9 grid made a libm ulp flip plausible;
+    // the exact kernel is replayed op-for-op by the oracle
+    val lnq = math.floor(ExactMath.lnInt(n.toLong) * 1e9 + 0.5) / 1e9
     math.max(2.0 * sigma2 * lnq, 1e-12)
   }
 

@@ -618,7 +618,9 @@ object Anomaly {
           }
           val se =
             if (a > 0 && b > 0)
-              Some(math.floor((math.log(b.toDouble / a.toDouble) + 1e-11) *
+              // ExactMath.lnRatio: cross-engine bit-exact ln of the
+              // integer pair-count ratio (libm ln risked a floor flip)
+              Some(math.floor((graft.functions.ExactMath.lnRatio(b, a) + 1e-11) *
                 1e6 + 0.5) / 1e6)
             else None
           Iterator.single((key._1, key._2, n.toLong, r, b, a, se))
@@ -651,7 +653,10 @@ object Anomaly {
     val base = Window.partitionBy("name", "node").orderBy("tsb")
     val wp = base.rowsBetween(-w, -1)
     val wn = base.rowsBetween(Window.currentRow, w - 1)
-    val denom = w.toDouble * w * (w - 1) * 1e12
+    // ssd = w·Σq² − (Σq)² = w·SSD, so sample variance = ssd/(w·(w−1));
+    // the ×1e12 de-scales the ×1e6 quantization (r5 ADVICE fix: the
+    // old denominator carried an extra factor of w)
+    val denom = w.toDouble * (w - 1) * 1e12
     g.withColumn("pn", count(lit(1)).over(wp))
       .withColumn("ps", sum("q").over(wp))
       .withColumn("ps2", sum(big(col("q")) * col("q")).over(wp))

@@ -622,7 +622,12 @@ object Correlate {
       .join(my, Seq("cand_name", "node", "cb"))
       .join(nn, Seq("cand_name", "node"))
       .withColumn("qln",
-        floor((log(col("cxy") * col("n") / (col("cx") * col("cy"))) + lit(1e-9)) *
+        // ExactMath flat lnInt sum (cross-engine bit-exact, no product
+        // overflow): ln(cxy·n/(cx·cy)) = L(cxy)+L(n)−L(cx)−L(cy)
+        floor((graft.functions.ExactMath.lnIntCol(col("cxy")) +
+          graft.functions.ExactMath.lnIntCol(col("n")) -
+          graft.functions.ExactMath.lnIntCol(col("cx")) -
+          graft.functions.ExactMath.lnIntCol(col("cy")) + lit(1e-9)) *
           lit(1e6) + lit(0.5)).cast("long"))
       .groupBy("cand_name", "node", "n")
       .agg(sum(col("cxy") * col("qln")).as("s"))
@@ -689,7 +694,11 @@ object Correlate {
       .join(c1, Seq("cand_name", "node", "y1"))
       .join(nn, Seq("cand_name", "node"))
       .withColumn("qln",
-        floor((log(col("c3") * col("c1") / (col("c2a") * col("c2b"))) +
+        // ExactMath flat lnInt sum — see mutualInfo's qln note
+        floor((graft.functions.ExactMath.lnIntCol(col("c3")) +
+          graft.functions.ExactMath.lnIntCol(col("c1")) -
+          graft.functions.ExactMath.lnIntCol(col("c2a")) -
+          graft.functions.ExactMath.lnIntCol(col("c2b")) +
           lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy("cand_name", "node", "n")
       .agg(sum(col("c3") * col("qln")).as("s"))

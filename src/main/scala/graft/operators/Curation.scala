@@ -776,7 +776,14 @@ object Curation {
     val ach = when(col("ktot") > 0,
       col("kept").cast("double") / col("ktot")).otherwise(lit(0.0))
     val tgt = col("wq").cast("double") / col("wsum").cast("double")
-    val qln = floor((log(ach / tgt) + lit(1e-9)) * lit(1e6) + lit(0.5))
+    // ExactMath flat lnInt sum: ln((kept/ktot)/(wq/wsum)) =
+    // L(kept)−L(ktot)−L(wq)+L(wsum) — cross-engine bit-exact; the
+    // kept=0 case never surfaces (kl_term guards on kept > 0, and
+    // both engines compute the same placeholder for the dead branch)
+    val L = (c: org.apache.spark.sql.Column) =>
+      graft.functions.ExactMath.lnIntCol(c)
+    val qln = floor((L(col("kept")) - L(col("ktot")) - L(col("wq")) +
+      L(col("wsum")) + lit(1e-9)) * lit(1e6) + lit(0.5))
       .cast("long")
     j.select(col(strataCol), col("cnt").cast("bigint").as("n_docs"), col("kept"),
       r4(col("cnt") / col("tot")).as("natural_share"),

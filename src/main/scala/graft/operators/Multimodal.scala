@@ -26,10 +26,20 @@ object Multimodal {
     * downstream mm_* aggregations keep whole-stage codegen.
     */
   def decodeMeta(docs: DataFrame,
-                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
+                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame =
+    decodeMetaBinary(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      decoder)
+
+  /** Binary-column twin of [[decodeMeta]] — the PRODUCTION shape
+    * (media are opaque `binary` columns with typed metadata; the text
+    * cast above is the sandbox stand-in). Input: (doc_id, payload).
+    */
+  def decodeMetaBinary(docs: DataFrame,
+                       decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         decoder.decoderInit() // once per partition — native setup hook
@@ -114,11 +124,20 @@ object Multimodal {
     * all-pairs never materializes.
     */
   def phashPairs(docs: DataFrame, maxDist: Int = 3,
-                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
+                 decoder: MediaDecoder = MediaDecoder.Stub): DataFrame =
+    phashPairsBinary(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      maxDist, decoder)
+
+  /** Binary-column twin of [[phashPairs]] (see [[decodeMetaBinary]]).
+    * Input: (doc_id, payload).
+    */
+  def phashPairsBinary(docs: DataFrame, maxDist: Int = 3,
+                       decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         decoder.decoderInit()

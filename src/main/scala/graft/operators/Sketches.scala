@@ -46,6 +46,11 @@ object Sketches {
   /** Same literal for the oracle side, full precision. */
   def hllCoefLiteral: String = f"$HllCoef%.17e"
 
+  /** ln(m) for the linear-counting branch, as the shared literal both
+    * engines parse to the same double (ExactMath convention).
+    */
+  def lnHllMLiteral: String = graft.functions.ExactMath.lnInt(HllM).toString
+
   /** HyperLogLog distinct-count per group (Flajolet et al. 2007, the
     * original α_m m²/Σ2^-ρ estimator with linear-counting small-range
     * correction — not HLL++, whose bias tables are Spark-internal).
@@ -118,7 +123,11 @@ object Sketches {
     withS.select(
       col(keyCol),
       when(eRaw <= lit(2.5 * HllM) && col("v") > 0,
-        floor(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v").cast("double")) + 0.5))
+        // linear counting m·ln(m/V) with the cross-engine exact ln:
+        // ln m is the shared literal [[lnHllMLiteral]], ln V is
+        // ExactMath.lnIntCol — no libm in the floored estimate
+        floor(lit(HllM.toDouble) * (lit(graft.functions.ExactMath.lnInt(HllM)) -
+          graft.functions.ExactMath.lnIntCol(col("v"))) + 0.5))
         .otherwise(floor(eRaw + 0.5))
         .cast("long").as(out))
   }

@@ -52,9 +52,11 @@ object TextAnalysis {
     * quality gate reads next to [[qualityScore]] (template spam has low
     * entropy at normal length; boilerplate keyword stuffing has low
     * TTR). Entropy uses the exact-count decomposition
-    * H = ln n − (Σ c·ln c)/n, so every input to the logs is an exact
-    * integer; the ≤|vocab|-term double sum's ordering noise is absorbed
-    * by the 4-dp grid (the text_perplexity argument).
+    * H = ln n − (Σ c·qln c)/n with qln = the ×1e6-quantized
+    * cross-engine exact ln ([[graft.functions.ExactMath]]): the sum is
+    * an exact INTEGER (order-free, partition-invariant) and the only
+    * doubles are the bit-exact lnInt outputs — no libm, no
+    * sum-ordering noise (the r5 ln-audit conversion).
     *
     * Plan: one (doc_id, word) count shuffle, then a per-doc rollup —
     * both keyed aggregates, no raw text past the first projection.
@@ -62,12 +64,15 @@ object TextAnalysis {
   def wordEntropy(docs: DataFrame): DataFrame = {
     val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val qlc = floor((graft.functions.ExactMath.lnIntCol(col("c")) +
+      lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long")
     wc.groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+        sum(col("c") * qlc).as("slc"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         r4(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
-        r4(log(col("n_tokens").cast("double")) - col("slc") / col("n_tokens"))
+        r4(graft.functions.ExactMath.lnIntCol(col("n_tokens")) -
+          col("slc").cast("double") / col("n_tokens") / lit(1e6))
           .as("h_word"))
   }
 
@@ -303,8 +308,12 @@ object TextAnalysis {
     // per-gram quantized bits: exact integers, so per-doc sums are
     // order-independent (partition-invariant) by construction
     val qbits: Map[String, Long] = counts.iterator.map { case (g, cg) =>
-      val p = (cg + 1).toDouble / (ctx(g.substring(0, 1)) + v.toDouble)
-      val bits = -(math.log(p) / math.log(2.0))
+      // ExactMath: bits = −ln((cg+1)/(ctx+v))/LN2 with the cross-engine
+      // exact integer ln and the shared LN2 literal — no libm in the
+      // quantized path (the r5 ln-audit conversion)
+      val bits = -((graft.functions.ExactMath.lnInt(cg + 1) -
+        graft.functions.ExactMath.lnInt(ctx(g.substring(0, 1)) + v)) /
+        graft.functions.ExactMath.LN2)
       g -> math.floor((bits + 1e-9) * 1e6 + 0.5).toLong
     }.toMap
     val bc = spark.sparkContext.broadcast(qbits)
@@ -561,9 +570,14 @@ object TextAnalysis {
       .filter(col("c12") >= minCount)
     val totals = uni.agg(sum("c").as("n1")).crossJoin(
       bg.agg(count(lit(1)).as("n2")))
-    val qln = floor((log((col("c12") * col("n1")).cast("double") / col("c1") *
-      col("n1") / (col("n2") * col("c2"))) + lit(1e-9)) * lit(1e6) + lit(0.5))
-      .cast("long")
+    // ExactMath flat lnInt sum — ln(c12·n1²/(c1·n2·c2)) as
+    // L(c12)+L(n1)+L(n1)−L(c1)−L(n2)−L(c2): bit-identical to the
+    // oracle and free of the integer-product overflow the old
+    // ratio form risked at corpus scale
+    val L = (c: Column) => graft.functions.ExactMath.lnIntCol(c)
+    val qln = floor((L(col("c12")) + L(col("n1")) + L(col("n1")) -
+      L(col("c1")) - L(col("n2")) - L(col("c2")) +
+      lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long")
     bc
       .withColumn("w1", split(col("g"), " ").getItem(0))
       .withColumn("w2", split(col("g"), " ").getItem(1))
@@ -725,7 +739,10 @@ object TextAnalysis {
     val rankW = Window.partitionBy("source")
       .orderBy(col("c").desc, col("w").asc)
     val qln = (c: Column) =>
-      floor((log(c.cast("double")) + lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long")
+      // ExactMath.lnIntCol: ranks/counts are positive integers, so the
+      // log-log fit's quantized inputs are cross-engine bit-exact
+      floor((graft.functions.ExactMath.lnIntCol(c) + lit(1e-9)) *
+        lit(1e6) + lit(0.5)).cast("long")
     val head = counts.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= topK)
       .select(col("source"), qln(col("rank")).as("xq"), qln(col("c")).as("yq"))
@@ -837,7 +854,10 @@ object TextAnalysis {
       .withColumn("pa", big(col("ca")) * col("nb"))
       .withColumn("pb", big(col("cb")) * col("na"))
     val qln = (num: Column, den: Column) =>
-      floor((log((num * lit(2)).cast("double") / den.cast("double")) + lit(1e-9)) *
+      // ExactMath: ln(2·num/den) = L(2·num) − L(den) on exact integers
+      // (2·num = 2·ca·nb stays far under Long.Max through 100× scale)
+      floor((graft.functions.ExactMath.lnIntCol(num * lit(2)) -
+        graft.functions.ExactMath.lnIntCol(den) + lit(1e-9)) *
         lit(1e6) + lit(0.5)).cast(DecimalType(38, 0))
     val common = jx
       .withColumn("l1", qln(col("pa"), col("pa") + col("pb")))

@@ -855,7 +855,11 @@ object TimeSeries {
           (col("nw") * lit(1000000L)).cast("double"))
         .withColumn("w", lit(w))
         .withColumn("yq",
-          floor((log(col("mrs")) + lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
+          // exact ln of the integer ratio srq/(nw·1e6) via ExactMath —
+          // ln(mrs) through libm once risked a ×1e6 floor flip
+          floor((graft.functions.ExactMath.lnIntCol(col("srq")) -
+            graft.functions.ExactMath.lnIntCol(col("nw") * lit(1000000L)) +
+            lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
         .withColumn("xq", lit(lnQ(w)))
         .select("name", "node", "w", "mrs", "xq", "yq")
     }
@@ -1213,7 +1217,13 @@ object TimeSeries {
     cells.join(tot, Seq("name", "node"))
       .filter(col("c1") > 0 && col("c2") > 0)
       .withColumn("qln",
-        floor((log((col("c2") * col("n1")) / (col("c1") * col("n2"))) +
+        // cross-engine exact ln (ExactMath): flat lnInt sum instead of
+        // ln of an integer-product ratio — bit-identical to the oracle
+        // and overflow-free at any corpus size
+        floor((graft.functions.ExactMath.lnIntCol(col("c2")) +
+          graft.functions.ExactMath.lnIntCol(col("n1")) -
+          graft.functions.ExactMath.lnIntCol(col("c1")) -
+          graft.functions.ExactMath.lnIntCol(col("n2")) +
           lit(1e-9)) * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("term",
         (col("c2") * col("n1") - col("c1") * col("n2")) * col("qln"))

@@ -32,7 +32,17 @@ object MetricsProm {
 
   /** Parse a DataFrame of raw exposition lines (column `value`).
     * `nodeLabel` names the label that becomes the signal's node
-    * (empty node when absent — single-target scrapes have none).
+    * (empty node when absent — single-target scrapes have none). The
+    * label key is anchored to a label boundary (start-of-labels or a
+    * comma), so a label merely SUFFIXED with the key (`myinstance=`)
+    * is never misread as the node (r5 ADVICE fix).
+    *
+    * Known limitation (documented, not handled): the exposition spec
+    * allows `\"` and `}` inside quoted label VALUES; this single-pass
+    * regex projection reads such values up to the first unescaped-
+    * looking quote/brace. Telemetry label values are overwhelmingly
+    * plain tokens; a corpus that needs escaped quotes should pre-
+    * normalize or extend the parse with a real tokenizer.
     */
   def parse(lines: DataFrame, nodeLabel: String = "instance",
             defaultTsec: Long = 0L): DataFrame = {
@@ -49,7 +59,8 @@ object MetricsProm {
           .otherwise(vstr.cast("double")))
       .withColumn("tsms", split(col("rest"), "\\s+").getItem(1).cast("long"))
       .withColumn("node",
-        regexp_extract(col("labels"), nodeLabel + "=\"([^\"]*)\"", 1))
+        regexp_extract(col("labels"),
+          "(?:^|,)\\s*" + java.util.regex.Pattern.quote(nodeLabel) + "=\"([^\"]*)\"", 1))
       .filter(col("name") =!= "" && col("v").isNotNull)
       .select(col("name"), col("node"),
         coalesce(expr("tsms div 1000"), lit(defaultTsec)).as("tsec"),

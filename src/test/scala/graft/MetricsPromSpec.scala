@@ -37,6 +37,21 @@ class MetricsPromSpec extends SparkTestBase {
     assert(!out.exists(_._1 == "bad_value"))
   }
 
+  test("node label key is anchored to a label boundary") {
+    val lines = Seq(
+      // a label SUFFIXED with the key must not be misread as the node
+      """reqs{myinstance="wrong"} 1 1000000""",
+      // ...and must not shadow the real key when both are present
+      """reqs{myinstance="wrong",instance="right"} 2 1000000""",
+      // key first in the label list (start-of-labels anchor)
+      """reqs{instance="first",job="j"} 3 1000000""",
+      // key mid-list after a comma, with exposition-legal spacing
+      """reqs{job="j", instance="mid"} 4 1000000""").toDF("value")
+    val out = MetricsProm.parse(lines).orderBy("value")
+      .collect().map(r => (r.getDouble(3), r.getString(1)))
+    assert(out.toSeq == Seq((1.0, ""), (2.0, "right"), (3.0, "first"), (4.0, "mid")))
+  }
+
   test("parsed signals feed the grid ops directly") {
     val lines = (0 until 8).map(i =>
       s"""cpu_busy{instance="h1"} ${i * 1.5} ${(1000L + i * 900L) * 1000L}""")
