@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // keep the heap small: on this microVM a large Xmx lets the JVM grow
-  // into cold overcommitted host pages instead of GCing — measured 65 s
-  // vs 250 s for the same bench at 8g vs 48g
+  // keep the heap small AND fixed: on this microVM a large Xmx lets the
+  // JVM grow into cold overcommitted host pages instead of GCing —
+  // measured 65 s vs 250 s for the same bench at 8g vs 48g. Xms = Xmx
+  // so GC reuses warm pages rather than expanding mid-query.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -14,6 +14,15 @@ import org.apache.spark.sql.graft.VectorExpressions.vecDot
   */
 object Clustering {
 
+  /** Largest centroid count carried as plan LITERALS. Below this the
+    * literal-array distance expression stays comfortably inside one
+    * generated method (k = 79 compiled clean at the sfx1 audit; the
+    * janino failure arrived at k = 782); above it [[lloydExact]] and
+    * [[silhouette]] switch to the broadcast-centroid mapPartitions
+    * kernel with bit-identical arithmetic.
+    */
+  private val LiteralKMax = 128
+
   /** Engine-exact Lloyd's k-means over the embedding column.
     *
     * MLlib's KMeans (kmeans|| init, double centroids) is seeded but not
@@ -34,7 +43,9 @@ object Clustering {
     *    any engine); an emptied cluster keeps its previous centroid.
     *
     * Spark execution shape: centroids live in the plan as literals
-    * (broadcast by construction), each round is ONE scan of the
+    * up to [[LiteralKMax]] (broadcast by construction) and ride a
+    * real broadcast + mapPartitions kernel past it (identical IEEE
+    * arithmetic — see assignTo); each round is ONE scan of the
     * persisted quantized corpus into a k×(d+1)-cell hash aggregate
     * (map-side combined), and only that k×(d+1) frame reaches the
     * driver — Lloyd's at 100 TB is `iters` scans with O(k·d) driver
@@ -56,24 +67,77 @@ object Clustering {
       .withColumn("qd", transform(col("q"), _.cast("double")))
       .withColumn("selfq", vecDot(col("qd"), col("qd")))
       .persist().tracked
-    def assignTo(cents: Array[Array[Long]]): DataFrame = {
-      // one distance expression per centroid, gathered into an ARRAY:
-      // array_min + first-position argmin keeps the plan LINEAR in k
-      // (a when-chain fold duplicates the running best twice per step
-      // — 3^k expression growth, measured as a 13 s codegen stall at
-      // k = 8) and array_position's first-match IS the lowest-cluster
-      // tiebreak
-      val dcols = cents.map { cv =>
-        val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
-        col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
-          lit(cv.map(v => v.toDouble * v.toDouble).sum)
+    def assignTo(cents: Array[Array[Long]]): DataFrame =
+      if (cents.length <= LiteralKMax) {
+        // one distance expression per centroid, gathered into an ARRAY:
+        // array_min + first-position argmin keeps the plan LINEAR in k
+        // (a when-chain fold duplicates the running best twice per step
+        // — 3^k expression growth, measured as a 13 s codegen stall at
+        // k = 8) and array_position's first-match IS the lowest-cluster
+        // tiebreak
+        val dcols = cents.map { cv =>
+          val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
+          col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
+            lit(cv.map(v => v.toDouble * v.toDouble).sum)
+        }
+        q.withColumn("darr", array(dcols.toSeq: _*))
+          .withColumn("dist2q", array_min(col("darr")))
+          .withColumn("cluster",
+            (array_position(col("darr"), col("dist2q")) - 1).cast("int"))
+          .drop("darr")
+      } else {
+        // past ~10² centroids the literal form stops being a plan and
+        // starts being a program: O(k·d) expression nodes blow the
+        // generated hashAgg method past janino's limits (measured at
+        // the sfx10 decade audit — autoCells-derived k = 782 produced
+        // a 36 000-line method, compile failure, and an interpreted
+        // fallback ~60× slower). At scale centroids are DATA, not
+        // plan: they ride one broadcast and a mapPartitions kernel
+        // computes the argmin with the IDENTICAL IEEE op order
+        // ((selfq − 2·dot) + Σc², sequential dot exactly as VecDot's
+        // loop, strict < keeping the first/lowest cluster on ties) —
+        // bit-for-bit the literal plan's result, O(1) plan size and
+        // O(k·d) broadcast bytes at any k. Same kernel contract as
+        // the minhash/phash mapPartitions: justified here because no
+        // composition of built-in operators is both O(1)-plan-size
+        // and argmin-exact at unbounded k.
+        val cd = cents.map(_.map(_.toDouble))
+        val c2 = cents.map(_.map(v => v.toDouble * v.toDouble).sum)
+        val bCd = q.sparkSession.sparkContext.broadcast(cd)
+        val bC2 = q.sparkSession.sparkContext.broadcast(c2)
+        val outSchema = org.apache.spark.sql.types.StructType(
+          q.schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("dist2q",
+              org.apache.spark.sql.types.DoubleType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster",
+              org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val qdIdx = q.schema.fieldIndex("qd")
+        val sqIdx = q.schema.fieldIndex("selfq")
+        q.mapPartitions { rows =>
+          val cdv = bCd.value
+          val c2v = bC2.value
+          rows.map { r =>
+            val qd = r.getSeq[Double](qdIdx)
+            val x = new Array[Double](qd.length)
+            var j = 0
+            while (j < x.length) { x(j) = qd(j); j += 1 }
+            val selfq = r.getDouble(sqIdx)
+            var best = Double.PositiveInfinity
+            var bi = 0
+            var ci = 0
+            while (ci < cdv.length) {
+              val cv = cdv(ci)
+              var acc = 0.0
+              var i = 0
+              while (i < x.length) { acc += x(i) * cv(i); i += 1 }
+              val dist = selfq - 2.0 * acc + c2v(ci)
+              if (dist < best) { best = dist; bi = ci }
+              ci += 1
+            }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best :+ bi)
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
       }
-      q.withColumn("darr", array(dcols.toSeq: _*))
-        .withColumn("dist2q", array_min(col("darr")))
-        .withColumn("cluster",
-          (array_position(col("darr"), col("dist2q")) - 1).cast("int"))
-        .drop("darr")
-    }
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k vectors")
@@ -117,14 +181,57 @@ object Clustering {
     */
   def silhouette(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
     val (assigned, cents) = lloydExact(embs, k, iters)
-    val dcols = cents.map { cv =>
-      val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
-      col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
-        lit(cv.map(v => v.toDouble * v.toDouble).sum)
+    val withB = if (cents.length <= LiteralKMax) {
+      val dcols = cents.map { cv =>
+        val c = array(cv.map(v => lit(v.toDouble)).toSeq: _*)
+        col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
+          lit(cv.map(v => v.toDouble * v.toDouble).sum)
+      }
+      assigned
+        .withColumn("sorted", array_sort(array(dcols.toSeq: _*)))
+        .withColumn("b", element_at(col("sorted"), 2))
+        .drop("sorted")
+    } else {
+      // the assignTo kernel's sibling: track the two smallest
+      // distances in one broadcast-centroid pass; the second order
+      // statistic (duplicates counted) is exactly what
+      // element_at(array_sort(darr), 2) yields in the literal plan
+      val cd = cents.map(_.map(_.toDouble))
+      val c2 = cents.map(_.map(v => v.toDouble * v.toDouble).sum)
+      val bCd = assigned.sparkSession.sparkContext.broadcast(cd)
+      val bC2 = assigned.sparkSession.sparkContext.broadcast(c2)
+      val outSchema = org.apache.spark.sql.types.StructType(
+        assigned.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "b", org.apache.spark.sql.types.DoubleType, nullable = false))
+      val qdIdx = assigned.schema.fieldIndex("qd")
+      val sqIdx = assigned.schema.fieldIndex("selfq")
+      assigned.mapPartitions { rows =>
+        val cdv = bCd.value
+        val c2v = bC2.value
+        rows.map { r =>
+          val qd = r.getSeq[Double](qdIdx)
+          val x = new Array[Double](qd.length)
+          var j = 0
+          while (j < x.length) { x(j) = qd(j); j += 1 }
+          val selfq = r.getDouble(sqIdx)
+          var m1 = Double.PositiveInfinity
+          var m2 = Double.PositiveInfinity
+          var ci = 0
+          while (ci < cdv.length) {
+            val cv = cdv(ci)
+            var acc = 0.0
+            var i = 0
+            while (i < x.length) { acc += x(i) * cv(i); i += 1 }
+            val dist = selfq - 2.0 * acc + c2v(ci)
+            if (dist < m1) { m2 = m1; m1 = dist }
+            else if (dist < m2) { m2 = dist }
+            ci += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m2)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     }
-    assigned
-      .withColumn("sorted", array_sort(array(dcols.toSeq: _*)))
-      .withColumn("b", element_at(col("sorted"), 2))
+    withB
       .withColumn("sil", when(col("b") > 0,
         (sqrt(col("b")) - sqrt(col("dist2q"))) / sqrt(col("b")))
         .otherwise(lit(0.0)))
@@ -351,10 +458,9 @@ object Clustering {
     // k <= 0 → self-scaling cell count (Similarity.autoCells): holds
     // the mean cluster at ~targetCell vectors so Σ|cluster|² grows
     // linearly with the corpus instead of n²/k at pinned k. Lloyd's
-    // assignment plan carries k centroid-literal arrays (O(k·d)
-    // expression nodes) — fine to k ≈ low hundreds; past that the
-    // first-k IVF partitioner (Dedup.embedCosinePairsIvf) with a
-    // broadcast centroid TABLE is the partitioner of record.
+    // assignment carries centroid literals only to k = LiteralKMax;
+    // past that it switches to the broadcast-centroid kernel, so the
+    // derived k can grow with the corpus without plan blowup.
     val kEff = if (k > 0) k else graft.operators.Similarity.autoCells(embs)
     val (asgRaw, _) = lloydExact(embs, kEff, iters)
     val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))

@@ -544,13 +544,8 @@ object Dedup {
       .withColumn("nrm", vecNorm(col("v")))
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = graft.operators.Similarity.assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

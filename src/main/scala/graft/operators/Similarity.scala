@@ -25,6 +25,36 @@ object Similarity {
 
   private def norm(v: Column): Column = vecNorm(v)
 
+  /** Shared IVF cell assignment: nearest centroid (highest ROUNDED
+    * cosine, ties → lowest cid) for every `base` row, where `base`
+    * carries (vec_id, v, nrm, …payload) and `cents` is the broadcast
+    * (cid, cv, cn) centroid table. Returns base's columns + `cell`.
+    *
+    * Execution shape — an ARGMAX AGGREGATE, not a row_number window:
+    * the broadcast cross product's n×k candidate rows collapse to one
+    * slim (vec_id, cell) row per vector INSIDE the scan task
+    * (map-side combine of min(struct(−csim, cid)), whose ordering IS
+    * (csim DESC, cid ASC) — IEEE negation is exact and −0.0 sorts
+    * below +0.0 on both engines, preserving the csim-DESC winner),
+    * and the payload rejoins by vec_id — two n-row exchanges total.
+    * The previous row_number-window form shuffled and SORTED all n×k
+    * rows with the full vector payload, which at the sfx10 decade
+    * audit (k = 782 derived cells, n = 50 k) was a 39 M-row ×
+    * ~600 B exchange dominating every autoCells consumer. Results
+    * are identical row-for-row; only the plan changed.
+    */
+  private[operators] def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
+    val best = base.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"),
+        r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("csim")).as("nc"), col("cid").as("cid"))).as("mc"))
+      .select(col("vec_id"), col("mc.cid").as("cell"))
+    base.join(best, "vec_id")
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (self excluded).
     * Query side broadcast; ranking on rounded cosine + id tiebreak.
     */
@@ -111,13 +141,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(base, cents)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("qcell"))
@@ -336,13 +360,8 @@ object Similarity {
     val cells = if (nCells > 0) nCells else autoCells(embs)
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .withColumn("sk", sk)
       .persist().tracked // both sides of the pair self-join
     val pairs = assigned.as("a").join(assigned.as("b"),
@@ -453,13 +472,8 @@ object Similarity {
       .withColumn("nrm", vecNorm(col("v")))
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .persist().tracked
     val sims = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -494,14 +508,8 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("cid").as("cell"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
       .persist().tracked
     val sims = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -722,13 +730,8 @@ object Similarity {
       .withColumn("nrm", vecNorm(col("v")))
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim", r4(vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .persist().tracked // eval and train splits share one assignment
     val ev = assigned.filter(col("vec_id") % evalMod === 0)
       .select(col("vec_id").as("eid"), col("v").as("ev"),

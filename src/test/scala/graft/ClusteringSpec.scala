@@ -88,6 +88,59 @@ class ClusteringSpec extends SparkTestBase {
     assert(got == naiveLloyd(data.map(d => (d._1, d._2)), 3, 3))
   }
 
+  test("large-k kernel assignment matches the naive reference (k > LiteralKMax)") {
+    // k = 140 crosses the literal-plan ceiling (128), so assignment
+    // runs through the broadcast-centroid mapPartitions kernel; the
+    // naive replay must agree exactly (all distances are exact
+    // integers < 2^53, so FP summation order cannot split the paths)
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 200).map { i =>
+      (i.toLong, Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f), i % 3)
+    }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val (assigned, _) = Clustering.lloydExact(df, k = 140, iters = 2)
+    val got = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = naiveLloyd(data.map(d => (d._1, d._2)), 140, 2)
+    assert(got == want)
+  }
+
+  test("silhouette kernel path (k > LiteralKMax) matches a naive replay") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 200).map { i =>
+      (i.toLong, Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f), i % 3)
+    }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val got = Clustering.silhouette(df, k = 140, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val (assigned, cents) = Clustering.lloydExact(df, k = 140, iters = 2)
+    val rows = assigned.select("vec_id", "cluster", "dist2q", "q").collect()
+    val perVec = rows.map { r =>
+      val q = r.getSeq[Long](3).toArray
+      val dists = cents.map { c =>
+        q.indices.map { d =>
+          val diff = (q(d) - c(d)).toDouble; diff * diff
+        }.sum
+      }.sorted
+      val a = r.getDouble(2)
+      val b = dists(1)
+      assert(dists(0) == a, "own-centroid distance must be the argmin")
+      val sil =
+        if (b > 0) (math.sqrt(b) - math.sqrt(a)) / math.sqrt(b) else 0.0
+      (r.getInt(1), math.floor((sil + 1e-9) * 1e4 + 0.5).toLong)
+    }
+    val byCluster = perVec.groupBy(_._1)
+    got.foreach { case (cluster, n, meanSil, minSil) =>
+      val sqs = byCluster(cluster).map(_._2)
+      assert(n == sqs.length, s"cluster $cluster size")
+      val em = math.floor(
+        (sqs.sum.toDouble / n / 1e4 + 1e-9) * 1e4 + 0.5) / 1e4
+      assert(meanSil == em, s"cluster $cluster mean_sil")
+      assert(minSil == sqs.min.toDouble / 1e4, s"cluster $cluster min_sil")
+    }
+  }
+
   test("distance outliers returns a ranked top-N deterministically") {
     val out1 = Clustering.distanceOutliers(twoBlobs, 2, 5).collect()
     val out2 = Clustering.distanceOutliers(twoBlobs, 2, 5).collect()
