@@ -224,12 +224,14 @@ object SparkEntry {
 
   private val SQL_LLOYD: String = sqlLloyd("8")
 
-  /** The autoCells cell count (Similarity.autoCells defaults:
-    * targetCell 64, minCells 8) as a DuckDB scalar subquery — the
-    * oracle twin of the `nCells <= 0` production path.
+  /** The autoCells cell count (Similarity.autoCells: the balanced
+    * k = max(8, ceil(√n))) as a DuckDB scalar subquery — the oracle
+    * twin of the `nCells <= 0` production path. sqrt/ceil are IEEE
+    * correctly-rounded on both engines, so the derived count is
+    * engine-exact at any corpus size.
     */
   private val SQL_AUTOCELLS =
-    "(SELECT greatest(8, (count(*) + 63) // 64) FROM embeddings)"
+    "(SELECT greatest(8, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)"
 
   /** Label-kNN-accuracy oracle with a parametric centroid count —
     * shared by the fixed-cells gate and the autoCells gate.
@@ -7011,10 +7013,10 @@ object SparkEntry {
 
     Q("dedup_semdedup_auto", (s, dir) => {
       // the PRODUCTION SemDeDup path: k <= 0 derives the cell count
-      // via Similarity.autoCells (mean cell ~64 → Σ|cell|² linear in
-      // corpus size), so the knob users run at scale is the knob the
-      // oracle hash-checks (r5 verdict #4 — the fixed-k gate alone
-      // left the self-scaling path unverified)
+      // via Similarity.autoCells (balanced ceil(√n) — assignment and
+      // Σ|cell|² both n^1.5), so the knob users run at scale is the
+      // knob the oracle hash-checks (r5 verdict #4 — the fixed-k gate
+      // alone left the self-scaling path unverified)
       Clustering.semDedup(Tables.embeddings(s, dir), k = 0, threshold = 0.3)
         .orderBy("vec_id")
     }, Some(sqlSemDedup(sqlLloyd(SQL_AUTOCELLS)))),

@@ -455,12 +455,14 @@ object Clustering {
                threshold: Double = 0.3): DataFrame = {
     import graft.Num.r4
     import org.apache.spark.sql.graft.VectorExpressions.vecNorm
-    // k <= 0 → self-scaling cell count (Similarity.autoCells): holds
-    // the mean cluster at ~targetCell vectors so Σ|cluster|² grows
-    // linearly with the corpus instead of n²/k at pinned k. Lloyd's
-    // assignment carries centroid literals only to k = LiteralKMax;
-    // past that it switches to the broadcast-centroid kernel, so the
-    // derived k can grow with the corpus without plan blowup.
+    // k <= 0 → self-scaling cell count (Similarity.autoCells): the
+    // balanced k = ceil(√n) holds BOTH cost terms — assignment n·k
+    // and in-cell pairs Σ|cluster|² ≈ n²/k — on one n^1.5 law
+    // (pinned k is n²/k on pairs; k ∝ n is n²/c on assignment).
+    // Lloyd's assignment carries centroid literals only to
+    // k = LiteralKMax; past that it switches to the
+    // broadcast-centroid kernel, so the derived k can grow with the
+    // corpus without plan blowup.
     val kEff = if (k > 0) k else graft.operators.Similarity.autoCells(embs)
     val (asgRaw, _) = lloydExact(embs, kEff, iters)
     val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))

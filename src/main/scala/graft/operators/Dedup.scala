@@ -531,9 +531,10 @@ object Dedup {
     * id-tiebreak determinism as the rest of the embedding family.
     *
     * `nCells <= 0` derives the cell count from the corpus size
-    * ([[graft.operators.Similarity.autoCells]]) so Σ|cell|² stays
-    * linear as the corpus grows; the gate query pins nCells = 8 so
-    * its oracle replays unchanged on the fixed test corpus.
+    * ([[graft.operators.Similarity.autoCells]], the balanced ceil(√n))
+    * so assignment and Σ|cell|² both stay on the n^1.5 law as the
+    * corpus grows; the gate query pins nCells = 8 so its oracle
+    * replays unchanged on the fixed test corpus.
     */
   def embedCosinePairsIvf(embs: DataFrame, nCells: Int = 8,
                           threshold: Double = 0.9): DataFrame = {

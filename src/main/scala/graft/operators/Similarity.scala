@@ -429,23 +429,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Self-scaling IVF cell knob: cells = max(minCells, ceil(n /
-    * targetCell)). Holding the MEAN cell population at `targetCell`
-    * as the corpus grows keeps the in-cell candidate volume Σ|cell|²
-    * ≈ n · targetCell — linear in corpus size — where a fixed cell
-    * count gives n²/k: exactly the superlinearity the r5 decade audit
-    * measured on dedup_semdedup (2.7×) and embed_ood_knn (7.1×) at
-    * 10× data with k pinned to 8. One count() action; every IVF
-    * consumer ([[oodKnnDist]], [[graft.operators.Dedup.embedCosinePairsIvf]],
+  /** Self-scaling IVF cell knob: cells = max(minCells, ceil(√n)) —
+    * the BALANCED cell count. IVF has two cost terms: centroid
+    * assignment n·k·d and in-cell candidate verification Σ|cell|²·d
+    * ≈ (n²/k)·d; their sum is minimized at k = √n, where BOTH terms
+    * are n^1.5·d. The v1 formula (k = n/64, mean cell pinned at 64)
+    * held the pair term linear but made ASSIGNMENT n²·d/64 —
+    * quadratic, the dominant term past n ≈ 4 k and a 55× overhang
+    * at n = 50 M vs √n (measured at the r6 sfx10 audit: the derived
+    * k = 7 813 put 98 % of semdedup's time in the assignment scan).
+    * √n keeps the whole pipeline on one n^1.5 law: at 10× data every
+    * stage grows ~31.6×, never 100×. Cross-engine exactness: count()
+    * is an exact integer, IEEE-754 requires sqrt and ceil correctly
+    * rounded, so JVM `math.sqrt`/DuckDB `sqrt` agree bit-for-bit.
+    * One count() action; every IVF consumer ([[oodKnnDist]],
+    * [[graft.operators.Dedup.embedCosinePairsIvf]],
     * [[graft.operators.Clustering.semDedup]]) treats a non-positive
-    * cells/k argument as "derive it here", while the gate queries keep
-    * passing explicit constants so their oracles replay unchanged.
+    * cells/k argument as "derive it here"; the `_auto` gate queries
+    * replay this formula in their oracles while the fixed-k gates
+    * keep passing explicit constants.
     */
-  def autoCells(embs: DataFrame, targetCell: Int = 64,
-                minCells: Int = 8): Int = {
-    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+  def autoCells(embs: DataFrame, minCells: Int = 8): Int = {
     val n = embs.count()
-    math.max(minCells, ((n + targetCell - 1) / targetCell).toInt)
+    math.max(minCells, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
   /** kNN-distance OOD scoring: the top-N vectors FARTHEST from their
