@@ -14,14 +14,22 @@ import org.apache.spark.sql.graft.VectorExpressions.vecDot
   */
 object Clustering {
 
-  /** Largest centroid count carried as plan LITERALS. Below this the
-    * literal-array distance expression stays comfortably inside one
-    * generated method (k = 79 compiled clean at the sfx1 audit; the
-    * janino failure arrived at k = 782); above it [[lloydExact]] and
-    * [[silhouette]] switch to the broadcast-centroid mapPartitions
-    * kernel with bit-identical arithmetic.
+  /** Largest centroid count carried as plan LITERALS; above it
+    * [[lloydExact]] and [[silhouette]] switch to the
+    * broadcast-centroid mapPartitions kernel with bit-identical
+    * arithmetic. Two ceilings stack here: janino rejects the
+    * generated method outright around k ≈ 800 at d = 64 (measured
+    * 36 000-line method at the sfx10 audit, interpreted fallback
+    * ~60× slower), but Catalyst PLANNING of the k×d literal arrays
+    * bites two decades earlier — at k = 45 the 6-iteration Lloyd
+    * loop spent ~5 s re-folding ~3 000 literals per iteration
+    * (semdedup_auto 8.2 s → 3.2 s when the kernel takes over at
+    * k > 32, same results). 32 keeps the fixed-k gate queries
+    * (k = 8/10) on the pure-SQL literal plan the oracles were
+    * developed against and routes every derived-k consumer through
+    * the kernel.
     */
-  private val LiteralKMax = 128
+  private val LiteralKMax = 32
 
   /** Engine-exact Lloyd's k-means over the embedding column.
     *

@@ -89,7 +89,7 @@ class ClusteringSpec extends SparkTestBase {
   }
 
   test("large-k kernel assignment matches the naive reference (k > LiteralKMax)") {
-    // k = 140 crosses the literal-plan ceiling (128), so assignment
+    // k = 140 crosses the literal-plan ceiling (32), so assignment
     // runs through the broadcast-centroid mapPartitions kernel; the
     // naive replay must agree exactly (all distances are exact
     // integers < 2^53, so FP summation order cannot split the paths)
