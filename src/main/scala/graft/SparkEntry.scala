@@ -193,30 +193,41 @@ object SparkEntry {
     * Yields `qv(vec_id, label, q)` and `af(vec_id, cluster, dist)` —
     * the final assignment with its exact integer squared distance.
     */
-  private def sqlLloyd(kExpr: String): String = {
+  private def sqlLloyd(kExpr: String, capExpr: Option[String] = None): String = {
     val iters = 5
     val sb = new StringBuilder
     sb.append("qv AS (SELECT vec_id, label, list_transform(embedding, " +
       "x -> CAST(floor((CAST(x AS DOUBLE) + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS q FROM embeddings),\n")
+    // tv = the TRAINING set Lloyd iterates on: with a cap, the capN
+    // lowest md5-ranked vectors (Clustering.lloydExact's sampled
+    // training — the lsh_tune fixed-size-sample convention); without,
+    // the whole corpus. The final af assignment always covers qv.
+    capExpr match {
+      case Some(cap) =>
+        sb.append("tv AS (SELECT vec_id, q FROM qv QUALIFY row_number() OVER (ORDER BY " +
+          s"CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id) <= ($cap)),\n")
+      case None =>
+        sb.append("tv AS (SELECT vec_id, q FROM qv),\n")
+    }
     sb.append(s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, " +
-      s"q AS cv FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kExpr)),\n")
-    def distCte(name: String, prev: String): String =
-      s"$name AS (SELECT qv.vec_id, c.cluster, " +
+      s"q AS cv FROM tv QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kExpr)),\n")
+    def distCte(name: String, src: String, prev: String): String =
+      s"$name AS (SELECT $src.vec_id, c.cluster, " +
         "list_sum(list_transform(range(1, 65), j -> (q[j] - cv[j]) * (q[j] - cv[j]))) AS dist " +
-        s"FROM qv CROSS JOIN $prev c),\n"
+        s"FROM $src CROSS JOIN $prev c),\n"
     for (i <- 1 to iters) {
-      sb.append(distCte(s"d$i", s"c${i - 1}"))
+      sb.append(distCte(s"d$i", "tv", s"c${i - 1}"))
       sb.append(s"a$i AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d$i) WHERE rn = 1),\n")
       sb.append(s"s$i AS (SELECT a.cluster, t.j, sum(q[t.j]) AS s, count(*) AS n " +
-        s"FROM a$i a JOIN qv USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS j) t " +
+        s"FROM a$i a JOIN tv USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS j) t " +
         "GROUP BY a.cluster, t.j),\n")
       sb.append(s"u$i AS (SELECT cluster, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY j) AS cv " +
         s"FROM s$i GROUP BY cluster),\n")
       sb.append(s"c$i AS (SELECT c.cluster, COALESCE(u.cv, c.cv) AS cv " +
         s"FROM c${i - 1} c LEFT JOIN u$i u USING (cluster)),\n")
     }
-    sb.append(distCte("df", s"c$iters"))
+    sb.append(distCte("df", "qv", s"c$iters"))
     sb.append("af AS (SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM df) WHERE rn = 1)")
     sb.toString
@@ -2540,6 +2551,136 @@ object SparkEntry {
          |FROM step s JOIN nn ON s.name = nn.name AND s.node = nn.node
          |WHERE s.i = nn.n ORDER BY s.name, s.node""".stripMargin)),
 
+    Q("ts_bollinger", (s, dir) => {
+      TimeSeries.bollinger(grid(s, dir))
+    }, Some(
+      s"""$WITH_GRID,
+         |qq AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS HUGEINT) AS q FROM grid),
+         |t AS (SELECT name, node, q,
+         |  count(*) OVER wp AS pn, sum(q) OVER wp AS s1, sum(q * q) OVER wp AS s2
+         | FROM qq WINDOW wp AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+         |f AS (SELECT name, node, 12 * q - s1 AS dev, 12 * s2 - s1 * s1 AS ssd
+         | FROM t WHERE pn = 12),
+         |b AS (SELECT name, node,
+         |  CASE WHEN dev > 0 AND 11 * dev * dev > 48 * ssd THEN 1 ELSE 0 END AS hi,
+         |  CASE WHEN dev < 0 AND 11 * dev * dev > 48 * ssd THEN 1 ELSE 0 END AS lo
+         | FROM f)
+         |SELECT name, node, count(*) AS n_eval,
+         | CAST(sum(hi) AS BIGINT) AS n_hi, CAST(sum(lo) AS BIGINT) AS n_lo,
+         | floor((CAST(sum(hi) + sum(lo) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |   + 1e-9) * 1e4 + 0.5) / 1e4 AS breach_rate
+         |FROM b GROUP BY name, node ORDER BY name, node""".stripMargin)),
+
+    Q("ts_peaks", (s, dir) => {
+      TimeSeries.peaks(grid(s, dir)).orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |qq AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q FROM grid),
+         |t AS (SELECT name, node, tsb, q,
+         |  count(*) OVER wl AS nl, count(*) OVER wr AS nr,
+         |  max(q) OVER wl AS ml, max(q) OVER wr AS mr,
+         |  min(q) OVER bl AS minl, min(q) OVER br AS minr
+         | FROM qq WINDOW
+         |  wl AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         |  wr AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+         |  bl AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+         |  br AS (PARTITION BY name, node ORDER BY tsb ROWS BETWEEN 1 FOLLOWING AND 12 FOLLOWING))
+         |SELECT name, node, tsb,
+         | floor((CAST(q AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS peak_val,
+         | floor((CAST(q - greatest(minl, minr) AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS prominence
+         |FROM t WHERE nl = 3 AND nr = 3 AND q > ml AND q > mr
+         |  AND q - greatest(minl, minr) >= 0
+         |ORDER BY name, node, tsb""".stripMargin)),
+
+    Q("ad_ljungbox", (s, dir) => {
+      TimeSeries.ljungBox(grid(s, dir))
+    }, Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |mq AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mx),
+         |ld AS (SELECT name, node, qv,
+         |  lead(qv, 1) OVER w AS y1, lead(qv, 2) OVER w AS y2, lead(qv, 3) OVER w AS y3
+         | FROM mq WINDOW w AS (PARTITION BY name, node ORDER BY tsb)),
+         |pr AS (
+         | SELECT name, node, CAST(1 AS BIGINT) AS lag, qv AS qx, y1 AS qy
+         |  FROM ld WHERE y1 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(2 AS BIGINT), qv, y2 FROM ld WHERE y2 IS NOT NULL
+         | UNION ALL SELECT name, node, CAST(3 AS BIGINT), qv, y3 FROM ld WHERE y3 IS NOT NULL),
+         |cells AS (SELECT name, node, lag, count(*) AS n,
+         |  CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         |  CAST(sum(qx * qy) AS DOUBLE) AS sxy, CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         |  CAST(sum(qy * qy) AS DOUBLE) AS syy
+         | FROM pr GROUP BY 1, 2, 3),
+         |fin AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+         |  CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM cells),
+         |acf AS (SELECT name, node, lag,
+         |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS r, n
+         | FROM fin WHERE n >= 8 AND vx > 0 AND vy > 0),
+         |piv AS (SELECT name, node,
+         |  max(CASE WHEN lag = 1 THEN r END) AS r1,
+         |  max(CASE WHEN lag = 2 THEN r END) AS r2,
+         |  max(CASE WHEN lag = 3 THEN r END) AS r3,
+         |  max(CASE WHEN lag = 1 THEN n END) AS n1
+         | FROM acf GROUP BY 1, 2),
+         |ok AS (SELECT *, CAST(n1 + 1 AS DOUBLE) AS nd FROM piv
+         | WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL)
+         |SELECT name, node, n1 + 1 AS n,
+         | floor(((nd * (nd + 2.0)) * (((r1 * r1) / (nd - 1.0)) +
+         |   ((r2 * r2) / (nd - 2.0)) + ((r3 * r3) / (nd - 3.0))) + 1e-9) * 1e4 + 0.5) / 1e4 AS q_lb,
+         | CAST(floor(((nd * (nd + 2.0)) * (((r1 * r1) / (nd - 1.0)) +
+         |   ((r2 * r2) / (nd - 2.0)) + ((r3 * r3) / (nd - 3.0))) + 1e-9) * 1e4 + 0.5) / 1e4
+         |   > 7.8147 AS INT) AS nonwhite
+         |FROM ok ORDER BY name, node""".stripMargin)),
+
+    Q("ts_macd", (s, dir) => {
+      TimeSeries.macd(grid(s, dir)).orderBy("name", "node")
+    }, Some(
+      // the ts_holt recursive-CTE convention: raw-double EWMA folds
+      // with exactly-representable binary-fraction constants replay
+      // bit-for-bit; the histogram quantizes to 4-dp integers INSIDE
+      // the fold, and the crossing count compares consecutive NONZERO
+      // signs of those integers after the recursion
+      s"""WITH RECURSIVE $SQL_SIG, $SQL_GRID,
+         |iv AS (SELECT name, node, gval,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS i FROM grid),
+         |nn AS (SELECT name, node, count(*) AS n FROM iv GROUP BY 1, 2),
+         |step AS (
+         |  SELECT name, node, CAST(1 AS BIGINT) AS i, gval AS f, gval AS sl,
+         |    CAST(0 AS DOUBLE) AS sig, CAST(0 AS BIGINT) AS qh
+         |  FROM iv WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.name, s.node, s.i + 1,
+         |    0.25 * v.gval + 0.75 * s.f,
+         |    0.0625 * v.gval + 0.9375 * s.sl,
+         |    0.5 * ((0.25 * v.gval + 0.75 * s.f) - (0.0625 * v.gval + 0.9375 * s.sl)) + 0.5 * s.sig,
+         |    CAST(floor(((((0.25 * v.gval + 0.75 * s.f) - (0.0625 * v.gval + 0.9375 * s.sl))
+         |      - (0.5 * ((0.25 * v.gval + 0.75 * s.f) - (0.0625 * v.gval + 0.9375 * s.sl)) + 0.5 * s.sig))
+         |      + 1e-9) * 1e4 + 0.5) AS BIGINT)
+         |  FROM step s JOIN iv v ON v.name = s.name AND v.node = s.node AND v.i = s.i + 1),
+         |hs AS (SELECT name, node, i,
+         |  CASE WHEN qh > 0 THEN 1 WHEN qh < 0 THEN -1 ELSE 0 END AS sgn FROM step),
+         |nz AS (SELECT name, node, i, sgn,
+         |  lag(sgn) OVER (PARTITION BY name, node ORDER BY i) AS ps
+         | FROM hs WHERE sgn <> 0),
+         |xc AS (SELECT name, node,
+         |  CAST(sum(CASE WHEN ps IS NOT NULL AND sgn <> ps THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+         | FROM nz GROUP BY 1, 2)
+         |SELECT st.name, st.node, nn.n,
+         | floor(((st.f - st.sl) + 1e-9) * 1e4 + 0.5) / 1e4 AS macd,
+         | floor((st.sig + 1e-9) * 1e4 + 0.5) / 1e4 AS macd_signal,
+         | CAST(st.qh AS DOUBLE) / 1e4 AS hist,
+         | coalesce(xc.n_cross, 0) AS n_cross
+         |FROM step st JOIN nn ON st.name = nn.name AND st.node = nn.node
+         |LEFT JOIN xc ON st.name = xc.name AND st.node = xc.node
+         |WHERE st.i = nn.n ORDER BY st.name, st.node""".stripMargin)),
+
     Q("ts_holt_backtest", (s, dir) => {
       TimeSeries.holtBacktest(grid(s, dir)).orderBy("name", "node")
     }, Some(
@@ -4582,6 +4723,69 @@ object SparkEntry {
       Similarity.labelKnnAccuracy(Tables.embeddings(s, dir), nCells = 0)
         .orderBy("label")
     }, Some(sqlLabelKnn(SQL_AUTOCELLS))),
+
+    Q("embed_matryoshka", (s, dir) => {
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir))
+    }, Some(
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |w AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |pw AS (SELECT vec_id, dim, v[1:dim] AS pv FROM e CROSS JOIN w),
+        |pn AS (SELECT vec_id, dim, pv,
+        |  sqrt(list_sum(list_transform(pv, x -> x * x))) AS pnrm FROM pw),
+        |ok AS (SELECT * FROM pn WHERE pnrm > 0),
+        |qs AS (SELECT dim AS qdim, vec_id AS qid, pv AS qv, pnrm AS qn
+        | FROM ok WHERE vec_id < 50),
+        |sc AS (SELECT o.dim, q.qid, o.vec_id,
+        |  floor((list_sum(list_transform(range(1, o.dim + 1), i -> q.qv[i] * o.pv[i]))
+        |    / (q.qn * o.pnrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+        | FROM ok o JOIN qs q ON o.dim = q.qdim AND o.vec_id != q.qid),
+        |rk AS (SELECT dim, qid, vec_id FROM (SELECT dim, qid, vec_id,
+        |  row_number() OVER (PARTITION BY dim, qid ORDER BY cos_sim DESC, vec_id) AS rank
+        | FROM sc) WHERE rank <= 10),
+        |tr AS (SELECT qid, vec_id FROM rk WHERE dim = 64),
+        |nq AS (SELECT count(DISTINCT qid) AS nq FROM tr),
+        |hit AS (SELECT r.dim, count(*) AS n_hits FROM rk r
+        | JOIN tr t ON r.qid = t.qid AND r.vec_id = t.vec_id
+        | WHERE r.dim != 64 GROUP BY r.dim)
+        |SELECT dim, nq AS n_queries,
+        | floor((CAST(n_hits AS DOUBLE) / CAST(nq * 10 AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_recall
+        |FROM hit CROSS JOIN nq ORDER BY dim""".stripMargin)),
+
+    Q("curation_dsir", (s, dir) => {
+      Curation.dsirWeights(Tables.documents(s, dir))
+    }, Some(
+      s"""WITH ws AS (SELECT doc_id, source, lang,
+         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         |bgl AS (SELECT doc_id, source, lang,
+         |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bgs
+         | FROM ws),
+         |bg AS (SELECT doc_id, source, lang,
+         |  CAST('0x' || substr(md5(bgs), 1, 8) AS BIGINT) % 4096 AS b FROM bgl),
+         |raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tot_r,
+         |  (SELECT count(*) FROM bg WHERE lang = 'en') AS tot_t),
+         |lx AS (SELECT raw.b, coalesce(tgt.ct, 0) + 1 AS ct1, raw.cr + 1 AS cr1,
+         |  tot_t + 4096 AS tt, tot_r + 4096 AS tr
+         | FROM raw LEFT JOIN tgt USING (b), tot),
+         |lns AS (SELECT b,
+         |  ${graft.functions.ExactMath.sqlLnCols("ct1", "da", "l_ct")},
+         |  ${graft.functions.ExactMath.sqlLnCols("cr1", "db", "l_cr")},
+         |  ${graft.functions.ExactMath.sqlLnCols("tt", "dc", "l_tt")},
+         |  ${graft.functions.ExactMath.sqlLnCols("tr", "dd", "l_tr")}
+         | FROM lx),
+         |llr AS (SELECT b,
+         |  (CAST(floor((l_ct + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tt + 1e-9) * 1e6 + 0.5) AS BIGINT))
+         |  - (CAST(floor((l_cr + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tr + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS llr_q
+         | FROM lns),
+         |sc AS (SELECT doc_id, CAST(sum(llr_q) AS BIGINT) AS score_q
+         | FROM bg JOIN llr USING (b) GROUP BY 1),
+         |ds AS (SELECT d.doc_id, d.source, coalesce(sc.score_q, 0) AS sq
+         | FROM documents d LEFT JOIN sc USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         | floor(((CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_logw,
+         | floor((CAST(sum(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS pos_share
+         |FROM ds GROUP BY source ORDER BY source""".stripMargin)),
 
     Q("embed_hard_negatives", (s, dir) => {
       Similarity.hardNegatives(Tables.embeddings(s, dir), k = 3)
@@ -7019,7 +7223,7 @@ object SparkEntry {
       // alone left the self-scaling path unverified)
       Clustering.semDedup(Tables.embeddings(s, dir), k = 0, threshold = 0.3)
         .orderBy("vec_id")
-    }, Some(sqlSemDedup(sqlLloyd(SQL_AUTOCELLS)))),
+    }, Some(sqlSemDedup(sqlLloyd(SQL_AUTOCELLS, Some(s"8 * $SQL_AUTOCELLS"))))),
 
     Q("q26_conversion_rate", (s, dir) => {
       // daily conversion funnel: of the users whose first view fell on
@@ -8062,6 +8266,141 @@ object SparkEntry {
         | CAST(total_d AS DOUBLE) AS total_revenue,
         | floor((100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS promo_share_pct
         |FROM pm ORDER BY ship_month""".stripMargin)),
+
+    Q("q48_ship_delay", (s, dir) => {
+      // order-to-ship latency distribution per order priority: exact
+      // integer day deltas, and exact order statistics (lower median,
+      // p90) from cumulative counts over the pre-aggregated
+      // (priority, delay) frame — the fact⋈fact join is keyed on
+      // orderkey (AQE-replannable), and the percentile machinery never
+      // sees raw rows, only |priorities × distinct delays| cells (the
+      // profile_skew convention). At 100 TB the heavy join shuffles
+      // once; everything after is bounded.
+      val d = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay"))
+      val cells = d.groupBy("priority", "delay").agg(count(lit(1)).as("c"))
+      val agg = cells.groupBy("priority").agg(sum("c").as("n"),
+        min("delay").as("min_delay"), max("delay").as("max_delay"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy("priority").orderBy("delay")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = cells.withColumn("cum", sum("c").over(wcum)).join(agg, "priority")
+      def pct(p: Double, nm: String) =
+        cum.filter(col("cum") >= ceil(col("n").cast("double") * lit(p)))
+          .groupBy("priority").agg(min("delay").as(nm))
+      agg.join(pct(0.5, "med_delay"), "priority")
+        .join(pct(0.9, "p90_delay"), "priority")
+        .select("priority", "n", "min_delay", "med_delay", "p90_delay", "max_delay")
+        .orderBy("priority")
+    }, Some(
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cells AS (SELECT priority, delay, count(*) AS c FROM d GROUP BY 1, 2),
+        |agg AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n,
+        |  min(delay) AS min_delay, max(delay) AS max_delay FROM cells GROUP BY 1),
+        |cum AS (SELECT priority, delay, sum(c) OVER (PARTITION BY priority
+        |  ORDER BY delay ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM cells),
+        |med AS (SELECT cum.priority, min(delay) AS med_delay FROM cum JOIN agg USING (priority)
+        | WHERE cum >= ceil(CAST(n AS DOUBLE) * 0.5) GROUP BY 1),
+        |p90 AS (SELECT cum.priority, min(delay) AS p90_delay FROM cum JOIN agg USING (priority)
+        | WHERE cum >= ceil(CAST(n AS DOUBLE) * 0.9) GROUP BY 1)
+        |SELECT agg.priority, n, min_delay, med_delay, p90_delay, max_delay
+        |FROM agg JOIN med USING (priority) JOIN p90 USING (priority)
+        |ORDER BY priority""".stripMargin)),
+
+    Q("q49_cust_order_dist", (s, dir) => {
+      // TPC-H Q13-shaped customer order-count distribution, including
+      // the zero-order customers a plain join would drop: LEFT join
+      // customer→orders, per-customer count, then the count of counts.
+      // Both aggregates are map-side combinable; the second runs on
+      // |customers| rows, the output on |distinct counts|. The join is
+      // keyed (no broadcast — both sides are fact-sized at 100 TB) and
+      // the left join preserves the empty group exactly.
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some(
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    Q("q50_top_supplier", (s, dir) => {
+      // TPC-H Q15-shaped top supplier: revenue per supplier over one
+      // quarter of shipments, then every supplier tied at the maximum.
+      // Revenue stays DECIMAL end-to-end so the max and the equality
+      // join are exact (no float-order noise); the max arrives as a
+      // broadcast scalar row, not a second scan of the aggregate.
+      val rev = dec(col("l_extendedprice")) *
+        (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount")))
+      val r = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey").agg(sum(rev).as("rev_d"))
+      val mx = r.agg(max(col("rev_d")).as("mx"))
+      r.join(broadcast(mx), col("rev_d") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }, Some(
+      """WITH r AS (SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev_d
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM r)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("q51_bracket_revenue", (s, dir) => {
+      // TPC-H Q19-shaped OR-bracket revenue: three (brand, size,
+      // quantity) brackets evaluated in ONE pass — the bracket id is a
+      // CASE over the joined row, so the fact scans once, the dim
+      // broadcasts, and the OR disjunction prunes at the part side
+      // (only three brands survive the dim filter). Exact decimal sums.
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+      val j = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("bracket",
+          when(col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11), lit(1))
+          .when(col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20), lit(2))
+          .when(col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30), lit(3)))
+        .filter(col("bracket").isNotNull)
+      val rev = dec(col("l_extendedprice")) *
+        (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount")))
+      j.groupBy("bracket").agg(count(lit(1)).as("n_items"),
+          sum(rev).cast("double").as("revenue"))
+        .orderBy("bracket")
+    }, Some(
+      """WITH p AS (SELECT p_partkey, p_brand, p_size FROM part
+        |  WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')),
+        |j AS (SELECT CASE
+        |   WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11 THEN 1
+        |   WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20 THEN 2
+        |   WHEN p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30 THEN 3
+        |  END AS bracket,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+        | FROM lineitem JOIN p ON l_partkey = p_partkey)
+        |SELECT bracket, count(*) AS n_items, CAST(sum(rev) AS DOUBLE) AS revenue
+        |FROM j WHERE bracket IS NOT NULL GROUP BY bracket ORDER BY bracket""".stripMargin)),
 
     Q("mix_diversity", (s, dir) => {
       // corpus diversity on one screen: Shannon entropy of the source

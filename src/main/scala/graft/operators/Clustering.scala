@@ -65,7 +65,8 @@ object Clustering {
     * (prefixJaccard convention).
     */
   def lloydExact(embs: DataFrame, k: Int = 8,
-                 iters: Int = 5): (DataFrame, Array[Array[Long]]) = {
+                 iters: Int = 5,
+                 trainCap: Int = 0): (DataFrame, Array[Array[Long]]) = {
     // the quantized coords, their double view, and the per-row self
     // dot are iteration-invariant — persisted once, reused 6×
     val q = embs.select(col("vec_id"), col("label"),
@@ -75,7 +76,7 @@ object Clustering {
       .withColumn("qd", transform(col("q"), _.cast("double")))
       .withColumn("selfq", vecDot(col("qd"), col("qd")))
       .persist().tracked
-    def assignTo(cents: Array[Array[Long]]): DataFrame =
+    def assignTo(in: DataFrame, cents: Array[Array[Long]]): DataFrame =
       if (cents.length <= LiteralKMax) {
         // one distance expression per centroid, gathered into an ARRAY:
         // array_min + first-position argmin keeps the plan LINEAR in k
@@ -88,7 +89,7 @@ object Clustering {
           col("selfq") - lit(2.0) * vecDot(col("qd"), c) +
             lit(cv.map(v => v.toDouble * v.toDouble).sum)
         }
-        q.withColumn("darr", array(dcols.toSeq: _*))
+        in.withColumn("darr", array(dcols.toSeq: _*))
           .withColumn("dist2q", array_min(col("darr")))
           .withColumn("cluster",
             (array_position(col("darr"), col("dist2q")) - 1).cast("int"))
@@ -111,17 +112,17 @@ object Clustering {
         // and argmin-exact at unbounded k.
         val cd = cents.map(_.map(_.toDouble))
         val c2 = cents.map(_.map(v => v.toDouble * v.toDouble).sum)
-        val bCd = q.sparkSession.sparkContext.broadcast(cd)
-        val bC2 = q.sparkSession.sparkContext.broadcast(c2)
+        val bCd = in.sparkSession.sparkContext.broadcast(cd)
+        val bC2 = in.sparkSession.sparkContext.broadcast(c2)
         val outSchema = org.apache.spark.sql.types.StructType(
-          q.schema.fields ++ Seq(
+          in.schema.fields ++ Seq(
             org.apache.spark.sql.types.StructField("dist2q",
               org.apache.spark.sql.types.DoubleType, nullable = false),
             org.apache.spark.sql.types.StructField("cluster",
               org.apache.spark.sql.types.IntegerType, nullable = false)))
-        val qdIdx = q.schema.fieldIndex("qd")
-        val sqIdx = q.schema.fieldIndex("selfq")
-        q.mapPartitions { rows =>
+        val qdIdx = in.schema.fieldIndex("qd")
+        val sqIdx = in.schema.fieldIndex("selfq")
+        in.mapPartitions { rows =>
           val cdv = bCd.value
           val c2v = bC2.value
           rows.map { r =>
@@ -146,14 +147,27 @@ object Clustering {
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
       }
-    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(k)
+    // trainCap > 0: Lloyd ITERATES on a fixed-size md5-ranked sample
+    // (the lsh_tune convention: deterministic, append-stable,
+    // TakeOrdered — no global sort) and the corpus is assigned ONCE
+    // against the final centroids. Training cost becomes O(cap·k·d)
+    // — with cap = 8k and k = √n that is LINEAR in the corpus — and
+    // the single full assignment pass is the only n·k·d term left
+    // (the FAISS train-on-sample contract). trainCap <= 0 keeps the
+    // exact full-corpus iteration.
+    val tr =
+      if (trainCap > 0)
+        q.orderBy(Sampling.hash32(col("vec_id").cast("string")), col("vec_id"))
+          .limit(trainCap).persist().tracked
+      else q
+    var cents: Array[Array[Long]] = tr.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k vectors")
     val dim = cents(0).length
     for (_ <- 1 to iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
-      val rows = assignTo(cents).groupBy("cluster")
+      val rows = assignTo(tr, cents).groupBy("cluster")
         .agg(sums.head, sums.tail: _*).collect()
       val byC = rows.map(r => r.getInt(0) -> r).toMap
       cents = (0 until k).map { ci =>
@@ -165,7 +179,7 @@ object Clustering {
         }
       }.toArray
     }
-    (assignTo(cents), cents)
+    (assignTo(q, cents), cents)
   }
 
   /** Simplified silhouette over the [[lloydExact]] assignment — the
@@ -460,19 +474,27 @@ object Clustering {
     * pairs, components, keep — replays in the oracle.
     */
   def semDedup(embs: DataFrame, k: Int = 8, iters: Int = 5,
-               threshold: Double = 0.3): DataFrame = {
+               threshold: Double = 0.3, trainCap: Int = -1): DataFrame = {
     import graft.Num.r4
     import org.apache.spark.sql.graft.VectorExpressions.vecNorm
     // k <= 0 → self-scaling cell count (Similarity.autoCells): the
     // balanced k = ceil(√n) holds BOTH cost terms — assignment n·k
     // and in-cell pairs Σ|cluster|² ≈ n²/k — on one n^1.5 law
-    // (pinned k is n²/k on pairs; k ∝ n is n²/c on assignment).
+    // (pinned k is n²/k on pairs; k ∝ n is n²/c on assignment) —
+    // AND Lloyd trains on an 8k-vector md5-ranked sample with ONE
+    // full assignment pass (training drops to O(8k²·d) = O(8n·d),
+    // linear; the r6 sfx10 audit measured the 6 full-corpus passes
+    // at 188 s with the kernel already at scalar-FMA peak — the
+    // remaining 5 passes were the algorithm's cost, not the plan's).
     // Lloyd's assignment carries centroid literals only to
     // k = LiteralKMax; past that it switches to the
     // broadcast-centroid kernel, so the derived k can grow with the
-    // corpus without plan blowup.
+    // corpus without plan blowup. Explicit k > 0 keeps exact
+    // full-corpus training unless trainCap is passed explicitly.
     val kEff = if (k > 0) k else graft.operators.Similarity.autoCells(embs)
-    val (asgRaw, _) = lloydExact(embs, kEff, iters)
+    val capEff =
+      if (trainCap >= 0) trainCap else if (k > 0) 0 else 8 * kEff
+    val (asgRaw, _) = lloydExact(embs, kEff, iters, capEff)
     val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))
       .persist().tracked
     val base = embs.select(col("vec_id"),

@@ -809,4 +809,65 @@ object Curation {
         concat(col("epoch").cast("string"), lit(":"),
           col("doc_id").cast("string"))))
       .withColumn("shard", (col("skey") % shards).cast("int"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its HASHED-BIGRAM profile is
+    * under the target domain's bucket distribution than under the raw
+    * corpus's. log w(x) = Σ_bigram [ln p_target(bucket) −
+    * ln p_raw(bucket)] with add-1 smoothing over `buckets` hash
+    * buckets; documents scoring > 0 look target-like. Here the target
+    * is the `targetLang` slice of the corpus itself (the
+    * self-contained analogue of DSIR's Wikipedia target).
+    *
+    * Determinism/scale: buckets come from the md5-hash32 of the
+    * bigram (the repo's cross-engine hash), the two bucket-count
+    * tables are ≤ `buckets` rows (broadcast), and every ln is
+    * ExactMath's bit-exact integer kernel quantized to ×1e6 integers
+    * — per-doc scores are exact integer sums, so the oracle replays
+    * them bit-for-bit. Docs with < 2 words carry weight 0 (no
+    * bigrams), kept by the right join. Output is the per-source
+    * scorecard (n_docs, mean weight, positive share) — bounded by
+    * |sources|.
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = 4096,
+                  targetLang: String = "en"): DataFrame = {
+    val qln = (c: org.apache.spark.sql.Column) =>
+      floor((graft.functions.ExactMath.lnIntCol(c) + lit(1e-9)) * lit(1e6) + lit(0.5))
+        .cast("long")
+    val ws = docs.select(col("doc_id"), col("source"), col("lang"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+    val bg = ws.select(col("doc_id"), col("source"), col("lang"),
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat(element_at(col("ws"), i), lit(" "),
+              element_at(col("ws"), i + 1))))
+          .otherwise(array())).as("bg"))
+      .withColumn("b", Sampling.hash32(col("bg")) % buckets)
+      .select("doc_id", "source", "lang", "b")
+      .persist().tracked // feeds the bucket counts AND the per-doc sums
+    val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum("cr").as("tot_r"))
+      .crossJoin(bg.filter(col("lang") === targetLang)
+        .agg(count(lit(1)).as("tot_t")))
+    val llr = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((qln(coalesce(col("ct"), lit(0L)) + 1) - qln(col("tot_t") + buckets)) -
+          (qln(col("cr") + 1) - qln(col("tot_r") + buckets))).as("llr_q"))
+    val scores = bg.join(broadcast(llr), "b")
+      .groupBy("doc_id").agg(sum("llr_q").as("score_q"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scores, Seq("doc_id"), "left_outer")
+      .withColumn("sq", coalesce(col("score_q"), lit(0L)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        r4((sum("sq").cast("double") / count(lit(1)).cast("double")) /
+          lit(1e6)).as("mean_logw"),
+        r4(sum((col("sq") > 0).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("pos_share"))
+      .orderBy("source")
+  }
 }

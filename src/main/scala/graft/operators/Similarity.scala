@@ -753,4 +753,53 @@ object Similarity {
         col("m.cs").as("cos_sim"), col("n_eval_hits"))
       .orderBy("vec_id")
   }
+
+  /** Matryoshka-truncation recall: how much top-k neighbor quality a
+    * PREFIX of the embedding retains vs the full vector — the audit
+    * run before shipping truncated embeddings (à la MRL) to cut ANN
+    * index cost 2–8×. For each prefix width the same nQ queries rank
+    * the corpus by prefix cosine; recall@k is measured against the
+    * full-width ranking. One corpus×queries broadcast join computes
+    * ALL widths (the per-width slice/dot rides the same pair row —
+    * no extra exchange per width); rankings use the rounded-cosine +
+    * id tiebreak determinism; zero-norm prefixes drop on both
+    * engines. Output: one row per width with mean recall@k.
+    */
+  def matryoshkaRecall(embs: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+                       nQ: Int = 50, k: Int = 10,
+                       fullDim: Int = 64): DataFrame = {
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val widths = dims :+ fullDim
+    val withW = base
+      .withColumn("dim", explode(array(widths.map(lit(_)): _*)))
+      .withColumn("pv", slice(col("v"), lit(1), col("dim")))
+      .withColumn("pn", norm(col("pv")))
+      .filter(col("pn") > 0)
+      .select("vec_id", "dim", "pv", "pn")
+    val qs = withW.filter(col("vec_id") < nQ)
+      .select(col("dim").as("qdim"), col("vec_id").as("qid"),
+        col("pv").as("qv"), col("pn").as("qn"))
+    val byCos = Window.partitionBy("dim", "qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = withW.join(broadcast(qs),
+        col("dim") === col("qdim") && col("vec_id") =!= col("qid"))
+      .select(col("dim"), col("qid"), col("vec_id"),
+        r4(dot(col("qv"), col("pv")) / (col("qn") * col("pn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= k)
+      .select("dim", "qid", "vec_id")
+      .persist().tracked // truth (full width) joins every prefix width
+    val truth = ranked.filter(col("dim") === fullDim)
+      .select(col("qid").as("tqid"), col("vec_id").as("tnid"))
+    val nq = truth.select("tqid").distinct().count()
+    ranked.filter(col("dim") =!= fullDim)
+      .join(truth, col("qid") === col("tqid") && col("vec_id") === col("tnid"),
+        "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+      .select(col("dim"), lit(nq).as("n_queries"),
+        r4(col("n_hits").cast("double") / lit(nq * k).cast("double"))
+          .as("mean_recall"))
+      .orderBy("dim")
+  }
 }

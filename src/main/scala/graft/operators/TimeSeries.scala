@@ -1303,4 +1303,147 @@ object TimeSeries {
         r4(col("n_occur").cast("double") / col("n_words").cast("double"))
           .as("support"))
   }
+
+  /** Bollinger-band breach summary per signal: each point is tested
+    * against mean ± 2σ of the TRAILING `w` points (current excluded —
+    * the band must not contain the value it judges). The test is an
+    * exact integer predicate: with q = ⌊gval·1e6+0.5⌋, s1 = Σq,
+    * s2 = Σq² over the prior w rows and ssd = w·s2 − s1² (= w²·sample
+    * variance scale), `x > mean + 2·std` squares to
+    * `(w−1)·(w·x − s1)² > 4·w·ssd ∧ w·x > s1` — all DECIMAL(38,0) /
+    * HUGEINT integers, no sqrt, no float frame sums (engines disagree
+    * on frame summation order). One window pass per signal, counts
+    * aggregate map-side; the varianceShift quantization convention.
+    */
+  def bollinger(grid: DataFrame, w: Int = 12): DataFrame = {
+    val big = (c: Column) => c.cast(DecimalType(38, 0))
+    val g = grid.select(col("name"), col("node"), col("tsb"),
+      floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    val wp = signalWindow.rowsBetween(-w, -1)
+    val t = g.withColumn("pn", count(lit(1)).over(wp))
+      .withColumn("s1", sum("q").over(wp))
+      .withColumn("s2", sum(big(col("q")) * col("q")).over(wp))
+      .filter(col("pn") === w)
+      .withColumn("ssd", big(lit(w)) * col("s2") - big(col("s1")) * col("s1"))
+      .withColumn("dev", big(lit(w)) * col("q") - big(col("s1")))
+      .withColumn("lhs", big(lit(w - 1)) * col("dev") * col("dev"))
+      .withColumn("rhs", big(lit(4 * w)) * col("ssd"))
+      .withColumn("hi", (col("dev") > 0 && col("lhs") > col("rhs")).cast("long"))
+      .withColumn("lo", (col("dev") < 0 && col("lhs") > col("rhs")).cast("long"))
+    t.groupBy("name", "node").agg(
+        count(lit(1)).as("n_eval"),
+        sum("hi").as("n_hi"), sum("lo").as("n_lo"),
+        r4((sum("hi") + sum("lo")).cast("double") /
+          count(lit(1)).cast("double")).as("breach_rate"))
+      .orderBy("name", "node")
+  }
+
+  /** Local maxima with window prominence: a peak is a point STRICTLY
+    * above its `side` neighbors on both sides (strictness makes
+    * plateaus produce no peak — deterministic, no half-open tiebreak),
+    * and its prominence is the height above the HIGHER of the two
+    * surrounding window minima (±`base` rows) — the classic
+    * scipy-style definition restricted to a bounded window so one
+    * window pass computes it. All comparisons on ×1e6 quantized
+    * integers; the reported value/prominence de-scale by one exact
+    * division.
+    */
+  def peaks(grid: DataFrame, side: Int = 3, base: Int = 12,
+            minProm: Double = 0.0): DataFrame = {
+    val g = grid.select(col("name"), col("node"), col("tsb"),
+      floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    val wl = signalWindow.rowsBetween(-side, -1)
+    val wr = signalWindow.rowsBetween(1, side)
+    val bl = signalWindow.rowsBetween(-base, -1)
+    val br = signalWindow.rowsBetween(1, base)
+    g.withColumn("nl", count(lit(1)).over(wl))
+      .withColumn("nr", count(lit(1)).over(wr))
+      .withColumn("ml", max("q").over(wl))
+      .withColumn("mr", max("q").over(wr))
+      .withColumn("minl", min("q").over(bl))
+      .withColumn("minr", min("q").over(br))
+      .filter(col("nl") === side && col("nr") === side &&
+        col("q") > col("ml") && col("q") > col("mr"))
+      .withColumn("promq", col("q") - greatest(col("minl"), col("minr")))
+      .filter(col("promq") >= lit(math.floor(minProm * 1e6 + 0.5).toLong))
+      .select(col("name"), col("node"), col("tsb"),
+        r4(col("q").cast("double") / lit(1e6)).as("peak_val"),
+        r4(col("promq").cast("double") / lit(1e6)).as("prominence"))
+  }
+
+  /** Ljung–Box whiteness statistic per signal at lags 1..3:
+    * Q = n(n+2)·Σ ρk²/(n−k), on [[autocorr]]'s engine-exact ACF (the
+    * per-lag overlap counts give n−k directly, and n = n₁ + 1). The
+    * arithmetic after the ACF is a fixed IEEE op tree over
+    * 4-dp-identical inputs, so the oracle replays it verbatim;
+    * `white = 0` flags Q above the χ²(3) 95 % critical value 7.8147
+    * (a literal on both engines). Signals missing any of the three
+    * lags (short series or zero variance at some lag) drop — same
+    * gate as [[pacf]].
+    */
+  def ljungBox(grid: DataFrame, minOverlap: Int = 8): DataFrame = {
+    val ac = autocorr(grid, maxLag = 3, minOverlap)
+    val piv = ac.groupBy("name", "node")
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"),
+        max(when(col("lag") === 1, col("n"))).as("n1"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull && col("r3").isNotNull)
+    val nd = (col("n1") + lit(1)).cast("double")
+    val q = (nd * (nd + lit(2.0))) *
+      (((col("r1") * col("r1")) / (nd - lit(1.0))) +
+        ((col("r2") * col("r2")) / (nd - lit(2.0))) +
+        ((col("r3") * col("r3")) / (nd - lit(3.0))))
+    piv.select(col("name"), col("node"), (col("n1") + 1).as("n"),
+        r4(q).as("q_lb"),
+        (r4(q) > lit(7.8147)).cast("int").as("nonwhite"))
+      .orderBy("name", "node")
+  }
+
+  /** MACD (12/26-style smoothing re-expressed as exact binary
+    * fractions): fast EWMA α=1/4, slow EWMA α=1/16, signal line
+    * EWMA α=1/2 of the MACD, histogram = MACD − signal. One
+    * per-signal sorted fold (the [[ewma]]/holt kernel contract) whose
+    * doubles replay on any engine because every constant is exactly
+    * representable and the op order is pinned; the histogram is
+    * 4-dp-quantized INSIDE the fold so the zero-crossing count
+    * compares exact integers. Reports the final state + crossing
+    * count per signal — bounded output, and the oracle replays the
+    * whole fold as a recursive CTE (the ts_holt convention).
+    */
+  def macd(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._3)
+        var fast = pts(0)._4
+        var slow = pts(0)._4
+        var sig = 0.0
+        var lastSgn = 0L
+        var xc = 0L
+        var qh = 0L
+        var i = 1
+        while (i < pts.length) {
+          val v = pts(i)._4
+          fast = 0.25 * v + 0.75 * fast
+          slow = 0.0625 * v + 0.9375 * slow
+          val m = fast - slow
+          sig = 0.5 * m + 0.5 * sig
+          qh = math.floor(((m - sig) + 1e-9) * 1e4 + 0.5).toLong
+          val sgn = if (qh > 0) 1L else if (qh < 0) -1L else 0L
+          if (sgn != 0 && lastSgn != 0 && sgn != lastSgn) xc += 1
+          if (sgn != 0) lastSgn = sgn
+          i += 1
+        }
+        val m = fast - slow
+        (key._1, key._2, pts.length.toLong,
+          math.floor((m + 1e-9) * 1e4 + 0.5) / 1e4,
+          math.floor((sig + 1e-9) * 1e4 + 0.5) / 1e4,
+          qh.toDouble / 1e4, xc)
+      }
+      .toDF("name", "node", "n", "macd", "macd_signal", "hist", "n_cross")
+  }
 }

@@ -52,9 +52,13 @@ class ScaleKnobSpec extends SparkTestBase {
     val fixedOod = Similarity.oodKnnDist(e, nCells = 10, k = 3, topN = 10)
       .collect().toSeq
     assert(autoOod == fixedOod)
+    // the auto path also engages sampled training (cap = 8k = 80 < 96
+    // binds here, so the gate corpus genuinely exercises it): it must
+    // equal the SAME knobs passed explicitly, and differ from
+    // full-corpus training only through the centroids
     val autoSem = Clustering.semDedup(e, k = 0, threshold = 0.3)
       .orderBy("vec_id").collect().toSeq
-    val fixedSem = Clustering.semDedup(e, k = 10, threshold = 0.3)
+    val fixedSem = Clustering.semDedup(e, k = 10, threshold = 0.3, trainCap = 80)
       .orderBy("vec_id").collect().toSeq
     assert(autoSem == fixedSem)
   }
