@@ -27,9 +27,18 @@ import org.apache.spark.sql.functions._
   *     retention is DENSER sampling, which is the scaling axis the
   *     signal pipeline claims to be bounded on (per-signal work
   *     constant, parallelism = signals).
-  *   - embeddings: replica k rotates the vector by k positions
-  *     (norm-preserving, cosine structure shuffled) with shifted
-  *     vec_id, so ANN corpus size grows 10× under the same geometry.
+  *   - embeddings: replica k applies a seeded random PERMUTATION of
+  *     the 64 dimensions (norm-preserving, cosine structure shuffled)
+  *     with shifted vec_id, so ANN corpus size grows 10× under the
+  *     same geometry. The same group-structure trap as the alphabet:
+  *     the first version ROTATED by k, and rotations compose — a
+  *     ScaleGen-of-ScaleGen replica at offset a+b collides with every
+  *     other pair summing to a+b, which manufactured ~100-way
+  *     exact-duplicate vector families at the 100× tier (measured:
+  *     5.1e8 true cosine-0.3 pairs — an output-bound quadratic no
+  *     real corpus growth produces). Random permutations compose into
+  *     (almost surely) distinct permutations, so cross-replica
+  *     vectors decorrelate the way genuinely new data does.
   *
   * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
   */
@@ -81,12 +90,23 @@ object ScaleGen {
       .parquet(s"$out/events.parquet")
 
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    def dimPerm(k: Int): Array[Int] = {
+      val arr = (0 until 64).toArray
+      val rng = new scala.util.Random(0xd1a60000L + k)
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rng.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      arr
+    }
     replicate(embs) { (e, k) =>
-      val n = 64
-      val rot = array((0 until n).map(i =>
-        element_at(col("embedding"), (i + k) % n + 1)): _*)
+      val p = dimPerm(k)
+      val perm = array((0 until 64).map(i =>
+        element_at(col("embedding"), p(i) + 1)): _*)
       e.select((col("vec_id") + lit(k * idStep)).as("vec_id"),
-        (if (k == 0) col("embedding") else rot).as("embedding"),
+        (if (k == 0) col("embedding") else perm).as("embedding"),
         col("label"))
     }.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/embeddings.parquet")

@@ -8402,6 +8402,94 @@ object SparkEntry {
         |SELECT bracket, count(*) AS n_items, CAST(sum(rev) AS DOUBLE) AS revenue
         |FROM j WHERE bracket IS NOT NULL GROUP BY bracket ORDER BY bracket""".stripMargin)),
 
+    Q("q52_volume_shipping", (s, dir) => {
+      // TPC-H Q7-shaped nation-pair trade flow: revenue shipped between
+      // two nations (both directions) per ship year. Key-dims (nation,
+      // supplier, customer) broadcast onto the two fact scans; the one
+      // real shuffle is the lineitem⋈orders keyed join; exact decimal
+      // sums; the output frame is |directions × years|.
+      val rev = dec(col("l_extendedprice")) *
+        (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount")))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }, Some(
+      """WITH f AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
+        | CAST(sum(rev) AS DOUBLE) AS revenue
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("text_keywords", (s, dir) =>
+      TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)
+        .orderBy("source", "rk"),
+    Some(
+      """WITH terms AS (SELECT source,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+        |scored AS (SELECT t.source, t.term, t.tf, d.df,
+        |  CAST(t.tf * ns.n_sources AS DOUBLE) / d.df AS score
+        | FROM tf t JOIN dfq d USING (term), ns),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY score DESC, term ASC) AS rk FROM scored)
+        |SELECT source, rk, term, tf, df, score FROM rk WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin)),
+
+    Q("ts_rolling_autocorr", (s, dir) =>
+      TimeSeries.rollingAutocorr(grid(s, dir)).orderBy("name", "node", "tsb"),
+    Some(
+      s"""$WITH_GRID,
+         |mx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM grid),
+         |mq AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qx FROM mx),
+         |lg AS (SELECT name, node, tsb, qx,
+         |  lag(qx, 1) OVER (PARTITION BY name, node ORDER BY tsb) AS qy FROM mq),
+         |pr AS (SELECT * FROM lg WHERE qy IS NOT NULL),
+         |t AS (SELECT name, node, tsb,
+         |  count(*) OVER fr AS n,
+         |  CAST(sum(qx) OVER fr AS DOUBLE) AS sx,
+         |  CAST(sum(qy) OVER fr AS DOUBLE) AS sy,
+         |  CAST(sum(qx * qy) OVER fr AS DOUBLE) AS sxy,
+         |  CAST(sum(qx * qx) OVER fr AS DOUBLE) AS sxx,
+         |  CAST(sum(qy * qy) OVER fr AS DOUBLE) AS syy
+         | FROM pr WINDOW fr AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v AS (SELECT *, 24.0 * sxx - sx * sx AS vx, 24.0 * syy - sy * sy AS vy
+         | FROM t WHERE n = 24)
+         |SELECT name, node, tsb,
+         | floor(((24.0 * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)) + 1e-9) * 1e4 + 0.5) / 1e4 AS r
+         |FROM v WHERE vx > 0 AND vy > 0
+         |ORDER BY name, node, tsb""".stripMargin)),
+
     Q("mix_diversity", (s, dir) => {
       // corpus diversity on one screen: Shannon entropy of the source
       // and language shares (nats + normalized by ln k) — the single

@@ -501,13 +501,62 @@ object Clustering {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
     val av = asg.join(base, "vec_id").persist().tracked
-    val pairs = av.as("a").join(av.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"),
-        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
-      .select("doc1", "doc2")
+    // in-cell pairs via a per-cluster KERNEL, not a self-join: the
+    // join form materializes Σ|cell|² candidate ROWS each carrying
+    // two full vectors (~1 KB) BEFORE the threshold filter — at the
+    // r6 sfx10 audit the sampled-training cells put Σ|cell|² at
+    // 6.9e8, i.e. ~350 GB through the join, a measured multi-hour
+    // stall. The kernel sorts each cell by vec_id, runs the i<j dot
+    // loop in-task with the IDENTICAL IEEE sequence (vecDot order,
+    // Num.r4 floor formula, a.vec_id < b.vec_id ≡ sorted i<j), and
+    // emits ONLY surviving pairs — candidates never exist as rows.
+    // Per-cell state is |cell|·(d+2) doubles (the discords/minhash
+    // mapPartitions contract); a pathological mega-cell is the
+    // documented salting moment, not this operator's default.
+    val spark2 = av.sparkSession
+    import spark2.implicits._
+    val thr = threshold
+    val pairs = av.select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Seq[Double], Double)]) =>
+        val m = it.toArray.sortBy(_._2)
+        val ids = m.map(_._2)
+        val vs = m.map(_._3.toArray)
+        val ns = m.map(_._4)
+        // LAZY pair iterator: a dense cell can have tens of millions
+        // of surviving pairs — buffering them per task OOMed at the
+        // sfx10 audit; streaming them lets Spark drain straight into
+        // the shuffle writer with O(|cell|·d) task memory
+        new scala.collection.AbstractIterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private var pending: (Long, Long) = _
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && i < m.length - 1) {
+              val a = vs(i)
+              val b = vs(j)
+              var acc = 0.0
+              var d = 0
+              while (d < a.length) { acc += a(d) * b(d); d += 1 }
+              val raw = acc / (ns(i) * ns(j))
+              val cs =
+                if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+                else math.floor((raw + 1e-9) * 1e4 + 0.5) / 1e4
+              if (cs >= thr) pending = (ids(i), ids(j))
+              j += 1
+              if (j >= m.length) { i += 1; j = i + 1 }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending != null
+          override def next(): (Long, Long) = {
+            val p = pending; advance(); p
+          }
+        }
+      }
+      .toDF("doc1", "doc2")
     val comp = Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
       precomputedPairs = Some(pairs))
     val w = org.apache.spark.sql.expressions.Window

@@ -474,6 +474,36 @@ object TextAnalysis {
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }
 
+  /** Per-SOURCE keyword extraction: the top-k terms that distinguish a
+    * source from the rest of the corpus — [[tfidfTop]]'s aggregate
+    * sibling (per-doc keywords answer "what is this document about";
+    * per-source keywords answer "what does this feed contribute to
+    * the mix"). tf = term occurrences within the source, df = number
+    * of SOURCES containing the term, score = tf·S/df (the same
+    * log-free rarity ratio — exact integers, one correctly-rounded
+    * IEEE division, no cross-engine ln). Ranks break ties on the term
+    * string. Plan: one (source, term) aggregate, one term aggregate
+    * over it, S broadcast, a per-source top-k window over
+    * pre-aggregated rows only.
+    */
+  def keywordsBySource(docs: DataFrame, k: Int = 5): DataFrame = {
+    val terms = docs.select(col("source"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ns = docs.select("source").distinct().agg(count(lit(1)).as("n_sources"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(ns))
+      .withColumn("score",
+        (col("tf") * col("n_sources")).cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "term", "tf", "df", "score")
+  }
+
   /** Language-ID confusion matrix: the measured quality of the langId
     * heuristic against the corpus's labeled `lang` — (true, predicted)
     * counts plus each cell's share of its true-language row. The same

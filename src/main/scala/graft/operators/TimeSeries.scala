@@ -1400,6 +1400,42 @@ object TimeSeries {
       .orderBy("name", "node")
   }
 
+  /** Rolling lag-1 autocorrelation per signal (trailing `w` pairs):
+    * the regime-change lens — a signal whose short-horizon memory
+    * flips sign or collapses mid-series has changed dynamics even if
+    * its level looks calm. Pearson over the (qv, lag qv) pairs inside
+    * each trailing frame, computed from EXACT integer frame sums
+    * (DECIMAL(38)/HUGEINT — a ×1e9-quantized product sum reaches
+    * ~2.4e19 at w = 24, past exact-double range; the single cast to
+    * double of the exact integer is correctly rounded on both
+    * engines) with the fixed pearson op order. Frames needing all
+    * `w` pairs and positive variances; one window pass per signal.
+    */
+  def rollingAutocorr(grid: DataFrame, w: Int = 24): DataFrame = {
+    val m = signalScale("gval")
+    val g = grid
+      .withColumn("qx", quantRel(col("gval"), m))
+      .withColumn("qy", lag("qx", 1).over(signalWindow))
+      .filter(col("qy").isNotNull)
+      .select("name", "node", "tsb", "qx", "qy")
+    val fr = signalWindow.rowsBetween(-(w - 1), 0)
+    val nd = lit(w).cast("double")
+    val t = g
+      .withColumn("n", count(lit(1)).over(fr))
+      .withColumn("sx", sum("qx").over(fr).cast("double"))
+      .withColumn("sy", sum("qy").over(fr).cast("double"))
+      .withColumn("sxy", sum(col("qx") * col("qy")).over(fr).cast("double"))
+      .withColumn("sxx", sum(col("qx") * col("qx")).over(fr).cast("double"))
+      .withColumn("syy", sum(col("qy") * col("qy")).over(fr).cast("double"))
+      .filter(col("n") === w)
+      .withColumn("vx", nd * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", nd * col("syy") - col("sy") * col("sy"))
+      .filter(col("vx") > 0 && col("vy") > 0)
+    t.select(col("name"), col("node"), col("tsb"),
+      r4((nd * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("vx")) * sqrt(col("vy")))).as("r"))
+  }
+
   /** MACD (12/26-style smoothing re-expressed as exact binary
     * fractions): fast EWMA α=1/4, slow EWMA α=1/16, signal line
     * EWMA α=1/2 of the MACD, histogram = MACD − signal. One
