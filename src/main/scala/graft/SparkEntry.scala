@@ -4687,6 +4687,48 @@ object SparkEntry {
          |FROM nt LEFT JOIN hits ON nt.qid = hits.qid
          |ORDER BY nt.qid""".stripMargin)),
 
+    Q("ann_ivf_multiprobe", (s, dir) => {
+      // recall@5 per probe depth 1..2 at fixed cells: the nprobe knob
+      // measured, not guessed — the corpus stays single-cell-assigned,
+      // queries probe their 2 nearest cells
+      Similarity.ivfMultiProbeRecall(Tables.embeddings(s, dir))
+    }, Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_TRUTH,
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |asgc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+         |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+         |      c.cid ASC) AS crn
+         |  FROM n CROSS JOIN c) WHERE crn = 1),
+         |qp AS (SELECT qid, qv, qn, cid, prk FROM (
+         |  SELECT b.vec_id AS qid, b.v AS qv, b.nrm AS qn, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |      floor((list_sum(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]))
+         |        / (b.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+         |      c.cid ASC) AS prk
+         |  FROM n b CROSS JOIN c WHERE b.vec_id < 10) WHERE prk <= 2),
+         |cand AS (SELECT qp.qid, qp.prk, a.vec_id AS nid,
+         |  floor((list_sum(list_transform(range(1, 65), i -> qp.qv[i] * a.v[i]))
+         |    / (qp.qn * a.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+         | FROM asgc a JOIN qp ON a.cell = qp.cid AND a.vec_id != qp.qid),
+         |pv AS (SELECT unnest([1, 2]) AS probes),
+         |rk AS (SELECT probes, qid, nid FROM (SELECT pv.probes, cand.qid, cand.nid,
+         |  row_number() OVER (PARTITION BY pv.probes, cand.qid
+         |    ORDER BY cand.cos_sim DESC, cand.nid ASC) AS rnk
+         | FROM cand JOIN pv ON cand.prk <= pv.probes) WHERE rnk <= 5),
+         |hits AS (SELECT probes, rk.qid, count(*) AS hits
+         | FROM rk JOIN truth ON rk.qid = truth.qid AND rk.nid = truth.nid
+         | GROUP BY 1, 2),
+         |nt AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid)
+         |SELECT pv.probes, nt.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         | floor((CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS recall
+         |FROM nt CROSS JOIN pv
+         |LEFT JOIN hits ON nt.qid = hits.qid AND pv.probes = hits.probes
+         |ORDER BY pv.probes, nt.qid""".stripMargin)),
+
     Q("ann_range_search", (s, dir) => {
       Similarity.rangeSearch(Tables.embeddings(s, dir), nQueries = 10, minCos = 0.3)
         .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
@@ -7152,6 +7194,34 @@ object SparkEntry {
         |  FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+        |      c.cid ASC) AS crn
+        |  FROM n CROSS JOIN c) WHERE crn = 1)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+        |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 >= 0.3
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("dedup_embed_ivf_auto", (s, dir) =>
+      // the PRODUCTION knob: nCells <= 0 derives the balanced ⌈√n⌉
+      // cell count (the fixed-8 gate above is quadratic at scale BY
+      // ITS KNOB — Σ|cell|² = n²/8; the derived count holds it on the
+      // n^1.5 law), hash-proven here with the cell count as the same
+      // oracle scalar subquery the other _auto gates use
+      Dedup.embedCosinePairsIvf(Tables.embeddings(s, dir), nCells = 0,
+          threshold = 0.3)
+        .orderBy("id1", "id2"), Some(
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < ($SQL_AUTOCELLS)),
         |asg AS (SELECT vec_id, v, nrm, cid FROM (
         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -153,6 +153,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF recall: the standard recall lever at fixed cell
+    * count — the corpus stays assigned to ONE cell (the inverted
+    * list), but each QUERY probes its `maxProbes` nearest cells, so
+    * recall lost to a query landing near a cell boundary is bought
+    * back for probes× the scan cost instead of a bigger index. This
+    * harness measures recall@k against brute-force truth for every
+    * probe depth 1..maxProbes side by side — the number a user reads
+    * before picking nprobe. Query-side cell ranking is a window over
+    * |queries|×|cells| rows (queries are few by contract); candidate
+    * generation stays the bucket join; all ranks on rounded cosines
+    * with id tiebreaks.
+    */
+  def ivfMultiProbeRecall(embs: DataFrame, nCells: Int = 8,
+                          nQueries: Int = 10, k: Int = 5,
+                          maxProbes: Int = 2): DataFrame = {
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val qw = Window.partitionBy("qid").orderBy(col("qcsim").desc, col("cid").asc)
+    val qprobes = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        r4(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("qcsim"))
+      .withColumn("prk", row_number().over(qw))
+      .filter(col("prk") <= maxProbes)
+      .select("qid", "qv", "qn", "cid", "prk")
+    val cand = assigned.join(broadcast(qprobes),
+        col("cell") === col("cid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("prk"), col("vec_id").as("nid"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      .persist().tracked // every probe depth re-reads the candidate set
+    val truth = knnBruteCosine(embs, nQueries, k)
+      .select(col("qid").as("tqid"), col("nid").as("tnid"))
+    val rw = Window.partitionBy("probes", "qid")
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    val perProbe = (1 to maxProbes).map { p =>
+      cand.filter(col("prk") <= p).withColumn("probes", lit(p))
+    }.reduce(_ unionByName _)
+    val ranked = perProbe.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+    val nq = truth.groupBy("tqid").agg(count(lit(1)).as("n_truth"))
+    val hits = ranked.join(truth,
+        col("qid") === col("tqid") && col("nid") === col("tnid"), "left_semi")
+      .groupBy("probes", "qid").agg(count(lit(1)).as("hits"))
+    val probesDf = embs.sparkSession.range(1, maxProbes + 1)
+      .select(col("id").cast("int").as("tprobes"))
+    nq.crossJoin(broadcast(probesDf))
+      .join(hits,
+        col("tqid") === col("qid") && col("tprobes") === col("probes"),
+        "left_outer")
+      .select(col("tprobes").as("probes"), col("tqid").as("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r4(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
+      .orderBy("probes", "qid")
+  }
+
   /** Product-quantization ANN (Jégou, Douze & Schmid 2011): split each
     * vector into `m` subvectors, quantize each against a per-subspace
     * codebook of `kCent` centroids, and search with asymmetric distance
