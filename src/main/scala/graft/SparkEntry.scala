@@ -2639,6 +2639,28 @@ object SparkEntry {
          |   > 7.8147 AS INT) AS nonwhite
          |FROM ok ORDER BY name, node""".stripMargin)),
 
+    Q("ad_hampel", (s, dir) => {
+      Anomaly.hampel(grid(s, dir)).orderBy("name", "node", "tsb")
+    }, Some(
+      s"""$WITH_GRID,
+         |qq AS (SELECT name, node, tsb,
+         |  CAST(floor(gval * 1e6 + 0.5) AS BIGINT) AS q FROM grid),
+         |t AS (SELECT name, node, tsb, q,
+         |  list_sort(list(q) OVER win) AS arr
+         | FROM qq WINDOW win AS (PARTITION BY name, node ORDER BY tsb
+         |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |f AS (SELECT name, node, tsb, q, arr, arr[4] AS med
+         | FROM t WHERE len(arr) = 7),
+         |m AS (SELECT name, node, tsb, q, med,
+         |  list_sort(list_transform(arr, x -> abs(x - med)))[4] AS mad,
+         |  abs(q - med) AS dev FROM f)
+         |SELECT name, node, tsb,
+         | floor((CAST(q AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS value,
+         | floor((CAST(med AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS window_median,
+         | floor((CAST(dev AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS deviation
+         |FROM m WHERE dev * 10000 > 3 * 14826 * mad
+         |ORDER BY name, node, tsb""".stripMargin)),
+
     Q("ts_macd", (s, dir) => {
       TimeSeries.macd(grid(s, dir)).orderBy("name", "node")
     }, Some(
@@ -8351,19 +8373,27 @@ object SparkEntry {
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority").as("priority"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay"))
+      // ONE aggregation computes n/min/max and BOTH percentiles from
+      // the cum frame (conditional mins) — the three-branch version
+      // re-ran the fact⋈fact join per branch (seen in the formatted
+      // plan); here the join runs once and everything after it reads
+      // the |priorities × distinct delays| cells
       val cells = d.groupBy("priority", "delay").agg(count(lit(1)).as("c"))
-      val agg = cells.groupBy("priority").agg(sum("c").as("n"),
-        min("delay").as("min_delay"), max("delay").as("max_delay"))
       val wcum = org.apache.spark.sql.expressions.Window
         .partitionBy("priority").orderBy("delay")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cum = cells.withColumn("cum", sum("c").over(wcum)).join(agg, "priority")
-      def pct(p: Double, nm: String) =
-        cum.filter(col("cum") >= ceil(col("n").cast("double") * lit(p)))
-          .groupBy("priority").agg(min("delay").as(nm))
-      agg.join(pct(0.5, "med_delay"), "priority")
-        .join(pct(0.9, "p90_delay"), "priority")
-        .select("priority", "n", "min_delay", "med_delay", "p90_delay", "max_delay")
+      val wtot = org.apache.spark.sql.expressions.Window.partitionBy("priority")
+      cells
+        .withColumn("cum", sum("c").over(wcum))
+        .withColumn("n", sum("c").over(wtot))
+        .groupBy("priority").agg(
+          max("n").as("n"),
+          min("delay").as("min_delay"),
+          min(when(col("cum") >= ceil(col("n").cast("double") * lit(0.5)),
+            col("delay"))).as("med_delay"),
+          min(when(col("cum") >= ceil(col("n").cast("double") * lit(0.9)),
+            col("delay"))).as("p90_delay"),
+          max("delay").as("max_delay"))
         .orderBy("priority")
     }, Some(
       """WITH d AS (SELECT o_orderpriority AS priority,
@@ -8514,6 +8544,61 @@ object SparkEntry {
         |SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
         | CAST(sum(rev) AS DOUBLE) AS revenue
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("q53_forecast_revenue", (s, dir) => {
+      // TPC-H Q6-shaped what-if: revenue given up to discounts in a
+      // narrow band on small-quantity items over one year — the
+      // canonical full-pushdown query: every predicate (date range,
+      // discount band, quantity cap) reaches the parquet scan, the
+      // aggregate is one map-side decimal sum, NO shuffle beyond the
+      // final single-row combine. Discount compares on exact CENTS
+      // (×100 integers) so the band edges can't float.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .withColumn("disc_c", floor(col("l_discount") * 100 + lit(0.5)).cast("int"))
+        .filter(col("disc_c").between(5, 7) && col("l_quantity") < 24)
+      li.agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("revenue_effect"))
+    }, Some(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue_effect
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(floor(l_discount * 100 + 0.5) AS INT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin)),
+
+    Q("q54_large_orders", (s, dir) => {
+      // TPC-H Q18-shaped large-volume orders: orders whose total
+      // quantity exceeds the threshold, with customer attribution —
+      // the per-order aggregate runs map-side-combined on the fact
+      // alone; only qualifying orderkeys (a tiny set) join back to
+      // orders/customer (both broadcastable key-dims at the gate;
+      // keyed + AQE at scale); distributed TakeOrdered cuts to 20
+      // before any window.
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sumDec(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }, Some(
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
 
     Q("text_keywords", (s, dir) =>
       TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)

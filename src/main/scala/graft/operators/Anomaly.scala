@@ -674,4 +674,38 @@ object Anomaly {
         when(col("nssd") > col("pssd") * lit(ratio), lit("up"))
           .otherwise(lit("down")).as("direction"))
   }
+
+  /** Hampel identifier per signal: a point is an outlier when it sits
+    * more than 3 scaled MADs from the MEDIAN of its centered ±h
+    * window — the robust spike detector that, unlike k-sigma, is not
+    * itself inflated by the spike it is judging. Everything is exact
+    * integers on the ×1e6 quantized values: the window's 2h+1 values
+    * ride ONE collect+sort per row (bounded list, both engines sort
+    * identical integer multisets), the median is the middle order
+    * statistic, MAD the middle of |q − med|, and the flag compares
+    * |q − med|·10000 > 3·14826·mad (the 1.4826 Gaussian consistency
+    * constant as an exact ×10⁴ integer). Zero-MAD windows (flat
+    * neighborhoods) flag ANY deviation — the standard Hampel
+    * convention. Only full windows judge.
+    */
+  def hampel(grid: DataFrame, h: Int = 3): DataFrame = {
+    val w = 2 * h + 1
+    val win = Window.partitionBy("name", "node").orderBy("tsb")
+      .rowsBetween(-h, h)
+    val g = grid.select(col("name"), col("node"), col("tsb"),
+      floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    val t = g
+      .withColumn("arr", sort_array(collect_list("q").over(win)))
+      .filter(size(col("arr")) === w)
+      .withColumn("med", element_at(col("arr"), h + 1))
+      .withColumn("devs", sort_array(transform(col("arr"),
+        x => abs(x - col("med")))))
+      .withColumn("mad", element_at(col("devs"), h + 1))
+      .withColumn("dev", abs(col("q") - col("med")))
+      .filter(col("dev") * 10000L > lit(3L * 14826L) * col("mad"))
+    t.select(col("name"), col("node"), col("tsb"),
+      r4(col("q").cast("double") / lit(1e6)).as("value"),
+      r4(col("med").cast("double") / lit(1e6)).as("window_median"),
+      r4(col("dev").cast("double") / lit(1e6)).as("deviation"))
+  }
 }

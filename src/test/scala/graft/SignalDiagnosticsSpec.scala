@@ -69,6 +69,24 @@ class SignalDiagnosticsSpec extends SparkTestBase {
     assert(got(("m", "a"))._3 == 1)
   }
 
+  test("hampel flags the spike, not the flat neighborhood; zero-MAD flags any deviation") {
+    val spike = (0 until 15).map(i =>
+      ("m", "sp", i * 900L, if (i == 7) 50.0 else 10.0 + (i % 3)))
+    val flat = (0 until 15).map(i => ("m", "fl", i * 900L, 4.0))
+    // flat window with ONE off value → window MAD = 0 → any deviation
+    // must flag (the standard Hampel convention)
+    val zmad = (0 until 15).map(i =>
+      ("m", "zm", i * 900L, if (i == 7) 4.0001 else 4.0))
+    val out = graft.operators.Anomaly.hampel(
+      grid(spike ++ flat ++ zmad: _*)).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.count(_._1 == "sp") == 1)
+    assert(out.filter(_._1 == "sp").head == (("sp", 7 * 900L, 50.0)))
+    assert(!out.exists(_._1 == "fl"))
+    assert(out.count(_._1 == "zm") == 1)
+    assert(out.filter(_._1 == "zm").head._3 == 4.0001)
+  }
+
   test("macd matches a naive fold replay, crossings count nonzero sign flips") {
     val vals = Seq(1.0, 1.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 6.0, 6.0, 2.0, 2.0)
     val rows = vals.zipWithIndex.map { case (v, i) => ("m", "x", i * 900L, v) }
