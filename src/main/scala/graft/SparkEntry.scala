@@ -244,6 +244,41 @@ object SparkEntry {
   private val SQL_AUTOCELLS =
     "(SELECT greatest(8, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)"
 
+  /** The DSIR per-document integer score chain (Curation.dsirScores'
+    * oracle twin): hashed-bigram bucket counts, ExactMath quantized
+    * log-likelihood ratios, per-doc exact integer sums → `ds(doc_id,
+    * source, sq)`. Shared by curation_dsir and sample_dsir.
+    */
+  private lazy val SQL_DSIR_DS: String =
+    s"""ws AS (SELECT doc_id, source, lang,
+       |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |bgl AS (SELECT doc_id, source, lang,
+       |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bgs
+       | FROM ws),
+       |bg AS (SELECT doc_id, source, lang,
+       |  CAST('0x' || substr(md5(bgs), 1, 8) AS BIGINT) % 4096 AS b FROM bgl),
+       |raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tot_r,
+       |  (SELECT count(*) FROM bg WHERE lang = 'en') AS tot_t),
+       |lx AS (SELECT raw.b, coalesce(tgt.ct, 0) + 1 AS ct1, raw.cr + 1 AS cr1,
+       |  tot_t + 4096 AS tt, tot_r + 4096 AS tr
+       | FROM raw LEFT JOIN tgt USING (b), tot),
+       |lns AS (SELECT b,
+       |  ${graft.functions.ExactMath.sqlLnCols("ct1", "da", "l_ct")},
+       |  ${graft.functions.ExactMath.sqlLnCols("cr1", "db", "l_cr")},
+       |  ${graft.functions.ExactMath.sqlLnCols("tt", "dc", "l_tt")},
+       |  ${graft.functions.ExactMath.sqlLnCols("tr", "dd", "l_tr")}
+       | FROM lx),
+       |llr AS (SELECT b,
+       |  (CAST(floor((l_ct + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tt + 1e-9) * 1e6 + 0.5) AS BIGINT))
+       |  - (CAST(floor((l_cr + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tr + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS llr_q
+       | FROM lns),
+       |sc AS (SELECT doc_id, CAST(sum(llr_q) AS BIGINT) AS score_q
+       | FROM bg JOIN llr USING (b) GROUP BY 1),
+       |ds AS (SELECT d.doc_id, d.source, coalesce(sc.score_q, 0) AS sq
+       | FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
+
   /** Label-kNN-accuracy oracle with a parametric centroid count —
     * shared by the fixed-cells gate and the autoCells gate.
     */
@@ -4818,38 +4853,28 @@ object SparkEntry {
     Q("curation_dsir", (s, dir) => {
       Curation.dsirWeights(Tables.documents(s, dir))
     }, Some(
-      s"""WITH ws AS (SELECT doc_id, source, lang,
-         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-         |bgl AS (SELECT doc_id, source, lang,
-         |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bgs
-         | FROM ws),
-         |bg AS (SELECT doc_id, source, lang,
-         |  CAST('0x' || substr(md5(bgs), 1, 8) AS BIGINT) % 4096 AS b FROM bgl),
-         |raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
-         |tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tot_r,
-         |  (SELECT count(*) FROM bg WHERE lang = 'en') AS tot_t),
-         |lx AS (SELECT raw.b, coalesce(tgt.ct, 0) + 1 AS ct1, raw.cr + 1 AS cr1,
-         |  tot_t + 4096 AS tt, tot_r + 4096 AS tr
-         | FROM raw LEFT JOIN tgt USING (b), tot),
-         |lns AS (SELECT b,
-         |  ${graft.functions.ExactMath.sqlLnCols("ct1", "da", "l_ct")},
-         |  ${graft.functions.ExactMath.sqlLnCols("cr1", "db", "l_cr")},
-         |  ${graft.functions.ExactMath.sqlLnCols("tt", "dc", "l_tt")},
-         |  ${graft.functions.ExactMath.sqlLnCols("tr", "dd", "l_tr")}
-         | FROM lx),
-         |llr AS (SELECT b,
-         |  (CAST(floor((l_ct + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tt + 1e-9) * 1e6 + 0.5) AS BIGINT))
-         |  - (CAST(floor((l_cr + 1e-9) * 1e6 + 0.5) AS BIGINT) - CAST(floor((l_tr + 1e-9) * 1e6 + 0.5) AS BIGINT)) AS llr_q
-         | FROM lns),
-         |sc AS (SELECT doc_id, CAST(sum(llr_q) AS BIGINT) AS score_q
-         | FROM bg JOIN llr USING (b) GROUP BY 1),
-         |ds AS (SELECT d.doc_id, d.source, coalesce(sc.score_q, 0) AS sq
-         | FROM documents d LEFT JOIN sc USING (doc_id))
+      s"""WITH $SQL_DSIR_DS
          |SELECT source, count(*) AS n_docs,
          | floor(((CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS mean_logw,
          | floor((CAST(sum(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS pos_share
          |FROM ds GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("sample_dsir", (s, dir) => {
+      // DSIR's resampling step made deterministic: top-50 docs by
+      // integer score with the md5-rank + id tiebreak (append-stable;
+      // TakeOrdered, no global sort)
+      Curation.dsirSample(Tables.documents(s, dir), n = 50)
+        .orderBy(col("logw").desc, col("doc_id"))
+    }, Some(
+      s"""WITH $SQL_DSIR_DS
+         |SELECT doc_id, source,
+         | floor((CAST(sq AS DOUBLE) / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS logw
+         |FROM ds
+         |ORDER BY sq DESC,
+         | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+         | doc_id ASC
+         |LIMIT 50""".stripMargin)),
+
 
     Q("embed_hard_negatives", (s, dir) => {
       Similarity.hardNegatives(Tables.embeddings(s, dir), k = 3)

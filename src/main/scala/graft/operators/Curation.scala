@@ -832,6 +832,40 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, buckets: Int = 4096,
                   targetLang: String = "en"): DataFrame = {
+    dsirScores(docs, buckets, targetLang)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        r4((sum("sq").cast("double") / count(lit(1)).cast("double")) /
+          lit(1e6)).as("mean_logw"),
+        r4(sum((col("sq") > 0).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("pos_share"))
+      .orderBy("source")
+  }
+
+  /** Deterministic DSIR selection — the "resampling" step: keep the
+    * `n` documents whose importance score ranks highest, with the
+    * md5-rank + id tiebreak making equal-score cuts append-stable
+    * (the deterministic stand-in for DSIR's Gumbel-top-k; at a fixed
+    * score the choice within the tie set is arbitrary by the method's
+    * own logic, so a hash rank loses nothing and gains replayability).
+    * orderBy+limit plans as TakeOrdered — per-partition top-n, no
+    * global sort.
+    */
+  def dsirSample(docs: DataFrame, n: Int = 50, buckets: Int = 4096,
+                 targetLang: String = "en"): DataFrame =
+    dsirScores(docs, buckets, targetLang)
+      .withColumn("hk", Sampling.hash32(col("doc_id").cast("string")))
+      .orderBy(col("sq").desc, col("hk").asc, col("doc_id").asc)
+      .limit(n)
+      .select(col("doc_id"), col("source"),
+        r4(col("sq").cast("double") / lit(1e6)).as("logw"))
+
+  /** Per-document integer DSIR scores (×1e6 quantized log-weight) —
+    * the shared core of [[dsirWeights]] and [[dsirSample]]; see
+    * [[dsirWeights]] for the model and determinism contract.
+    */
+  private def dsirScores(docs: DataFrame, buckets: Int,
+                         targetLang: String): DataFrame = {
     val qln = (c: org.apache.spark.sql.Column) =>
       floor((graft.functions.ExactMath.lnIntCol(c) + lit(1e-9)) * lit(1e6) + lit(0.5))
         .cast("long")
@@ -862,12 +896,6 @@ object Curation {
     docs.select(col("doc_id"), col("source"))
       .join(scores, Seq("doc_id"), "left_outer")
       .withColumn("sq", coalesce(col("score_q"), lit(0L)))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        r4((sum("sq").cast("double") / count(lit(1)).cast("double")) /
-          lit(1e6)).as("mean_logw"),
-        r4(sum((col("sq") > 0).cast("long")).cast("double") /
-          count(lit(1)).cast("double")).as("pos_share"))
-      .orderBy("source")
+      .select("doc_id", "source", "sq")
   }
 }
