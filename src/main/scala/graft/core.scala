@@ -61,6 +61,25 @@ object Num {
       .otherwise(floor((c + lit(eps)) * lit(scale) + lit(0.5)) / lit(scale))
 }
 
+/** Spark-computed SQL literal fragments for the DuckDB oracle.
+  *
+  * Some oracle checks share a SMALL Spark-computed model (e.g. q34's
+  * ≤25-row Markov qln table) with the oracle as a VALUES literal, the
+  * same device as the ann_lsh splitmix hyperplanes — the oracle then
+  * replays the engine's integers verbatim and independently re-verifies
+  * everything downstream (sessionization, joins, aggregation, ranking),
+  * while no engine-computed transcendental ever reaches the hashed
+  * columns. Works because `Verify` dumps `oracle_sql.json` AFTER running
+  * every query, and `SparkEntry.defs` is a `def` (SQL re-rendered at
+  * dump time). Each oracle carries a data-independent fallback for the
+  * stash-empty case (focused runs that skip the producing query).
+  */
+object OracleLiterals {
+  private val stash = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def put(key: String, valuesList: String): Unit = stash.put(key, valuesList)
+  def get(key: String): Option[String] = Option(stash.get(key))
+}
+
 object GraftSession {
   /** Session tuned for the local[32] harness; on a real cluster only
     * master/shuffle-partitions change (driver passes them in).

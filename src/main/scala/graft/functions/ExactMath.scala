@@ -72,6 +72,75 @@ object ExactMath {
   /** ln(c/r) for positive integers — the log-probability form. */
   def lnRatio(c: Long, r: Long): Double = lnInt(c) - lnInt(r)
 
+  /** ln(x) for ANY double x ≥ 1, same mechanism as [[lnInt]]: the
+    * exponent k comes from the bit length of floor(x) (floor(x) and x
+    * share a binade for x ≥ 1 because 2^k is an integer), m = x/2^k is
+    * an exact power-of-two division, and the atanh series replays in
+    * fixed order. Synchronized with [[sqlLnGe1Cols]]. Domain guard:
+    * x < 2^62 (far beyond any statistic this feeds).
+    */
+  def lnGe1(x: Double): Double = {
+    require(x >= 1.0 && x < 9.223372036854776e18, s"lnGe1 domain: $x")
+    val fl = math.max(1L, math.floor(x).toLong)
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(fl)
+    val m = x / (1L << k).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val q = z * z
+    var acc = 1.0 / OddCoefs.head
+    OddCoefs.tail.foreach { c => acc = 1.0 / c + q * acc }
+    val lnm = 2.0 * z * (1.0 + q * acc)
+    k.toDouble * LN2 + lnm
+  }
+
+  /** e^y in pure exactly-rounded IEEE ops, fixed order — synchronized
+    * with [[sqlExpCols]]. Mechanism: k = floor(y/LN2), r = y − k·LN2
+    * ∈ [0, ~0.694], Taylor e^r = Σ r^j/j! to j = 17 in the nested form
+    * acc_j = 1 + (r·acc_{j+1})/j (truncation < 3e-19, below one ulp),
+    * then scale by the exact power 2^k. k < −62 → 0.0 (the 4-dp
+    * quantization every caller applies floors such values to 0 anyway);
+    * domain guard k ≤ 62 (e^y < 6.4e18 — any p-value/perplexity fits).
+    */
+  final val ExpCoefs: Seq[Int] = (1 to 17).reverse
+
+  def expFixed(y: Double): Double = {
+    val kd = math.floor(y / LN2)
+    if (kd < -62.0) return 0.0
+    require(kd <= 62.0, s"expFixed domain: $y")
+    val r = y - kd * LN2
+    var acc = 1.0
+    ExpCoefs.foreach { j => acc = 1.0 + (r * acc) / j }
+    val k = kd.toInt
+    if (k >= 0) acc * (1L << k).toDouble else acc / (1L << -k).toDouble
+  }
+
+  /** [[lnGe1]] as a DuckDB SELECT snippet (lateral column aliases
+    * `<pfx>k/_m/_z/_q`, result alias `<out>`). `xExpr` must be ≥ 1.
+    */
+  def sqlLnGe1Cols(xExpr: String, pfx: String, out: String): String = {
+    val horner = OddCoefs.tail.foldLeft(s"1.0/${OddCoefs.head}.0") {
+      (acc, c) => s"1.0/$c.0 + ${pfx}q * ($acc)"
+    }
+    s"""length(bin(greatest(CAST(floor($xExpr) AS BIGINT), 1))) - 1 AS ${pfx}k,
+       |  ($xExpr) / CAST((CAST(1 AS BIGINT) << ${pfx}k) AS DOUBLE) AS ${pfx}m,
+       |  (${pfx}m - 1.0) / (${pfx}m + 1.0) AS ${pfx}z,
+       |  ${pfx}z * ${pfx}z AS ${pfx}q,
+       |  CAST(${pfx}k AS DOUBLE) * $LN2 + 2.0 * ${pfx}z * (1.0 + ${pfx}q * ($horner)) AS $out""".stripMargin
+  }
+
+  /** [[expFixed]] as a DuckDB SELECT snippet (lateral column aliases
+    * `<pfx>kd/_r`, result alias `<out>`).
+    */
+  def sqlExpCols(yExpr: String, pfx: String, out: String): String = {
+    val horner = ExpCoefs.foldLeft("1.0") {
+      (acc, j) => s"1.0 + ((${pfx}r * ($acc)) / $j.0)"
+    }
+    s"""floor(($yExpr) / $LN2) AS ${pfx}kd,
+       |  ($yExpr) - ${pfx}kd * $LN2 AS ${pfx}r,
+       |  CASE WHEN ${pfx}kd < -62.0 THEN 0.0
+       |    WHEN ${pfx}kd >= 0.0 THEN ($horner) * CAST((CAST(1 AS BIGINT) << CAST(${pfx}kd AS INT)) AS DOUBLE)
+       |    ELSE ($horner) / CAST((CAST(1 AS BIGINT) << CAST(-${pfx}kd AS INT)) AS DOUBLE) END AS $out""".stripMargin
+  }
+
   /** Column form of [[lnInt]]; `n` must be a positive integral
     * column (cast to long internally). Pure arithmetic + `bin` +
     * `shiftleft` — stays inside whole-stage codegen.

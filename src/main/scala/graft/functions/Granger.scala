@@ -154,7 +154,19 @@ object Granger {
       val f =
         if (rssU <= 1e-12 * math.max(rssR, 1.0)) Double.MaxValue
         else math.max(0.0, ((rssR - rssU) / p) / (rssU / df2))
-      Result(f, Stats.fSf(f, p.toDouble, df2.toDouble), nEff)
+      // p-value: for df1 = 2 the F survival has the closed form
+      // (1 + 2F/d)^(−d/2), computed in the cross-engine exact kernels
+      // (ExactMath.lnGe1/expFixed — fixed-order IEEE ops the oracle
+      // replays verbatim; f is capped at 1e12 inside the formula on
+      // both sides, where p has long since floored to 0 at 4 dp).
+      // Other lag orders keep the Lentz continued-fraction route.
+      val pv =
+        if (f >= 1e300) 0.0
+        else if (p == 2) graft.functions.ExactMath.expFixed(
+          (-df2.toDouble / 2.0) * graft.functions.ExactMath.lnGe1(
+            1.0 + 2.0 * math.min(f, 1e12) / df2.toDouble))
+        else Stats.fSf(f, p.toDouble, df2.toDouble)
+      Result(f, pv, nEff)
     }
   }
 }

@@ -409,6 +409,17 @@ object Similarity {
     * pair generation is in-cell (Σ|cell|², [[autoCells]]-governed);
     * sketch construction is one codegen scan.
     */
+  /** Estimated cosine per hamming band, cos(π·h/nPlanes) rounded 4 dp —
+    * computed ONCE here (driver-side libm) and consumed as the SAME
+    * double literals by the engine column and the oracle's VALUES list
+    * (the BENFORD device): the argument grid is the integers 0..nPlanes,
+    * so no engine ever computes a transcendental on the hashed path.
+    */
+  def cosEstTable(nPlanes: Int = 32): IndexedSeq[Double] =
+    (0 to nPlanes).map { h =>
+      math.floor((math.cos(math.Pi * h / nPlanes) + 1e-9) * 1e4 + 0.5) / 1e4
+    }
+
   def bitSketchCalibration(embs: DataFrame, nPlanes: Int = 32,
                            nCells: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
@@ -432,8 +443,9 @@ object Similarity {
         r4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .withColumn("qc", floor(col("cos_sim") * lit(1e4) + lit(0.5)).cast("long"))
-      .withColumn("est", r4(cos(lit(math.Pi) * col("hamming").cast("double") /
-        lit(nPlanes.toDouble))))
+      // shared-literal lookup, not an engine cos (see cosEstTable)
+      .withColumn("est", element_at(
+        array(cosEstTable(nPlanes).map(lit): _*), col("hamming").cast("int") + lit(1)))
       .withColumn("qe", floor(col("est") * lit(1e4) + lit(0.5)).cast("long"))
     pairs.groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),

@@ -51,6 +51,69 @@ class ExactMathSpec extends SparkTestBase {
     assert(ExactMath.lnRatio(7, 7) == 0.0)
   }
 
+  // Captured from DuckDB 1.x executing sqlLnGe1Cols / sqlExpCols over
+  // these arguments (tools provenance: the r7 kernel-validation run).
+  // Bit-exact — compare with ==.
+  private val lnGe1Pins: Seq[(Double, Double)] = Seq(
+    1.0 -> 0.0,
+    1.5 -> 0.4054651081081644,
+    2.0 -> 0.6931471805599453,
+    3.75 -> 1.3217558399823195,
+    10.0 -> 2.3025850929940455,
+    123.456 -> 4.815884817283264,
+    1000000.5 -> 13.815511057964148,
+    4.7e9 -> 22.270828345662423,
+    1e12 -> 27.631021115928547,
+    2.5e15 -> 35.45506712678483)
+
+  private val expPins: Seq[(Double, Double)] = Seq(
+    0.0 -> 1.0,
+    0.5 -> 1.6487212707001282,
+    -0.5 -> 0.6065306597126334,
+    1.0 -> 2.7182818284590455,
+    -1.0 -> 0.3678794411714423,
+    5.4321 -> 228.62886226081397,
+    -12.345 -> 4.351456244655325e-06,
+    42.9 -> 4.27792605732114e18,
+    -42.9 -> 2.3375813106648393e-19,
+    -43.1 -> 0.0, // the documented k < −62 underflow clamp
+    3.2 -> 24.532530197109356,
+    -7.77 -> 0.00042221326680907,
+    11.0903 -> 65532.40289589632,
+    -0.0001 -> 0.9999000049998333)
+
+  test("lnGe1 matches the DuckDB replay bit-for-bit and extends lnInt") {
+    lnGe1Pins.foreach { case (x, want) =>
+      val got = ExactMath.lnGe1(x)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want), s"x=$x got=$got want=$want")
+    }
+    // lnGe1 on integer-valued doubles IS lnInt
+    (1L to 3000L).foreach { n =>
+      assert(java.lang.Double.doubleToLongBits(ExactMath.lnGe1(n.toDouble)) ==
+        java.lang.Double.doubleToLongBits(ExactMath.lnInt(n)), s"n=$n")
+    }
+  }
+
+  test("expFixed matches the DuckDB replay bit-for-bit and is faithful") {
+    expPins.foreach { case (y, want) =>
+      val got = ExactMath.expFixed(y)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want), s"y=$y got=$got want=$want")
+    }
+    // faithful to libm within a few ulp over the working range
+    (-420 to 420).foreach { i =>
+      val y = i / 10.0
+      val rel = math.abs(ExactMath.expFixed(y) - math.exp(y)) / math.exp(y)
+      assert(rel <= 5e-15, s"y=$y rel=$rel")
+    }
+    // round-trip with lnGe1: exp(ln x) ~ x
+    lnGe1Pins.map(_._1).foreach { x =>
+      val rt = ExactMath.expFixed(ExactMath.lnGe1(x))
+      assert(math.abs(rt - x) / x <= 5e-15, s"x=$x rt=$rt")
+    }
+  }
+
   test("sqlLnCols emits the synchronized snippet") {
     val sql = ExactMath.sqlLnCols("c", "lc", "lnc")
     assert(sql.contains("length(bin(CAST(c AS BIGINT))) - 1 AS lck"))
