@@ -86,6 +86,77 @@ object SparkEntry {
     BENFORD.zipWithIndex.map { case (e, i) => s"(${i + 1}, ${f"$e%.17e"})" }
       .mkString(", ")
 
+  /** lnInt(1e9) as a shared literal — the exact-kernel constant the
+    * quantized spectral entropy divides against on both engines.
+    */
+  private lazy val SQL_LN1E9: String =
+    f"${graft.functions.ExactMath.lnInt(1000000000L)}%.17e"
+
+  /** Twiddle-table CTE `tw(m, tc, ts)` — the engine's StrictMath
+    * doubles as literals when the stash is populated (full gate runs:
+    * every spectral kernel stashes before the oracle dump), else
+    * computed in-engine from `mSrc`'s m set (focused-dump fallback;
+    * engine cos, absorbed by the 4-dp guard — the r6 behavior).
+    */
+  private def sqlTwiddleCte(mSrc: String): String =
+    graft.TwiddleStash.sqlValues match {
+      case Some(v) => s"tw(m, tc, ts) AS (VALUES $v)"
+      case None =>
+        s"""tw AS (SELECT m, list(cos(2.0 * pi() * d / m) ORDER BY d) AS tc,
+           |  list(sin(2.0 * pi() * d / m) ORDER BY d) AS ts
+           | FROM (SELECT DISTINCT m FROM $mSrc) ms,
+           |  LATERAL (SELECT unnest(range(0, m)) AS d) d GROUP BY m)""".stripMargin
+    }
+
+  /** Ordered-fold direct-DFT power chain over `base(name, node, n, xs)`
+    * — the bit-exact replay of Dsp.dftPowers (i-ascending folds from a
+    * prepended 0.0, twiddle lookup (i·k) mod m, totals folded
+    * k-ascending). Yields `{p}mean(name,node,n,xs,mu,m)`,
+    * `{p}pw(name,node,n,m,k,p)` and `{p}tot(name,node,n,m,total)`.
+    */
+  private def sqlDftPowers(base: String, p: String): String =
+    s"""${p}mean AS (SELECT name, node, n, xs,
+       |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
+       |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
+       | FROM $base WHERE n >= 8),
+       |${p}dft AS (SELECT b.name, b.node, b.n, b.m, k.k AS k,
+       |  list_reduce(list_prepend(0.0, list_transform(range(0, b.n),
+       |    i -> (b.xs[CAST(i AS INT) + 1] - b.mu) * tw.tc[CAST((i * k.k) % b.m AS INT) + 1])), (a, b) -> a + b) AS re,
+       |  list_reduce(list_prepend(0.0, list_transform(range(0, b.n),
+       |    i -> (b.xs[CAST(i AS INT) + 1] - b.mu) * tw.ts[CAST((i * k.k) % b.m AS INT) + 1])), (a, b) -> a + b) AS im
+       | FROM ${p}mean b JOIN tw ON tw.m = b.m,
+       |  LATERAL (SELECT unnest(range(1, b.m // 2 + 1)) AS k) k),
+       |${p}pw AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM ${p}dft),
+       |${p}tot AS (SELECT name, node, n, m,
+       |  list_reduce(list_prepend(0.0, list(p ORDER BY k)), (a, b) -> a + b) AS total
+       | FROM ${p}pw GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Quantized spectral entropy over [[sqlDftPowers]]' chain — the
+    * replay of Dsp.spectralEntropy: q_k = ⌊(p_k/total + 1e-12)·1e9 +
+    * 0.5⌋, H = Σ q_k·(lnInt(1e9) − lnInt(q_k)) folded k-ascending,
+    * entropy = (H/1e9)/lnInt(m/2). Yields `{p}ent(name, node, n, m,
+    * spec_entropy)` (4-dp, only total > 0 rows).
+    */
+  private def sqlSpectralEntropy(p: String): String =
+    s"""${p}q AS (SELECT name, node, n, m, k,
+       |  CAST(floor((p / total + 1e-12) * 1e9 + 0.5) AS BIGINT) AS qp
+       | FROM ${p}pw JOIN ${p}tot USING (name, node, n, m) WHERE total > 0),
+       |${p}ln AS (SELECT name, node, n, m, k, qp,
+       |  ${graft.functions.ExactMath.sqlLnCols(
+            "CASE WHEN qp >= 1 THEN qp ELSE 1 END", s"${p}a", "lnqp")}
+       | FROM ${p}q),
+       |${p}tm AS (SELECT name, node, n, m, k,
+       |  CASE WHEN qp >= 1 THEN CAST(qp AS DOUBLE) * ($SQL_LN1E9 - lnqp) ELSE 0.0 END AS term
+       | FROM ${p}ln),
+       |${p}hs AS (SELECT name, node, n, m,
+       |  list_reduce(list_prepend(0.0, list(term ORDER BY k)), (a, b) -> a + b) AS hsum
+       | FROM ${p}tm GROUP BY 1, 2, 3, 4),
+       |${p}ent AS (SELECT name, node, n, m,
+       |  floor(((hsum / 1e9) / lnm2 + 1e-9) * 1e4 + 0.5) / 1e4 AS spec_entropy
+       | FROM (SELECT name, node, n, m, hsum,
+       |  ${graft.functions.ExactMath.sqlLnCols("m // 2", s"${p}b", "lnm2")}
+       |  FROM ${p}hs))""".stripMargin
+
   /** cos(π·h/32) per hamming band 0..32 — Spark-shared double literals
     * (Similarity.cosEstTable), so embed_bitsketch's `est` column never
     * runs an engine cos.
@@ -659,49 +730,54 @@ object SparkEntry {
     * indices. The iteration is the exact-integer formulation the Scala
     * kernel runs (integer argmax of |q·m − S| with first-index
     * tie-break, HUGEINT moment S2 = m²Σq² − mS², fixed IEEE sequence
-    * for R); the critical value λ comes from an INDEPENDENT
-    * implementation — closed-form integer-ν Student-t CDF
-    * (A&S 26.7.3/4, lgamma-based coefficient products) under the same
-    * 200-step bisection — and agrees with Stats.tQuantile's
-    * Lentz-continued-fraction route to ~1e-12, which the 4-dp verdict
-    * quantization absorbs on both sides.
+    * for R); the critical value λ is the kernel's OWN ×1e4 integer
+    * (Stats.esdLam4), shared per active-count m through EsdLamStash —
+    * the oracle replays the engine's integers instead of re-deriving λ
+    * through an independent lgamma t-CDF. Focused dumps that skipped
+    * the ESD queries fall back to that independent closed-form
+    * integer-ν Student-t CDF (A&S 26.7.3/4) under the same 200-step
+    * bisection (agrees to ~1e-12; 4-dp quantization absorbs it).
     */
-  private val SQL_ESD_CTES =
-    """eser AS MATERIALIZED (SELECT name, node, count(*) AS n,
+  private def SQL_ESD_CTES =
+    s"""eser AS MATERIALIZED (SELECT name, node, count(*) AS n,
       |  least(greatest(CAST(ceil(count(*) * 0.05) AS BIGINT), 1), count(*) - 2) AS k,
       |  list(q ORDER BY idx) AS qs,
       |  CAST(sum(q) AS BIGINT) AS s0,
       |  sum(CAST(q AS HUGEINT) * q) AS q20
       | FROM qp GROUP BY 1, 2),
-      |ems AS (SELECT DISTINCT n - unnest(range(0, k)) AS m FROM eser WHERE k >= 1),
-      |emp AS (SELECT m, 1.0 - 0.05 / (2 * m) AS p, m - 2 AS nu FROM ems WHERE m >= 3),
-      |ebis AS (
-      |  SELECT m, p, nu, 0 AS it, -1e6 AS lo, 1e6 AS hi FROM emp
-      |  UNION ALL
-      |  SELECT m, p, nu, it + 1,
-      |    CASE WHEN cdf < p THEN mid ELSE lo END,
-      |    CASE WHEN cdf < p THEN hi ELSE mid END
-      |  FROM (
-      |    SELECT m, p, nu, it, lo, hi, mid,
-      |      CASE WHEN nu % 2 = 0 THEN
-      |        0.5 + 0.5 * (mid / sqrt(nu + mid*mid)) * coalesce(list_sum(
-      |          list_transform(range(0, nu // 2), j ->
-      |            exp(lgamma(2*j + 1.0) - 2*lgamma(j + 1.0) - j*ln(4.0))
-      |              * power(nu / (nu + mid*mid), j))), 0.0)
-      |      ELSE
-      |        0.5 + (1.0/pi()) * (atan(mid / sqrt(CAST(nu AS DOUBLE)))
-      |          + (mid / sqrt(nu + mid*mid)) * sqrt(nu / (nu + mid*mid))
-      |            * coalesce(list_sum(list_transform(range(0, (nu - 1) // 2), j ->
-      |                exp(2*lgamma(j + 1.0) + j*ln(4.0) - lgamma(2*j + 2.0))
-      |                  * power(nu / (nu + mid*mid), j))), 0.0))
-      |      END AS cdf
-      |    FROM (SELECT *, 0.5*(lo + hi) AS mid FROM ebis)
-      |  ) WHERE it < 200
-      |),
-      |elam AS MATERIALIZED (SELECT m,
-      |  CAST(floor(((m - 1) * 0.5*(lo + hi)
-      |    / sqrt((nu + 0.5*(lo + hi)*0.5*(lo + hi)) * m) + 1e-9) * 1e4 + 0.5) AS BIGINT) AS lam4
-      | FROM ebis WHERE it = 200),
+      |${graft.EsdLamStash.sqlValues match {
+        case Some(v) => s"elam(m, lam4) AS (VALUES $v),"
+        case None =>
+          """ems AS (SELECT DISTINCT n - unnest(range(0, k)) AS m FROM eser WHERE k >= 1),
+            |emp AS (SELECT m, 1.0 - 0.05 / (2 * m) AS p, m - 2 AS nu FROM ems WHERE m >= 3),
+            |ebis AS (
+            |  SELECT m, p, nu, 0 AS it, -1e6 AS lo, 1e6 AS hi FROM emp
+            |  UNION ALL
+            |  SELECT m, p, nu, it + 1,
+            |    CASE WHEN cdf < p THEN mid ELSE lo END,
+            |    CASE WHEN cdf < p THEN hi ELSE mid END
+            |  FROM (
+            |    SELECT m, p, nu, it, lo, hi, mid,
+            |      CASE WHEN nu % 2 = 0 THEN
+            |        0.5 + 0.5 * (mid / sqrt(nu + mid*mid)) * coalesce(list_sum(
+            |          list_transform(range(0, nu // 2), j ->
+            |            exp(lgamma(2*j + 1.0) - 2*lgamma(j + 1.0) - j*ln(4.0))
+            |              * power(nu / (nu + mid*mid), j))), 0.0)
+            |      ELSE
+            |        0.5 + (1.0/pi()) * (atan(mid / sqrt(CAST(nu AS DOUBLE)))
+            |          + (mid / sqrt(nu + mid*mid)) * sqrt(nu / (nu + mid*mid))
+            |            * coalesce(list_sum(list_transform(range(0, (nu - 1) // 2), j ->
+            |                exp(2*lgamma(j + 1.0) + j*ln(4.0) - lgamma(2*j + 2.0))
+            |                  * power(nu / (nu + mid*mid), j))), 0.0))
+            |      END AS cdf
+            |    FROM (SELECT *, 0.5*(lo + hi) AS mid FROM ebis)
+            |  ) WHERE it < 200
+            |),
+            |elam AS MATERIALIZED (SELECT m,
+            |  CAST(floor(((m - 1) * 0.5*(lo + hi)
+            |    / sqrt((nu + 0.5*(lo + hi)*0.5*(lo + hi)) * m) + 1e-9) * 1e4 + 0.5) AS BIGINT) AS lam4
+            | FROM ebis WHERE it = 200),""".stripMargin
+      }}
       |esdr AS (
       |  SELECT name, node, n, k, qs, CAST(0 AS BIGINT) AS i,
       |    s0 AS s, q20 AS q2,
@@ -738,15 +814,16 @@ object SparkEntry {
 
   /** Reference decomposition replay over `ff36` (mirrors
     * ChangePoints.seasonalNoise): centered 5-median trend, then the
-    * ideal lowpass as a CIRCULAR CONVOLUTION with the Dirichlet kernel
-    * K(d) = (1 + 2Σ_{k≤c} cos(2πkd/m))/m over the last-value-padded
-    * power-of-two window — mathematically identical to the engine's
-    * FFT→zero-bins→inverse-FFT (Dsp.lowpass), with float noise ~1e-12
-    * that the 4-dp rounding guard absorbs. Yields `dcr(name, node,
-    * tsb, idx, raw, trend, seasonal, noise)` with noise already 4-dp.
+    * ideal lowpass as the CIRCULAR CONVOLUTION with the Dirichlet
+    * kernel K(d) = (1 + 2Σ_{k≤c} cos(2πkd/m))/m over the
+    * last-value-padded power-of-two window — the EXACT op sequence
+    * Dsp.lowpassDirichlet runs (shared StrictMath twiddles, j- and
+    * k-ascending folds), so seasonal/noise are bit-identical, not just
+    * 4-dp-close. Yields `dcr(name, node, tsb, idx, raw, trend,
+    * seasonal, noise)` with noise already 4-dp.
     */
-  private val SQL_LOWPASS_DECOMP =
-    """dtr AS (SELECT name, node, tsb, gval,
+  private def SQL_LOWPASS_DECOMP =
+    s"""dtr AS (SELECT name, node, tsb, gval,
       |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
       |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
       |  CAST(row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS BIGINT) AS idx
@@ -760,18 +837,17 @@ object SparkEntry {
       | FROM (SELECT name, node, n,
       |   (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m,
       |   detr FROM dser)),
-      |dkern AS MATERIALIZED (SELECT m, d,
-      |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
-      |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
-      | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
-      |dxr AS MATERIALIZED (SELECT name, node, m, unnest(range(0, CAST(m AS INT))) AS j,
-      |  unnest(xp) AS xv FROM dpad),
-      |dir AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
-      |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
-      | FROM dir i
-      | JOIN dxr x ON x.name = i.name AND x.node = i.node
-      | JOIN dkern k ON k.m = x.m AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
-      | GROUP BY 1, 2, 3),
+      |${sqlTwiddleCte("(SELECT m FROM dpad)")},
+      |dkern AS MATERIALIZED (SELECT mc.m, mc.c,
+      |  list_transform(range(0, mc.m), d ->
+      |    (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
+      |      k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) AS kv
+      | FROM (SELECT DISTINCT m, c FROM dpad) mc JOIN tw ON tw.m = mc.m),
+      |dsx AS (SELECT p.name, p.node, i.i AS idx,
+      |  list_reduce(list_prepend(0.0, list_transform(range(0, p.m),
+      |    j -> p.xp[CAST(j AS INT) + 1] * kn.kv[CAST((i.i - 1 - j + 2 * p.m) % p.m AS INT) + 1])), (a, b) -> a + b) AS seasonal
+      | FROM dpad p JOIN dkern kn ON kn.m = p.m AND kn.c = p.c,
+      |  LATERAL (SELECT unnest(range(1, CAST(p.n AS INT) + 1)) AS i) i),
       |dcr AS (SELECT t.name, t.node, t.tsb, t.idx, t.gval AS raw,
       |  t.trend, s.seasonal,
       |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
@@ -1000,26 +1076,15 @@ object SparkEntry {
          | FROM $src),
          |rser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
          | FROM $src GROUP BY 1, 2),
-         |rmean AS (SELECT name, node, n, xs,
-         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
-         | FROM rser WHERE n >= 8),
-         |rcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
-         | FROM rmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
-         |rkk AS (SELECT name, node, n, m, k.k AS k FROM rmean,
-         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
-         |rdft AS (SELECT rkk.name, rkk.node, rkk.n, rkk.m, rkk.k,
-         |  sum(c.c * cos(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS re,
-         |  sum(c.c * sin(2.0 * pi() * ((c.i * rkk.k) % rkk.m) / rkk.m)) AS im
-         | FROM rkk JOIN rcells c ON c.name = rkk.name AND c.node = rkk.node
-         | GROUP BY 1, 2, 3, 4, 5),
-         |rpow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM rdft),
-         |rfin AS (SELECT name, node, n, m, sum(p) AS total,
-         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
-         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
+         |${sqlTwiddleCte("(SELECT (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m FROM rser)")},
+         |${sqlDftPowers("rser", "r")},
+         |rfin AS (SELECT w.name, w.node, w.n, w.m, t.total,
+         |  list_aggregate(list_filter(list_transform(list_zip(list(w.p ORDER BY w.k), list(w.k ORDER BY w.k)),
+         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * w.m / w.n) AS BIGINT))
          |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
          |    s -> s IS NOT NULL), 'max') AS bst
-         | FROM rpow GROUP BY 1, 2, 3, 4),
+         | FROM rpw w JOIN rtot t USING (name, node, n, m)
+         | GROUP BY 1, 2, 3, 4, 5),
          |ccut AS (SELECT d.name, d.node, d.n, d.m,
          |  CASE WHEN r.bst IS NOT NULL AND r.total > 0 AND r.bst.v / r.total >= 0.2
          |    THEN greatest(0, CAST(trunc(((1.25 / ((CAST(d.m AS DOUBLE) / (-r.bst.nk)) * 3600.0)) * 3600.0) * d.m) AS BIGINT))
@@ -1035,18 +1100,16 @@ object SparkEntry {
          |  list_concat(s.detr, list_transform(range(0, u.m - s.n), z -> s.detr[CAST(s.n AS INT)])) AS xp,
          |  u.c
          | FROM dser s JOIN ccut u ON u.name = s.name AND u.node = s.node),
-         |dkern AS MATERIALIZED (SELECT m, c, d,
-         |  (1.0 + 2.0 * coalesce(list_sum(list_transform(range(1, CAST(c AS INT) + 1),
-         |    k -> cos(2.0 * pi() * k * d / m))), 0.0)) / m AS kvv
-         | FROM (SELECT DISTINCT m, c FROM dpad), LATERAL (SELECT unnest(range(0, m)) AS d)),
-         |dxr AS MATERIALIZED (SELECT name, node, m, c, unnest(range(0, CAST(m AS INT))) AS j,
-         |  unnest(xp) AS xv FROM dpad),
-         |dir2 AS (SELECT name, node, n, m, unnest(range(1, CAST(n AS INT) + 1)) AS i FROM dpad),
-         |dsx AS (SELECT i.name, i.node, i.i AS idx, sum(x.xv * k.kvv) AS seasonal
-         | FROM dir2 i
-         | JOIN dxr x ON x.name = i.name AND x.node = i.node
-         | JOIN dkern k ON k.m = x.m AND k.c = x.c AND k.d = (i.i - 1 - x.j + 2 * x.m) % x.m
-         | GROUP BY 1, 2, 3),
+         |dkern AS MATERIALIZED (SELECT mc.m, mc.c,
+         |  list_transform(range(0, mc.m), d ->
+         |    (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
+         |      k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) AS kv
+         | FROM (SELECT DISTINCT m, c FROM dpad) mc JOIN tw ON tw.m = mc.m),
+         |dsx AS (SELECT p.name, p.node, i.i AS idx,
+         |  list_reduce(list_prepend(0.0, list_transform(range(0, p.m),
+         |    j -> p.xp[CAST(j AS INT) + 1] * kn.kv[CAST((i.i - 1 - j + 2 * p.m) % p.m AS INT) + 1])), (a, b) -> a + b) AS seasonal
+         | FROM dpad p JOIN dkern kn ON kn.m = p.m AND kn.c = p.c,
+         |  LATERAL (SELECT unnest(range(1, CAST(p.n AS INT) + 1)) AS i) i),
          |dcr AS (SELECT t.name, t.node, t.tsb, t.idx,
          |  floor((t.gval - t.trend - s.seasonal + 1e-9) * 1e4 + 0.5) / 1e4 AS noise
          | FROM dtr t JOIN dsx s ON s.name = t.name AND s.node = t.node AND s.idx = t.idx),
@@ -3434,27 +3497,10 @@ object SparkEntry {
          | FROM sxs WHERE sst > 0),
          |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
          | FROM grid GROUP BY 1, 2),
-         |pmean AS (SELECT name, node, n, xs,
-         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
-         | FROM pser WHERE n >= 8),
-         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
-         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
-         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
-         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
-         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
-         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
-         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
-         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
-         | GROUP BY 1, 2, 3, 4, 5),
-         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
-         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
-         |  list(p ORDER BY k) AS ps FROM ppow GROUP BY 1, 2, 3, 4),
-         |sel AS (SELECT name, node,
-         |  floor((list_sum(list_transform(ps, pp ->
-         |     CASE WHEN pp > 0 THEN -(pp / total) * ln(pp / total) ELSE 0.0 END))
-         |    / ln(CAST(m // 2 AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS spec_entropy
-         | FROM pfin WHERE total > 0),
+         |${sqlTwiddleCte("(SELECT (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m FROM pser)")},
+         |${sqlDftPowers("pser", "p")},
+         |${sqlSpectralEntropy("p")},
+         |sel AS (SELECT name, node, spec_entropy FROM pent),
          |sg AS (SELECT DISTINCT name, node FROM grid)
          |SELECT sg.name, sg.node, tsl.trend_strength, ssl.seasonal_strength,
          | sel.spec_entropy
@@ -3997,26 +4043,15 @@ object SparkEntry {
       s"""WITH $SQL_CORR_CTES,
          |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
          | FROM ff36 GROUP BY 1, 2),
-         |pmean AS (SELECT name, node, n, xs,
-         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
-         | FROM pser WHERE n >= 8),
-         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
-         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
-         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
-         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
-         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
-         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
-         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
-         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
-         | GROUP BY 1, 2, 3, 4, 5),
-         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
-         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
-         |  list_aggregate(list_filter(list_transform(list_zip(list(p ORDER BY k), list(k ORDER BY k)),
-         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * m / n) AS BIGINT))
+         |${sqlTwiddleCte("(SELECT (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m FROM pser)")},
+         |${sqlDftPowers("pser", "p")},
+         |pfin AS (SELECT w.name, w.node, w.n, w.m, t.total,
+         |  list_aggregate(list_filter(list_transform(list_zip(list(w.p ORDER BY w.k), list(w.k ORDER BY w.k)),
+         |    z -> CASE WHEN z[2] >= greatest(1, CAST(ceil(3.0 * w.m / w.n) AS BIGINT))
          |         THEN struct_pack(v := z[1], nk := -z[2]) ELSE NULL END),
          |    s -> s IS NOT NULL), 'max') AS bst
-         | FROM ppow GROUP BY 1, 2, 3, 4)
+         | FROM ppw w JOIN ptot t USING (name, node, n, m)
+         | GROUP BY 1, 2, 3, 4, 5)
          |SELECT name, node,
          | floor((CAST(m AS DOUBLE) / (-bst.nk) * 3600.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS period_sec,
          | floor((bst.v / total + 1e-9) * 1e4 + 0.5) / 1e4 AS strength,
@@ -4032,27 +4067,11 @@ object SparkEntry {
       s"""WITH $SQL_CORR_CTES,
          |pser AS MATERIALIZED (SELECT name, node, count(*) AS n, list(gval ORDER BY tsb) AS xs
          | FROM ff36 GROUP BY 1, 2),
-         |pmean AS (SELECT name, node, n, xs,
-         |  list_reduce(xs, (a, b) -> a + b) / n AS mu,
-         |  (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m
-         | FROM pser WHERE n >= 8),
-         |pcells AS (SELECT name, node, n, m, i.i AS i, xs[CAST(i.i AS INT) + 1] - mu AS c
-         | FROM pmean, LATERAL (SELECT unnest(range(0, n)) AS i) i),
-         |pkk AS (SELECT name, node, n, m, k.k AS k FROM pmean,
-         |  LATERAL (SELECT unnest(range(1, m // 2 + 1)) AS k) k),
-         |pdft AS (SELECT pkk.name, pkk.node, pkk.n, pkk.m, pkk.k,
-         |  sum(c.c * cos(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS re,
-         |  sum(c.c * sin(2.0 * pi() * ((c.i * pkk.k) % pkk.m) / pkk.m)) AS im
-         | FROM pkk JOIN pcells c ON c.name = pkk.name AND c.node = pkk.node
-         | GROUP BY 1, 2, 3, 4, 5),
-         |ppow AS (SELECT name, node, n, m, k, re * re + im * im AS p FROM pdft),
-         |pfin AS (SELECT name, node, n, m, sum(p) AS total,
-         |  list(p ORDER BY k) AS ps FROM ppow GROUP BY 1, 2, 3, 4)
-         |SELECT name, node, CAST(n AS BIGINT) AS n,
-         | floor((list_sum(list_transform(ps, pp ->
-         |    CASE WHEN pp > 0 THEN -(pp / total) * ln(pp / total) ELSE 0.0 END))
-         |   / ln(CAST(m // 2 AS DOUBLE)) + 1e-9) * 1e4 + 0.5) / 1e4 AS spec_entropy
-         |FROM pfin WHERE total > 0 ORDER BY name, node""".stripMargin)),
+         |${sqlTwiddleCte("(SELECT (CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END) AS m FROM pser)")},
+         |${sqlDftPowers("pser", "p")},
+         |${sqlSpectralEntropy("p")}
+         |SELECT name, node, CAST(n AS BIGINT) AS n, spec_entropy
+         |FROM pent ORDER BY name, node""".stripMargin)),
 
     Q("ad_lowpass_seasonal", (s, dir) => {
       ChangePoints.seasonalNoise(corrGrid(s, dir).select("name", "node", "tsb", "gval"))

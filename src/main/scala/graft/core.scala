@@ -80,6 +80,51 @@ object OracleLiterals {
   def get(key: String): Option[String] = Option(stash.get(key))
 }
 
+/** DFT twiddle tables shared with the oracle (see functions.Dsp): one
+  * VALUES row per pad size m — `(m, [cos...], [sin...])` with %.17e
+  * literals (bare decimals are DECIMAL in DuckDB and would silently
+  * decimal-ize the folds). The spectral kernels stash every m they
+  * encounter (per-series nextPow2 counts, a bounded set); the union
+  * across queries is rendered at oracle-dump time.
+  */
+object TwiddleStash {
+  private val rows = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  def ensure(ms: Iterable[Int]): Unit = ms.foreach { m =>
+    if (m >= 1 && !rows.containsKey(m)) {
+      val (c, s) = graft.functions.Dsp.twiddles(m)
+      rows.put(m, s"($m, [${c.map(v => f"$v%.17e").mkString(", ")}], " +
+        s"[${s.map(v => f"$v%.17e").mkString(", ")}])")
+    }
+  }
+  /** VALUES list for `tw(m, tc, ts)`, or None when nothing is stashed
+    * (focused oracle dumps that skipped every spectral query).
+    */
+  def sqlValues: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val ks = rows.keySet().asScala.toSeq.sorted
+    if (ks.isEmpty) None else Some(ks.map(rows.get).mkString(", "))
+  }
+}
+
+/** Rosner-ESD critical values shared with the oracle: lam4 =
+  * ⌊(λ_m + 1e-9)·1e4 + 0.5⌋ per active-count m, computed by the SAME
+  * Stats route the per-series kernel runs (tQuantile bisection), so
+  * the oracle replays the kernel's integers instead of re-deriving λ
+  * through an independent lgamma t-CDF.
+  */
+object EsdLamStash {
+  private val rows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  def ensure(ms: Iterable[Long], alpha: Double): Unit = ms.foreach { m =>
+    if (m >= 3 && !rows.containsKey(m))
+      rows.put(m, graft.functions.Stats.esdLam4(m.toInt, alpha))
+  }
+  def sqlValues: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val ks = rows.keySet().asScala.toSeq.sorted
+    if (ks.isEmpty) None else Some(ks.map(m => s"($m, ${rows.get(m)})").mkString(", "))
+  }
+}
+
 object GraftSession {
   /** Session tuned for the local[32] harness; on a real cluster only
     * master/shuffle-partitions change (driver passes them in).

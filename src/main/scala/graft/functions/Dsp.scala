@@ -6,64 +6,91 @@ package graft.functions
   * series is lowpass-filtered to isolate seasonality; the remainder is
   * noise.
   *
-  * Pinned semantics (SURVEY §4): ideal lowpass — real FFT, zero every
-  * bin with |f| > fMin, inverse FFT. Runs per signal on one task; the
-  * engine parallelizes across signals.
+  * Pinned semantics (SURVEY §4): ideal lowpass — keep DFT bins
+  * |k| ≤ cutoff, zero the rest — computed as the equivalent CIRCULAR
+  * CONVOLUTION with the Dirichlet kernel over the power-of-two padded
+  * window. Runs per signal on one task; the engine parallelizes across
+  * signals (at 100 TB the fleet axis is signal COUNT; per-series cost
+  * is retention-bounded, and the O(m²) direct forms below stay under
+  * ~10⁸ ops even for a year of hourly samples).
+  *
+  * CROSS-ENGINE DETERMINISM (the r7 conversion): every spectral value
+  * here is bit-identical to the DuckDB oracle replay —
+  *  - twiddles come from [[twiddles]]: `StrictMath.cos/sin`, which the
+  *    JLS pins to fdlibm bit-exactness on EVERY JVM (driver, executor,
+  *    any architecture). The oracle consumes the SAME doubles as
+  *    VALUES literals (graft.TwiddleStash), so no engine ever computes
+  *    a trig function on the hashed path;
+  *  - all DFT/convolution folds run in a FIXED order (k- or
+  *    j-ascending from 0.0), mirrored by `list_reduce(list_prepend(
+  *    0.0, list(... ORDER BY ...)))` on the oracle side — IEEE-exact
+  *    ops on identical inputs in identical order give identical bits;
+  *  - spectral entropy quantizes the power distribution to ×1e9
+  *    integers and takes logs through ExactMath.lnInt, so the entropy
+  *    itself is a fixed IEEE sequence over exact integers.
   */
 object Dsp {
 
-  /** In-place iterative radix-2 Cooley-Tukey FFT (re, im arrays). */
-  private def fft(re: Array[Double], im: Array[Double], invert: Boolean): Unit = {
-    val n = re.length
-    if (n <= 1) return
-    // bit-reversal permutation
-    var i = 1; var j = 0
-    while (i < n) {
-      var bit = n >> 1
-      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
-      j |= bit
-      if (i < j) {
-        val tr = re(i); re(i) = re(j); re(j) = tr
-        val ti = im(i); im(i) = im(j); im(j) = ti
-      }
-      i += 1
-    }
-    var len = 2
-    while (len <= n) {
-      val ang = 2 * math.Pi / len * (if (invert) 1 else -1)
-      val wr = math.cos(ang); val wi = math.sin(ang)
-      var s = 0
-      while (s < n) {
-        var cwr = 1.0; var cwi = 0.0
-        var k = 0
-        while (k < len / 2) {
-          val ur = re(s + k); val ui = im(s + k)
-          val vr = re(s + k + len / 2) * cwr - im(s + k + len / 2) * cwi
-          val vi = re(s + k + len / 2) * cwi + im(s + k + len / 2) * cwr
-          re(s + k) = ur + vr; im(s + k) = ui + vi
-          re(s + k + len / 2) = ur - vr; im(s + k + len / 2) = ui - vi
-          val nwr = cwr * wr - cwi * wi
-          cwi = cwr * wi + cwi * wr; cwr = nwr
-          k += 1
-        }
-        s += len
-      }
-      len <<= 1
-    }
-    if (invert) {
-      var t = 0
-      while (t < n) { re(t) /= n; im(t) /= n; t += 1 }
-    }
-  }
-
-  private def nextPow2(n: Int): Int = {
+  private[graft] def nextPow2(n: Int): Int = {
     var p = 1
     while (p < n) p <<= 1
     p
   }
 
+  /** DFT twiddle tables cos/sin(2π·j/m), j ∈ [0, m), via StrictMath —
+    * the JLS-pinned fdlibm implementations, bit-identical on any JVM.
+    * This is the ONE code path that evaluates trig for the whole
+    * spectral family: per-task kernels call it locally, and the oracle
+    * receives the same doubles as literals (TwiddleStash renders them
+    * from this same function on the driver).
+    */
+  def twiddles(m: Int): (Array[Double], Array[Double]) = {
+    val c = new Array[Double](m)
+    val s = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val ang = 2.0 * math.Pi * j / m
+      c(j) = StrictMath.cos(ang)
+      s(j) = StrictMath.sin(ang)
+      j += 1
+    }
+    (c, s)
+  }
+
+  /** Direct DFT powers p_k = re_k² + im_k² for bins k = 1..m/2 over the
+    * mean-removed first-n cells (zero-padded to m implicitly), with
+    * i-ascending folds — the order the oracle replays. Returns
+    * (p(1..half) in p(k), total = Σp_k folded k-ascending).
+    */
+  private def dftPowers(x: Array[Double], m: Int,
+                        ct: Array[Double], st: Array[Double]): (Array[Double], Double) = {
+    val n = x.length
+    val mean = x.sum / n
+    val cells = Array.tabulate(n)(i => x(i) - mean)
+    val half = m / 2
+    val p = new Array[Double](half + 1)
+    var k = 1
+    while (k <= half) {
+      var sr = 0.0
+      var si = 0.0
+      var i = 0
+      while (i < n) {
+        val j = (i.toLong * k % m).toInt
+        sr += cells(i) * ct(j)
+        si += cells(i) * st(j)
+        i += 1
+      }
+      p(k) = sr * sr + si * si
+      k += 1
+    }
+    var total = 0.0
+    k = 1
+    while (k <= half) { total += p(k); k += 1 }
+    (p, total)
+  }
+
   /** Dominant seasonality period of a series, in samples: remove the
-    * mean (DC), FFT over the mean-padded power-of-two window, take the
+    * mean (DC), direct DFT over the power-of-two window, take the
     * positive-frequency bin with maximal power among periods that fit
     * at least `minCycles` times into the observed window. Returns
     * (periodSamples, strength) where strength = peak power / total
@@ -75,24 +102,17 @@ object Dsp {
   def dominantPeriod(x: Array[Double], minCycles: Int = 3): Option[(Double, Double)] = {
     val n = x.length
     if (n < 8) return None
-    val mean = x.sum / n
     val m = nextPow2(n)
-    val re = new Array[Double](m)
-    val im = new Array[Double](m)
-    var i = 0
-    while (i < n) { re(i) = x(i) - mean; i += 1 }
-    fft(re, im, invert = false)
+    val (ct, st) = twiddles(m)
+    val (p, total) = dftPowers(x, m, ct, st)
     // period = m/k samples; require k ≥ minCycles·m/n so the window saw
     // the cycle at least minCycles times (longer "periods" are trend)
     val kMin = math.max(1, math.ceil(minCycles.toDouble * m / n).toInt)
-    var total = 0.0
     var best = -1
     var bestP = 0.0
     var k = 1
     while (k <= m / 2) {
-      val p = re(k) * re(k) + im(k) * im(k)
-      total += p
-      if (k >= kMin && p > bestP) { bestP = p; best = k } // first argmax
+      if (k >= kMin && p(k) > bestP) { bestP = p(k); best = k } // first argmax
       k += 1
     }
     if (best < 0 || total <= 0) None
@@ -103,55 +123,73 @@ object Dsp {
     * positive-frequency power distribution, divided by ln(m/2) so 0 =
     * one pure tone (perfectly forecastable) and 1 = white noise — the
     * forecastability score completing the Hyndman feature triple next
-    * to trend and seasonal strength. Same FFT pipeline as
-    * [[dominantPeriod]]; the entropy fold runs k-ascending so the
-    * oracle's k-ordered list_sum replays the same sequence (direct-DFT
-    * float noise absorbed by the 4-dp guard, the period_detect
-    * precedent). None for short or variance-free series.
+    * to trend and seasonal strength. The power shares quantize to ×1e9
+    * integers q_k = ⌊(p_k/total + 1e-12)·1e9 + 0.5⌋ and
+    * H = Σ q_k·(lnInt(1e9) − lnInt(q_k))/1e9 — every ln an ExactMath
+    * integer ln, every fold k-ascending, so the value is bit-exact
+    * cross-engine. None for short or variance-free series.
     */
   def spectralEntropy(x: Array[Double]): Option[(Double, Long)] = {
     val n = x.length
     if (n < 8) return None
-    val mean = x.sum / n
     val m = nextPow2(n)
-    val re = new Array[Double](m)
-    val im = new Array[Double](m)
-    var i = 0
-    while (i < n) { re(i) = x(i) - mean; i += 1 }
-    fft(re, im, invert = false)
-    var total = 0.0
-    var k = 1
-    while (k <= m / 2) { total += re(k) * re(k) + im(k) * im(k); k += 1 }
-    if (total <= 0) return None
+    val (ct, st) = twiddles(m)
+    val (p, total) = dftPowers(x, m, ct, st)
+    if (!(total > 0)) return None
+    val ln1e9 = ExactMath.lnInt(1000000000L)
     var h = 0.0
-    k = 1
+    var k = 1
     while (k <= m / 2) {
-      val p = (re(k) * re(k) + im(k) * im(k)) / total
-      if (p > 0) h -= p * math.log(p)
+      val qp = math.floor((p(k) / total + 1e-12) * 1e9 + 0.5).toLong
+      h += (if (qp >= 1) qp.toDouble * (ln1e9 - ExactMath.lnInt(qp)) else 0.0)
       k += 1
     }
-    Some((h / math.log((m / 2).toDouble), n.toLong))
+    Some(((h / 1e9) / ExactMath.lnInt((m / 2).toLong), n.toLong))
   }
 
   /** Ideal lowpass: keep frequency bins with |f| <= fMin (f in Hz given
-    * sample interval `stepSec`), zero the rest. Returns the filtered
-    * series (the "seasonality"); `x - lowpass(x)` is the noise.
+    * sample interval `stepSec`), zero the rest — computed as the exact
+    * circular convolution with the Dirichlet kernel
+    * K(d) = (1 + 2·Σ_{k≤c} cos(2πkd/m))/m over the last-value-padded
+    * power-of-two window (identical to FFT→zero→inverse, and the form
+    * the oracle replays fold for fold). Returns the filtered series
+    * (the "seasonality"); `x - lowpass(x)` is the noise.
     */
   def lowpass(x: Array[Double], stepSec: Double, fMin: Double): Array[Double] = {
     val n = x.length
     if (n == 0) return x
     val m = nextPow2(n)
-    val re = new Array[Double](m)
-    val im = new Array[Double](m)
-    System.arraycopy(x, 0, re, 0, n)
+    val c = math.max(0, (fMin * stepSec * m).toInt) // f_k = k / (m * step)
+    lowpassDirichlet(x, m, c)
+  }
+
+  /** The Dirichlet-convolution core given the pad size m and cutoff bin
+    * c — shared by [[lowpass]] and the measured-cutoff path so both
+    * compute the identical op sequence the oracle replays.
+    */
+  def lowpassDirichlet(x: Array[Double], m: Int, c: Int): Array[Double] = {
+    val n = x.length
+    if (n == 0) return x
+    val (ct, _) = twiddles(m)
+    val xp = new Array[Double](m)
+    System.arraycopy(x, 0, xp, 0, n)
     // pad with the last value to limit edge ringing
-    var p = n
-    while (p < m) { re(p) = x(n - 1); p += 1 }
-    fft(re, im, invert = false)
-    val cutoffBin = math.max(0, (fMin * stepSec * m).toInt)  // f_k = k / (m * step)
-    var k = cutoffBin + 1
-    while (k <= m - 1 - cutoffBin) { re(k) = 0.0; im(k) = 0.0; k += 1 }
-    fft(re, im, invert = true)
-    java.util.Arrays.copyOfRange(re, 0, n)
+    var pi = n
+    while (pi < m) { xp(pi) = x(n - 1); pi += 1 }
+    val kv = new Array[Double](m)
+    var d = 0
+    while (d < m) {
+      var sc = 0.0
+      var k = 1
+      while (k <= c) { sc += ct((k.toLong * d % m).toInt); k += 1 }
+      kv(d) = (1.0 + 2.0 * sc) / m
+      d += 1
+    }
+    Array.tabulate(n) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += xp(j) * kv(((i - j) % m + m) % m); j += 1 }
+      s
+    }
   }
 }

@@ -111,6 +111,20 @@ object Stats {
     if (f <= 0) 1.0
     else regIncBeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
 
+  /** The ESD round-i critical value, ×1e4-floored — the EXACT integer
+    * the per-series kernel compares against; EsdLamStash shares these
+    * with the DuckDB oracle as literals so no lgamma/atan t-CDF runs
+    * on the hashed path. λ_m = (m−1)·t_{p,ν} / √((ν + t²)·m) with
+    * p = 1 − α/(2m), ν = m − 2 (Rosner 1983).
+    */
+  def esdLam4(m: Int, alpha: Double = 0.05): Long = {
+    val p = 1.0 - alpha / (2.0 * m)
+    val nu = (m - 2).toDouble
+    val t = tQuantile(p, nu)
+    val lam = (m - 1) * t / math.sqrt((nu + t * t) * m)
+    math.floor((lam + 1e-9) * 1e4 + 0.5).toLong
+  }
+
   /** Rosner's generalized ESD: indices of up to `kMax` outliers in
     * `xs`, at significance `alpha`. Each round removes the point with
     * the largest |x − mean|/sd (first index on ties); the verdict is
@@ -167,13 +181,8 @@ object Stats {
       val r =
         if (s2.signum == 0) 0.0
         else bestDev.toDouble * math.sqrt((m - 1).toDouble) / math.sqrt(s2.toDouble)
-      val p = 1.0 - alpha / (2.0 * m)
-      val nu = (m - 2).toDouble
-      flag(i) = nu > 0 && {
-        val t = tQuantile(p, nu)
-        val lam = (m - 1) * t / math.sqrt((nu + t * t) * m)
-        math.floor((r + 1e-9) * 1e4 + 0.5) > math.floor((lam + 1e-9) * 1e4 + 0.5)
-      }
+      flag(i) = m >= 3 &&
+        math.floor((r + 1e-9) * 1e4 + 0.5).toLong > esdLam4(m, alpha)
       removed(i) = best
       active(best) = false
       s -= qs(best)

@@ -17,6 +17,32 @@ object ChangePoints {
 
   private def r4d(x: Double): Double = math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
 
+  /** Stash the DFT twiddle tables this grid's series will use (one pad
+    * size per distinct series length) so the oracle consumes the same
+    * StrictMath doubles as literals. One tiny aggregate-collect over
+    * the already-small per-signal grid — bounded by the signal count,
+    * not data volume.
+    */
+  private def stashSpectral(grid: DataFrame): Unit = {
+    val ms = grid.groupBy("name", "node").count().collect()
+      .map(r => Dsp.nextPow2(r.getLong(2).toInt)).distinct.toSeq
+    graft.TwiddleStash.ensure(ms)
+  }
+
+  /** Stash the ESD critical values (per active-count m) the per-series
+    * kernels will compare against — same bounded collect as
+    * [[stashSpectral]]; lam4 comes from the kernel's own Stats route.
+    */
+  private def stashEsdLams(grid: DataFrame, kFrac: Double, alpha: Double): Unit = {
+    val ns = grid.groupBy("name", "node").count().collect().map(_.getLong(2).toInt)
+    val ms = ns.flatMap { n =>
+      val kMax = math.max(1, math.ceil(n * kFrac).toInt)
+      val k = math.min(kMax, math.max(0, n - 2))
+      (0 until k).map(i => (n - i).toLong)
+    }.distinct.toSeq
+    graft.EsdLamStash.ensure(ms, alpha)
+  }
+
   /** Centered rolling median, window w (odd), edge-shrunk — mathbox
     * `moving_median` as pinned in SURVEY §4 (min_periods=1). Shared
     * with the report renderer, which draws the filtered overlay the
@@ -138,6 +164,7 @@ object ChangePoints {
   def esd(grid: DataFrame, alpha: Double = 0.05, kFrac: Double = 0.05): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
+    stashEsdLams(grid, kFrac, alpha)
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
       .as[(String, String, Long, Double)]
       .groupByKey(r => (r._1, r._2))
@@ -163,6 +190,7 @@ object ChangePoints {
                    minCycles: Int = 3): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
+    stashSpectral(grid)
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
       .as[(String, String, Long, Double)]
       .groupByKey(r => (r._1, r._2))
@@ -183,6 +211,7 @@ object ChangePoints {
   def spectralEntropy(grid: DataFrame): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
+    stashSpectral(grid)
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
       .as[(String, String, Long, Double)]
       .groupByKey(r => (r._1, r._2))
@@ -242,6 +271,7 @@ object ChangePoints {
                     autoFmin: Boolean = false): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
+    stashSpectral(grid)
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
       .as[(String, String, Long, Double)]
       .groupByKey(r => (r._1, r._2))
@@ -315,6 +345,7 @@ object ChangePoints {
                    maxPoints: Int = 64): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
+    stashSpectral(grid)
     grid.select(col("name"), col("node"), col("tsb"), col("gval"))
       .as[(String, String, Long, Double)]
       .groupByKey(r => (r._1, r._2))
