@@ -23,14 +23,14 @@ object Stats {
       -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
     if (x < 0.5) {
       // reflection: Γ(x)Γ(1−x) = π / sin(πx)
-      math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1.0 - x)
+      StrictMath.log(math.Pi / StrictMath.sin(math.Pi * x)) - logGamma(1.0 - x)
     } else {
       val z = x - 1.0
       var a = c(0)
       var i = 1
       while (i < 9) { a += c(i) / (z + i); i += 1 }
       val t = z + 7.5
-      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+      0.5 * StrictMath.log(2.0 * math.Pi) + (z + 0.5) * StrictMath.log(t) - t + StrictMath.log(a)
     }
   }
 
@@ -44,9 +44,9 @@ object Stats {
     else if (x >= 1.0) 1.0
     else {
       val lnFront = logGamma(a + b) - logGamma(a) - logGamma(b) +
-        a * math.log(x) + b * math.log(1.0 - x)
+        a * StrictMath.log(x) + b * StrictMath.log(1.0 - x)
       if (x < (a + 1.0) / (a + b + 2.0))
-        math.exp(lnFront) * lentzBetaCf(a, b, x) / a
+        StrictMath.exp(lnFront) * lentzBetaCf(a, b, x) / a
       else
         1.0 - regIncBeta(b, a, 1.0 - x)
     }
@@ -148,10 +148,9 @@ object Stats {
     * S2 = m²·Σq² − m·S² (BigInt — mirrors HUGEINT in the oracle), and
     * R = bestDev·√(m−1)/√S2 is a fixed 4-op IEEE sequence over
     * correctly-rounded casts. The verdict compares ⌊(R+1e-9)·1e4+0.5⌋
-    * > ⌊(λ+1e-9)·1e4+0.5⌋ as integers: λ comes from [[tQuantile]] here
-    * and from an independent closed-form integer-ν t-CDF in the DuckDB
-    * oracle — the two agree to ~1e-12, which the 4-dp quantization
-    * absorbs (the text_perplexity ln-quantization argument).
+    * > lam4 as integers, with lam4 = [[esdLam4]] — the same integers
+    * the oracle consumes as EsdLamStash literals (StrictMath chain, so
+    * driver stash ≡ executor kernel on any JVM).
     */
   def esdOutliersQ(qs: Array[Long], kMax: Int, alpha: Double = 0.05): Seq[Int] = {
     val n = qs.length
