@@ -54,18 +54,37 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val benchT0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // slow queries get a second run and report the min: on a shared
       // host a single timing mixes the plan cost with whatever else the
       // machine was doing, and the noise lands on the slow tail — while
-      // sub-second queries aren't worth doubling the suite's wall time
+      // sub-second queries aren't worth doubling the suite's wall time.
+      // If the two runs disagree by >50% the host was busy during one
+      // of them — take a third sample so a contention burst spanning
+      // both runs (the r6 driver artifact's +125 s) still gets one
+      // clean measurement.
+      val started = (System.nanoTime() - benchT0) / 1e9
       val first = timed(fn)
-      name -> (if (first > 0.75) math.min(first, timed(fn)) else first)
+      val best =
+        if (first <= 0.75) first
+        else {
+          val second = timed(fn)
+          val m2 = math.min(first, second)
+          if (math.abs(first - second) > 0.5 * m2) math.min(m2, timed(fn)) else m2
+        }
+      (name, best, started)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query start offsets (seconds into the bench, 0.1 s grain):
+    // lets a post-hoc reader attribute a timing burst to its wall-clock
+    // window instead of guessing which queries a host stall hit
+    val t0s = results.map { case (k, _, s0) =>
+      s"\"" + k + "\":" + (math.round(s0 * 10.0) / 10.0) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"sf":"$sfDir"}"""
     println(line)
     // the driver's committed artifact truncates long stdout tails — also
     // persist the untruncated per-query map where it can be committed
