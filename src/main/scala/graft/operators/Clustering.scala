@@ -455,6 +455,106 @@ object Clustering {
         graft.Num.r4(col("dist2q") / lit(1e12)).as("min_dist2"))
   }
 
+  /** In-cell cosine pairs ≥ `threshold` via SALTED per-cell kernels —
+    * the shared scale path for [[semDedup]] and the IVF near-dup
+    * family. Cells at or under `saltCap` run as one task (the r6
+    * streamed kernel, O(|cell|·d) memory). A MEGA-CELL — real 100 TB
+    * corpora have boilerplate-dense cells holding a double-digit share
+    * of the corpus — is split into s = ⌈|cell|/saltCap⌉ salts by
+    * vec_id mod s and its pair triangle is tiled into s·(s+1)/2
+    * independent tasks (diagonal tasks pair within one salt, cross
+    * tasks pair across two), so the hot cell's |cell|²/2 dot products
+    * parallelize across the cluster and per-task state stays
+    * ≤ 2·saltCap·(d+2) doubles. The PAIR SET is identical to the
+    * unsalted kernel — every i<j pair is computed exactly once with
+    * the identical IEEE sequence (dot products are term-commutative
+    * exactly) — so oracles and downstream components are unchanged
+    * (SaltedPairsSpec pins salted ≡ unsalted on a manufactured hot
+    * cell). Replication cost: a row in an s-salted cell is shipped s
+    * times — the price of fanning the triangle out.
+    *
+    * `av` columns: cell (int), vec_id (long), v (array<double>),
+    * nrm (double). Emits (id1 < id2, cos_sim) for survivors; cos_sim
+    * is already 4-dp floored.
+    */
+  private[graft] def inCellPairs(av: DataFrame, threshold: Double,
+                                 saltCap: Int = 4096): DataFrame = {
+    val spark = av.sparkSession
+    import spark.implicits._
+    val cellsDf = av.select(col("cell").cast("int").as("cell"),
+      col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"))
+    // bounded driver state: one count per cell (k = O(√n) cells)
+    val sizes = cellsDf.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salts = sizes.map { case (c, n) =>
+      c -> math.max(1, ((n + saltCap - 1) / saltCap).toInt)
+    }
+    val bc = spark.sparkContext.broadcast(salts)
+    val thr = threshold
+    cellsDf
+      .as[(Int, Long, Seq[Double], Double)]
+      .flatMap { case (c, id, v, nrm) =>
+        val s = bc.value.getOrElse(c, 1)
+        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
+        else {
+          val my = java.lang.Math.floorMod(id, s.toLong).toInt
+          // the diagonal task plus one cross task per other salt; side
+          // tags which half of a cross task this row belongs to
+          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
+            (0 until my).iterator.map(b1 => ((c, b1, my), (id, v, nrm, 1))) ++
+            ((my + 1) until s).iterator.map(b2 => ((c, my, b2), (id, v, nrm, 0)))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Seq[Double], Double, Int))]) =>
+        val rows = it.map(_._2).toArray
+        val diagonal = key._2 == key._3
+        val (as, bs) =
+          if (diagonal) (rows.sortBy(_._1), Array.empty[(Long, Seq[Double], Double, Int)])
+          else (rows.filter(_._4 == 0).sortBy(_._1), rows.filter(_._4 == 1).sortBy(_._1))
+        val aIds = as.map(_._1); val aVs = as.map(_._2.toArray); val aNs = as.map(_._3)
+        val bIds = bs.map(_._1); val bVs = bs.map(_._2.toArray); val bNs = bs.map(_._3)
+        // LAZY pair iterator (the r6 semdedup contract): survivors
+        // stream straight into the shuffle writer; candidates never
+        // exist as rows and task memory is O(rows·d)
+        new scala.collection.AbstractIterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = if (diagonal) 1 else 0
+          private val jn = if (diagonal) aIds.length else bIds.length
+          private val in =
+            if (jn == 0) 0 else if (diagonal) aIds.length - 1 else aIds.length
+          private var pending: (Long, Long, Double) = _
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && i < in) {
+              val a = aVs(i)
+              val (b, bn, bid) =
+                if (diagonal) (aVs(j), aNs(j), aIds(j)) else (bVs(j), bNs(j), bIds(j))
+              var acc = 0.0
+              var d = 0
+              while (d < a.length) { acc += a(d) * b(d); d += 1 }
+              val raw = acc / (aNs(i) * bn)
+              val cs =
+                if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+                else math.floor((raw + 1e-9) * 1e4 + 0.5) / 1e4
+              if (cs >= thr) {
+                val lo = math.min(aIds(i), bid); val hi = math.max(aIds(i), bid)
+                pending = (lo, hi, cs)
+              }
+              j += 1
+              if (j >= jn) { i += 1; j = if (diagonal) i + 1 else 0 }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending != null
+          override def next(): (Long, Long, Double) = {
+            val p = pending; advance(); p
+          }
+        }
+      }
+      .toDF("id1", "id2", "cos_sim")
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic deduplication by
     * k-means partitioning — cluster the embeddings, find cosine-similar
     * pairs WITHIN each cluster, connect them into duplicate groups, and
@@ -474,7 +574,8 @@ object Clustering {
     * pairs, components, keep — replays in the oracle.
     */
   def semDedup(embs: DataFrame, k: Int = 8, iters: Int = 5,
-               threshold: Double = 0.3, trainCap: Int = -1): DataFrame = {
+               threshold: Double = 0.3, trainCap: Int = -1,
+               saltCap: Int = 4096): DataFrame = {
     import graft.Num.r4
     import org.apache.spark.sql.graft.VectorExpressions.vecNorm
     // k <= 0 → self-scaling cell count (Similarity.autoCells): the
@@ -501,62 +602,18 @@ object Clustering {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
     val av = asg.join(base, "vec_id").persist().tracked
-    // in-cell pairs via a per-cluster KERNEL, not a self-join: the
-    // join form materializes Σ|cell|² candidate ROWS each carrying
-    // two full vectors (~1 KB) BEFORE the threshold filter — at the
-    // r6 sfx10 audit the sampled-training cells put Σ|cell|² at
-    // 6.9e8, i.e. ~350 GB through the join, a measured multi-hour
-    // stall. The kernel sorts each cell by vec_id, runs the i<j dot
-    // loop in-task with the IDENTICAL IEEE sequence (vecDot order,
-    // Num.r4 floor formula, a.vec_id < b.vec_id ≡ sorted i<j), and
-    // emits ONLY surviving pairs — candidates never exist as rows.
-    // Per-cell state is |cell|·(d+2) doubles (the discords/minhash
-    // mapPartitions contract); a pathological mega-cell is the
-    // documented salting moment, not this operator's default.
-    val spark2 = av.sparkSession
-    import spark2.implicits._
-    val thr = threshold
-    val pairs = av.select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
-      .as[(Int, Long, Seq[Double], Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Seq[Double], Double)]) =>
-        val m = it.toArray.sortBy(_._2)
-        val ids = m.map(_._2)
-        val vs = m.map(_._3.toArray)
-        val ns = m.map(_._4)
-        // LAZY pair iterator: a dense cell can have tens of millions
-        // of surviving pairs — buffering them per task OOMed at the
-        // sfx10 audit; streaming them lets Spark drain straight into
-        // the shuffle writer with O(|cell|·d) task memory
-        new scala.collection.AbstractIterator[(Long, Long)] {
-          private var i = 0
-          private var j = 1
-          private var pending: (Long, Long) = _
-          private def advance(): Unit = {
-            pending = null
-            while (pending == null && i < m.length - 1) {
-              val a = vs(i)
-              val b = vs(j)
-              var acc = 0.0
-              var d = 0
-              while (d < a.length) { acc += a(d) * b(d); d += 1 }
-              val raw = acc / (ns(i) * ns(j))
-              val cs =
-                if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
-                else math.floor((raw + 1e-9) * 1e4 + 0.5) / 1e4
-              if (cs >= thr) pending = (ids(i), ids(j))
-              j += 1
-              if (j >= m.length) { i += 1; j = i + 1 }
-            }
-          }
-          advance()
-          override def hasNext: Boolean = pending != null
-          override def next(): (Long, Long) = {
-            val p = pending; advance(); p
-          }
-        }
-      }
-      .toDF("doc1", "doc2")
+    // in-cell pairs via the SALTED per-cell kernel ([[inCellPairs]]),
+    // not a self-join: the join form materializes Σ|cell|² candidate
+    // ROWS each carrying two full vectors (~1 KB) BEFORE the threshold
+    // filter — at the r6 sfx10 audit that was ~350 GB through the
+    // join, a measured multi-hour stall. The kernel streams survivors
+    // lazily with bounded task memory, and cells past saltCap tile
+    // their pair triangle across salts (the r6 verdict's "documented
+    // salting moment", now implemented).
+    val pairs = inCellPairs(
+        av.select(col("cluster").as("cell"), col("vec_id"), col("v"), col("nrm")),
+        threshold, saltCap)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
     val comp = Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
       precomputedPairs = Some(pairs))
     val w = org.apache.spark.sql.expressions.Window

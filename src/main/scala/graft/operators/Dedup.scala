@@ -537,7 +537,8 @@ object Dedup {
     * replays unchanged on the fixed test corpus.
     */
   def embedCosinePairsIvf(embs: DataFrame, nCells: Int = 8,
-                          threshold: Double = 0.9): DataFrame = {
+                          threshold: Double = 0.9,
+                          saltCap: Int = 4096): DataFrame = {
     val cells =
       if (nCells > 0) nCells else graft.operators.Similarity.autoCells(embs)
     val base = embs
@@ -547,12 +548,12 @@ object Dedup {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val assigned = graft.operators.Similarity.assignCells(base, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    // salted in-cell kernel (Clustering.inCellPairs): streams survivors
+    // with bounded task memory instead of materializing Σ|cell|²
+    // candidate rows through a self-join, and tiles any mega-cell past
+    // saltCap across salts; the pair set and each cos_sim are
+    // bit-identical to the join form (same IEEE dot sequence, same r4)
+    Clustering.inCellPairs(assigned, threshold, saltCap)
   }
 
   /** Exact shared-substring detection: document pairs sharing at least

