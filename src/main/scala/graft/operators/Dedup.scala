@@ -692,14 +692,30 @@ object Dedup {
     val fps = valid
       .select(col("doc_id"), (-col("mn.np")).as("fp_pos"),
         col("mn.h").as("fp_h")).distinct()
-    val pruned = if (dfMax > 0) {
-      val df = fps.groupBy("fp_h").agg(count(lit(1)).as("dfc"))
-      fps.join(df.filter(col("dfc") <= dfMax).select("fp_h"), "fp_h")
-    } else fps
-    pruned.select(col("doc_id").as("id1"), col("fp_h"))
-      .join(pruned.select(col("doc_id").as("id2"), col("fp_h").as("h2")),
+    // one row per (doc, hash) BEFORE the pair join: a fingerprint
+    // selected at several positions of one doc would otherwise enter
+    // the join with multiplicity and square it in the candidate rows
+    // (shared_fp counts DISTINCT shared fingerprints either way — this
+    // moves the dedup from a post-join countDistinct to a pre-join
+    // shrink). A PPJoin prefix filter was tried here (r7) and measured
+    // 3× SLOWER at the sfx1 decade: with the fixed minShared = 3 the
+    // lossless prefix is |S|−2 ≈ the whole fingerprint set, so it only
+    // re-ran the full join plus a verify pass — the prefix device pays
+    // off when the threshold scales with the set (the Jaccard family),
+    // not for a small fixed overlap count.
+    val docHs = {
+      val base = fps.select("doc_id", "fp_h").distinct()
+      if (dfMax > 0) {
+        // df counts (doc, position) fingerprint rows — the operator's
+        // declared prune contract, replayed verbatim by the oracle
+        val df = fps.groupBy("fp_h").agg(count(lit(1)).as("dfc"))
+        base.join(df.filter(col("dfc") <= dfMax).select("fp_h"), "fp_h")
+      } else base
+    }
+    docHs.select(col("doc_id").as("id1"), col("fp_h"))
+      .join(docHs.select(col("doc_id").as("id2"), col("fp_h").as("h2")),
         col("fp_h") === col("h2") && col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(countDistinct(col("fp_h")).as("shared_fp"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
   }
 }
