@@ -85,39 +85,43 @@ object ImageIoDecoder extends MediaDecoder {
       case None => MediaDecoder.Meta("unknown", 0, 0, 0L)
     }
 
-  override def phash(payload: Array[Byte]): Long =
-    readImage(payload) match {
-      case Some((_, img)) =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val sums = new Array[Long](64)
-        val counts = new Array[Long](64)
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          val cy = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val p = row(x)
-            // BT.601 integer luma ×1000: 299 R + 587 G + 114 B
-            val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-              114 * (p & 0xff)
-            val c = cy * 8 + x * 8 / w
-            sums(c) += luma
-            counts(c) += 1
-            x += 1
-          }
-          y += 1
+  /** 8×8 grid of per-cell mean luma (BT.601 integer weights ×1000),
+    * row-major — the shared core of [[phash]] and the video decoder's
+    * keyframe saliency score. None when the payload doesn't decode.
+    */
+  private[operators] def gridLuma(payload: Array[Byte]): Option[Array[Long]] =
+    readImage(payload).map { case (_, img) =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          // BT.601 integer luma ×1000: 299 R + 587 G + 114 B
+          val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)
+          val c = cy * 8 + x * 8 / w
+          sums(c) += luma
+          counts(c) += 1
+          x += 1
         }
+        y += 1
+      }
+      Array.tabulate(64)(c => if (counts(c) > 0) sums(c) / counts(c) else 0L)
+    }
+
+  override def phash(payload: Array[Byte]): Long =
+    gridLuma(payload) match {
+      case Some(cell) =>
         var c = 0
         var total = 0L
-        val cell = new Array[Long](64)
-        while (c < 64) {
-          cell(c) = if (counts(c) > 0) sums(c) / counts(c) else 0L
-          total += cell(c)
-          c += 1
-        }
+        while (c < 64) { total += cell(c); c += 1 }
         val mean = total / 64
         var bits = 0L
         c = 0

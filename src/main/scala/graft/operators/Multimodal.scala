@@ -96,6 +96,52 @@ object Multimodal {
       .select(col("doc_id"), col("rank"), col("frame_idx"), col("score"))
   }
 
+  /** REAL frame sampling over video payloads through a [[FrameDecoder]]
+    * (default [[JvmMediaDecoder]]: AVI/MJPEG frames decoded via JDK
+    * ImageIO; stills pass through as one-frame videos): every
+    * `stride`-th decoded frame is emitted with its aHash and saliency
+    * score. Same scale shape as the stub path — the payload fans out
+    * to frames INSIDE its task (decoderInit once per partition, frames
+    * iterated lazily), no shuffle, so a 100 TB video corpus samples at
+    * scan speed. Not oracle-gated (DuckDB cannot replay a JPEG
+    * decoder); pinned by VideoDecoderSpec's golden AVI instead.
+    * Input: (doc_id, payload binary).
+    */
+  def frameSampleDecoded(docs: DataFrame,
+                         decoder: FrameDecoder = JvmMediaDecoder,
+                         stride: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        decoder.decoderInit()
+        rows.flatMap { case (id, payload) =>
+          decoder.frames(payload).zipWithIndex.collect {
+            case (f, i) if i % stride == 0 =>
+              (id, i.toLong, decoder.phash(f), decoder.frameScore(f))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_phash", "score")
+  }
+
+  /** Keyframe selection over [[frameSampleDecoded]]'s REAL frame
+    * stream: top-`k` frames per video by decoded saliency (8×8
+    * luma-grid variance), earliest-frame tiebreak — the codec-backed
+    * twin of [[keyframes]] with the identical ranking plumbing.
+    */
+  def keyframesDecoded(docs: DataFrame,
+                       decoder: FrameDecoder = JvmMediaDecoder,
+                       stride: Int = 2, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("frame_idx"))
+    frameSampleDecoded(docs, decoder, stride)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("frame_idx"), col("score"),
+        col("frame_phash"))
+  }
+
   /** Resize planning over decoded metadata: aspect-preserving fit into
     * `maxDim`×`maxDim` (integer floor arithmetic — deterministic). A
     * codec-backed implementation would consume these target dims; the
