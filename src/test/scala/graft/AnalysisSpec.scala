@@ -497,6 +497,31 @@ class AnalysisSpec extends SparkTestBase {
     assert(stepCps == Seq(30 * 3600L), s"level shift lost: $stepCps")
   }
 
+  test("e-divisive at the REFERENCE config: permutations=100, pvalue=0.05, median-5") {
+    // metrics_advisor.py:148 runs e_divisive(pvalue=0.05,
+    // permutations=100) on moving_median(data, 5) — this pins the
+    // engine at that exact config (the oracle gate runs 19 sort-order
+    // permutations for SQL-replay cost; the early-exit makes 100 cheap:
+    // most splits resolve significance long before the full count).
+    val step = (0 until 30).map(i => ("step", "a", i * 3600L, 1.0)) ++
+      (30 until 60).map(i => ("step", "a", i * 3600L, 50.0))
+    val flat = (0 until 60).map(i => ("flat", "a", i * 3600L, 7.0))
+    val t0 = System.nanoTime()
+    val out = ChangePoints.eDivisive(grid((step ++ flat): _*),
+        pvalue = 0.05, permutations = 100, medianW = 5)
+      .select("name", "cp_tsb").as[(String, Long)].collect().toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out == Seq(("step", 30 * 3600L)), s"got $out")
+    // the reference config stays cheap through the early-exit (cost
+    // noted: two 60-point signals well under 30 s even on local[2])
+    assert(secs < 30.0, s"100-permutation run took $secs s")
+    // and agrees with the oracle gate's 19-permutation config here
+    val gate = ChangePoints.eDivisive(grid((step ++ flat): _*),
+        pvalue = 0.05, permutations = 19, medianW = 5)
+      .select("name", "cp_tsb").as[(String, Long)].collect().toSeq
+    assert(gate == out)
+  }
+
   test("anomalyUnion: an isolated spike is an outlier, never a changepoint") {
     val rows = (0 until 48).map { i =>
       val base = 12.0 + (i % 5)
