@@ -40,13 +40,24 @@ import org.apache.spark.sql.functions._
   *     (almost surely) distinct permutations, so cross-replica
   *     vectors decorrelate the way genuinely new data does.
   *
-  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
+  * A fourth axis exists for the SIGNAL pipeline: fleet WIDTH. The
+  * reference's real growth dimension is more metrics, not denser
+  * sampling of the same five — `widen` mode replicates events with
+  * per-replica event_type suffixes (`click~w3`), so the signal count
+  * grows ×factor at CONSTANT per-signal density and retention.
+  * Replica values are verbatim copies of the originals (width audits
+  * measure COST laws — NCC cells, matrix size — which are
+  * value-independent; correlation VALUES against copies are
+  * degenerate by construction and not the point).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val widen = args.length > 3 && args(3) == "widen"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -74,8 +85,29 @@ object ScaleGen {
     def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => per(df, k)).reduce(_ unionByName _)
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
     val idStep = 10000000L
+
+    if (widen) {
+      // fleet-width replica: ×factor distinct signals, same grid/density
+      val events = spark.read.parquet(s"$src/events.parquet")
+      replicate(events) { (e, k) =>
+        e.withColumn("event_id", col("event_id") + lit(k * idStep))
+          .withColumn("event_type",
+            if (k == 0) col("event_type")
+            else concat(col("event_type"), lit(s"~w$k")))
+      }.repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/events.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+      println(s"wrote ${factor}x WIDTH replica of $src to $out")
+      spark.stop()
+      return
+    }
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
     replicate(docs) { (d, k) =>
       d.select((col("doc_id") + lit(k * idStep)).as("doc_id"),
         translate(col("text"), alphabet, shifted(k)).as("text"),

@@ -424,30 +424,93 @@ object Correlate {
     * never generated, not generated-then-filtered).
     */
   def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8,
-                 sameNodeOnly: Boolean = false): DataFrame = {
-    // both sides of the self-join read the same quantized grid; without
-    // the persist each side embeds its own copy of the grid-build
-    // pipeline (events scan + resample + ffill) in the plan. Release
-    // follows the prefixJaccard convention (caller clearCache() /
-    // ContextCleaner).
+                 sameNodeOnly: Boolean = false, widthCap: Int = 512): DataFrame = {
+    // ALL-PAIRS over the fleet is width² by definition — the scale axis
+    // here is signal WIDTH, and the r7 fourth-decade audit measured the
+    // old row-level time-key self-join OOMing at 2 000 signals: it
+    // shuffled width² · points joined rows into a pair-keyed partial
+    // aggregation whose hash maps grow with the full matrix. This form
+    // keeps the matrix but makes its cost the OUTPUT's: each (bucket)
+    // holds every signal's short series (retention-bounded — ~KBs per
+    // signal), pair moments are computed IN-TASK by merge-intersecting
+    // the two sorted series, and only the width²/2 exact moment rows
+    // ever exist. Width past `widthCap` tiles the pair triangle across
+    // ⌈width/widthCap⌉ salts (the inCellPairs device), so one bucket
+    // never pins one task and task memory stays ≤ 2·widthCap series.
+    // The moments are the SAME order-independent exact integers as the
+    // old momentAggs (Long/BigInt sums, one correctly-rounded toDouble
+    // — ≡ sum(DECIMAL).cast(double)), so pearsonFromMoments and every
+    // oracle replay are untouched.
+    val spark = indexedGrid.sparkSession
+    import spark.implicits._
     val q = withQuant(indexedGrid)
-      .select(col("name"), col("node"), col("b"), col("i"), col("qv"))
-      .persist().tracked
-    val a = q.select(col("name").as("a_name"), col("node").as("a_node"),
-      col("b"), col("i"), col("qv").as("av"))
-    val bdf = q.select(col("name").as("b_name"), col("node").as("b_node"),
-      col("b").as("bb"), col("i").as("bi"), col("qv").as("bv"))
-    val moments = momentAggs("av", "bv")
-    val base = col("bi") === col("i") && col("bb") === col("b")
-    val cond =
-      if (sameNodeOnly)
-        base && col("a_node") === col("b_node") && col("a_name") < col("b_name")
-      else
-        base && (col("a_name") < col("b_name") ||
-          (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
-    val cells = a.join(bdf, cond)
-      .groupBy("a_name", "a_node", "b_name", "b_node", "b")
-      .agg(moments.head, moments.tail: _*)
+      .select(col("name"), col("node"), col("b"), col("i"),
+        col("qv").cast("long").as("qv"))
+    // bounded driver state: the fleet width (one count)
+    val width = q.select("name", "node").distinct().count()
+    val tiles = math.max(1, math.ceil(width.toDouble / widthCap).toInt)
+    val same = sameNodeOnly
+    val ser = q.as[(String, String, Long, Long, Long)]
+      .groupByKey(r => (r._3, r._1, r._2)) // (b, name, node)
+      .mapGroups { (key: (Long, String, String), it: Iterator[(String, String, Long, Long, Long)]) =>
+        val pts = it.map(r => (r._4, r._5)).toArray.sortBy(_._1)
+        (key._1, key._2, key._3, pts.map(_._1), pts.map(_._2))
+      }
+    val tiled = ser.flatMap { case (b, name, node, is, qs) =>
+      val my = java.lang.Math.floorMod(
+        (name + "|" + node).hashCode.toLong, tiles.toLong).toInt
+      if (tiles <= 1) Iterator.single(((b, 0, 0), (name, node, is, qs, 0)))
+      else Iterator.single(((b, my, my), (name, node, is, qs, 0))) ++
+        (0 until my).iterator.map(t1 => ((b, t1, my), (name, node, is, qs, 1))) ++
+        ((my + 1) until tiles).iterator.map(t2 => ((b, my, t2), (name, node, is, qs, 0)))
+    }
+    val cells = tiled.groupByKey(_._1)
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[((Long, Int, Int), (String, String, Array[Long], Array[Long], Int))]) =>
+        val rows = it.map(_._2).toArray
+        val diagonal = key._2 == key._3
+        val as = if (diagonal) rows else rows.filter(_._5 == 0)
+        val bs = if (diagonal) rows else rows.filter(_._5 == 1)
+        val b = key._1
+        def moments(x: (String, String, Array[Long], Array[Long], Int),
+                    y: (String, String, Array[Long], Array[Long], Int)) = {
+          // canonical orientation: a_name < b_name, node tiebreak
+          val cmp = if (x._1 != y._1) x._1.compareTo(y._1) else x._2.compareTo(y._2)
+          if (cmp == 0 || (same && (x._2 != y._2 || x._1 == y._1))) None
+          else {
+            val (p, r) = if (cmp < 0) (x, y) else (y, x)
+            var ii = 0; var jj = 0; var n = 0L
+            var sx = 0L; var sy = 0L
+            var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+            while (ii < p._3.length && jj < r._3.length) {
+              if (p._3(ii) < r._3(jj)) ii += 1
+              else if (p._3(ii) > r._3(jj)) jj += 1
+              else {
+                val xv = p._4(ii); val yv = r._4(jj)
+                n += 1; sx += xv; sy += yv
+                sxy += BigInt(xv) * yv; sxx += BigInt(xv) * xv; syy += BigInt(yv) * yv
+                ii += 1; jj += 1
+              }
+            }
+            if (n == 0) None
+            else Some((p._1, p._2, r._1, r._2, b, n, sx.toDouble, sy.toDouble,
+              sxy.toDouble, sxx.toDouble, syy.toDouble))
+          }
+        }
+        if (diagonal)
+          (for {
+            i <- (0 until as.length).iterator
+            j <- ((i + 1) until as.length).iterator
+            m <- moments(as(i), as(j))
+          } yield m)
+        else
+          (for {
+            i <- as.indices.iterator
+            j <- bs.indices.iterator
+            m <- moments(as(i), bs(j))
+          } yield m)
+      }
+      .toDF("a_name", "a_node", "b_name", "b_node", "b",
+        "n", "sx", "sy", "sxy", "sxx", "syy")
     pearsonFromMoments(cells, minOverlap)
   }
 
