@@ -8691,6 +8691,156 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
 
+    Q("q55_local_supplier", (s, dir) => {
+      // TPC-H Q5-shaped local-supplier revenue: per nation in one
+      // region+year, revenue where the CUSTOMER and the SUPPLIER share
+      // the nation — the classic 6-table join tree. Key-dims
+      // (nation/region/supplier/customer at the gate) broadcast onto
+      // the facts; the same-nation constraint is an equi-condition
+      // inside the join, never a post-filter on a wider product;
+      // exact decimal revenue sums.
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) *
+            (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }, Some(
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        | AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q56_supplier_parts", (s, dir) => {
+      // TPC-H Q16-shaped supplier-per-part census: distinct suppliers
+      // able to serve each (brand, type, size) cell, excluding one
+      // brand, one type, an off-spec size set, and low-balance
+      // suppliers (the complaints stand-in) — the excluded-supplier
+      // set is a broadcast LEFT ANTI, the census one count-distinct
+      // aggregate over the fact⋈part join.
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 1000)
+        .select(col("s_suppkey").as("bad_k"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_k"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy("p_brand", "p_type", "p_size")
+    }, Some(
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        | AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("q57_small_qty_revenue", (s, dir) => {
+      // TPC-H Q17-shaped small-quantity revenue: lineitems of one
+      // brand whose quantity is under 20% of that part's average —
+      // the correlated avg subquery decorrelated to ONE per-part
+      // aggregate joined back; the threshold compares CROSS-MULTIPLIED
+      // exact decimals (5·q·cnt < Σq), so no engine ever divides
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sumq"), count(lit(1)).as("cnt"))
+      li.join(avgq, col("l_partkey") === col("pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sumq"))
+        .agg(count(lit(1)).as("n_small"),
+          r4(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+            .as("avg_yearly"))
+        .select(col("n_small"), col("avg_yearly"))
+    }, Some(
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |ag AS (SELECT l_partkey AS pk,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sumq, count(*) AS cnt
+        | FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        | floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS avg_yearly
+        |FROM li JOIN ag ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sumq""".stripMargin)),
+
+    Q("embed_cell_stats", (s, dir) =>
+      // IVF cell-population telemetry (Similarity.cellStats): the
+      // saltCap / autoCells dashboard — per-cell counts and corpus
+      // share; the hot cell the mega-cell salting exists for is
+      // visible here before it costs anything
+      Similarity.cellStats(Tables.embeddings(s, dir), nCells = 8)
+        .orderBy("cell"),
+    Some(
+      s"""WITH $SQL_ANN_BASE,
+         |$SQL_ANN_IVF,
+         |cnt AS (SELECT cid, count(*) AS n FROM iasg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+         |SELECT CAST(cid AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_vecs,
+         | floor((CAST(n AS DOUBLE) / CAST(t AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
+         |FROM cnt, tot ORDER BY cell""".stripMargin)),
+
+    Q("quality_auc", (s, dir) =>
+      // calibration of the quality heuristic against the lang slice
+      // (TextAnalysis.qualityAuc): Mann-Whitney AUC per source from
+      // exact integer rank statistics; hashed auc_x1e4 is pure
+      // integer arithmetic (the q34 no-doubles-in-the-hash discipline)
+      TextAnalysis.qualityAuc(Tables.documents(s, dir), posLang = "en")
+        .orderBy("source"),
+    Some(
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |sc AS (SELECT source,
+        |  CAST(floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |    - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) AS BIGINT) AS qs,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM t),
+        |g AS (SELECT source, qs, CAST(sum(pos) AS BIGINT) AS p,
+        |  CAST(count(*) - sum(pos) AS BIGINT) AS ng FROM sc GROUP BY 1, 2),
+        |c AS (SELECT source, qs, p, ng,
+        |  CAST(coalesce(sum(ng) OVER (PARTITION BY source ORDER BY qs
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+        | FROM g),
+        |a AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(ng) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (2 * cumneg + ng)) AS BIGINT) AS num2
+        | FROM c GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        | (2 * num2 * 10000 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS auc_x1e4,
+        | CAST((2 * num2 * 10000 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS DOUBLE) / 1e4 AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin)),
+
     Q("text_keywords", (s, dir) =>
       TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)
         .orderBy("source", "rk"),

@@ -420,6 +420,30 @@ object Similarity {
       math.floor((math.cos(math.Pi * h / nPlanes) + 1e-9) * 1e4 + 0.5) / 1e4
     }
 
+  /** IVF cell-population telemetry: per-cell vector counts and corpus
+    * share — the dashboard the mega-cell saltCap knob
+    * (Clustering.inCellPairs) and the autoCells sizing decisions read.
+    * A cell whose share approaches the corpus is the boilerplate-dense
+    * hot cell the salting exists for; a long tail of near-empty cells
+    * says the centroid seeds were unlucky. One assignment pass + one
+    * |cells|-row aggregate.
+    */
+  def cellStats(embs: DataFrame, nCells: Int = 8): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val sizes = assignCells(base, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    sizes
+      .withColumn("total", sum("n_vecs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        graft.Num.r4(col("n_vecs").cast("double") / col("total").cast("double"))
+          .as("share"))
+  }
+
   def bitSketchCalibration(embs: DataFrame, nPlanes: Int = 32,
                            nCells: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)

@@ -343,6 +343,40 @@ object TextAnalysis {
       .toDF("doc_id", "n_bigrams", "entropy_bits", "ppl")
   }
 
+  /** ROC-AUC of the [[qualityScore]] heuristic against a binary label
+    * (default: lang == posLang), per source — the calibration readout
+    * a curation gate is tuned with: AUC ~0.5 means the score cannot
+    * separate the target slice, ~1 means a threshold gate works.
+    * Mann-Whitney over exact integers: scores quantize to their ×1e4
+    * grid (they are already 4-dp), ties contribute ½ via the doubled
+    * numerator num2 = Σ_s p_s·(2·cumNegBelow + n_s) = 2U, and
+    * auc_x1e4 = round(num2·1e4 / (2·n₁·n₀)) is pure integer
+    * arithmetic — the hashed value never touches a double (the q34
+    * discipline); the display double is one exact division. Sources
+    * with a one-sided label are dropped (AUC undefined).
+    */
+  def qualityAuc(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("qs")
+    val scored = qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .withColumn("qs", floor(col("quality") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("pos", (col("lang") === posLang).cast("long"))
+    scored.groupBy("source", "qs")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("ng"))
+      .withColumn("cumneg", coalesce(sum("ng").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("contrib", col("p") * (lit(2L) * col("cumneg") + col("ng")))
+      .groupBy("source")
+      .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
+        sum("contrib").as("num2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_x1e4",
+        expr("(2 * num2 * 10000 + 2 * n_pos * n_neg) div (4 * n_pos * n_neg)"))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("auc_x1e4"),
+        (col("auc_x1e4").cast("double") / lit(1e4)).as("auc"))
+  }
+
   /** Corpus composition profile: per (source, lang) document counts,
     * exact-integer mean length, and each cell's share of its source —
     * the telemetry a mixing policy is written against. One tiny
