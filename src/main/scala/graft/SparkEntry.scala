@@ -8841,6 +8841,134 @@ object SparkEntry {
         | CAST((2 * num2 * 10000 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS DOUBLE) / 1e4 AS auc
         |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin)),
 
+    Q("q58_shipping_priority", (s, dir) => {
+      // TPC-H Q3-shaped shipping priority: top-10 not-yet-shipped
+      // orders by outstanding revenue for one market segment — segment
+      // dim broadcast, both date predicates pushed to their scans, one
+      // keyed fact⋈fact shuffle, exact decimal revenue, distributed
+      // TakeOrdered (ranking on the EXACT decimal, orderkey tiebreak)
+      val cut = lit("1996-07-01").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice")) *
+            (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+          .as("rev_d"))
+        .orderBy(col("rev_d").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("rev_d").cast("double").as("revenue"))
+    }, Some(
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        | AND CAST(l_shipdate AS DATE) > DATE '1996-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) DESC,
+        | l_orderkey ASC
+        |LIMIT 10""".stripMargin)),
+
+    Q("q59_nation_profit", (s, dir) => {
+      // TPC-H Q9-shaped product profit by (supplier nation, year) over
+      // one product slice: revenue and a retail-cost leg summed as two
+      // SEPARATE exact decimals (their difference is one double
+      // subtraction of two correctly-rounded casts — no cross-engine
+      // decimal-precision promotion rules in play); dims broadcast,
+      // one keyed lineitem⋈orders shuffle
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").contains("widget"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      li.join(Tables.orders(s, dir).select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum(dec(col("l_extendedprice")) *
+            (expr("CAST(1 AS DECIMAL(12,2))") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          sum(dec(col("p_retailprice")) * dec(col("l_quantity")))
+            .cast("double").as("retail_cost"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("o_year"), col("n_items"),
+          r4(col("revenue") - col("retail_cost") / lit(2.0)).as("profit"))
+        .orderBy("n_name", "o_year")
+    }, Some(
+      """WITH j AS (SELECT n_name, year(CAST(o_orderdate AS DATE)) AS o_year,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+        |  CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS rc
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        | WHERE p_name LIKE '%widget%')
+        |SELECT n_name, CAST(o_year AS INT) AS o_year,
+        | count(*) AS n_items,
+        | floor((CAST(sum(rev) AS DOUBLE) - CAST(sum(rc) AS DOUBLE) / 2.0 + 1e-9) * 1e4 + 0.5) / 1e4 AS profit
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q60_waiting_suppliers", (s, dir) => {
+      // TPC-H Q21-shaped waiting-supplier census: suppliers who were
+      // the ONLY late shipper in a finished multi-supplier order — the
+      // classic EXISTS/NOT-EXISTS pair decorrelated to one per-order
+      // aggregate (distinct suppliers, distinct LATE suppliers) joined
+      // back to the late rows; late = shipped > 60 days after order
+      // date (the q42 convention). Top-20 by held-up order count.
+      val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", (unix_date(col("l_shipdate").cast("date")) -
+          unix_date(col("o_orderdate").cast("date")) > 60).cast("int"))
+        .select("l_orderkey", "l_suppkey", "late")
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("nlate"))
+        .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      li.filter(col("late") === 1)
+        .join(perOrder, Seq("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(count(lit(1)).as("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("s_name").asc)
+        .limit(20)
+    }, Some(
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+        |    THEN 1 ELSE 0 END AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+        |  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+        | FROM li GROUP BY 1),
+        |cu AS (SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        | FROM li JOIN po ON li.l_orderkey = po.l_orderkey
+        | WHERE li.late = 1 AND po.nsupp >= 2 AND po.nlate = 1)
+        |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_waiting
+        |FROM cu JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_waiting DESC, s_name ASC LIMIT 20""".stripMargin)),
+
     Q("text_keywords", (s, dir) =>
       TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)
         .orderBy("source", "rk"),
