@@ -5542,6 +5542,73 @@ object SparkEntry {
         | CAST(doc_id != min(lab) AS INT) AS is_dup
         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("mm_mp4_meta", (s, dir) => {
+      // the REAL ISO-BMFF writer + parser on the HASHED path: per doc,
+      // an MP4 whose tkhd dims derive from the payload's byte fold
+      // (the Stub metadata formulas), written by MediaSynth and parsed
+      // back by JvmMediaDecoder; the oracle replays only the fold
+      // arithmetic (SQL_MM_META) — a writer/parser disagreement breaks
+      // the gate. One codegen-adjacent typed scan, no shuffle.
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          JvmMediaDecoder.decoderInit()
+          rows.map { case (id, text) =>
+            val p = text.getBytes("UTF-8")
+            var h = 1125899906842597L
+            var i = 0
+            while (i < p.length) { h = 31 * h + p(i); i += 1 }
+            val w = 64 + math.floorMod(h >> 8, 1856L).toInt
+            val ht = 64 + math.floorMod(h >> 16, 1016L).toInt
+            val m = JvmMediaDecoder.decode(MediaSynth.mp4(w, ht))
+            (id, m.format, m.width, m.height)
+          }
+        }
+        .toDF("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    }, Some(
+      s"""${SQL_MM_META("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, 'mp4' AS format, width, height
+         |FROM meta ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_avi_probe", (s, dir) => {
+      // the REAL AVI container writer + frame parser on the HASHED
+      // path: per doc, an AVI whose movi list holds 1 + len%4 frame
+      // chunks cut from the text bytes; frameSampleDecoded walks the
+      // RIFF structure (JvmMediaDecoder.frames), strides by 2, and
+      // hashes each extracted frame (text bytes → the Stub fallback,
+      // which the oracle replays per frame via SQL_PHASH on the same
+      // slices). Wrong chunk walking, wrong frame boundaries, or a
+      // dropped pad byte all break the hash gate.
+      import s.implicits._
+      val avis = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, t) =>
+            val n = 1 + (t.length % 4)
+            val frames = (0 until n)
+              .map(k => t.substring(k * 7, k * 7 + 24).getBytes("UTF-8"))
+            (id, MediaSynth.mjpegAvi(320, 240, frames))
+          }
+        }.toDF("doc_id", "payload")
+      Multimodal.frameSampleDecoded(avis, JvmMediaDecoder, stride = 2)
+        .orderBy("doc_id", "frame_idx")
+    }, Some(
+      SQL_PHASH(
+        """SELECT doc_id * 8 + k.k AS doc_id,
+          |  substr(text, CAST(k.k * 7 + 1 AS INT), 24) AS text
+          | FROM (SELECT doc_id, text, 1 + length(text) % 4 AS nf
+          |   FROM documents WHERE length(text) >= 64) d,
+          |  LATERAL (SELECT unnest(range(0, nf)) AS k) k
+          | WHERE k.k % 2 = 0""".stripMargin) + "\n" +
+      """SELECT CAST(doc_id // 8 AS BIGINT) AS doc_id,
+        | CAST(doc_id % 8 AS BIGINT) AS frame_idx,
+        | phash AS frame_phash,
+        | ((phash % 1048576) + 1048576) % 1048576 AS score
+        |FROM ph ORDER BY 1, 2""".stripMargin)),
+
     Q("stream_window_agg", (s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"), expr("ts div 1000000000").as("tsec"), col("value"))

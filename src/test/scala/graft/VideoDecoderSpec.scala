@@ -2,7 +2,7 @@ package graft
 
 import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
-import graft.operators.{ImageIoDecoder, JvmMediaDecoder, Multimodal}
+import graft.operators.{ImageIoDecoder, JvmMediaDecoder, MediaSynth, Multimodal}
 
 /** Golden spec for the pure-JVM video codec (JvmMediaDecoder): a REAL
   * AVI/MJPEG container is written byte-by-byte here from ImageIO-encoded
@@ -13,16 +13,6 @@ import graft.operators.{ImageIoDecoder, JvmMediaDecoder, Multimodal}
 class VideoDecoderSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def le32(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-
-  private def be32(v: Int): Array[Byte] =
-    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-
-  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-
   private def jpegFrame(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
@@ -31,38 +21,10 @@ class VideoDecoderSpec extends SparkTestBase {
     out.toByteArray
   }
 
-  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-    cc(id) ++ le32(body.length) ++ body ++ pad
-  }
+  private def mjpegAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] =
+    MediaSynth.mjpegAvi(w, h, frames)
 
-  private def list(kind: String, body: Array[Byte]): Array[Byte] =
-    chunk("LIST", cc(kind) ++ body)
-
-  /** Minimal AVI: RIFF('AVI ' LIST(hdrl avih) LIST(movi 00dc...)). */
-  private def mjpegAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
-    val avih = chunk("avih",
-      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxbps, pad, flags
-        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++ // total, initial, streams, bufsz
-        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
-    val body = cc("AVI ") ++ list("hdrl", avih) ++ movi
-    cc("RIFF") ++ le32(body.length) ++ body
-  }
-
-  /** Minimal ISO-BMFF: ftyp + moov(trak(tkhd v0 with 16.16 dims)). */
-  private def mp4(w: Int, h: Int): Array[Byte] = {
-    def box(tp: String, body: Array[Byte]): Array[Byte] =
-      be32(body.length + 8) ++ cc(tp) ++ body
-    val tkhdBody = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
-      Array.fill(4 * 5)(0.toByte) ++ // ctime mtime trackid reserved duration
-      Array.fill(8)(0.toByte) ++ // reserved
-      Array.fill(2 + 2 + 2 + 2)(0.toByte) ++ // layer alt volume reserved
-      Array.fill(36)(0.toByte) ++ // matrix
-      be32(w << 16) ++ be32(h << 16)
-    box("ftyp", cc("isom") ++ be32(512) ++ cc("isomiso2")) ++
-      box("moov", box("trak", box("tkhd", tkhdBody)))
-  }
+  private def mp4(w: Int, h: Int): Array[Byte] = MediaSynth.mp4(w, h)
 
   // frame 0/2: flat gray (variance ~0); frame 1: checkerboard (high
   // variance — the keyframe); frame 3: gradient (mid variance)
