@@ -9036,6 +9036,96 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY n_waiting DESC, s_name ASC LIMIT 20""".stripMargin)),
 
+    Q("ts_stl_lite", (s, dir) =>
+      // STL-lite seasonal decomposition: median-5 trend, then the
+      // seasonal component as the per-hour-of-day EXACT MEDIAN of the
+      // detrended series (one robust pass, not lowpass smoothing — the
+      // complementary decomposition to ad_lowpass_seasonal: level
+      // shifts and outliers cannot leak into the daily profile). Per
+      // signal in one typed task; the oracle replays the same medians
+      TimeSeries.stlLite(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node", "tsb"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |dt AS (SELECT name, node, tsb, gval,
+         |  median(gval) OVER (PARTITION BY name, node ORDER BY tsb
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend
+         | FROM ff36),
+         |dd AS (SELECT *, gval - trend AS detr,
+         |  (tsb % 86400) // 3600 AS h FROM dt),
+         |se AS (SELECT name, node, h, median(detr) AS seas
+         | FROM dd GROUP BY 1, 2, 3)
+         |SELECT dd.name, dd.node, dd.tsb,
+         | floor((trend + 1e-9) * 1e4 + 0.5) / 1e4 AS trend,
+         | floor((seas + 1e-9) * 1e4 + 0.5) / 1e4 AS seasonal,
+         | floor((detr - seas + 1e-9) * 1e4 + 0.5) / 1e4 AS resid
+         |FROM dd JOIN se ON se.name = dd.name AND se.node = dd.node AND se.h = dd.h
+         |ORDER BY dd.name, dd.node, dd.tsb""".stripMargin)),
+
+    Q("text_ngram_coverage", (s, dir) => {
+      // vocabulary-truncation telemetry: the share of all word-bigram
+      // OCCURRENCES covered by the top-K grams, K ∈ {10,100,1000} — the
+      // curve that says how big a gram table a filter/LM actually
+      // needs. Scale shape: the candidate set is a distributed
+      // TakeOrdered top-1000 cut (count desc, gram tiebreak), never a
+      // global sort; the total is one scalar aggregate
+      val w = split(lower(trim(col("text"))), "\\s+")
+      val grams = Tables.documents(s, dir).select(w.as("w"))
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("n")).persist().tracked
+      val top = counts.orderBy(col("n").desc, col("g").asc).limit(1000)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("g").asc)))
+      val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("n_grams"))
+      val ks = Seq(10, 100, 1000).map(k =>
+        top.filter(col("rk") <= k)
+          .agg(lit(k).as("k"), sum("n").as("covered")))
+        .reduce(_ unionByName _)
+      ks.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_grams"), col("covered"), col("total"),
+          r4(col("covered").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy("k")
+    }, Some(
+      """WITH d AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT array_to_string(w[i:i+1], ' ') AS g
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+        |c AS (SELECT g, count(*) AS n FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_grams FROM c),
+        |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, g ASC) AS rk FROM c),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT k, n_grams,
+        | CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) AS BIGINT) AS covered, total,
+        | floor((CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) AS DOUBLE)
+        |   / CAST(total AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS share
+        |FROM ks, rk, t GROUP BY k, n_grams, total ORDER BY k""".stripMargin)),
+
+    Q("sample_interleave", (s, dir) => {
+      // deterministic source-interleaved training order: rows ranked
+      // md5-within-source (append-stable), then dealt round-robin
+      // across sources — the data ORDER a curriculum/mixing stage
+      // emits. The global position window runs on the bounded
+      // first-10-per-source cut (|sources|·10 rows), never the corpus
+      val bySrc = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(bySrc).cast("long"))
+        .filter(col("rn") <= 10)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("rn"), col("source"))).cast("long"))
+        .select("pos", "doc_id", "source", "rn")
+        .orderBy("pos")
+    }, Some(
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        | FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos,
+        | doc_id, source, rn
+        |FROM r WHERE rn <= 10 ORDER BY pos""".stripMargin)),
+
     Q("text_keywords", (s, dir) =>
       TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)
         .orderBy("source", "rk"),

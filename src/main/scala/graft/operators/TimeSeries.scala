@@ -227,6 +227,30 @@ object TimeSeries {
           element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
   }
 
+  /** STL-lite robust decomposition: median-`w` trend, then the seasonal
+    * component as the per-hour-of-day EXACT MEDIAN of the detrended
+    * series — one robust pass (level shifts and outliers cannot leak
+    * into the daily profile), the complementary decomposition to the
+    * lowpass family. Two keyed windows (signal; signal×hour), both
+    * retention-bounded frames; same even-count median semantics as
+    * [[movingMedian]] (DuckDB-interpolation-compatible).
+    */
+  def stlLite(grid: DataFrame, w: Int = 5): DataFrame = {
+    val dt = movingMedian(grid, w, "gval", "trend")
+      .withColumn("detr", col("gval") - col("trend"))
+      .withColumn("h", expr("(tsb % 86400) div 3600"))
+    val hw = Window.partitionBy("name", "node", "h")
+    val arr = sort_array(collect_list(col("detr")).over(hw))
+    val n = size(arr)
+    dt.withColumn("seas",
+        when(n % 2 === 1, element_at(arr, ((n + lit(1)) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int")) +
+            element_at(arr, (n / 2).cast("int") + 1)) / 2.0))
+      .select(col("name"), col("node"), col("tsb"),
+        r4(col("trend")).as("trend"), r4(col("seas")).as("seasonal"),
+        r4(col("detr") - col("seas")).as("resid"))
+  }
+
   /** Trailing rolling discrete quantile — the "p95 over the last w
     * samples" band an SRE dashboard draws beside every latency series
     * (and the adaptive threshold ad-hoc alerting compares against).
