@@ -9126,6 +9126,67 @@ object SparkEntry {
         | doc_id, source, rn
         |FROM r WHERE rn <= 10 ORDER BY pos""".stripMargin)),
 
+    Q("ts_adf", (s, dir) =>
+      // Dickey-Fuller stationarity per signal (Trend.adf): τ from exact
+      // integer moments of the lagged regression; the verdict routes
+      // signals between the forecast family and the rate operators
+      Trend.adf(corrGrid(s, dir).select("name", "node", "tsb", "gval"))
+        .orderBy("name", "node"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mxa AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM ff36),
+         |qa AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e9 + 0.5)
+         |    AS HUGEINT) AS qv FROM mxa),
+         |la AS (SELECT name, node, qv,
+         |  lag(qv) OVER (PARTITION BY name, node ORDER BY tsb) AS xl FROM qa),
+         |ld AS (SELECT name, node, xl, qv - xl AS dy FROM la WHERE xl IS NOT NULL),
+         |ma AS (SELECT name, node, count(*) AS ne,
+         |  CAST(sum(xl) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         |  CAST(sum(xl * xl) AS DOUBLE) AS sxx, CAST(sum(xl * dy) AS DOUBLE) AS sxy,
+         |  CAST(sum(dy * dy) AS DOUBLE) AS syy
+         | FROM ld GROUP BY 1, 2),
+         |ca AS (SELECT *, sxx - sx * sx / CAST(ne AS DOUBLE) AS sxxc,
+         |  sxy - sx * sy / CAST(ne AS DOUBLE) AS sxyc,
+         |  syy - sy * sy / CAST(ne AS DOUBLE) AS syyc FROM ma),
+         |fb AS (SELECT *, sxyc / sxxc AS beta FROM ca WHERE ne >= 8 AND sxxc > 0),
+         |fr AS (SELECT *, syyc - beta * sxyc AS rss FROM fb),
+         |ft AS (SELECT name, node, ne,
+         |  floor((beta / sqrt(rss / (CAST(ne AS DOUBLE) - 2.0) / sxxc) + 1e-9) * 1e4 + 0.5) / 1e4 AS tau
+         | FROM fr WHERE rss > 0)
+         |SELECT name, node, CAST(ne AS BIGINT) AS n, tau,
+         | CAST(tau < -2.86 AS INT) AS stationary
+         |FROM ft ORDER BY name, node""".stripMargin)),
+
+    Q("dedup_share_by_source", (s, dir) => {
+      // per-source duplicate pressure: the share of docs that are
+      // non-canonical exact duplicates (same md5, not the min doc_id)
+      // — the first column of any curation dashboard, telling which
+      // source's crawl is actually paying for storage twice
+      val byH = Window.partitionBy("h")
+      val flagged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("grp_n", count(lit(1)).over(byH))
+        .withColumn("canon", min("doc_id").over(byH))
+        .withColumn("is_dup",
+          (col("grp_n") > 1 && col("doc_id") =!= col("canon")).cast("long"))
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup"))
+        .withColumn("dup_share",
+          r4(col("n_dup").cast("double") / col("n_docs").cast("double")))
+        .orderBy("source")
+    }, Some(
+      """WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |g AS (SELECT *, count(*) OVER (PARTITION BY h) AS grp_n,
+        |  min(doc_id) OVER (PARTITION BY h) AS canon FROM h),
+        |f AS (SELECT source,
+        |  CASE WHEN grp_n > 1 AND doc_id != canon THEN 1 ELSE 0 END AS is_dup FROM g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(is_dup) AS BIGINT) AS n_dup,
+        | floor((CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS dup_share
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("text_keywords", (s, dir) =>
       TextAnalysis.keywordsBySource(Tables.documents(s, dir), 5)
         .orderBy("source", "rk"),

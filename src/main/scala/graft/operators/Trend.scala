@@ -96,6 +96,48 @@ object Trend {
     * One window for the per-signal scale/origin + one hash aggregate:
     * map-side combinable, |signals| output rows.
     */
+  /** Dickey-Fuller unit-root test per signal: Δq_t = α + β·q_{t−1} + ε
+    * on the scale-normalized ×1e9-quantized series, τ = β̂/se(β̂) from
+    * EXACT integer moments (one lag window + one hash aggregate; every
+    * downstream double op is a fixed exactly-rounded sequence the
+    * oracle mirrors verbatim). `stationary` compares the 4-dp τ
+    * against the classic 5% constant-only critical value −2.86 — a
+    * random walk (β ≈ 0) fails, a mean-reverting signal passes. The
+    * stationarity verdict routes signals between the forecast family
+    * (needs mean reversion) and the differencing/rate operators.
+    */
+  def adf(grid: DataFrame): DataFrame = {
+    val bySig = org.apache.spark.sql.expressions.Window.partitionBy("name", "node")
+    val ord = bySig.orderBy("tsb")
+    val mRaw = max(abs(col("gval"))).over(bySig)
+    val mm = when(mRaw > 0, mRaw).otherwise(lit(1.0))
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val q = grid.select(col("name"), col("node"), col("tsb"), col("gval"))
+      .withColumn("qv", floor((col("gval") / mm) * lit(1e9) + lit(0.5)).cast(dec18))
+      .withColumn("xl", lag("qv", 1).over(ord))
+      .filter(col("xl").isNotNull)
+      .withColumn("dy", col("qv") - col("xl"))
+    val ned = col("ne").cast("double")
+    q.groupBy("name", "node")
+      .agg(count(lit(1)).as("ne"),
+        sum(col("xl")).cast("double").as("sx"),
+        sum(col("dy")).cast("double").as("sy"),
+        sum(col("xl") * col("xl")).cast("double").as("sxx"),
+        sum(col("xl") * col("dy")).cast("double").as("sxy"),
+        sum(col("dy") * col("dy")).cast("double").as("syy"))
+      .withColumn("sxxc", col("sxx") - col("sx") * col("sx") / ned)
+      .withColumn("sxyc", col("sxy") - col("sx") * col("sy") / ned)
+      .withColumn("syyc", col("syy") - col("sy") * col("sy") / ned)
+      .filter(col("ne") >= 8 && col("sxxc") > 0)
+      .withColumn("beta", col("sxyc") / col("sxxc"))
+      .withColumn("rss", col("syyc") - col("beta") * col("sxyc"))
+      .filter(col("rss") > 0)
+      .withColumn("tau",
+        r4(col("beta") / sqrt(col("rss") / (ned - lit(2.0)) / col("sxxc"))))
+      .select(col("name"), col("node"), col("ne").as("n"), col("tau"),
+        (col("tau") < lit(-2.86)).cast("int").as("stationary"))
+  }
+
   def olsTrend(indexedGrid: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("name", "node")
     val mRaw = max(abs(col("gval"))).over(w)
