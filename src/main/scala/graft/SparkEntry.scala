@@ -839,9 +839,11 @@ object SparkEntry {
       |   detr FROM dser)),
       |${sqlTwiddleCte("(SELECT m FROM dpad)")},
       |dkern AS MATERIALIZED (SELECT mc.m, mc.c,
-      |  list_transform(range(0, mc.m), d ->
-      |    (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
-      |      k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) AS kv
+      |  CASE WHEN mc.c >= mc.m // 2
+      |    THEN list_transform(range(0, mc.m), d -> CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)
+      |    ELSE list_transform(range(0, mc.m), d ->
+      |      (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
+      |        k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) END AS kv
       | FROM (SELECT DISTINCT m, c FROM dpad) mc JOIN tw ON tw.m = mc.m),
       |dsx AS (SELECT p.name, p.node, i.i AS idx,
       |  list_reduce(list_prepend(0.0, list_transform(range(0, p.m),
@@ -1101,9 +1103,11 @@ object SparkEntry {
          |  u.c
          | FROM dser s JOIN ccut u ON u.name = s.name AND u.node = s.node),
          |dkern AS MATERIALIZED (SELECT mc.m, mc.c,
-         |  list_transform(range(0, mc.m), d ->
-         |    (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
-         |      k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) AS kv
+         |  CASE WHEN mc.c >= mc.m // 2
+         |    THEN list_transform(range(0, mc.m), d -> CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)
+         |    ELSE list_transform(range(0, mc.m), d ->
+         |      (1.0 + 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, CAST(mc.c AS INT) + 1),
+         |        k -> tw.tc[CAST((k * d) % mc.m AS INT) + 1])), (a, b) -> a + b)) / mc.m) END AS kv
          | FROM (SELECT DISTINCT m, c FROM dpad) mc JOIN tw ON tw.m = mc.m),
          |dsx AS (SELECT p.name, p.node, i.i AS idx,
          |  list_reduce(list_prepend(0.0, list_transform(range(0, p.m),
@@ -5580,7 +5584,10 @@ object SparkEntry {
       // hashes each extracted frame (text bytes → the Stub fallback,
       // which the oracle replays per frame via SQL_PHASH on the same
       // slices). Wrong chunk walking, wrong frame boundaries, or a
-      // dropped pad byte all break the hash gate.
+      // dropped pad byte all break the hash gate. Slice indices assume
+      // the ASCII corpus (character = byte = code point — the standing
+      // SQL_MM_META contract); a non-BMP corpus would need byte-true
+      // slicing on both sides.
       import s.implicits._
       val avis = Tables.documents(s, dir)
         .filter(length(col("text")) >= 64)
@@ -9070,7 +9077,11 @@ object SparkEntry {
       // TakeOrdered top-1000 cut (count desc, gram tiebreak), never a
       // global sort; the total is one scalar aggregate
       val w = split(lower(trim(col("text"))), "\\s+")
+      // one-token docs: sequence(1, 0) would DESCEND and emit NULL
+      // grams that the oracle's empty range never produces — guard the
+      // doc out entirely (no bigram exists)
       val grams = Tables.documents(s, dir).select(w.as("w"))
+        .filter(size(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")).as("g"))
       val counts = grams.groupBy("g").agg(count(lit(1)).as("n")).persist().tracked

@@ -114,9 +114,16 @@ object TwiddleStash {
   */
 object EsdLamStash {
   private val rows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-  def ensure(ms: Iterable[Long], alpha: Double): Unit = ms.foreach { m =>
-    if (m >= 3 && !rows.containsKey(m))
-      rows.put(m, graft.functions.Stats.esdLam4(m.toInt, alpha))
+  def ensure(ms: Iterable[Long], alpha: Double): Unit = {
+    // the oracle's elam consumer (and its lgamma fallback chain) is
+    // hardwired to the gate config α = 0.05 — a non-default alpha must
+    // never poison the shared table (kernels always compute their own
+    // λ per call; only the SQL replay reads this stash)
+    if (alpha != 0.05) return
+    ms.foreach { m =>
+      if (m >= 3 && !rows.containsKey(m))
+        rows.put(m, graft.functions.Stats.esdLam4(m.toInt, alpha))
+    }
   }
   def sqlValues: Option[String] = {
     import scala.jdk.CollectionConverters._

@@ -177,13 +177,22 @@ object Dsp {
     var pi = n
     while (pi < m) { xp(pi) = x(n - 1); pi += 1 }
     val kv = new Array[Double](m)
-    var d = 0
-    while (d < m) {
-      var sc = 0.0
-      var k = 1
-      while (k <= c) { sc += ct((k.toLong * d % m).toInt); k += 1 }
-      kv(d) = (1.0 + 2.0 * sc) / m
-      d += 1
+    if (c >= m / 2) {
+      // cutoff at/above Nyquist keeps EVERY bin: the filter is the
+      // identity, and its circular kernel is the delta (the Dirichlet
+      // sum would count the aliased k > m/2 images twice — the r7
+      // review's aliasing defect; the old FFT form zeroed an empty bin
+      // range here). The oracle replays the same delta branch.
+      kv(0) = 1.0
+    } else {
+      var d = 0
+      while (d < m) {
+        var sc = 0.0
+        var k = 1
+        while (k <= c) { sc += ct((k.toLong * d % m).toInt); k += 1 }
+        kv(d) = (1.0 + 2.0 * sc) / m
+        d += 1
+      }
     }
     Array.tabulate(n) { i =>
       var s = 0.0

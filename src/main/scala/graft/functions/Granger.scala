@@ -161,7 +161,8 @@ object Granger {
       // both sides, where p has long since floored to 0 at 4 dp).
       // Other lag orders keep the Lentz continued-fraction route.
       val pv =
-        if (f >= 1e300) 0.0
+        if (java.lang.Double.isNaN(f)) Double.NaN // NaN input propagates, never throws
+        else if (f >= 1e300) 0.0
         else if (p == 2) graft.functions.ExactMath.expFixed(
           (-df2.toDouble / 2.0) * graft.functions.ExactMath.lnGe1(
             1.0 + 2.0 * math.min(f, 1e12) / df2.toDouble))

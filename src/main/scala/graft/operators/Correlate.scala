@@ -443,9 +443,13 @@ object Correlate {
     // oracle replay are untouched.
     val spark = indexedGrid.sparkSession
     import spark.implicits._
+    // persisted: the width count and the main pass are separate actions
+    // and would otherwise each run the full grid-build pipeline
+    // (events scan + resample + ffill + quant window)
     val q = withQuant(indexedGrid)
       .select(col("name"), col("node"), col("b"), col("i"),
         col("qv").cast("long").as("qv"))
+      .persist().tracked
     // bounded driver state: the fleet width (one count)
     val width = q.select("name", "node").distinct().count()
     val tiles = math.max(1, math.ceil(width.toDouble / widthCap).toInt)

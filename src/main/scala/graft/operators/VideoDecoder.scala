@@ -76,20 +76,27 @@ object JvmMediaDecoder extends FrameDecoder {
 
   // ---- AVI (RIFF little-endian chunks) ----
 
-  /** (width, height) from the `avih` main header, or None. */
+  /** (width, height) from the `avih` main header, or None. Chunk sizes
+    * are validated: a corrupt/adversarial negative size field must
+    * degrade to "unknown", never loop or throw (a 100 TB scan always
+    * contains garbage rows — the total-function contract).
+    */
   private def aviHeader(b: Array[Byte]): Option[(Int, Int)] = {
     var o = 12
     // top-level chunks; the hdrl LIST leads and contains avih
     while (o + 8 <= b.length) {
       val cc = fourCc(b, o)
       val sz = le32(b, o + 4)
+      if (sz < 0) return None
       if (cc == "LIST" && fourCc(b, o + 8) == "hdrl") {
         var p = o + 12
         val end = math.min(b.length, o + 8 + sz)
         while (p + 8 <= end) {
+          val psz = le32(b, p + 4)
+          if (psz < 0) return None
           if (fourCc(b, p) == "avih" && p + 8 + 40 <= b.length)
             return Some((le32(b, p + 8 + 32), le32(b, p + 8 + 36)))
-          p += 8 + le32(b, p + 4) + (le32(b, p + 4) & 1)
+          p += 8 + psz + (psz & 1)
         }
         return None
       }
@@ -109,6 +116,7 @@ object JvmMediaDecoder extends FrameDecoder {
     while (movi < 0 && o + 12 <= b.length) {
       val cc = fourCc(b, o)
       val sz = le32(b, o + 4)
+      if (sz < 0) return Iterator.empty // corrupt size: never loop
       if (cc == "LIST" && fourCc(b, o + 8) == "movi") {
         movi = o + 12
         moviEnd = math.min(b.length, o + 8 + sz)
@@ -124,9 +132,12 @@ object JvmMediaDecoder extends FrameDecoder {
         while (nxt == null && p + 8 <= moviEnd) {
           val cc = JvmMediaDecoder.fourCc(b, p)
           val sz = le32(b, p + 4)
-          if ((cc.endsWith("dc") || cc.endsWith("db")) && p + 8 + sz <= b.length)
-            nxt = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)
-          p += 8 + sz + (sz & 1)
+          if (sz < 0) { p = moviEnd } // corrupt size: stop the walk
+          else {
+            if ((cc.endsWith("dc") || cc.endsWith("db")) && p + 8 + sz <= b.length)
+              nxt = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)
+            p += 8 + sz + (sz & 1)
+          }
         }
       }
       advance()

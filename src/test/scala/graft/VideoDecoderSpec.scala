@@ -71,6 +71,26 @@ class VideoDecoderSpec extends SparkTestBase {
     assert(JvmMediaDecoder.phash(junk) != 0L)
   }
 
+  test("corrupt AVI chunk sizes never loop or throw") {
+    // a negative LE32 size (-8 makes the walker advance by zero; -9
+    // moves it backwards) must degrade to unknown/no-frames, not hang
+    val evil = MediaSynth.cc("RIFF") ++ MediaSynth.le32(64) ++
+      MediaSynth.cc("AVI ") ++ MediaSynth.cc("LIST") ++ MediaSynth.le32(-8) ++
+      MediaSynth.cc("hdrl") ++ Array.fill(32)(0.toByte)
+    assert(JvmMediaDecoder.decode(evil).format == "unknown")
+    assert(JvmMediaDecoder.frames(evil).isEmpty)
+    // corrupt size INSIDE the movi frame walk
+    val evil2 = {
+      val movi = MediaSynth.cc("LIST") ++ MediaSynth.le32(40) ++
+        MediaSynth.cc("movi") ++ MediaSynth.cc("00dc") ++ MediaSynth.le32(-9) ++
+        Array.fill(24)(1.toByte)
+      val avih = MediaSynth.chunk("avih", Array.fill(56)(0.toByte))
+      val body = MediaSynth.cc("AVI ") ++ MediaSynth.list("hdrl", avih) ++ movi
+      MediaSynth.cc("RIFF") ++ MediaSynth.le32(body.length) ++ body
+    }
+    assert(JvmMediaDecoder.frames(evil2).isEmpty)
+  }
+
   test("frameSampleDecoded and keyframesDecoded run the real codec through Spark") {
     val docs = Seq((7L, avi), (8L, mp4(640, 480))).toDF("doc_id", "payload")
     val sampled = Multimodal.frameSampleDecoded(docs, JvmMediaDecoder, stride = 1)
