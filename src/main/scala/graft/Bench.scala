@@ -86,6 +86,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"t0":$t0s,"sf":"$sfDir"}"""
     println(line)
+    // the full 303-query line above is ~15 KB and the driver's
+    // artifact keeps only a few-KB stdout TAIL (BENCH_r6/r7 both show
+    // `parsed: null` with the line's head cut off) — ALSO print a
+    // compact summary LAST so a tail-window parse always sees one
+    // complete JSON line; the untruncated map lives in BENCH_full.json
+    val slowest = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => s"\"" + k + "\":" + (math.round(v * 1000.0) / 1000.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":$slowest,"n_queries":${results.length},"full":"BENCH_full.json","sf":"$sfDir"}""")
     // the driver's committed artifact truncates long stdout tails — also
     // persist the untruncated per-query map where it can be committed
     try {

@@ -2160,10 +2160,15 @@ object SparkEntry {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
       val rowSum = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      // qln on the INTEGER-ONLY kernel (ExactMath.qlnFix): the r5-r7
+      // driver-gate history showed any FP op in this chain — even the
+      // exactly-rounded-IEEE ln replay — leaves a branch an unknown
+      // oracle environment can diverge on. Shift/multiply/divide on
+      // BIGINT is exact everywhere, so the stash literal AND the SQL
+      // fallback below reproduce these integers no matter which branch
+      // the harness renders.
       val model = cnt.map { case (a, nx, c) =>
-        val qln = math.floor((graft.functions.ExactMath.lnInt(c) -
-          graft.functions.ExactMath.lnInt(rowSum(a)) + 1e-9) * 1e6 + 0.5).toLong
-        (a, nx, qln)
+        (a, nx, graft.functions.ExactMath.qlnFix(c, rowSum(a)))
       }
       OracleLiterals.put("q34_model",
         model.map { case (a, nx, q) =>
@@ -2184,19 +2189,23 @@ object SparkEntry {
     }, Some {
       // stash present (full gate runs — Verify dumps SQL after running
       // the queries): the oracle replays Spark's qln integers verbatim.
-      // Stash empty (focused dumps that skipped q34): fall back to the
-      // ExactMath replay, the r6 behavior.
-      val mq = OracleLiterals.get("q34_model") match {
+      // Stash empty (a harness that renders SQL without running q34
+      // first): the fallback re-derives the SAME integers from counts
+      // with ExactMath's integer-only fixed-point log — BIGINT shifts,
+      // multiplies and floor-divides only, so there is no FP operation
+      // an unknown engine build can evaluate differently. Both branches
+      // are equal by construction (qlnFix ≡ sqlLog2FixCols+sqlQlnExpr).
+      // SPARK_GRAFT_Q34_FALLBACK forces the fallback branch so the
+      // local selfcheck can gate it explicitly.
+      val stashed =
+        if (sys.env.contains("SPARK_GRAFT_Q34_FALLBACK")) None
+        else OracleLiterals.get("q34_model")
+      val mq = stashed match {
         case Some(values) => s"mq(a, nx, qln) AS (VALUES $values)"
         case None =>
           s"""md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
             |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
-            |mq AS (SELECT a, nx,
-            |  CAST(floor((lnc - lnr + 1e-9) * 1e6 + 0.5) AS BIGINT) AS qln
-            | FROM (SELECT a, nx,
-            |  ${graft.functions.ExactMath.sqlLnCols("c", "lc", "lnc")},
-            |  ${graft.functions.ExactMath.sqlLnCols("r", "lr", "lnr")}
-            | FROM mr))""".stripMargin
+            |mq AS (${graft.functions.ExactMath.sqlQlnFromCounts("mr")})""".stripMargin
       }
       s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
         |b AS (SELECT user_id, tsec, event_id, event_type,
@@ -8911,8 +8920,8 @@ object SparkEntry {
         |  CAST(sum(p * (2 * cumneg + ng)) AS BIGINT) AS num2
         | FROM c GROUP BY 1)
         |SELECT source, n_pos, n_neg,
-        | (2 * num2 * 10000 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS auc_x1e4,
-        | CAST((2 * num2 * 10000 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS DOUBLE) / 1e4 AS auc
+        | CAST((2 * CAST(num2 AS HUGEINT) * 10000 + 2 * CAST(n_pos AS HUGEINT) * n_neg) // (4 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_x1e4,
+        | CAST((2 * CAST(num2 AS HUGEINT) * 10000 + 2 * CAST(n_pos AS HUGEINT) * n_neg) // (4 * CAST(n_pos AS HUGEINT) * n_neg) AS DOUBLE) / 1e4 AS auc
         |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin)),
 
     Q("q58_shipping_priority", (s, dir) => {

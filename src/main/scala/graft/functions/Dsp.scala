@@ -44,7 +44,21 @@ object Dsp {
     * receives the same doubles as literals (TwiddleStash renders them
     * from this same function on the driver).
     */
+  /** Soft cost guard (r7 advice): the Dirichlet/direct-DFT kernels are
+    * O(m·c)+O(n·m) PER SERIES — deliberate (bit-exactness beats an FFT
+    * here) and fine under the retention cap (m ≤ ~8k → ≤10^8 ops), but
+    * quadratic if a retention/sampling config change inflates series
+    * length. Warn once per offending pad size so the degradation is
+    * loud in executor logs instead of a silent task stall.
+    */
+  final val PadSoftMax = 1 << 14
+  private val warnedPads = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   def twiddles(m: Int): (Array[Double], Array[Double]) = {
+    if (m > PadSoftMax && warnedPads.add(m))
+      System.err.println(s"[graft.Dsp] pad size m=$m exceeds the soft bound " +
+        s"$PadSoftMax: per-series spectral cost grows ~m² — check retention/" +
+        "resample config before running the spectral family at this length")
     val c = new Array[Double](m)
     val s = new Array[Double](m)
     var j = 0

@@ -77,7 +77,7 @@ object ExactMath {
     * share a binade for x ≥ 1 because 2^k is an integer), m = x/2^k is
     * an exact power-of-two division, and the atanh series replays in
     * fixed order. Synchronized with [[sqlLnGe1Cols]]. Domain guard:
-    * x < 2^62 (far beyond any statistic this feeds).
+    * x < 2^63 (far beyond any statistic this feeds).
     */
   def lnGe1(x: Double): Double = {
     require(x >= 1.0 && x < 9.223372036854776e18, s"lnGe1 domain: $x")
@@ -175,5 +175,117 @@ object ExactMath {
        |  (${pfx}m - 1.0) / (${pfx}m + 1.0) AS ${pfx}z,
        |  ${pfx}z * ${pfx}z AS ${pfx}q,
        |  CAST(${pfx}k AS DOUBLE) * $LN2 + 2.0 * ${pfx}z * (1.0 + ${pfx}q * ($horner)) AS $out""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // INTEGER-ONLY log kernel: no IEEE op anywhere in the chain.
+  //
+  // The exactly-rounded-IEEE kernels above remove LIBM freedom, but
+  // they still assume both engines execute the emitted FP expression
+  // verbatim — an engine that constant-folds, reassociates, or renders
+  // a different branch of a stash-dependent oracle can diverge (the
+  // r5-r7 q34_session_surprise driver-gate history). The kernel below
+  // removes the assumption: every operation is 64-bit integer
+  // arithmetic (shift / multiply / add / integer divide), which is
+  // exact on any engine, in any evaluation order the optimizer picks.
+  // ------------------------------------------------------------------
+
+  /** Fractional bits of the fixed-point binary log. F = 24 keeps every
+    * intermediate inside a signed 64-bit integer for ANY positive n
+    * (x < 2^26 ⇒ x² < 2^52; the result < 64·2^24 < 2^30).
+    */
+  final val QF = 24
+
+  /** round(ln2 · 1e9) — the rational ln2 used to convert the base-2
+    * fixed-point log to the ×1e6 natural-log grid. |D|·LN2NUM < 2^60
+    * for any 64-bit input, so the conversion never overflows.
+    */
+  final val LN2NUM = 693147181L
+
+  private final val QDEN = (1L << QF) * 1000L // ÷ LN2NUM denominator → ×1e6 grid
+
+  /** Fixed-point floor-ish log2: returns ≈ log2(n)·2^QF for n ≥ 1 by
+    * the classic shift-and-square recurrence — normalize n to
+    * x ∈ [2^QF, 2^(QF+1)), then QF rounds of x ← x²>>QF with a result
+    * bit per round. Pure integer ops; truncation ≤ ~2 ulp (2^-23 in
+    * log2). Synchronized with [[sqlLog2FixCols]] — keep in lockstep.
+    */
+  def log2Fix(n: Long): Long = {
+    require(n >= 1, s"log2Fix needs a positive integer, got $n")
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = if (k >= QF) n >> (k - QF) else n << (QF - k)
+    var r = k.toLong
+    val two = 1L << (QF + 1)
+    var i = 0
+    while (i < QF) {
+      val s = (x * x) >> QF
+      if (s >= two) { x = s >> 1; r = 2 * r + 1 } else { x = s; r = 2 * r }
+      i += 1
+    }
+    r
+  }
+
+  /** Quantized log-probability qln = round(ln(c/r)·1e6) on the
+    * integer-only kernel: D = log2Fix(c) − log2Fix(r), then one
+    * rounded integer division through the rational ln2. Faithful to
+    * ln(c/r)·1e6 within ~0.1 units; the DEFINITION is the spec — both
+    * engines replay the identical integers because no FP op exists.
+    * Synchronized with [[sqlQlnExpr]].
+    */
+  def qlnFix(c: Long, r: Long): Long = {
+    val d = log2Fix(c) - log2Fix(r)
+    val n = d * LN2NUM
+    if (n >= 0) (2 * n + QDEN) / (2 * QDEN)
+    else -((2 * (-n) + QDEN) / (2 * QDEN))
+  }
+
+  /** [[qlnFix]] as a SQL scalar over two [[log2Fix]] result columns
+    * (`lcExpr` = log2Fix(c), `lrExpr` = log2Fix(r)). All operands of
+    * the `//` are non-negative on their branch, so DuckDB's floor
+    * division and Spark's truncating `div` agree.
+    */
+  def sqlQlnExpr(lcExpr: String, lrExpr: String): String = {
+    val d = s"(($lcExpr) - ($lrExpr)) * $LN2NUM"
+    s"CASE WHEN $d >= 0 THEN (2 * ($d) + $QDEN) // ${2 * QDEN} " +
+      s"ELSE -((2 * (-($d)) + $QDEN) // ${2 * QDEN}) END"
+  }
+
+  /** [[qlnFix]] over a whole relation: given `src` with columns
+    * `(a, nx, c, r)` (positive integers), emits a SELECT producing
+    * `(a, nx, qln)` with qln = qlnFix(c, r) — QF recurrence steps for
+    * BOTH logs as NESTED SUBQUERIES, one level per step, columns
+    * materialized at every level.
+    *
+    * Why nesting and not lateral column aliases: each step references
+    * its predecessor several times, and an engine that desugars
+    * lateral aliases by textual substitution (DuckDB's binder) would
+    * inflate a 24-deep alias chain into an exponentially-sized
+    * expression tree — the r8 first attempt hung the oracle. A
+    * subquery boundary pins each step's columns, so the tree stays
+    * linear in QF on any engine. Only BIGINT shifts / multiplies /
+    * compares — Spark SQL shares the semantics, which the
+    * synchronization spec exploits by running this very SQL through
+    * Spark against the Scala kernel.
+    */
+  def sqlQlnFromCounts(src: String): String = {
+    val two = 1L << (QF + 1)
+    var rel = "(SELECT a, nx, " +
+      s"CASE WHEN kc >= $QF THEN c >> (kc - $QF) ELSE c << ($QF - kc) END AS x0c, " +
+      "CAST(kc AS BIGINT) AS r0c, " +
+      s"CASE WHEN kr >= $QF THEN r >> (kr - $QF) ELSE r << ($QF - kr) END AS x0r, " +
+      "CAST(kr AS BIGINT) AS r0r " +
+      "FROM (SELECT a, nx, CAST(c AS BIGINT) AS c, CAST(r AS BIGINT) AS r, " +
+      "length(bin(CAST(c AS BIGINT))) - 1 AS kc, " +
+      s"length(bin(CAST(r AS BIGINT))) - 1 AS kr FROM $src))"
+    for (i <- 1 to QF) {
+      val p = i - 1
+      def step(sfx: String) = {
+        val s = s"((x$p$sfx * x$p$sfx) >> $QF)"
+        s"CASE WHEN $s >= $two THEN $s >> 1 ELSE $s END AS x$i$sfx, " +
+          s"2 * r$p$sfx + CASE WHEN $s >= $two THEN 1 ELSE 0 END AS r$i$sfx"
+      }
+      rel = s"(SELECT a, nx, ${step("c")}, ${step("r")} FROM $rel)"
+    }
+    s"SELECT a, nx, ${sqlQlnExpr(s"r${QF}c", s"r${QF}r")} AS qln FROM $rel"
   }
 }

@@ -24,17 +24,28 @@ object ChangePoints {
     * not data volume.
     */
   private def stashSpectral(grid: DataFrame): Unit = {
-    val ms = grid.groupBy("name", "node").count().collect()
-      .map(r => Dsp.nextPow2(r.getLong(2).toInt)).distinct.toSeq
+    // persist BEFORE the stash action: the collect is an extra Spark
+    // action over the grid, and an un-persisted grid would re-run the
+    // whole events→resample→ffill build here and again in the kernel
+    // pass (r7 advice). Only the DISTINCT series lengths come back —
+    // a handful of rows however many million signals the fleet has
+    // (r7 verdict #3: the per-signal collect was a driver-OOM path).
+    grid.persist().tracked
+    val ms = grid.groupBy("name", "node").count()
+      .select("count").distinct().collect()
+      .map(r => Dsp.nextPow2(r.getLong(0).toInt)).distinct.toSeq
     graft.TwiddleStash.ensure(ms)
   }
 
   /** Stash the ESD critical values (per active-count m) the per-series
-    * kernels will compare against — same bounded collect as
-    * [[stashSpectral]]; lam4 comes from the kernel's own Stats route.
+    * kernels will compare against — same bounded distinct-lengths
+    * collect as [[stashSpectral]]; lam4 comes from the kernel's own
+    * Stats route.
     */
   private def stashEsdLams(grid: DataFrame, kFrac: Double, alpha: Double): Unit = {
-    val ns = grid.groupBy("name", "node").count().collect().map(_.getLong(2).toInt)
+    grid.persist().tracked
+    val ns = grid.groupBy("name", "node").count()
+      .select("count").distinct().collect().map(_.getLong(0).toInt)
     val ms = ns.flatMap { n =>
       val kMax = math.max(1, math.ceil(n * kFrac).toInt)
       val k = math.min(kMax, math.max(0, n - 2))

@@ -841,13 +841,14 @@ object Correlate {
     * collapses a fleet by, and the redundancy map an alert-routing
     * review reads (paging on five members of one group is one page).
     *
-    * The vertex set is the SIGNAL fleet — bounded by names × nodes ×
-    * nothing (retention and corpus size don't enter) — so the
-    * component pass is a driver-side union-find over a few hundred
-    * strings (the k-centroids/bounded-state convention), fed by one
-    * distinct edge aggregate off the shared correlation cells. The
-    * heavy object stays the corr matrix, which is the already-audited
-    * [[corrMatrix]] plan.
+    * The vertex set is the SIGNAL fleet — millions at 100 TB — and a
+    * hot correlated fleet's edge set is quadratic in its cliques, so
+    * both stay distributed: the thresholded edge frame runs through
+    * the same accumulator-fused min-label propagation as
+    * `Dedup.clusters` (`Dedup.minLabelLoop`), one join + keyed min
+    * per round, O(component diameter) rounds. The heavy object stays
+    * the corr matrix, which is the already-audited [[corrMatrix]]
+    * plan.
     */
   /** Correlation-graph degree telemetry: per signal, how many partners
     * it moves with (any-bucket max |r| over the threshold), its mean
@@ -884,33 +885,32 @@ object Correlate {
 
   def corrCluster(indexedGrid: DataFrame, threshold: Double = 0.8,
                   minOverlap: Int = 8): DataFrame = {
-    val spark = indexedGrid.sparkSession
-    import spark.implicits._
-    val edges = corrMatrix(indexedGrid, minOverlap)
+    // DISTRIBUTED components (r7 verdict #2): the vertex set is the
+    // signal fleet — millions at 100 TB — and the |r|≥threshold edge
+    // set of a hot correlated fleet is quadratic in its cliques, so
+    // neither may land on the driver. The thresholded edge frame feeds
+    // the same accumulator-fused min-label propagation as
+    // Dedup.clusters; min over the `name|node` strings IS the
+    // lexicographic component minimum, so the label contract (and the
+    // oracle SQL) is unchanged from the union-find formulation.
+    val pairs = corrMatrix(indexedGrid, minOverlap)
       .filter(abs(col("r")) >= threshold)
-      .select(concat(col("a_name"), lit("|"), col("a_node")).as("s1"),
-        concat(col("b_name"), lit("|"), col("b_node")).as("s2"))
-      .distinct().as[(String, String)].collect()
+      .select(concat(col("a_name"), lit("|"), col("a_node")).as("doc1"),
+        concat(col("b_name"), lit("|"), col("b_node")).as("doc2"))
+      .distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .persist().tracked
+    val labels = Dedup.minLabelLoop(edges, maxRounds = 50)
     val verts = indexedGrid
-      .select(concat(col("name"), lit("|"), col("node")).as("s"))
-      .distinct().as[String].collect().sorted
-    val lab = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
-    def find(x: String): String = {
-      var r = x
-      while (lab(r) != r) r = lab(r)
-      r
-    }
-    // union by lexicographic min keeps every root the smallest member
-    // of its tree, so the final label IS the component minimum
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) lab(rb) = ra else lab(ra) = rb
-      }
-    }
-    verts.toSeq.map { v =>
-      val g = find(v)
-      (v, g, if (v != g) 1 else 0)
-    }.toDF("signal", "group_id", "is_member")
+      .select(concat(col("name"), lit("|"), col("node")).as("doc_id"))
+      .distinct()
+    val isolated = verts
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    edges.unpersist()
+    labels.unionByName(isolated)
+      .select(col("doc_id").as("signal"), col("lab").as("group_id"),
+        (col("doc_id") =!= col("lab")).cast("int").as("is_member"))
   }
 }

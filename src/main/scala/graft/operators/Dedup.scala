@@ -348,22 +348,42 @@ object Dedup {
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist().tracked
     // only vertices with an edge can ever change label — iterate over
     // the near-dup subgraph (a sliver of the corpus) and union the
-    // isolated documents back as their own canonical at the end. The
-    // seed already folds in each vertex's neighbor minimum (one round
-    // for free); each round then propagates labels one hop (join +
-    // keyed min) and carries the previous label so convergence is read
-    // off the same frame — two shuffles and one action per round.
-    // each round's frame is eagerly localCheckpoint-ed: the label table
-    // references its predecessor more than once, so an un-severed
-    // lineage grows exponentially with rounds (the analyzed plan, not
-    // the data) — checkpointing keeps every round's plan O(1), the
-    // requirement for any iterative dataflow at scale
+    // isolated documents back as their own canonical at the end
+    val labels = minLabelLoop(edges, maxRounds)
+    val isolated = docs.select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    edges.unpersist()
+    labels.unionByName(isolated)
+      .select(col("doc_id"), col("lab").as("canonical_id"),
+        (col("doc_id") =!= col("lab")).cast("int").as("is_dup"))
+  }
+
+  /** Distributed min-label propagation over a SYMMETRIC `(doc1, doc2)`
+    * edge list — the shared connected-components core behind
+    * [[clusters]] and `Correlate.corrCluster` (the r7 verdict's one
+    * remaining driver-side graph). Key type is whatever the edge
+    * columns carry (long doc ids, `name|node` signal strings): "min"
+    * is the column MIN of that type, so the component label is the
+    * least member under the type's ordering. Returns `(doc_id, lab)`
+    * for every vertex with ≥1 edge.
+    *
+    * The seed folds in each vertex's neighbor minimum (one round for
+    * free); each round then propagates labels one hop (join + keyed
+    * min) and carries the previous label so convergence is read off
+    * the same frame — two shuffles and one action per round. Each
+    * round's frame is eagerly localCheckpoint-ed: the label table
+    * references its predecessor more than once, so an un-severed
+    * lineage grows exponentially with rounds (the analyzed plan, not
+    * the data) — checkpointing keeps every round's plan O(1), the
+    * requirement for any iterative dataflow at scale.
+    */
+  private[graft] def minLabelLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
     var labels = edges.groupBy(col("doc1").as("doc_id"))
       .agg(min("doc2").as("nbr0"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
       .localCheckpoint()
-    val spark = docs.sparkSession
-    import spark.implicits._
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -380,26 +400,23 @@ object Dedup {
       // only zero-vs-nonzero is read, and a completed checkpoint job
       // counted every partition at least once.
       val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      val next = labels.join(prop, "doc_id")
+      val joined = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
-        .as[(Long, Long, Long)]
+      val outSchema = org.apache.spark.sql.types.StructType(joined.schema.take(2))
+      val next = joined
         .mapPartitions { it =>
-          it.map { case (d, l, o) => if (l != o) acc.add(1L); (d, l) }
-        }
-        .toDF("doc_id", "lab")
+          it.map { r =>
+            if (r.get(1) != r.get(2)) acc.add(1L)
+            org.apache.spark.sql.Row(r.get(0), r.get(1))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
         .localCheckpoint()
       changed = acc.value
       labels = next
       round += 1
     }
-    val isolated = docs.select("doc_id")
-      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("lab"))
-    edges.unpersist()
-    labels.unionByName(isolated)
-      .select(col("doc_id"), col("lab").as("canonical_id"),
-        (col("doc_id") =!= col("lab")).cast("int").as("is_dup"))
+    labels
   }
 
   /** Char-n-gram Jaccard near-dup pairs (robust to tokenization).

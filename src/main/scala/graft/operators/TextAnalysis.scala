@@ -371,8 +371,18 @@ object TextAnalysis {
       .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
         sum("contrib").as("num2"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      // DECIMAL(38,0) numerator (r7 advice): num2 ≤ 2·n_pos·n_neg, so
+      // the ×1e4-scaled BIGINT numerator overflows once n_pos·n_neg
+      // passes ~2.3e14 (~15M × 15M docs in one source — reachable at
+      // corpus scale) and Spark's non-ANSI wrap would silently corrupt
+      // the AUC while the oracle's engine raises. 38 digits hold the
+      // numerator for any source up to 10^16 docs a side (2·1e32·1e4 =
+      // 2e36 < 1e38); `div` on decimals yields BIGINT, so the hashed
+      // column type is unchanged. Oracle twin: HUGEINT casts.
       .withColumn("auc_x1e4",
-        expr("(2 * num2 * 10000 + 2 * n_pos * n_neg) div (4 * n_pos * n_neg)"))
+        expr("(2 * CAST(num2 AS DECIMAL(38,0)) * 10000 + " +
+          "2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) div " +
+          "(4 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"))
       .select(col("source"), col("n_pos"), col("n_neg"), col("auc_x1e4"),
         (col("auc_x1e4").cast("double") / lit(1e4)).as("auc"))
   }

@@ -83,17 +83,22 @@ object JvmMediaDecoder extends FrameDecoder {
     */
   private def aviHeader(b: Array[Byte]): Option[(Int, Int)] = {
     var o = 12
-    // top-level chunks; the hdrl LIST leads and contains avih
+    // top-level chunks; the hdrl LIST leads and contains avih.
+    // Every size field is range-checked against the REMAINING buffer
+    // before the offset advances: a negative size OR one past the end
+    // (e.g. 0x7FFFFFFF, whose `o += 8 + sz + 1` would wrap Int and
+    // index negatively) degrades to "unknown" — never throw/loop, the
+    // total-function contract a 100 TB scan requires.
     while (o + 8 <= b.length) {
       val cc = fourCc(b, o)
       val sz = le32(b, o + 4)
-      if (sz < 0) return None
+      if (sz < 0 || sz > b.length - o - 8) return None
       if (cc == "LIST" && fourCc(b, o + 8) == "hdrl") {
         var p = o + 12
         val end = math.min(b.length, o + 8 + sz)
         while (p + 8 <= end) {
           val psz = le32(b, p + 4)
-          if (psz < 0) return None
+          if (psz < 0 || psz > b.length - p - 8) return None
           if (fourCc(b, p) == "avih" && p + 8 + 40 <= b.length)
             return Some((le32(b, p + 8 + 32), le32(b, p + 8 + 36)))
           p += 8 + psz + (psz & 1)
@@ -116,7 +121,9 @@ object JvmMediaDecoder extends FrameDecoder {
     while (movi < 0 && o + 12 <= b.length) {
       val cc = fourCc(b, o)
       val sz = le32(b, o + 4)
-      if (sz < 0) return Iterator.empty // corrupt size: never loop
+      // corrupt size (negative OR past-the-end, which would wrap the
+      // Int offset): stop the walk, never loop/throw
+      if (sz < 0 || sz > b.length - o - 8) return Iterator.empty
       if (cc == "LIST" && fourCc(b, o + 8) == "movi") {
         movi = o + 12
         moviEnd = math.min(b.length, o + 8 + sz)
@@ -132,9 +139,10 @@ object JvmMediaDecoder extends FrameDecoder {
         while (nxt == null && p + 8 <= moviEnd) {
           val cc = JvmMediaDecoder.fourCc(b, p)
           val sz = le32(b, p + 4)
-          if (sz < 0) { p = moviEnd } // corrupt size: stop the walk
+          // corrupt size (negative or past-the-end → Int wrap): stop
+          if (sz < 0 || sz > b.length - p - 8) { p = moviEnd }
           else {
-            if ((cc.endsWith("dc") || cc.endsWith("db")) && p + 8 + sz <= b.length)
+            if (cc.endsWith("dc") || cc.endsWith("db"))
               nxt = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)
             p += 8 + sz + (sz & 1)
           }
@@ -157,9 +165,11 @@ object JvmMediaDecoder extends FrameDecoder {
       var o = from
       while (o + 8 <= to) {
         val sz = be32(b, o)
-        if (sz < 8) return None
+        // sz < 8 catches negative/undersized boxes; sz > to - o catches
+        // a box claiming past the end, whose `o + sz` would wrap Int
+        if (sz < 8 || sz > to - o) return None
         val tp = fourCc(b, o + 4)
-        val end = math.min(to, o + sz)
+        val end = o + sz
         tp match {
           case "moov" | "trak" =>
             val r = walk(o + 8, end)

@@ -249,9 +249,15 @@ object AdvisorReport {
       sb.append(s"There are anomalies in $nSlices pieces of time slice.\n\n")
     else
       sb.append("Everything runs well.\n\n")
+    // the reference's Details section lists only the TOP-3 correlations
+    // per objective (report.tpl: `obj['corre'][:3]`) while the plots
+    // draw the full top-5 (metrics_advisor.py:209) — mirror the split:
+    // the table below is rank ≤ 3, the charts further down render every
+    // ranked candidate
+    sb.append("## Details\n\n")
     sb.append("| bucket | objective | candidate | lag | r | rank |\n")
     sb.append("| --- | --- | --- | --- | --- | --- |\n")
-    rows.foreach { r =>
+    rows.filter(_.getAs[Int]("rank") <= 3).foreach { r =>
       sb.append(s"| ${r.getAs[Long]("b")} | ${r.getAs[String]("obj_name")}/${r.getAs[String]("obj_node")} " +
         s"| ${r.getAs[String]("cand_name")}/${r.getAs[String]("cand_node")} " +
         s"| ${r.getAs[Long]("lag")} | ${r.getAs[Double]("r")} | ${r.getAs[Int]("rank")} |\n")

@@ -30,7 +30,7 @@ object MetricsCsv {
       .map(_.getPath)
       .filter(p => p.getName.endsWith(".csv") && !p.getName.startsWith("._"))
     lazy val linkDir = java.nio.file.Files.createTempDirectory("graft_metrics_csv")
-    val parts = files.toSeq.map { p =>
+    val parts = files.toSeq.flatMap { p =>
       val name = p.getName.stripSuffix(".csv")
       val readablePath =
         if (p.getName.contains(":") && p.toUri.getScheme == "file") {
@@ -42,12 +42,18 @@ object MetricsCsv {
       val df = spark.read.option("header", "true").option("inferSchema", "false")
         .csv(readablePath)
       val valueCols = df.columns.filter(_ != "timestamp")
-      val stackArgs = valueCols.map(c => s"'${c.replace("'", "")}', CAST(`$c` AS DOUBLE)").mkString(", ")
-      df.selectExpr(
-        s"'${name.replace("'", "")}' AS name",
-        "CAST(timestamp AS BIGINT) AS tsec",
-        s"stack(${valueCols.length}, $stackArgs) AS (node, value)")
-        .select("name", "node", "tsec", "value")
+      // a metric exported with zero node columns (cluster-4048 ships
+      // one such file) carries no data — skip it rather than emit a
+      // zero-arg stack() the parser rejects
+      if (valueCols.isEmpty || !df.columns.contains("timestamp")) None
+      else {
+        val stackArgs = valueCols.map(c => s"'${c.replace("'", "")}', CAST(`$c` AS DOUBLE)").mkString(", ")
+        Some(df.selectExpr(
+          s"'${name.replace("'", "")}' AS name",
+          "CAST(timestamp AS BIGINT) AS tsec",
+          s"stack(${valueCols.length}, $stackArgs) AS (node, value)")
+          .select("name", "node", "tsec", "value"))
+      }
     }
     val all = parts.reduce(_.unionByName(_))
     // the reference drops NaN cells on ingest (metrics_advisor.py:88):

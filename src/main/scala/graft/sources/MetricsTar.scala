@@ -5,9 +5,11 @@ import java.nio.file.{Files, Path, StandardOpenOption}
 import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** End-to-end ingestion of the reference's metrics bundles: a .tar.gz
-  * (or .gz.tar) containing wide metric CSVs under `<workload>/reshape/`
-  * (metrics_advisor.py:114-120 untars to a temp dir and globs the CSVs).
+/** End-to-end ingestion of the reference's metrics bundles: a tar
+  * archive (gzipped or plain — both ship: *.tar.gz and the plain-tar
+  * cluster-4048.gz.tar) containing wide metric CSVs under a reshape
+  * directory (metrics_advisor.py:114-122 untars to a temp dir and
+  * globs the first CSV member's directory).
   *
   * The tar walk is a minimal ustar reader (512-byte headers, octal size
   * field) — only extraction of *.csv entries is needed. Extraction is a
@@ -33,14 +35,33 @@ object MetricsTar {
     }
   }
 
-  /** Extract `*.csv` members under a `reshape/` directory to a temp dir;
-    * returns the directory. AppleDouble `._*` entries are skipped.
+  /** Extract the bundle's metric CSVs to a temp dir; returns the
+    * directory. Member selection mirrors the reference exactly
+    * (metrics_advisor.py:115-122): the FIRST `*.csv` member's parent
+    * directory is the metrics dir, and only CSVs in that directory are
+    * read (the reference extracts all CSVs but globs only the first
+    * member's directory — workload dirs beyond the first are ignored).
+    * This also makes the reader layout-agnostic: the shipped bundles
+    * use both `reshape/` (full-index-lookup) and `reshaped/`
+    * (cluster-4048). AppleDouble `._*` entries are skipped.
+    *
+    * Compression is sniffed from the 2-byte gzip magic, not the file
+    * name — `cluster-4048.gz.tar` is a PLAIN tar despite the name,
+    * and `tarfile.open(r:*)` in the reference auto-detects the same
+    * way.
     */
-  def extractCsvs(tarGzPath: String, subdir: String = "reshape"): Path = {
+  def extractCsvs(tarGzPath: String): Path = {
     val out = Files.createTempDirectory("graft_metrics_tar")
-    val in = new DataInputStream(new BufferedInputStream(
-      new GZIPInputStream(new FileInputStream(tarGzPath), 1 << 16), 1 << 16))
+    val raw = new BufferedInputStream(new FileInputStream(tarGzPath), 1 << 16)
+    raw.mark(2)
+    val m0 = raw.read(); val m1 = raw.read()
+    raw.reset()
+    val gz = m0 == 0x1f && m1 == 0x8b
+    val in = new DataInputStream(
+      if (gz) new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
+      else raw)
     val header = new Array[Byte](512)
+    var csvDir: String = null
     try {
       var done = false
       while (!done) {
@@ -60,18 +81,19 @@ object MetricsTar {
           val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
           val typeFlag = header(156).toChar
           val base = name.split('/').lastOption.getOrElse("")
-          val wanted = (typeFlag == '0' || typeFlag == 0.toChar) &&
-            name.contains(s"/$subdir/") && base.endsWith(".csv") &&
-            !base.startsWith("._")
+          val isCsv = (typeFlag == '0' || typeFlag == 0.toChar) &&
+            base.endsWith(".csv") && !base.startsWith("._")
+          val parent = name.take(name.length - base.length)
+          if (isCsv && csvDir == null) csvDir = parent
+          val wanted = isCsv && parent == csvDir
           if (wanted) {
             val target = out.resolve(base)
-            // entries are flattened by basename: a collision (same CSV
-            // name under two workload dirs) would silently drop one
-            // workload's data — fail loudly instead
+            // same-dir duplicate member names can only come from a
+            // malformed archive — fail loudly instead of silently
+            // keeping one copy
             if (Files.exists(target))
               throw new IllegalStateException(
-                s"duplicate CSV basename '$base' in $tarGzPath — entries from " +
-                  "different workload dirs would overwrite each other")
+                s"duplicate CSV member '$base' in $tarGzPath")
             val buf = new Array[Byte](size.toInt)
             in.readFully(buf)
             Files.write(target, buf, StandardOpenOption.CREATE_NEW)

@@ -114,6 +114,47 @@ class ExactMathSpec extends SparkTestBase {
     }
   }
 
+  test("log2Fix/qlnFix are faithful on the integer-only kernel") {
+    // value check: log2Fix/2^QF tracks log2, qlnFix/1e6 tracks ln(c/r)
+    val ns = (1L to 4000L) ++ Seq(12345L, 999999937L, 1L << 40, Long.MaxValue / 3)
+    ns.foreach { n =>
+      val got = ExactMath.log2Fix(n).toDouble / (1L << ExactMath.QF).toDouble
+      val want = math.log(n.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) <= 4e-7, s"n=$n got=$got want=$want")
+    }
+    val pairs = for (c <- Seq(1L, 2L, 3L, 17L, 999L, 65536L, 12345678L);
+                     r <- Seq(1L, 7L, 1000L, 999999937L) if true) yield (c, r)
+    pairs.foreach { case (c, r) =>
+      val got = ExactMath.qlnFix(c, r) / 1e6
+      val want = math.log(c.toDouble) - math.log(r.toDouble)
+      assert(math.abs(got - want) <= 1e-5, s"c=$c r=$r got=$got want=$want")
+    }
+    assert(ExactMath.qlnFix(7, 7) == 0L)
+    assert(ExactMath.qlnFix(1, 2) == -ExactMath.qlnFix(2, 1))
+  }
+
+  test("sqlQlnFromCounts replays qlnFix under engine integer semantics") {
+    // the generated SQL is DuckDB-targeted but uses only bin()/shifts/
+    // CASE/integer ops whose semantics Spark SQL shares on these
+    // non-negative operands — running the VERY SQL the oracle gets
+    // through Spark pins it against the Scala kernel (`//` → `div` is
+    // the one dialect rename; both floor-divide non-negative args)
+    import spark.implicits._
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 7L), (17L, 1000L),
+      (999L, 999999937L), (65536L, 65536L), (12345678L, 99L),
+      (1L, Long.MaxValue / 3), (Long.MaxValue / 3, 1L))
+    rows.zipWithIndex
+      .map { case ((c, r), i) => (s"a$i", s"n$i", c, r) }
+      .toDF("a", "nx", "c", "r").createOrReplaceTempView("t_qln")
+    val sql = ExactMath.sqlQlnFromCounts("t_qln").replace("//", " div ")
+    val got = spark.sql(sql).collect()
+      .map(x => (x.getString(0), x.getLong(2))).toMap
+    rows.zipWithIndex.foreach { case ((c, r), i) =>
+      assert(got(s"a$i") == ExactMath.qlnFix(c, r),
+        s"qln c=$c r=$r sql=${got(s"a$i")} scala=${ExactMath.qlnFix(c, r)}")
+    }
+  }
+
   test("sqlLnCols emits the synchronized snippet") {
     val sql = ExactMath.sqlLnCols("c", "lc", "lnc")
     assert(sql.contains("length(bin(CAST(c AS BIGINT))) - 1 AS lck"))

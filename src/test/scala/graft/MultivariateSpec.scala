@@ -156,18 +156,24 @@ class MultivariateSpec extends SparkTestBase {
       out(1).getAs[Double]("ood_score") + 0.05)
   }
 
-  test("the union-by-min invariant holds against naive components on random graphs") {
-    // corrCluster's driver union-find labels every vertex with its
-    // component's lexicographic minimum; verify against a naive BFS
-    // on random graphs driven through the public operator (edges
-    // forced via perfectly-correlated signal pairs would be clumsy —
-    // instead replay the same fold the operator runs)
+  test("distributed min-label components match naive BFS on random string graphs") {
+    // corrCluster labels every signal with its component's
+    // lexicographic minimum via the DISTRIBUTED Dedup.minLabelLoop
+    // (r8: the driver union-find is gone — verdict #2). Drive the
+    // actual loop over random string graphs, including a long PATH
+    // graph (worst-case component diameter for label propagation),
+    // against a naive BFS oracle.
     val rnd = new scala.util.Random(23)
-    for (_ <- 0 until 20) {
+    val cases = (0 until 4).map { _ =>
       val verts = (0 until 15).map(i => f"v$i%02d")
-      val edges = (0 until 12).map(_ =>
-        (verts(rnd.nextInt(15)), verts(rnd.nextInt(15)))).filter(e => e._1 != e._2)
-      // naive: adjacency BFS, label = min member
+      (verts, (0 until 12).map(_ =>
+        (verts(rnd.nextInt(15)), verts(rnd.nextInt(15)))).filter(e => e._1 != e._2))
+    } :+ {
+      // path v00-v01-…-v09: converges only through multi-round hops
+      val verts = (0 until 10).map(i => f"v$i%02d")
+      (verts, verts.sliding(2).map(p => (p(0), p(1))).toSeq)
+    }
+    cases.foreach { case (verts, edges) =>
       val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2).toSet }
       def comp(start: String): Set[String] = {
@@ -179,15 +185,15 @@ class MultivariateSpec extends SparkTestBase {
         seen
       }
       val expect = verts.map(v => v -> comp(v).min).toMap
-      // the operator's fold, replayed verbatim (same code path shape)
-      val lab = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
-      def find(x: String): String = { var r = x; while (lab(r) != r) r = lab(r); r }
-      edges.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) lab(rb) = ra else lab(ra) = rb }
+      val pairs = edges.toDF("doc1", "doc2")
+      val sym = pairs.unionByName(
+        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      val got = graft.operators.Dedup.minLabelLoop(sym, maxRounds = 50)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      verts.foreach { v =>
+        val lab = got.getOrElse(v, v) // isolated vertices label themselves
+        assert(lab == expect(v), s"$v: $lab vs ${expect(v)} for edges $edges")
       }
-      verts.foreach(v => assert(find(v) == expect(v),
-        s"$v: ${find(v)} vs ${expect(v)} for edges $edges"))
     }
   }
 

@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.MetricsTar
+import org.apache.spark.sql.functions._
+
+/** End-to-end parity run over the reference's OWN shipped bundles —
+  * the real TiDB metric dumps under /root/reference/metrics/ (r7
+  * verdict "What's missing" #1: the one dataset a real user feeds this
+  * tool first). Exercises the full path: tar sniff/extract → wide-CSV
+  * melt (colon filenames, NaN rows, >20-sample gate) → grid →
+  * anomaly detection → bucketed lagged NCC → ranked report with the
+  * reference's Details-top-3 / plot-top-5 split (report.tpl
+  * `corre[:3]` vs metrics_advisor.py:209 `sort_corr[:5]`).
+  *
+  * The suite self-cancels when the bundles are absent so it stays
+  * green on a checkout without the reference tree.
+  */
+class ReferenceBundleSpec extends SparkTestBase {
+
+  private val bundleDir = "/root/reference/metrics"
+  private def bundle(name: String) = s"$bundleDir/$name"
+  private def present(name: String) =
+    java.nio.file.Files.isReadable(java.nio.file.Paths.get(bundle(name)))
+
+  test("full-index-lookup.tar.gz ingests: colon filenames, sample gate, real signal fleet") {
+    assume(present("full-index-lookup.tar.gz"), "reference bundles not present")
+    val signals = MetricsTar.read(spark, bundle("full-index-lookup.tar.gz"))
+    val names = signals.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.nonEmpty, "no signals ingested")
+    // the shipped reshape dir carries these metrics (colon-named files)
+    assert(names.contains("pd_p999_rpc_dur:tso"), s"missing expected metric in $names")
+    assert(names.exists(_.startsWith("node_disk")), "node_* metrics missing")
+    // the >20-sample validity gate holds for every surviving signal...
+    val counts = signals.groupBy("name", "node").count()
+    assert(counts.filter(col("count") <= 20).count() == 0, "gate leaked a short signal")
+    // ...and actually filters: an absurd floor keeps nothing
+    assert(MetricsTar.read(spark, bundle("full-index-lookup.tar.gz"),
+      minSamples = 1000000).count() == 0)
+    // no NaN/null values reach downstream operators
+    assert(signals.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+  }
+
+  test("cluster-4048.gz.tar (PLAIN tar, reshaped/ dir) ingests") {
+    assume(present("cluster-4048.gz.tar"), "reference bundles not present")
+    val signals = MetricsTar.read(spark, bundle("cluster-4048.gz.tar"))
+    val names = signals.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.nonEmpty, "no signals ingested from the plain-tar bundle")
+    assert(names.contains("tidb_p99_rt:total"), s"objective metric missing in $names")
+    assert(signals.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+  }
+
+  test("graft.Main end-to-end on full-index-lookup: report with Summary/Details/charts") {
+    assume(present("full-index-lookup.tar.gz"), "reference bundles not present")
+    val md = Main.run(spark, bundle("full-index-lookup.tar.gz"), Main.RefObjectives)
+    assert(md.startsWith("# Metrics advisor report"))
+    assert(md.contains("## Summary"))
+    assert(md.contains("## Details"))
+    // a real benchmark-run bundle has anomalous slices — the triage
+    // line must report them, not the all-clear
+    assert(md.contains("pieces of time slice."),
+      "no anomalous slices found on a real workload bundle:\n" + md.take(400))
+    // ≥1 bucket rendered with its chart (the reference's per-bucket PNG)
+    assert(md.contains("### bucket "), "no per-bucket section rendered")
+    assert(md.contains("<svg "), "chart missing")
+    // Details lists at most rank-3 rows (report.tpl corre[:3]) while
+    // the charts may carry all five ranked candidates
+    val detailRanks = md.linesIterator
+      .dropWhile(!_.startsWith("## Details"))
+      .takeWhile(l => !l.startsWith("## ") || l.startsWith("## Details"))
+      .filter(l => l.startsWith("| ") && !l.startsWith("| ---") &&
+        !l.startsWith("| bucket"))
+      .flatMap(l => l.split('|').map(_.trim).filter(_.nonEmpty).lastOption)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .toSeq
+    assert(detailRanks.nonEmpty, "Details table empty")
+    assert(detailRanks.max <= 3,
+      s"Details must cut at rank 3 (got ${detailRanks.max}) — report.tpl corre[:3]")
+  }
+
+  test("top-5 candidates reach the charts even when Details cuts at 3") {
+    assume(present("full-index-lookup.tar.gz"), "reference bundles not present")
+    val signals = MetricsTar.read(spark, bundle("full-index-lookup.tar.gz"))
+    val cfg = graft.report.AdvisorReport.Config(objNames = Main.RefObjectives,
+      stepSec = 15L, bucketSec = 600L)
+    val grid = graft.report.AdvisorReport.gatedGrid(signals, cfg)
+    val advice = graft.report.AdvisorReport.adviseOnGrid(grid, cfg)
+    val deep = advice.filter(col("rank") > 3)
+      .select("b", "cand_name", "cand_node").collect()
+    assume(deep.nonEmpty, "bundle ranked ≤3 candidates everywhere — split not observable")
+    val md = graft.report.AdvisorReport.renderMarkdown(advice, Some(grid), cfg = cfg)
+    graft.report.AdvisorReport.release(grid)
+    val r = deep.head
+    val sig = s"${r.getAs[String]("cand_name")}/${r.getAs[String]("cand_node")}"
+    assert(md.contains(s"`$sig`"), s"rank-4+ candidate $sig missing from chart series")
+    // and the same signal must NOT appear in the Details table rows
+    val details = md.linesIterator.dropWhile(!_.startsWith("## Details"))
+      .takeWhile(l => !l.startsWith("## Normalized"))
+      .filter(_.startsWith("| "))
+      .toSeq
+    assert(!details.exists(_.contains(s"| $sig |")) ||
+      details.filter(_.contains(s"| $sig |"))
+        .forall(l => l.split('|').map(_.trim).lastOption.exists(x =>
+          scala.util.Try(x.toInt).toOption.exists(_ <= 3))),
+      "rank-4+ row leaked into the Details table")
+  }
+}

@@ -201,6 +201,34 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged == Seq(("cpu", 1300L, 99.0)))
   }
 
+  test("anomalyStream state stays keyed at fleet width 2000") {
+    // the width audit for the STREAMING side (r7 verdict #7): 2 000
+    // distinct signals warm their running stats in one pass, then a
+    // spike lands on exactly 10 of them — only those page, proving the
+    // mapGroupsWithState state is keyed per signal (2 000 small state
+    // rows, not one merged accumulator) and survives real fleet width
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val streamDF = mem.toDF().toDF("name", "node", "tsec", "value")
+    val q = EventStream.anomalyStream(streamDF, level = 3.0, minSamples = 8)
+      .writeStream.format("memory").queryName("anomw").outputMode("append").start()
+    val width = 2000
+    val warm = for (k <- 0 until width; i <- 0 until 12)
+      yield (s"sig$k", s"n${k % 4}", i * 60L, 10.0 + (i % 3) * 0.1)
+    mem.addData(warm: _*)
+    q.processAllAvailable()
+    val spiked = (0 until width by 200).map(k => s"sig$k").toSet // 10 signals
+    val probe = (0 until width).map { k =>
+      (s"sig$k", s"n${k % 4}", 800L, if (spiked(s"sig$k")) 99.0 else 10.1)
+    }
+    mem.addData(probe: _*)
+    q.processAllAvailable()
+    val flagged = spark.sql("SELECT name FROM anomw WHERE tsec = 800")
+      .collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(flagged == spiked, s"paged ${flagged.size} of ${spiked.size} expected")
+  }
+
   test("hllStream registers match batch bit-for-bit and fold to the exact count") {
     implicit val sqlCtx = spark.sqlContext
     // two days, overlapping users; day 2 has exactly 3 distinct users

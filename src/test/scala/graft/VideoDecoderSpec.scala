@@ -91,6 +91,41 @@ class VideoDecoderSpec extends SparkTestBase {
     assert(JvmMediaDecoder.frames(evil2).isEmpty)
   }
 
+  test("overflow-sized chunks (0x7FFFFFFF) never wrap offsets or throw") {
+    // r7 advice: a size field near 2^31 made `o += 8 + sz + (sz & 1)`
+    // wrap Int negative while the loop guard still passed → negative
+    // array index. Every parser must bail on a size past the buffer.
+    val big = 0x7FFFFFFF
+    // top-level AVI chunk walk
+    val evilAvi = MediaSynth.cc("RIFF") ++ MediaSynth.le32(64) ++
+      MediaSynth.cc("AVI ") ++ MediaSynth.cc("JUNK") ++ MediaSynth.le32(big) ++
+      Array.fill(32)(0.toByte)
+    assert(JvmMediaDecoder.decode(evilAvi).format == "unknown")
+    assert(JvmMediaDecoder.frames(evilAvi).isEmpty)
+    // inside the hdrl LIST (the psz walk)
+    val evilHdrl = MediaSynth.cc("RIFF") ++ MediaSynth.le32(64) ++
+      MediaSynth.cc("AVI ") ++ MediaSynth.cc("LIST") ++ MediaSynth.le32(40) ++
+      MediaSynth.cc("hdrl") ++ MediaSynth.cc("strl") ++ MediaSynth.le32(big) ++
+      Array.fill(28)(0.toByte)
+    assert(JvmMediaDecoder.decode(evilHdrl).format == "unknown")
+    // inside the movi frame walk (copyOfRange would have wrapped its end)
+    val evilMovi = {
+      val movi = MediaSynth.cc("LIST") ++ MediaSynth.le32(40) ++
+        MediaSynth.cc("movi") ++ MediaSynth.cc("00dc") ++ MediaSynth.le32(big) ++
+        Array.fill(24)(1.toByte)
+      val avih = MediaSynth.chunk("avih", Array.fill(56)(0.toByte))
+      val body = MediaSynth.cc("AVI ") ++ MediaSynth.list("hdrl", avih) ++ movi
+      MediaSynth.cc("RIFF") ++ MediaSynth.le32(body.length) ++ body
+    }
+    assert(JvmMediaDecoder.frames(evilMovi).isEmpty)
+    // MP4 box walk: a be32 size past the end (`o += sz` wrap site)
+    val evilMp4 = MediaSynth.be32(big) ++ MediaSynth.cc("ftyp") ++
+      Array.fill(24)(0.toByte)
+    val m = JvmMediaDecoder.decode(evilMp4)
+    assert(m.format == "mp4" && m.width == 0 && m.height == 0)
+    assert(JvmMediaDecoder.frames(evilMp4).isEmpty)
+  }
+
   test("frameSampleDecoded and keyframesDecoded run the real codec through Spark") {
     val docs = Seq((7L, avi), (8L, mp4(640, 480))).toDF("doc_id", "payload")
     val sampled = Multimodal.frameSampleDecoded(docs, JvmMediaDecoder, stride = 1)
