@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Anomaly, TimeSeries}
+import org.apache.spark.sql.functions.col
 
 /** Specs for the r5 analytic additions: Mahalanobis multivariate
   * anomaly and SAX symbolization.

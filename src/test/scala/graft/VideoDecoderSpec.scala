@@ -126,6 +126,45 @@ class VideoDecoderSpec extends SparkTestBase {
     assert(JvmMediaDecoder.frames(evilMp4).isEmpty)
   }
 
+  test("a swapped-in FrameDecoder (the ffmpeg seam) drives the frame operators") {
+    // the production contract an ffmpeg-backed decoder would fulfil:
+    // a DIFFERENT FrameDecoder injected into frameSampleDecoded /
+    // keyframesDecoded must (a) actually be used — this fake yields
+    // frames for MP4 payloads where JvmMediaDecoder is metadata-only —
+    // (b) keep the output schema, and (c) serialize to executor tasks.
+    // No real H.264 codec exists in this environment; the fake stands
+    // in for the seam, with deterministic integer frame synthesis.
+    object FakeH264Decoder extends graft.operators.FrameDecoder {
+      override def decoderInit(): Unit = ()
+      override def decode(p: Array[Byte]): graft.operators.MediaDecoder.Meta =
+        graft.operators.MediaDecoder.Meta("h264", 16, 16, p.length.toLong)
+      override def phash(p: Array[Byte]): Long =
+        p.foldLeft(7L)((h, b) => h * 31 + b)
+      // "decodes" 6 frames per payload: frame i is the payload plus an
+      // index byte — distinct, deterministic, independently hashable
+      override def frames(p: Array[Byte]): Iterator[Array[Byte]] =
+        if (p == null || p.isEmpty) Iterator.empty
+        else (0 until 6).iterator.map(i => p :+ i.toByte)
+      override def frameScore(f: Array[Byte]): Long =
+        (f.last & 0xff).toLong * 100 // later frames "busier"
+    }
+    val docs = Seq((1L, mp4(320, 240)), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    // the default decoder yields nothing for MP4 — the fake yields 6
+    val base = Multimodal.frameSampleDecoded(docs, stride = 1)
+    assert(base.filter("doc_id = 1").count() == 0)
+    val out = Multimodal.frameSampleDecoded(docs, FakeH264Decoder, stride = 2)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "frame_idx", "frame_phash", "score"))
+    val got = out.filter("doc_id = 1").orderBy("frame_idx").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L), "stride broke")
+    val key = Multimodal.keyframesDecoded(docs, FakeH264Decoder, stride = 1, k = 2)
+      .filter("doc_id = 1").collect()
+    assert(key.length == 2)
+    // saliency ranking: the two highest-index frames score highest
+    assert(key.map(_.getAs[Long]("frame_idx")).toSet == Set(4L, 5L))
+  }
+
   test("frameSampleDecoded and keyframesDecoded run the real codec through Spark") {
     val docs = Seq((7L, avi), (8L, mp4(640, 480))).toDF("doc_id", "payload")
     val sampled = Multimodal.frameSampleDecoded(docs, JvmMediaDecoder, stride = 1)
