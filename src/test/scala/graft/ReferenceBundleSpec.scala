@@ -49,6 +49,22 @@ class ReferenceBundleSpec extends SparkTestBase {
     assert(signals.filter(col("value").isNull || isnan(col("value"))).count() == 0)
   }
 
+  test("every shipped bundle ingests: signals, gate, no NaN") {
+    // the remaining three bundles — a real user may feed ANY of them
+    // first, so all five must clear ingestion (full-index-lookup and
+    // cluster-4048 get the deeper tests above/below)
+    Seq("fix-update-key.tar.gz", "rand-batch-point-get.tar.gz",
+      "write-auto-inc-full-index-lookup.tar.gz").foreach { b =>
+      assume(present(b), "reference bundles not present")
+      val signals = MetricsTar.read(spark, bundle(b))
+      assert(signals.select("name").distinct().count() > 0, s"$b: no signals")
+      assert(signals.filter(col("value").isNull || isnan(col("value"))).count() == 0,
+        s"$b: NaN/null leaked")
+      assert(signals.groupBy("name", "node").count()
+        .filter(col("count") <= 20).count() == 0, s"$b: gate leaked")
+    }
+  }
+
   test("graft.Main end-to-end on full-index-lookup: report with Summary/Details/charts") {
     assume(present("full-index-lookup.tar.gz"), "reference bundles not present")
     val md = Main.run(spark, bundle("full-index-lookup.tar.gz"), Main.RefObjectives)
