@@ -19,6 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MetricsTar {
 
+  /** Upper bound on a single tar entry (1 GiB): metric CSVs are small,
+    * and a corrupt size field must fail with a message, not an OOM.
+    */
+  private val MaxEntryBytes: Long = 1L << 30
+
   /** InputStream.skip returns 0 at EOF (never -1), so a bare skip loop
     * spins forever on a truncated archive; a zero-progress skip falls
     * back to a blocking read, which does signal EOF.
@@ -78,7 +83,19 @@ object MetricsTar {
           val name = new String(header, 0, 100, "US-ASCII").takeWhile(_ != 0)
           val sizeStr = new String(header, 124, 12, "US-ASCII")
             .takeWhile(c => c != 0 && c != ' ').trim
-          val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+          // loud, specific failures on a malformed header: a garbage
+          // size field must not surface as a bare NumberFormatException,
+          // and a huge declared size must not allocate gigabytes for
+          // what is always a small metrics CSV
+          val size =
+            try { if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8) }
+            catch { case _: NumberFormatException =>
+              throw new java.io.IOException(
+                s"corrupt tar header in $tarGzPath: non-octal size '$sizeStr' for entry '$name'")
+            }
+          if (size < 0 || size > MaxEntryBytes)
+            throw new java.io.IOException(
+              s"corrupt tar header in $tarGzPath: entry '$name' declares $size bytes")
           val typeFlag = header(156).toChar
           val base = name.split('/').lastOption.getOrElse("")
           val isCsv = (typeFlag == '0' || typeFlag == 0.toChar) &&
