@@ -379,7 +379,6 @@ object Dedup {
     * requirement for any iterative dataflow at scale.
     */
   private[graft] def minLabelLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
-    val spark = edges.sparkSession
     var labels = edges.groupBy(col("doc1").as("doc_id"))
       .agg(min("doc2").as("nbr0"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
@@ -393,26 +392,25 @@ object Dedup {
         .agg(min("nlab").as("nbr_min"))
       // convergence detection rides the SAME action that materializes
       // the round (the eager localCheckpoint): the changed-row tally is
-      // an accumulator fed by the checkpoint job, so each round is ONE
-      // driver round-trip, not a checkpoint plus a separate count() —
-      // serialized per-round actions are what contention amplifies.
-      // A fresh accumulator per round: task retries may overcount, but
-      // only zero-vs-nonzero is read, and a completed checkpoint job
-      // counted every partition at least once.
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      val joined = labels.join(prop, "doc_id")
+      // an OBSERVED codegen'd aggregate on the checkpoint job, so each
+      // round is ONE driver round-trip, not a checkpoint plus a
+      // separate count() — serialized per-round actions are what
+      // contention amplifies. observe() beats the r7 accumulator-in-
+      // mapPartitions form on both axes: the row pass stays inside
+      // whole-stage codegen with no per-row (de)serialization for any
+      // key type, and metrics are exactly-once per completed action
+      // (no task-retry overcount caveat). Fresh Observation per round
+      // (the API is single-use); `get` returns immediately — the
+      // eager checkpoint already ran the action.
+      val obs = org.apache.spark.sql.Observation(s"graft.cc.r$round")
+      val next = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
-      val outSchema = org.apache.spark.sql.types.StructType(joined.schema.take(2))
-      val next = joined
-        .mapPartitions { it =>
-          it.map { r =>
-            if (r.get(1) != r.get(2)) acc.add(1L)
-            org.apache.spark.sql.Row(r.get(0), r.get(1))
-          }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
+        .observe(obs, sum(when(col("lab") =!= col("old"), 1L).otherwise(0L))
+          .as("changed"))
+        .select("doc_id", "lab")
         .localCheckpoint()
-      changed = acc.value
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
       round += 1
     }
