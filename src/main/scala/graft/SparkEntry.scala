@@ -2124,13 +2124,14 @@ object SparkEntry {
       // −mean ln P(aᵢ→aᵢ₊₁). Each transition's ln is quantized ×1e6
       // (the perplexity device), so the per-session sum is an EXACT
       // integer (order-free). The ≤|types|²-row transition model is
-      // computed ONCE here (driver-side, ExactMath.lnInt — bounded by
-      // |event_types|², NOT data volume) and shared with the oracle as
-      // a VALUES literal via OracleLiterals: the r5/r6 hash FAILs were
-      // engine-computed ln/floor divergence, and literal-sharing removes
-      // the oracle's last degree of engine freedom while it still
-      // re-verifies sessionization, pairing, the join, the aggregation
-      // and the ranking from raw data. The hashed surprise columns are
+      // computed ONCE here (driver-side, ExactMath.qlnFix — the r8
+      // INTEGER-ONLY fixed-point log; bounded by |event_types|², NOT
+      // data volume) and shared with the oracle as a VALUES literal
+      // via OracleLiterals: the r5/r6 hash FAILs were engine-computed
+      // ln/floor divergence, and literal-sharing plus the integer-only
+      // kernel remove the oracle's last degrees of engine freedom while
+      // it still re-verifies sessionization, pairing, the join, the
+      // aggregation and the ranking from raw data. The hashed columns are
       // pure integer arithmetic: surprise_x1e4 = round(−sq·1e4 /
       // (n_trans·1e6)) = (2·(−sq) + n_trans·100) div (2·n_trans·100),
       // and the display double is one exactly-rounded division of it.
@@ -6050,6 +6051,37 @@ object SparkEntry {
         | floor((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_vocab_share,
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
+
+    Q("text_script_mix", (s, dir) =>
+      // character-class composition + mix score (TextAnalysis.scriptMix):
+      // the pre-tokenization obfuscation/mixed-content gate; every
+      // hashed column is pure integer arithmetic (q34 discipline)
+      TextAnalysis.scriptMix(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      """WITH smt AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+        |smc AS (SELECT doc_id, n,
+        |  n - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS c_letter,
+        |  n - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
+        |  n - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS c_punct,
+        |  n - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS c_space
+        | FROM smt),
+        |smo AS (SELECT doc_id, n, c_letter, c_digit, c_punct, c_space,
+        |  n - c_letter - c_digit - c_punct - c_space AS c_other FROM smc),
+        |sms AS (SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST((2 * c_letter * 10000 + n) // (2 * n) AS BIGINT) AS letter_x1e4,
+        |  CAST((2 * c_digit * 10000 + n) // (2 * n) AS BIGINT) AS digit_x1e4,
+        |  CAST((2 * c_punct * 10000 + n) // (2 * n) AS BIGINT) AS punct_x1e4,
+        |  CAST((2 * c_space * 10000 + n) // (2 * n) AS BIGINT) AS space_x1e4,
+        |  CAST((2 * c_other * 10000 + n) // (2 * n) AS BIGINT) AS other_x1e4
+        | FROM smo)
+        |SELECT doc_id, n_chars, letter_x1e4, digit_x1e4, punct_x1e4, space_x1e4, other_x1e4,
+        | CASE WHEN letter_x1e4 >= digit_x1e4 AND letter_x1e4 >= punct_x1e4 AND letter_x1e4 >= space_x1e4 AND letter_x1e4 >= other_x1e4 THEN 'letter'
+        |      WHEN digit_x1e4 >= punct_x1e4 AND digit_x1e4 >= space_x1e4 AND digit_x1e4 >= other_x1e4 THEN 'digit'
+        |      WHEN punct_x1e4 >= space_x1e4 AND punct_x1e4 >= other_x1e4 THEN 'punct'
+        |      WHEN space_x1e4 >= other_x1e4 THEN 'space'
+        |      ELSE 'other' END AS dominant,
+        | CAST(10000 - greatest(letter_x1e4, digit_x1e4, punct_x1e4, space_x1e4, other_x1e4) AS BIGINT) AS mix_x1e4
+        |FROM sms ORDER BY doc_id""".stripMargin)),
 
     Q("text_numeric_density", (s, dir) => {
       // numeric-junk screen: share of numeric tokens and digit chars

@@ -387,6 +387,60 @@ object TextAnalysis {
         (col("auc_x1e4").cast("double") / lit(1e4)).as("auc"))
   }
 
+  /** Per-document character-class composition and script-mix score:
+    * shares of letters / digits / punctuation / whitespace / other
+    * (×1e4 integers), the dominant class, and mix = 1e4 − max share —
+    * the cheap obfuscation/mixed-content signal a curation gate reads
+    * BEFORE tokenization (spam padded with digits or symbol runs, and
+    * non-Latin text in a Latin-expected slice, both land in high
+    * `other`/`digit` shares that the Gopher-style word gates miss).
+    *
+    * The q34 discipline from birth: every hashed column is pure
+    * integer arithmetic — class counts come from character-class
+    * regex deletion (`length(x) − length(remove(x))`, identical
+    * semantics both engines), shares are one rounded integer division
+    * (2·c·1e4 + n) div (2n), dominant is an integer argmax with a
+    * fixed class-order tiebreak, and no FP op exists anywhere. One
+    * scan, no shuffle beyond the source's own layout — linear in
+    * corpus bytes at any scale.
+    */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val classes = Seq(
+      "letter" -> "[A-Za-z]",
+      "digit" -> "[0-9]",
+      "punct" -> "[.,!?;:]",
+      "space" -> "[ \t\n\r]")
+    val withCounts = classes.foldLeft(
+      docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))) {
+      case (df, (name, re)) =>
+        df.withColumn(s"c_$name",
+          col("n") - length(regexp_replace(col("text"), re, "")))
+    }
+    val counted = withCounts
+      .withColumn("c_other",
+        col("n") - col("c_letter") - col("c_digit") - col("c_punct") - col("c_space"))
+      .filter(col("n") > 0)
+    val all = classes.map(_._1) :+ "other"
+    val withShares = all.foldLeft(counted) { (df, name) =>
+      df.withColumn(s"${name}_x1e4",
+        expr(s"(2 * c_$name * 10000 + n) div (2 * n)"))
+    }
+    // argmax by share with the FIXED class order as tiebreak: greatest
+    // of (share, classRank) structs — classRank descends so the
+    // earlier class wins ties on both engines
+    val domStruct = all.zipWithIndex.map { case (name, i) =>
+      struct(col(s"${name}_x1e4").as("s"),
+        lit(all.length - i).as("r"), lit(name).as("nm"))
+    }
+    withShares
+      .withColumn("dom", greatest(domStruct: _*))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        col("letter_x1e4"), col("digit_x1e4"), col("punct_x1e4"),
+        col("space_x1e4"), col("other_x1e4"),
+        col("dom.nm").as("dominant"),
+        (lit(10000L) - col("dom.s")).as("mix_x1e4"))
+  }
+
   /** Corpus composition profile: per (source, lang) document counts,
     * exact-integer mean length, and each cell's share of its source —
     * the telemetry a mixing policy is written against. One tiny

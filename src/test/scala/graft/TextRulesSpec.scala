@@ -190,4 +190,36 @@ class TextRulesSpec extends SparkTestBase {
     assert(out(0L).getAs[Long]("n_group") == 3)
     assert(out(2L).getAs[Long]("n_group") == 1)
   }
+  test("scriptMix: integer class shares, dominant argmax with fixed-order ties, mix score") {
+    val out = TextAnalysis.scriptMix(docs(
+      (1L, "abcdefgh"),            // all letters
+      (2L, "1234567890"),          // all digits
+      (3L, "ab12"),                // letter/digit tie -> letter wins (fixed order)
+      (4L, "a b"),                 // 2 letters, 1 space
+      (5L, ""),                    // empty: dropped (no classes on zero chars)
+      (6L, "!!??..,,;;")           // punct + other ('!'/'?' are punct, none other)
+    )).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L), "empty doc must be dropped")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("letter_x1e4") == 10000L &&
+      d1.getAs[String]("dominant") == "letter" &&
+      d1.getAs[Long]("mix_x1e4") == 0L)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("digit_x1e4") == 10000L &&
+      d2.getAs[String]("dominant") == "digit")
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("letter_x1e4") == 5000L &&
+      d3.getAs[Long]("digit_x1e4") == 5000L)
+    assert(d3.getAs[String]("dominant") == "letter", "tie must break by class order")
+    assert(d3.getAs[Long]("mix_x1e4") == 5000L)
+    val d4 = out(4L)
+    // 2/3 letters -> round((2*2*1e4+3)/(2*3)) = 6667
+    assert(d4.getAs[Long]("letter_x1e4") == 6667L, d4.toString)
+    assert(d4.getAs[Long]("space_x1e4") == 3333L)
+    val d6 = out(6L)
+    assert(d6.getAs[Long]("punct_x1e4") == 10000L && d6.getAs[Long]("other_x1e4") == 0L)
+    // shares are each independently rounded; mix uses the max share only
+    assert(out.values.forall(r => r.getAs[Long]("mix_x1e4") >= 0 &&
+      r.getAs[Long]("mix_x1e4") <= 8000L))
+  }
 }
