@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes through sbt's logger by default, which
+// prefixes every line with "[info] " — that prefix is why none of the
+// driver's BENCH_r{1..8} artifacts ever parsed the Bench JSON line
+// (the tail shows `[info] {"metric":...}`; a line-oriented JSON parse
+// fails on the prefix). StdoutOutput passes the child's stdout through
+// verbatim.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,17 +24,27 @@ object Main {
   val RefObjectives: Seq[String] =
     Seq("tidb_p99_rt:total", "tidb_p99_get_token_dur", "tidb_heap_size:by_instance")
 
-  /** Native sample step of a signal frame: the smallest positive delta
-    * over the (bounded) distinct-timestamp prefix. The reference
-    * hardcodes 15 s for its bundles (metrics_advisor.py:125); inferring
-    * it keeps one CLI working for 15 s TiDB bundles and hourly synthetic
-    * dumps alike. Bounded collect: ≤2000 longs.
+  /** Native sample step of a signal frame: each (name, node) series'
+    * smallest positive timestamp delta, then the MODE across series
+    * (smallest step on ties). The reference hardcodes 15 s for its
+    * bundles (metrics_advisor.py:125); inferring it keeps one CLI
+    * working for 15 s TiDB bundles and hourly synthetic dumps alike.
+    * Per-series first matters: the old union-of-all-timestamps min
+    * would infer 5 s from two 15 s metrics scraped 5 s out of phase
+    * and shift every bucket boundary. Bounded collect: one row.
     */
   private def inferStepSec(signals: org.apache.spark.sql.DataFrame): Long = {
-    val ts = signals.select("tsec").distinct().orderBy("tsec").limit(2000)
-      .collect().map(_.getLong(0))
-    val ds = ts.sliding(2).collect { case Array(a, b) if b > a => b - a }.toSeq
-    if (ds.isEmpty) 3600L else ds.min
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("name", "node").orderBy("tsec")
+    val perSeries = signals.select(col("name"), col("node"), col("tsec"))
+      .withColumn("d", col("tsec") - lag("tsec", 1).over(w))
+      .filter(col("d") > 0)
+      .groupBy("name", "node").agg(min("d").as("step"))
+    val mode = perSeries.groupBy("step").count()
+      .orderBy(col("count").desc, col("step").asc)
+      .limit(1).collect()
+    if (mode.isEmpty) 3600L else mode(0).getLong(0)
   }
 
   def run(spark: SparkSession, input: String, objNames: Seq[String]): String = {

@@ -50,7 +50,18 @@ import org.apache.spark.sql.functions._
   * value-independent; correlation VALUES against copies are
   * degenerate by construction and not the point).
   *
-  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen]
+  * A fifth axis (r8 verdict #6): per-source SKEW. The width/data
+  * audits scale documents by COUNT with sources staying uniform;
+  * `skew` mode replicates ONE source's documents ×factor (alphabet-
+  * permuted bodies so content is genuinely new, plus one VERBATIM
+  * boilerplate line shared by every replica — the hot-line/hot-cell
+  * shape the saltCap and per-source plans exist for) while every
+  * other source stays 1×. The result: one source holding ~99% of the
+  * corpus with a corpus-wide duplicated line — the adversarial case
+  * for text_boilerplate (per-source line groups), source_overlap
+  * (cross-source shingle join) and dedup_minhash_lsh (hot LSH cells).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen|skew]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -58,6 +69,7 @@ object ScaleGen {
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val widen = args.length > 3 && args(3) == "widen"
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -103,6 +115,35 @@ object ScaleGen {
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
       println(s"wrote ${factor}x WIDTH replica of $src to $out")
+      spark.stop()
+      return
+    }
+
+    if (skew) {
+      // one source at ×factor docs, everything else 1×: permuted
+      // bodies (new content) + one verbatim boilerplate line per
+      // replica doc (the hot cell)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val hot = "src0"
+      val boiler = "subscribe to our newsletter and follow us for daily updates. "
+      val hotDocs = docs.filter(col("source") === hot)
+      val reps = (1 until factor).map { k =>
+        hotDocs.select((col("doc_id") + lit(k * idStep)).as("doc_id"),
+          concat(lit(boiler),
+            translate(col("text"), alphabet, shifted(k))).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(boiler.length.toLong)).as("n_chars"))
+      }
+      (docs.select("doc_id", "text", "lang", "source", "n_chars") +: reps)
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+      println(s"wrote ${factor}x SKEW replica (source $hot) of $src to $out")
       spark.stop()
       return
     }

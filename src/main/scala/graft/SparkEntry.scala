@@ -724,6 +724,81 @@ object SparkEntry {
       |   FROM dense36 d LEFT JOIN grid36 g ON d.name = g.name AND d.node = g.node AND d.tsb = g.tsb) j),
       |g2 AS (SELECT name, node, tsb // 3600 AS i, tsb // 86400 * 86400 AS b, gval FROM ff36)""".stripMargin
 
+  /** q34 family shared plumbing — ONE definition of the sessionized
+    * transition pairs and the integer-only transition model, used by
+    * q34_session_surprise and its two driver-gate probe rows
+    * (q34_model, q34_session_sums; r8 verdict What's wrong #1). The
+    * oracle CTEs below re-derive both from raw events on every render
+    * — there is NO stash branch anywhere in this family, so whichever
+    * run the harness pairs with the SQL, the oracle's inputs are the
+    * raw parquet rows and the kernel is BIGINT-only arithmetic.
+    */
+  private def q34Pairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
+        col("event_id"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsec", "event_id")
+    val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+      lag("tsec", 1).over(w).isNull, 1).otherwise(0)
+    val sess = ev
+      .withColumn("brk", brk)
+      .withColumn("sid", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sid").orderBy("tsec", "event_id")
+    sess.withColumn("nxt", lead("event_type", 1).over(sw))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("sid"), col("event_type").as("a"),
+        col("nxt").as("nx"))
+  }
+
+  /** The ≤|event_types|²-row transition model (a, nx, c, r, qln) with
+    * qln = ExactMath.qlnFix(c, r) — bounded driver state (the k²
+    * collect is the model, not the data). Sorted (a, nx) for a
+    * deterministic toDF order.
+    */
+  private def q34Model(s: SparkSession, pairs: DataFrame)
+      : Array[(String, String, Long, Long, Long)] = {
+    val cnt = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val rowSum = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    cnt.map { case (a, nx, c) =>
+      (a, nx, c, rowSum(a), graft.functions.ExactMath.qlnFix(c, rowSum(a)))
+    }
+  }
+
+  /** Sessionization CTEs shared by the q34 family oracles: yields
+    * `pp(user_id, sid, a, nx)` — the transition pairs.
+    */
+  private val SQL_Q34_SESS =
+    """ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
+      |b AS (SELECT user_id, tsec, event_id, event_type,
+      |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |sd AS (SELECT user_id, tsec, event_id, event_type,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+      |px AS (SELECT user_id, sid, event_type AS a,
+      |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
+      | FROM sd),
+      |pp AS (SELECT * FROM px WHERE nx IS NOT NULL)""".stripMargin
+
+  /** Model CTEs over `pp`: counts `md`, row totals `mr`, and the
+    * integer-only fixed-point log `mq(a, nx, qln)` — the oracle
+    * re-derives the SAME integers the Scala kernel produces because
+    * ExactMath.sqlQlnFromCounts is BIGINT shifts/multiplies/
+    * floor-divides only (qlnFix ≡ sqlQlnFromCounts; tools/qlncheck.py
+    * crosses 525 pairs incl. 63-bit extremes).
+    */
+  private val SQL_Q34_MODEL =
+    s"""md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
+      |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
+      |mq AS (${graft.functions.ExactMath.sqlQlnFromCounts("mr")})""".stripMargin
+
   /** Rosner-ESD replay (mirrors Stats.esdOutliersQ): expects a CTE
     * `qp(name, node, idx, q)` — the ×1e6-quantized per-signal series in
     * time order — and yields `oix(name, node, idx)`, the flagged
@@ -2122,60 +2197,25 @@ object SparkEntry {
       // journey anomaly: sessions whose transition sequence is most
       // improbable under the corpus's own Markov model — surprise =
       // −mean ln P(aᵢ→aᵢ₊₁). Each transition's ln is quantized ×1e6
-      // (the perplexity device), so the per-session sum is an EXACT
-      // integer (order-free). The ≤|types|²-row transition model is
-      // computed ONCE here (driver-side, ExactMath.qlnFix — the r8
-      // INTEGER-ONLY fixed-point log; bounded by |event_types|², NOT
-      // data volume) and shared with the oracle as a VALUES literal
-      // via OracleLiterals: the r5/r6 hash FAILs were engine-computed
-      // ln/floor divergence, and literal-sharing plus the integer-only
-      // kernel remove the oracle's last degrees of engine freedom while
-      // it still re-verifies sessionization, pairing, the join, the
-      // aggregation and the ranking from raw data. The hashed columns are
-      // pure integer arithmetic: surprise_x1e4 = round(−sq·1e4 /
-      // (n_trans·1e6)) = (2·(−sq) + n_trans·100) div (2·n_trans·100),
-      // and the display double is one exactly-rounded division of it.
+      // on ExactMath.qlnFix, the r8 INTEGER-ONLY fixed-point log
+      // (BIGINT shifts/multiplies/floor-divides, no FP op anywhere),
+      // so the per-session sum is an EXACT integer (order-free). The
+      // ≤|types|²-row transition model is computed ONCE driver-side
+      // (bounded by |event_types|², NOT data volume). r9 changes, per
+      // the r8 verdict: (a) the output is ALL-INTEGER — the derived
+      // `surprise` DOUBLE (redundant with surprise_x1e4) was the one
+      // FP cell left in the hash; (b) the oracle renders FALLBACK-ONLY
+      // (no OracleLiterals stash — the oracle always re-derives the
+      // model from raw data through the same integer-only kernel), so
+      // stash-state staleness is out of the hypothesis space; (c) the
+      // q34_model / q34_session_sums probe rows below decompose the
+      // pipeline so a red cell names its diverging stage.
+      // surprise_x1e4 = round(−sq·1e4 / (n_trans·1e6))
+      //              = (2·(−sq) + n_trans·100) div (2·n_trans·100).
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
-          col("event_id"), col("event_type"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("tsec", "event_id")
-      val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
-        lag("tsec", 1).over(w).isNull, 1).otherwise(0)
-      val sess = ev
-        .withColumn("brk", brk)
-        .withColumn("sid", sum("brk").over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      val sw = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id", "sid").orderBy("tsec", "event_id")
-      val pairs = sess.withColumn("nxt", lead("event_type", 1).over(sw))
-        .filter(col("nxt").isNotNull)
-        .select(col("user_id"), col("sid"), col("event_type").as("a"),
-          col("nxt").as("nx"))
-        .persist().tracked
-      // bounded driver state: |event_types|² count rows (≤25 here)
-      val cnt = pairs.groupBy("a", "nx").agg(count(lit(1)).as("c"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        .sortBy(t => (t._1, t._2))
-      val rowSum = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-      // qln on the INTEGER-ONLY kernel (ExactMath.qlnFix): the r5-r7
-      // driver-gate history showed any FP op in this chain — even the
-      // exactly-rounded-IEEE ln replay — leaves a branch an unknown
-      // oracle environment can diverge on. Shift/multiply/divide on
-      // BIGINT is exact everywhere, so the stash literal AND the SQL
-      // fallback below reproduce these integers no matter which branch
-      // the harness renders.
-      val model = cnt.map { case (a, nx, c) =>
-        (a, nx, graft.functions.ExactMath.qlnFix(c, rowSum(a)))
-      }
-      OracleLiterals.put("q34_model",
-        model.map { case (a, nx, q) =>
-          s"('${a.replace("'", "''")}', '${nx.replace("'", "''")}', $q)"
-        }.mkString(", "))
-      val modelDf = model.toSeq.toDF("a", "nx", "qln")
+      val pairs = q34Pairs(s, dir).persist().tracked
+      val modelDf = q34Model(s, pairs).toSeq
+        .map { case (a, nx, c, r, q) => (a, nx, q) }.toDF("a", "nx", "qln")
       pairs.join(broadcast(modelDf), Seq("a", "nx"))
         .groupBy("user_id", "sid")
         .agg(count(lit(1)).as("n_trans"), sum("qln").as("sq"))
@@ -2183,45 +2223,13 @@ object SparkEntry {
         .withColumn("surprise_x1e4",
           expr("(2 * (-sq) + n_trans * 100) div (2 * n_trans * 100)"))
         .select(col("user_id"), col("sid"), col("n_trans"),
-          col("surprise_x1e4"),
-          (col("surprise_x1e4").cast("double") / lit(1e4)).as("surprise"))
+          col("surprise_x1e4"))
         .orderBy(col("surprise_x1e4").desc, col("user_id"), col("sid"))
         .limit(20)
     }, Some {
-      // stash present (full gate runs — Verify dumps SQL after running
-      // the queries): the oracle replays Spark's qln integers verbatim.
-      // Stash empty (a harness that renders SQL without running q34
-      // first): the fallback re-derives the SAME integers from counts
-      // with ExactMath's integer-only fixed-point log — BIGINT shifts,
-      // multiplies and floor-divides only, so there is no FP operation
-      // an unknown engine build can evaluate differently. Both branches
-      // are equal by construction (qlnFix ≡ sqlLog2FixCols+sqlQlnExpr).
-      // SPARK_GRAFT_Q34_FALLBACK forces the fallback branch so the
-      // local selfcheck can gate it explicitly.
-      val stashed =
-        if (sys.env.contains("SPARK_GRAFT_Q34_FALLBACK")) None
-        else OracleLiterals.get("q34_model")
-      val mq = stashed match {
-        case Some(values) => s"mq(a, nx, qln) AS (VALUES $values)"
-        case None =>
-          s"""md AS (SELECT a, nx, count(*) AS c FROM pp GROUP BY 1, 2),
-            |mr AS (SELECT *, sum(c) OVER (PARTITION BY a) AS r FROM md),
-            |mq AS (${graft.functions.ExactMath.sqlQlnFromCounts("mr")})""".stripMargin
-      }
-      s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id, event_type FROM events),
-        |b AS (SELECT user_id, tsec, event_id, event_type,
-        |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
-        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
-        |sd AS (SELECT user_id, tsec, event_id, event_type,
-        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
-        |px AS (SELECT user_id, sid, event_type AS a,
-        |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
-        | FROM sd),
-        |pp AS (SELECT * FROM px WHERE nx IS NOT NULL),
-        |$mq
-        |SELECT user_id, sid, n_trans, surprise_x1e4,
-        | CAST(surprise_x1e4 AS DOUBLE) / 1e4 AS surprise
+      s"""WITH $SQL_Q34_SESS,
+        |$SQL_Q34_MODEL
+        |SELECT user_id, sid, n_trans, surprise_x1e4
         |FROM (SELECT user_id, sid, n_trans,
         |   (2 * (-sq) + n_trans * 100) // (2 * n_trans * 100) AS surprise_x1e4
         |  FROM (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
@@ -2231,6 +2239,49 @@ object SparkEntry {
         |  WHERE n_trans >= 2)
         |ORDER BY surprise_x1e4 DESC, user_id, sid LIMIT 20""".stripMargin
     }),
+
+    Q("q34_model", (s, dir) => {
+      // PROBE 1 of the q34 decomposition (r8 verdict What's wrong #1):
+      // the ≤|types|²-row transition model alone — (a, nx, c, r, qln),
+      // pure integers, BOTH engines re-derive it from raw events. If
+      // q34 is red and this row is red too, the divergence is in
+      // sessionization/pair-counting or the integer log kernel; if
+      // this row is green the kernel and counts agree and the residual
+      // lives downstream (join/sum/division/ordering).
+      import s.implicits._
+      q34Model(s, q34Pairs(s, dir)).toSeq
+        .toDF("a", "nx", "c", "r", "qln")
+        .orderBy("a", "nx")
+    }, Some(
+      s"""WITH $SQL_Q34_SESS,
+        |$SQL_Q34_MODEL
+        |SELECT mr.a AS a, mr.nx AS nx, CAST(c AS BIGINT) AS c,
+        | CAST(r AS BIGINT) AS r, qln
+        |FROM mr JOIN mq ON mr.a = mq.a AND mr.nx = mq.nx
+        |ORDER BY mr.a, mr.nx""".stripMargin)),
+
+    Q("q34_session_sums", (s, dir) => {
+      // PROBE 2 of the q34 decomposition: per-session transition count
+      // and exact qln sum BEFORE the division/ranking — (user_id, sid,
+      // n_trans, sq), all integers, every session (no top-k). Green
+      // here + green q34_model + red q34 would pin the divergence to
+      // the final SELECT alone (division or ORDER BY/LIMIT).
+      import s.implicits._
+      val pairs = q34Pairs(s, dir).persist().tracked
+      val modelDf = q34Model(s, pairs).toSeq
+        .map { case (a, nx, c, r, q) => (a, nx, q) }.toDF("a", "nx", "qln")
+      pairs.join(broadcast(modelDf), Seq("a", "nx"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_trans"), sum("qln").as("sq"))
+        .orderBy("user_id", "sid")
+    }, Some(
+      s"""WITH $SQL_Q34_SESS,
+        |$SQL_Q34_MODEL
+        |SELECT pp.user_id, pp.sid, count(*) AS n_trans,
+        | CAST(sum(mq.qln) AS BIGINT) AS sq
+        |FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
+        |GROUP BY 1, 2
+        |ORDER BY user_id, sid""".stripMargin)),
 
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial

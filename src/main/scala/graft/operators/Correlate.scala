@@ -423,8 +423,57 @@ object Correlate {
     * node becomes an extra equi-join key, so the cross-node cells are
     * never generated, not generated-then-filtered).
     */
+  /** Orthonormal-projection (PAA) sketch of a bucket series for the
+    * THRESHOLD consumers' candidate pruning — unit-z-normalize the
+    * quantized values (so pair Pearson r over an identical index range
+    * is exactly the dot product x̂·ŷ, i.e. r = 1 − ‖x̂−ŷ‖²/2), then
+    * project onto ≤8 disjoint normalized segment indicators. Disjoint
+    * unit vectors are orthonormal, so the sketch distance LOWER-BOUNDS
+    * the true distance (‖P(x̂−ŷ)‖ ≤ ‖x̂−ŷ‖) — a PROOF, not a recall
+    * estimate: a pruned pair provably has |r| below the threshold
+    * (StatStream's DFT-prefilter argument with PAA as the projection).
+    * Zero variance → empty sketch (the pair is dropped by the vx>0
+    * filter on any engine; the empty sketch routes it to the exact
+    * path rather than encode that reasoning here).
+    *
+    * k = min(32, n): at the engine's grid shape (daily buckets of an
+    * hourly grid → n ≤ 24 points) the "sketch" is the full z-series
+    * and the bound is the exact distance — the prune then skips the
+    * BigInt merge-intersect and the moment-row emission for every
+    * sub-threshold pair, which is the actual cost. For longer buckets
+    * the 32-segment projection keeps most of a smooth (resampled +
+    * ffilled) series' energy; pruning power degrades gracefully on
+    * noise-dominated series while completeness stays unconditional.
+    */
+  private def paaSketch(qs: Array[Long]): Array[Double] = {
+    val n = qs.length
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += qs(i); i += 1 }
+    val mu = s / n
+    var ss = 0.0
+    i = 0
+    while (i < n) { val d = qs(i) - mu; ss += d * d; i += 1 }
+    if (ss <= 0.0) return Array.empty
+    val inv = 1.0 / math.sqrt(ss)
+    val k = math.min(32, n)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val start = (j.toLong * n / k).toInt
+      val end = ((j + 1).toLong * n / k).toInt
+      var acc = 0.0
+      var t = start
+      while (t < end) { acc += (qs(t) - mu) * inv; t += 1 }
+      out(j) = acc / math.sqrt((end - start).toDouble)
+      j += 1
+    }
+    out
+  }
+
   def corrMatrix(indexedGrid: DataFrame, minOverlap: Int = 8,
-                 sameNodeOnly: Boolean = false, widthCap: Int = 512): DataFrame = {
+                 sameNodeOnly: Boolean = false, widthCap: Int = 512,
+                 pruneAbsR: Option[Double] = None): DataFrame = {
     // ALL-PAIRS over the fleet is width² by definition — the scale axis
     // here is signal WIDTH, and the r7 fourth-decade audit measured the
     // old row-level time-key self-join OOMing at 2 000 signals: it
@@ -454,32 +503,67 @@ object Correlate {
     val width = q.select("name", "node").distinct().count()
     val tiles = math.max(1, math.ceil(width.toDouble / widthCap).toInt)
     val same = sameNodeOnly
+    // Threshold-consumer pruning (corr_degree / corr_cluster): a pair
+    // whose sketch distance proves |r| < threshold − 1e-3 never runs
+    // the merge-intersect and never emits a moment row — the all-pairs-
+    // before-prune pattern replaced by provably-complete candidates.
+    // The 1e-3 margin covers the r4 rounding slop at the threshold
+    // boundary and every FP rounding in the double-precision sketch
+    // (both orders of magnitude smaller). pruneAbsR = None (the matrix
+    // queries) skips sketch construction entirely — the plan is the
+    // audited r8 corrMatrix, byte for byte.
+    val pruneOn = pruneAbsR.isDefined
+    val pruneBound = pruneAbsR.map(t => 2.0 * (1.0 - t + 1e-3)).getOrElse(0.0)
     val ser = q.as[(String, String, Long, Long, Long)]
       .groupByKey(r => (r._3, r._1, r._2)) // (b, name, node)
       .mapGroups { (key: (Long, String, String), it: Iterator[(String, String, Long, Long, Long)]) =>
         val pts = it.map(r => (r._4, r._5)).toArray.sortBy(_._1)
-        (key._1, key._2, key._3, pts.map(_._1), pts.map(_._2))
+        val qs = pts.map(_._2)
+        val sk = if (pruneOn) paaSketch(qs) else Array.empty[Double]
+        (key._1, key._2, key._3, pts.map(_._1), qs, sk)
       }
-    val tiled = ser.flatMap { case (b, name, node, is, qs) =>
+    val tiled = ser.flatMap { case (b, name, node, is, qs, sk) =>
       val my = java.lang.Math.floorMod(
         (name + "|" + node).hashCode.toLong, tiles.toLong).toInt
-      if (tiles <= 1) Iterator.single(((b, 0, 0), (name, node, is, qs, 0)))
-      else Iterator.single(((b, my, my), (name, node, is, qs, 0))) ++
-        (0 until my).iterator.map(t1 => ((b, t1, my), (name, node, is, qs, 1))) ++
-        ((my + 1) until tiles).iterator.map(t2 => ((b, my, t2), (name, node, is, qs, 0)))
+      if (tiles <= 1) Iterator.single(((b, 0, 0), (name, node, is, qs, sk, 0)))
+      else Iterator.single(((b, my, my), (name, node, is, qs, sk, 0))) ++
+        (0 until my).iterator.map(t1 => ((b, t1, my), (name, node, is, qs, sk, 1))) ++
+        ((my + 1) until tiles).iterator.map(t2 => ((b, my, t2), (name, node, is, qs, sk, 0)))
     }
     val cells = tiled.groupByKey(_._1)
-      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[((Long, Int, Int), (String, String, Array[Long], Array[Long], Int))]) =>
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[((Long, Int, Int), (String, String, Array[Long], Array[Long], Array[Double], Int))]) =>
         val rows = it.map(_._2).toArray
         val diagonal = key._2 == key._3
-        val as = if (diagonal) rows else rows.filter(_._5 == 0)
-        val bs = if (diagonal) rows else rows.filter(_._5 == 1)
+        val as = if (diagonal) rows else rows.filter(_._6 == 0)
+        val bs = if (diagonal) rows else rows.filter(_._6 == 1)
         val b = key._1
-        def moments(x: (String, String, Array[Long], Array[Long], Int),
-                    y: (String, String, Array[Long], Array[Long], Int)) = {
+        // prunable only when the pair's index sets are PROVABLY equal
+        // and contiguous (same head/last/count + dense): then the
+        // intersection is both full series and r = x̂·ŷ exactly — the
+        // precondition the sketch bound needs. Gappy or offset series
+        // fall through to the exact merge-intersect (no bound claimed).
+        def pruned(x: (String, String, Array[Long], Array[Long], Array[Double], Int),
+                   y: (String, String, Array[Long], Array[Long], Array[Double], Int)): Boolean = {
+          if (!pruneOn || x._5.isEmpty || y._5.isEmpty) return false
+          val xi = x._3; val yi = y._3
+          if (xi.length != yi.length || xi.head != yi.head || xi.last != yi.last ||
+            xi.last - xi.head + 1 != xi.length.toLong) return false
+          val sa = x._5; val sb = y._5
+          var lbm = 0.0; var lbp = 0.0
+          var t = 0
+          while (t < sa.length) {
+            val d = sa(t) - sb(t); val s = sa(t) + sb(t)
+            lbm += d * d; lbp += s * s
+            t += 1
+          }
+          lbm > pruneBound && lbp > pruneBound
+        }
+        def moments(x: (String, String, Array[Long], Array[Long], Array[Double], Int),
+                    y: (String, String, Array[Long], Array[Long], Array[Double], Int)) = {
           // canonical orientation: a_name < b_name, node tiebreak
           val cmp = if (x._1 != y._1) x._1.compareTo(y._1) else x._2.compareTo(y._2)
           if (cmp == 0 || (same && (x._2 != y._2 || x._1 == y._1))) None
+          else if (pruned(x, y)) None
           else {
             val (p, r) = if (cmp < 0) (x, y) else (y, x)
             var ii = 0; var jj = 0; var n = 0L
@@ -862,7 +946,13 @@ object Correlate {
     */
   def corrDegree(indexedGrid: DataFrame, threshold: Double = 0.7,
                  minOverlap: Int = 8): DataFrame = {
-    val m = corrMatrix(indexedGrid, minOverlap)
+    // pruneAbsR: the sketch prune drops only bucket cells PROVABLY
+    // below threshold − 1e-3 (see corrMatrix) — such cells can neither
+    // create an edge (mq >= thrq needs one cell at/above threshold)
+    // nor change a surviving edge's mq (a max; every >= threshold cell
+    // survives), so degree/mean/top aggregates are unchanged while the
+    // w² merge-intersect + moment-row shuffle shrinks to candidates.
+    val m = corrMatrix(indexedGrid, minOverlap, pruneAbsR = Some(threshold))
       .withColumn("aq",
         floor((abs(col("r")) + lit(1e-9)) * lit(1e4) + lit(0.5)).cast("long"))
     val pair = m.groupBy("a_name", "a_node", "b_name", "b_node")
@@ -893,7 +983,7 @@ object Correlate {
     // Dedup.clusters; min over the `name|node` strings IS the
     // lexicographic component minimum, so the label contract (and the
     // oracle SQL) is unchanged from the union-find formulation.
-    val pairs = corrMatrix(indexedGrid, minOverlap)
+    val pairs = corrMatrix(indexedGrid, minOverlap, pruneAbsR = Some(threshold))
       .filter(abs(col("r")) >= threshold)
       .select(concat(col("a_name"), lit("|"), col("a_node")).as("doc1"),
         concat(col("b_name"), lit("|"), col("b_node")).as("doc2"))

@@ -377,6 +377,15 @@ object Dedup {
     * lineage grows exponentially with rounds (the analyzed plan, not
     * the data) — checkpointing keeps every round's plan O(1), the
     * requirement for any iterative dataflow at scale.
+    *
+    * Convergence is O(log diameter), not O(diameter): each round ALSO
+    * propagates label-of-label (pointer jumping — label chains halve
+    * per round, the classic path-doubling device), so maxRounds = 50
+    * covers any component a 64-bit id space can hold. If the loop
+    * still exits with changed > 0 it THROWS rather than return
+    * non-canonical labels — a silently-split component is a
+    * correctness lie four queries would inherit (dedup_cluster,
+    * dedup_cluster_minhash, mm_dedup_cluster, corr_cluster).
     */
   private[graft] def minLabelLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
     var labels = edges.groupBy(col("doc1").as("doc_id"))
@@ -390,6 +399,11 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
         .groupBy(col("doc2").as("doc_id"))
         .agg(min("nlab").as("nbr_min"))
+      // pointer jump: this round's label also folds in lab(lab) from
+      // the previous table — labels only ever decrease toward the
+      // component minimum, so shortcutting through the label graph is
+      // sound and turns O(diameter) rounds into O(log diameter)
+      val jump = labels.select(col("doc_id").as("jid"), col("lab").as("jlab"))
       // convergence detection rides the SAME action that materializes
       // the round (the eager localCheckpoint): the changed-row tally is
       // an OBSERVED codegen'd aggregate on the checkpoint job, so each
@@ -403,9 +417,13 @@ object Dedup {
       // (the API is single-use); `get` returns immediately — the
       // eager checkpoint already ran the action.
       val obs = org.apache.spark.sql.Observation(s"graft.cc.r$round")
-      val next = labels.join(prop, "doc_id")
+      val halved = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
+      val next = halved.join(jump, halved("lab") === jump("jid"), "left")
+        .select(col("doc_id"),
+          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"),
+          col("old"))
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L).otherwise(0L))
           .as("changed"))
         .select("doc_id", "lab")
@@ -414,6 +432,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"minLabelLoop did not converge after $maxRounds rounds " +
+          s"($changed labels still changing) — component labels would be " +
+          "non-canonical; raise maxRounds")
     labels
   }
 

@@ -410,11 +410,16 @@ object TextAnalysis {
       "digit" -> "[0-9]",
       "punct" -> "[.,!?;:]",
       "space" -> "[ \t\n\r]")
+    // counts and n are BIGINT from birth: length() is IntegerType and
+    // 2·c·1e4 wraps (non-ANSI) past ~107k chars — the aucFromScores
+    // overflow class; the DuckDB twin is already BIGINT (its length()
+    // returns BIGINT), so the casts keep both engines on one type.
     val withCounts = classes.foldLeft(
-      docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))) {
+      docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))) {
       case (df, (name, re)) =>
         df.withColumn(s"c_$name",
-          col("n") - length(regexp_replace(col("text"), re, "")))
+          col("n") - length(regexp_replace(col("text"), re, "")).cast("long"))
     }
     val counted = withCounts
       .withColumn("c_other",

@@ -55,6 +55,14 @@ object MetricsCsv {
           .select("name", "node", "tsec", "value"))
       }
     }
+    // a bundle whose every CSV was skipped (no timestamp / zero value
+    // columns) or an empty directory would otherwise die in
+    // parts.reduce with a bare UnsupportedOperationException — name the
+    // directory and the reason instead
+    if (parts.isEmpty)
+      throw new java.io.IOException(
+        s"no usable metric CSVs under $dir: " +
+          s"${files.length} *.csv file(s) found, none with a `timestamp` column plus >=1 value column")
     val all = parts.reduce(_.unionByName(_))
     // the reference drops NaN cells on ingest (metrics_advisor.py:88):
     // empty cells and non-numeric strings cast to NULL above, and a
