@@ -378,14 +378,21 @@ object Dedup {
     * the data) — checkpointing keeps every round's plan O(1), the
     * requirement for any iterative dataflow at scale.
     *
-    * Convergence is O(log diameter), not O(diameter): each round ALSO
-    * propagates label-of-label (pointer jumping — label chains halve
-    * per round, the classic path-doubling device), so maxRounds = 50
-    * covers any component a 64-bit id space can hold. If the loop
-    * still exits with changed > 0 it THROWS rather than return
-    * non-canonical labels — a silently-split component is a
-    * correctness lie four queries would inherit (dedup_cluster,
-    * dedup_cluster_minhash, mm_dedup_cluster, corr_cluster).
+    * Convergence is O(log diameter), not O(diameter): from round 3 on,
+    * each round ALSO propagates label-of-label (pointer jumping —
+    * label chains halve per round, the classic path-doubling device),
+    * so maxRounds = 50 covers any component a 64-bit id space can
+    * hold. The jump is DEFERRED because it costs a third n-row shuffle
+    * join per round, and the common near-dup graph (LSH clusters are
+    * near-cliques, diameter ≤ 3) converges in ≤ 4 plain rounds — the
+    * r9 bench measured the unconditional jump costing ~0.8 s/query
+    * across the four label-loop consumers while buying nothing there;
+    * deferring keeps the hot path at two joins and still bounds the
+    * pathological chain at 3 + O(log d) rounds. If the loop still
+    * exits with changed > 0 it THROWS rather than return non-canonical
+    * labels — a silently-split component is a correctness lie four
+    * queries would inherit (dedup_cluster, dedup_cluster_minhash,
+    * mm_dedup_cluster, corr_cluster).
     */
   private[graft] def minLabelLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
     var labels = edges.groupBy(col("doc1").as("doc_id"))
@@ -399,10 +406,13 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
         .groupBy(col("doc2").as("doc_id"))
         .agg(min("nlab").as("nbr_min"))
-      // pointer jump: this round's label also folds in lab(lab) from
-      // the previous table — labels only ever decrease toward the
-      // component minimum, so shortcutting through the label graph is
-      // sound and turns O(diameter) rounds into O(log diameter)
+      // pointer jump (round >= 3 only): this round's label also folds
+      // in lab(lab) from the previous table — labels only ever
+      // decrease toward the component minimum, so shortcutting through
+      // the label graph is sound and turns O(diameter) rounds into
+      // O(log diameter) once a graph proves it needs more than the
+      // near-clique round budget
+      val doJump = round >= 3
       val jump = labels.select(col("doc_id").as("jid"), col("lab").as("jlab"))
       // convergence detection rides the SAME action that materializes
       // the round (the eager localCheckpoint): the changed-row tally is
@@ -420,10 +430,13 @@ object Dedup {
       val halved = labels.join(prop, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
           col("lab").as("old"))
-      val next = halved.join(jump, halved("lab") === jump("jid"), "left")
-        .select(col("doc_id"),
-          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"),
-          col("old"))
+      val jumped =
+        if (!doJump) halved
+        else halved.join(jump, halved("lab") === jump("jid"), "left")
+          .select(col("doc_id"),
+            least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"),
+            col("old"))
+      val next = jumped
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L).otherwise(0L))
           .as("changed"))
         .select("doc_id", "lab")
@@ -437,6 +450,10 @@ object Dedup {
         s"minLabelLoop did not converge after $maxRounds rounds " +
           s"($changed labels still changing) — component labels would be " +
           "non-canonical; raise maxRounds")
+    // opt-in diagnostics for round-budget tuning (the jump-deferral
+    // threshold above was set from these numbers on the sf0.1 graphs)
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      println(s"[cc] minLabelLoop converged in $round rounds")
     labels
   }
 
