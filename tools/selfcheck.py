@@ -49,7 +49,11 @@ def main():
         run_verify()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+        # driver testdata is one file per table; ScaleGen audit replicas
+        # are Spark-style directories of part files — accept both
+        p = f"{SFDIR}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
     results = {}
     names = ONLY or sorted(os.listdir(OUTDIR))
