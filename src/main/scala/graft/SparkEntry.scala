@@ -5577,6 +5577,44 @@ object SparkEntry {
         | CAST(score AS BIGINT) AS score
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    Q("mm_scene_cuts", (s, dir) => {
+      // shot segmentation: cuts where consecutive sampled frames'
+      // score delta exceeds half the 2²⁰ range, one integer telemetry
+      // row per video (frames/cuts/shots/longest shot/first cut) — the
+      // pre-captioning segmentation stage; a codec-backed deployment
+      // swaps the stub digest score for frame-difference energy and
+      // the window/aggregation plumbing is unchanged
+      Multimodal.sceneCuts(Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 === 0), stride = 2)
+        .orderBy("doc_id")
+    }, Some(SQL_MM_META("SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0") +
+      """,
+        |fr AS (SELECT doc_id,
+        |  ((CAST(checksum AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+        |    % 18446744073709551616) AS csu,
+        |  unnest(range(0, CAST(floor(byte_len / 100.0) AS INT) + 1)) AS fi
+        | FROM meta),
+        |dg AS (SELECT doc_id, fi,
+        |  (csu * 2862933555777941757 + fi) % 18446744073709551616 AS du
+        | FROM fr WHERE fi % 2 = 0),
+        |sc AS (SELECT doc_id, fi, du % 1048576 AS score FROM dg),
+        |lg AS (SELECT doc_id, fi, score,
+        |  lag(score) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM sc),
+        |ct AS (SELECT doc_id, fi,
+        |  CASE WHEN prev IS NOT NULL AND abs(score - prev) > 524288
+        |    THEN 1 ELSE 0 END AS cut FROM lg),
+        |sh AS (SELECT doc_id, fi, cut,
+        |  sum(cut) OVER (PARTITION BY doc_id ORDER BY fi
+        |    ROWS UNBOUNDED PRECEDING) AS shot FROM ct),
+        |sl AS (SELECT doc_id, shot, count(*) AS slen FROM sh GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(max(slen) AS BIGINT) AS longest_shot
+        | FROM sl GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts,
+        |  min(CASE WHEN cut = 1 THEN fi END) AS fc FROM sh GROUP BY 1)
+        |SELECT pd.doc_id, n_frames, n_cuts, n_cuts + 1 AS n_shots, longest_shot,
+        | CAST(coalesce(fc, -1) AS BIGINT) AS first_cut
+        |FROM pd JOIN ls ON pd.doc_id = ls.doc_id ORDER BY pd.doc_id""".stripMargin)),
+
     // the phash stub is small-integer arithmetic end to end, so the
     // oracle replays it exactly (SQL_PHASH) — the multimodal dedup leg
     // is hash-verified like the text/embedding legs
@@ -6102,6 +6140,35 @@ object SparkEntry {
         | floor((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_vocab_share,
         | floor((CAST(hapax_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS hapax_token_share
         |FROM ah ORDER BY source""".stripMargin)),
+
+    Q("text_vocab_growth", (s, dir) =>
+      // Heaps-law vocabulary saturation over ingestion order: new and
+      // cumulative vocabulary per doc_id-range decile — exact integer
+      // counts, no global row_number (the bucket key derives from
+      // max(doc_id), one scalar)
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), nBuckets = 10)
+        .orderBy("bucket"),
+    Some(
+      """WITH mb AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+        |db AS (SELECT doc_id, doc_id * 10 // mx AS bucket, text FROM documents, mb),
+        |tv AS (SELECT bucket, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        | FROM db),
+        |cv AS (SELECT bucket, w, count(*) AS c FROM tv WHERE length(w) > 0 GROUP BY 1, 2),
+        |nv AS (SELECT bucket, count(*) AS new_terms
+        | FROM (SELECT w, min(bucket) AS bucket FROM cv GROUP BY 1) GROUP BY 1),
+        |pv AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab
+        | FROM cv GROUP BY 1),
+        |dv AS (SELECT doc_id * 10 // mx AS bucket, count(*) AS n_docs
+        | FROM documents, mb GROUP BY 1)
+        |SELECT CAST(dv.bucket AS BIGINT) AS bucket, n_docs,
+        | CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(vocab, 0) AS BIGINT) AS vocab,
+        | CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+        | CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY dv.bucket
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+        |FROM dv LEFT JOIN pv ON dv.bucket = pv.bucket
+        | LEFT JOIN nv ON dv.bucket = nv.bucket
+        |ORDER BY bucket""".stripMargin)),
 
     Q("text_script_mix", (s, dir) =>
       // character-class composition + mix score (TextAnalysis.scriptMix):

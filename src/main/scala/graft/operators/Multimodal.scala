@@ -96,6 +96,44 @@ object Multimodal {
       .select(col("doc_id"), col("rank"), col("frame_idx"), col("score"))
   }
 
+  /** Shot segmentation over the sampled frame stream: a CUT lands
+    * between consecutive sampled frames whose score delta exceeds
+    * `threshold` (half the 2²⁰ score range by default); shots are the
+    * running cut count. One row per video: frames sampled, cuts,
+    * shots, the longest shot and the first cut position (−1 when the
+    * video is one shot) — the shot-boundary telemetry a frame sampler
+    * consumes to sample per-shot instead of per-stride, and the
+    * pre-captioning segmentation stage of a video-curation pipeline.
+    * The stub digest score stands in for a real frame-difference
+    * energy (the same swap seam as [[keyframes]]); every output column
+    * is an exact integer, the lag/running-sum windows share one
+    * per-video partition over the in-task frame fan-out, and the
+    * aggregates are keyed on doc_id — one scan, no unbounded state,
+    * scan-speed at any corpus size.
+    */
+  def sceneCuts(docs: DataFrame, stride: Int = 2,
+                threshold: Long = 524288L): DataFrame = {
+    val m = 1048576L
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val scored = frameSample(docs, stride)
+      .withColumn("score", ((col("frame_digest") % m) + m) % m)
+      .withColumn("prev", lag("score", 1).over(w))
+      .withColumn("cut", when(col("prev").isNotNull &&
+        abs(col("score") - col("prev")) > threshold, 1L).otherwise(0L))
+      .withColumn("shot", sum("cut").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val longest = scored.groupBy(col("doc_id"), col("shot"))
+      .agg(count(lit(1)).as("slen"))
+      .groupBy("doc_id").agg(max("slen").as("longest_shot"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"), sum("cut").as("n_cuts"),
+        min(when(col("cut") === 1L, col("frame_idx"))).as("fc"))
+      .join(longest, "doc_id")
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + lit(1L)).as("n_shots"), col("longest_shot"),
+        coalesce(col("fc"), lit(-1L)).as("first_cut"))
+  }
+
   /** REAL frame sampling over video payloads through a [[FrameDecoder]]
     * (default [[JvmMediaDecoder]]: AVI/MJPEG frames decoded via JDK
     * ImageIO; stills pass through as one-frame videos): every

@@ -920,6 +920,45 @@ object TextAnalysis {
           .as("hapax_token_share"))
   }
 
+  /** Vocabulary-growth (Heaps-law) telemetry over ingestion order:
+    * documents split into `nBuckets` doc_id-range buckets, a term's
+    * first-seen bucket is its MIN bucket, and each bucket reports
+    * docs, token occurrences, in-bucket vocabulary, NEW vocabulary and
+    * the cumulative vocabulary. A saturating new-terms curve says the
+    * corpus has stopped teaching new surface forms (push dedup harder,
+    * diversify sources); a stubbornly linear one says OCR noise or id
+    * churn. Exact integer counts end-to-end. The bucket key derives
+    * from doc_id against max(doc_id) (ONE scalar to the driver), so
+    * there is no global row_number: the plan is two keyed shuffles
+    * (bucket×term, then term) plus a window over exactly `nBuckets`
+    * rows — scan-speed at corpus scale.
+    */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    def bucketOf(df: DataFrame): Column =
+      expr(s"doc_id * $nBuckets div CAST($mx AS BIGINT)")
+    val tok = docs.select(bucketOf(docs).as("bucket"),
+        explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val perBW = tok.groupBy("bucket", "w").agg(count(lit(1)).as("c"))
+      .persist().tracked
+    val newTerms = perBW.groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val perB = perBW.groupBy("bucket").agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val docsPerB = docs.groupBy(bucketOf(docs).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    // bounded window: exactly nBuckets rows reach the running sum
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPerB.join(perB, Seq("bucket"), "left")
+      .join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_tokens", "vocab", "new_terms"))
+      .withColumn("cum_terms", sum("new_terms").over(wB))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("new_terms"), col("cum_terms"))
+  }
+
   /** Code-vs-prose detection: the mix-policy gate that keeps source
     * code out of a prose corpus (or routes it to a code stratum)
     * without an ML classifier — symbol density, indented/terminator

@@ -67,4 +67,55 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(out(32L).getAs[Double]("mean_abs_err") == 0.0)
     assert(out(0L).getAs[Long]("n_pairs") == 2 * 66L)
   }
+
+  test("vocabGrowth: hand-built deciles, new/cumulative vocabulary exact") {
+    // mx = 10 so bucket = doc_id with nBuckets = 10; vocabulary plan:
+    // doc 0: a b — 2 new; doc 3: b c — 1 new (c); doc 9: a d d — 1 new
+    // (d); buckets 1,2,4..8 have no docs and must not appear
+    val docs = Seq(
+      (0L, "A b"),       // lowercased → a b
+      (3L, "b C"),
+      (9L, "a d  d")     // double space → split artifact filtered
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, nBuckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 3L, 9L))
+    val b0 = out(0); val b3 = out(1); val b9 = out(2)
+    assert(b0.getAs[Long]("n_docs") == 1L && b0.getAs[Long]("n_tokens") == 2L)
+    assert(b0.getAs[Long]("vocab") == 2L && b0.getAs[Long]("new_terms") == 2L)
+    assert(b0.getAs[Long]("cum_terms") == 2L)
+    assert(b3.getAs[Long]("new_terms") == 1L && b3.getAs[Long]("cum_terms") == 3L)
+    assert(b9.getAs[Long]("n_tokens") == 3L && b9.getAs[Long]("vocab") == 2L)
+    assert(b9.getAs[Long]("new_terms") == 1L && b9.getAs[Long]("cum_terms") == 4L)
+  }
+
+  test("sceneCuts invariants: shot partition sums to frames, sentinel on one-shot") {
+    // invariants over arbitrary stub scores (the digest is content-
+    // derived, so assert structure, then cross-check one doc by hand
+    // against the replayed frameSample scores)
+    val docs = Seq(
+      (1L, "x" * 450),   // 5 frames, stride 2 → fi 0,2,4 sampled
+      (2L, "short"),     // 1 frame → 1 shot, no cuts
+      (3L, ("the quick brown fox " * 30))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.sceneCuts(docs, stride = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_shots") == r.getAs[Long]("n_cuts") + 1L)
+      assert(r.getAs[Long]("longest_shot") <= r.getAs[Long]("n_frames"))
+      assert((r.getAs[Long]("n_cuts") == 0L) == (r.getAs[Long]("first_cut") == -1L))
+    }
+    assert(out(2L).getAs[Long]("n_frames") == 1L)
+    assert(out(2L).getAs[Long]("n_shots") == 1L)
+    assert(out(2L).getAs[Long]("first_cut") == -1L)
+    // hand replay for doc 1: scores from the frameSample digest chain
+    val m = 1048576L
+    val scores = graft.operators.Multimodal.frameSample(
+        docs.filter($"doc_id" === 1L), stride = 2)
+      .orderBy("frame_idx")
+      .collect().map(r => ((r.getAs[Long]("frame_digest") % m) + m) % m)
+    val cuts = scores.sliding(2).count(p => math.abs(p(1) - p(0)) > 524288L)
+    assert(out(1L).getAs[Long]("n_frames") == scores.length.toLong)
+    assert(out(1L).getAs[Long]("n_cuts") == cuts.toLong)
+  }
 }
