@@ -61,7 +61,23 @@ import org.apache.spark.sql.functions._
   * for text_boilerplate (per-source line groups), source_overlap
   * (cross-source shingle join) and dedup_minhash_lsh (hot LSH cells).
   *
-  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen|skew]
+  * A sixth axis (r9 verdict #6): EMBEDDING-CELL skew. The text skew
+  * above heats one LSH cell; `embskew` heats one IVF cell — replica
+  * vectors form a blob around ONE original direction (the min-vec_id
+  * vector, which is IVF centroid 0 under the first-k convention):
+  * v' = γ·â + √(1−γ²)·ĵ with â the unit anchor and ĵ a deterministic
+  * per-(replica, row) unit jitter (xxhash64 dims — append-stable, no
+  * RNG state). γ = 0.45 is chosen against the two thresholds that
+  * matter: cos(v′, anchor) = γ ≈ 0.45 beats every other centroid's
+  * √(1−γ²)·ρ (ρ = jitter-vs-centroid cosine, σ ≈ 1/√64) by ~4σ, so
+  * the blob CO-ASSIGNS — one cell holds the replicas — while blob
+  * pair cosines concentrate at γ² ≈ 0.20, safely under the 0.3
+  * near-dup gate, so the TRUE-pair output stays the tail (~15%), not
+  * the square. This is the boilerplate-embedding shape: a mega-cell
+  * the in-cell salted kernels (saltCap tiling) exist for, without the
+  * degenerate everything-is-a-dup corpus no real pipeline sees.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen|skew|embskew]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -70,6 +86,7 @@ object ScaleGen {
     val factor = if (args.length > 2) args(2).toInt else 10
     val widen = args.length > 3 && args(3) == "widen"
     val skew = args.length > 3 && args(3) == "skew"
+    val embskew = args.length > 3 && args(3) == "embskew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -144,6 +161,46 @@ object ScaleGen {
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
       println(s"wrote ${factor}x SKEW replica (source $hot) of $src to $out")
+      spark.stop()
+      return
+    }
+
+    if (embskew) {
+      // one hot IVF cell: replicas blob around the min-vec_id anchor
+      // direction (= IVF centroid 0); jitter keyed on (replica, row,
+      // dim) through xxhash64 so the corpus is deterministic and
+      // append-stable, labels carried from the source row
+      val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      val aRow = embs.orderBy("vec_id").select("embedding").head
+      val a = aRow.getSeq[Float](0).map(_.toDouble).toArray
+      val an = math.sqrt(a.map(x => x * x).sum)
+      val gamma = 0.45
+      val beta = math.sqrt(1.0 - gamma * gamma)
+      val aUnit = array(a.map(x => lit(gamma * x / an)).toSeq: _*)
+      val reps = (1 until factor).map { k =>
+        val j = array((0 until 64).map(d =>
+          (xxhash64(col("vec_id"), lit(k), lit(d)) % lit(1000000L))
+            .cast("double") / lit(1000000.0)): _*)
+        embs
+          .withColumn("j", j)
+          .withColumn("jn",
+            sqrt(aggregate(col("j"), lit(0.0), (acc, x) => acc + x * x)))
+          .select((col("vec_id") + lit(k * idStep)).as("vec_id"),
+            zip_with(aUnit, col("j"),
+              (ax, jx) => (ax + lit(beta) * jx / col("jn")).cast("float"))
+              .as("embedding"),
+            col("label"))
+      }
+      (embs.select("vec_id", "embedding", "label") +: reps)
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/embeddings.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+      println(s"wrote ${factor}x EMBSKEW replica (anchor blob) of $src to $out")
       spark.stop()
       return
     }

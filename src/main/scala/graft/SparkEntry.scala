@@ -733,7 +733,11 @@ object SparkEntry {
     * run the harness pairs with the SQL, the oracle's inputs are the
     * raw parquet rows and the kernel is BIGINT-only arithmetic.
     */
-  private def q34Pairs(s: SparkSession, dir: String): DataFrame = {
+  /** Sessionized event stream (user_id, tsec, event_id, event_type,
+    * sid) — the shared first stage of the q34 family; also exposed
+    * alone as the `q34_sessions` probe.
+    */
+  private def q34Sess(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 1000000000").as("tsec"),
         col("event_id"), col("event_type"))
@@ -741,11 +745,14 @@ object SparkEntry {
       .partitionBy("user_id").orderBy("tsec", "event_id")
     val brk = when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
       lag("tsec", 1).over(w).isNull, 1).otherwise(0)
-    val sess = ev
-      .withColumn("brk", brk)
+    ev.withColumn("brk", brk)
       .withColumn("sid", sum("brk").over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
+  private def q34Pairs(s: SparkSession, dir: String): DataFrame = {
+    val sess = q34Sess(s, dir)
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "sid").orderBy("tsec", "event_id")
     sess.withColumn("nxt", lead("event_type", 1).over(sw))
@@ -780,8 +787,8 @@ object SparkEntry {
       |  CASE WHEN tsec - lag(tsec) OVER w > 1800 OR lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
       |sd AS (SELECT user_id, tsec, event_id, event_type,
-      |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM b),
       |px AS (SELECT user_id, sid, event_type AS a,
       |  lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tsec, event_id) AS nx
       | FROM sd),
@@ -2209,7 +2216,13 @@ object SparkEntry {
       // model from raw data through the same integer-only kernel), so
       // stash-state staleness is out of the hypothesis space; (c) the
       // q34_model / q34_session_sums probe rows below decompose the
-      // pipeline so a red cell names its diverging stage.
+      // pipeline so a red cell names its diverging stage. r10: those
+      // probes localized the divergence to the per-session stage, and
+      // the one representational difference vs every green sibling was
+      // the UNCAST `sid` in SQL_Q34_SESS (DuckDB window sum(INTEGER)
+      // returns HUGEINT, not BIGINT — the driver's hasher distinguishes
+      // them; the green q10_sessionize control always cast it). sid is
+      // now CAST(... AS BIGINT) at its definition in `sd`.
       // surprise_x1e4 = round(−sq·1e4 / (n_trans·1e6))
       //              = (2·(−sq) + n_trans·100) div (2·n_trans·100).
       import s.implicits._
@@ -2282,6 +2295,57 @@ object SparkEntry {
         |FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
         |GROUP BY 1, 2
         |ORDER BY user_id, sid""".stripMargin)),
+
+    Q("q34_sessions", (s, dir) => {
+      // PROBE 3 of the q34 decomposition (r9 verdict Next-round #3):
+      // sessionization ALONE, no model — per (user_id, sid) the event
+      // count and first/last second. All BIGINT. Red here would mean
+      // the session boundaries themselves diverge (contradicting the
+      // green q34_model); green narrows any residual divergence to the
+      // model-join stage or pure rendering.
+      q34Sess(s, dir)
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min("tsec").as("t0"), max("tsec").as("t1"))
+        .orderBy("user_id", "sid")
+    }, Some(
+      s"""WITH $SQL_Q34_SESS
+        |SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(min(tsec) AS BIGINT) AS t0, CAST(max(tsec) AS BIGINT) AS t1
+        |FROM sd GROUP BY 1, 2
+        |ORDER BY user_id, sid""".stripMargin)),
+
+    Q("q34_checksum", (s, dir) => {
+      // PROBE 4 of the q34 decomposition: ONE ROW of order-free
+      // integer checksums over the per-session sums — session count,
+      // Σn_trans, Σsq, and the integer fold Σ(user_id·31 + sid)·
+      // n_trans. Zero row-order and zero dtype sensitivity: if the
+      // per-session CONTENT agrees this row cannot be red, so a red
+      // q34_session_sums + green q34_checksum pins the divergence to
+      // representation/rendering alone.
+      import s.implicits._
+      val pairs = q34Pairs(s, dir).persist().tracked
+      val modelDf = q34Model(s, pairs).toSeq
+        .map { case (a, nx, c, r, q) => (a, nx, q) }.toDF("a", "nx", "qln")
+      pairs.join(broadcast(modelDf), Seq("a", "nx"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_trans"), sum("qln").as("sq"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_trans").as("sum_n_trans"),
+          sum("sq").as("sum_sq"),
+          sum(expr("(user_id * 31 + sid) * n_trans")).as("fold"))
+    }, Some(
+      s"""WITH $SQL_Q34_SESS,
+        |$SQL_Q34_MODEL,
+        |ss AS (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
+        |   CAST(sum(mq.qln) AS BIGINT) AS sq
+        |  FROM pp JOIN mq ON pp.a = mq.a AND pp.nx = mq.nx
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n_trans) AS BIGINT) AS sum_n_trans,
+        | CAST(sum(sq) AS BIGINT) AS sum_sq,
+        | CAST(sum((user_id * 31 + sid) * n_trans) AS BIGINT) AS fold
+        |FROM ss""".stripMargin)),
 
     Q("q13_cube", (s, dir) => {
       // CUBE: all 2^d aggregation granularities in one pass (partial
@@ -5584,8 +5648,10 @@ object SparkEntry {
       // pre-captioning segmentation stage; a codec-backed deployment
       // swaps the stub digest score for frame-difference energy and
       // the window/aggregation plumbing is unchanged
+      // threshold pinned HERE next to the oracle's 524288 literal so a
+      // change to the Scala default cannot silently desynchronize them
       Multimodal.sceneCuts(Tables.documents(s, dir)
-          .filter(col("doc_id") % 5 === 0), stride = 2)
+          .filter(col("doc_id") % 5 === 0), stride = 2, threshold = 524288L)
         .orderBy("doc_id")
     }, Some(SQL_MM_META("SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0") +
       """,
@@ -5714,6 +5780,55 @@ object SparkEntry {
         | phash AS frame_phash,
         | ((phash % 1048576) + 1048576) % 1048576 AS score
         |FROM ph ORDER BY 1, 2""".stripMargin)),
+
+    Q("mm_wav_meta", (s, dir) =>
+      // the REAL RIFF/WAVE writer + parser on the HASHED path (audio
+      // leg of the mm_mp4_meta contract): per doc a PCM16 WAV whose
+      // rate/samples derive from the payload byte fold, written by
+      // MediaSynth and header-parsed back by AudioCodec; the oracle
+      // replays only the fold arithmetic — wrong fmt offset,
+      // endianness or a dropped pad byte breaks the gate
+      Multimodal.wavMeta(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(
+        s"""${SQL_MM_META("SELECT doc_id, text FROM documents")},
+          |cs AS (SELECT doc_id, byte_len,
+          |  ((CAST(checksum AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+          |    % 18446744073709551616) AS csu FROM meta)
+          |SELECT doc_id,
+          | CAST(8000 * (1 + csu % 4) AS BIGINT) AS sample_rate,
+          | CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+          | byte_len AS n_samples,
+          | CAST((byte_len * 1000) // (8000 * (1 + csu % 4)) AS BIGINT) AS duration_ms
+          |FROM cs ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_audio_energy", (s, dir) =>
+      // frame-energy telemetry (256-sample frames, energy = Σ|s|,
+      // peak frame earliest on ties) over samples that crossed the
+      // real writer→parser seam — certifies byte-exact PCM decode,
+      // not just header walking; all-integer output
+      Multimodal.audioFrameEnergy(Tables.documents(s, dir), frameLen = 256)
+        .orderBy("doc_id"),
+      Some(
+        s"""${SQL_MM_META("SELECT doc_id, text FROM documents")},
+          |cs AS (SELECT doc_id, byte_len,
+          |  ((CAST(checksum AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+          |    % 18446744073709551616) AS csu FROM meta WHERE byte_len >= 1),
+          |fr AS (SELECT doc_id, csu, unnest(range(0, byte_len)) AS k FROM cs),
+          |sm AS (SELECT doc_id, k // 256 AS frame,
+          |  abs(CAST((csu * 2862933555777941757 + k) % 18446744073709551616
+          |    % 65536 AS BIGINT) - 32768) AS a
+          | FROM fr),
+          |fe AS (SELECT doc_id, frame, CAST(sum(a) AS BIGINT) AS e
+          |  FROM sm GROUP BY 1, 2),
+          |pk AS (SELECT doc_id, frame, e,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, frame) AS rn
+          | FROM fe),
+          |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |  CAST(sum(e) AS BIGINT) AS total_energy FROM fe GROUP BY 1)
+          |SELECT p.doc_id, t.n_frames, t.total_energy,
+          | CAST(p.frame AS BIGINT) AS peak_frame, p.e AS peak_energy
+          |FROM pk p JOIN tt t ON p.doc_id = t.doc_id
+          |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin)),
 
     Q("stream_window_agg", (s, dir) => {
       Tables.events(s, dir)

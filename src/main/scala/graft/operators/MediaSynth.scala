@@ -40,6 +40,26 @@ object MediaSynth {
     cc("RIFF") ++ le32(body.length) ++ body
   }
 
+  def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Minimal PCM16 mono WAV: RIFF('WAVE' fmt data), little-endian
+    * samples — decoded back by [[AudioCodec]] on the hashed path.
+    */
+  def wavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = chunk("fmt ", le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate * 2) ++ le16(2) ++ le16(16))
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val body = cc("WAVE") ++ fmt ++ chunk("data", data)
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
   /** Minimal ISO-BMFF: ftyp + moov(trak(tkhd v0, 16.16-fixed dims)). */
   def mp4(w: Int, h: Int): Array[Byte] = {
     def box(tp: String, body: Array[Byte]): Array[Byte] =

@@ -274,4 +274,103 @@ object Multimodal {
         sum(col("n")).over(Window.partitionBy("format")).cast("double")))
       .orderBy("format", "aspect")
   }
+
+  /** Deterministic synthetic PCM16 samples for a doc: sample k is the
+    * LCG mix (csu·A + k) mod 2¹⁶ − 32768 — wrapping 64-bit arithmetic
+    * both engines express exactly (2¹⁶ divides 2⁶⁴, so the signed and
+    * unsigned views agree; the HUGEINT replay is the mm_scene_cuts
+    * pattern). One sample per payload byte.
+    */
+  private def synthSamples(blen: Long, csu: Long): Array[Short] = {
+    val n = blen.toInt
+    val out = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      val du = csu * 2862933555777941757L + k
+      out(k) = (java.lang.Math.floorMod(du, 65536L) - 32768L).toShort
+      k += 1
+    }
+    out
+  }
+
+  /** Per-doc synthetic sample rate ∈ {8000, 16000, 24000, 32000}:
+    * 4 divides 2⁶⁴, so signed floorMod matches the oracle's unsigned
+    * HUGEINT mod.
+    */
+  private def synthRate(csu: Long): Int =
+    8000 * (1 + java.lang.Math.floorMod(csu, 4L).toInt)
+
+  /** Audio header telemetry through the REAL RIFF/WAVE writer+parser
+    * roundtrip on the HASHED path: per doc, a PCM16 WAV whose samples
+    * and sample rate derive from the payload's byte fold (the Stub
+    * metadata convention), written by [[MediaSynth.wavPcm16]] and
+    * parsed back by [[AudioCodec]] — the oracle replays only the fold
+    * arithmetic, so a wrong header offset, endianness slip or dropped
+    * pad byte breaks the gate (the mm_mp4_meta contract, audio leg).
+    * One typed scan, no shuffle; payloads fan out and die in-task.
+    */
+  def wavMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeMeta(docs)
+      .select(col("doc_id"), col("byte_len"), col("checksum"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, blen, csu) =>
+          val wav = MediaSynth.wavPcm16(synthRate(csu), synthSamples(blen, csu))
+          val m = AudioCodec.wavMeta(wav).get // our own writer: total
+          (id, m.sampleRate.toLong, m.channels.toLong, m.bitsPerSample.toLong,
+            m.nSamples, m.nSamples * 1000L / m.sampleRate)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+        "duration_ms")
+  }
+
+  /** Frame-energy telemetry over the PARSED sample stream (frames of
+    * `frameLen` samples, energy = Σ|s| — exact integers end-to-end):
+    * per doc the frame count, total energy, and the peak frame
+    * (earliest on ties) — the loudness profile an audio-curation
+    * pipeline gates on (silence/clipping detection, segment pick for
+    * captioning). The samples cross the real writer→parser seam, so
+    * the energies certify byte-exact PCM decode, not just header
+    * walking; a real audio library swaps in at [[AudioCodec]] and the
+    * frame/aggregation plumbing is unchanged. One typed scan, no
+    * shuffle, O(1) task state per doc beyond the payload.
+    */
+  def audioFrameEnergy(docs: DataFrame, frameLen: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeMeta(docs)
+      .select(col("doc_id"), col("byte_len"), col("checksum"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blen, csu) =>
+          if (blen <= 0L) Iterator.empty
+          else {
+            val wav = MediaSynth.wavPcm16(synthRate(csu),
+              synthSamples(blen, csu))
+            val it = AudioCodec.samples(wav)
+            var frame = 0L; var acc = 0L; var idx = 0L
+            var total = 0L; var nFrames = 0L; var peakF = 0L; var peakE = -1L
+            while (it.hasNext) {
+              val f = idx / frameLen
+              if (f != frame) {
+                if (acc > peakE) { peakE = acc; peakF = frame }
+                total += acc; nFrames += 1; frame = f; acc = 0L
+              }
+              acc += math.abs(it.next().toLong)
+              idx += 1
+            }
+            if (idx > 0) {
+              if (acc > peakE) { peakE = acc; peakF = frame }
+              total += acc; nFrames += 1
+            }
+            Iterator.single((id, nFrames, total, peakF, peakE))
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "total_energy", "peak_frame",
+        "peak_energy")
+  }
 }

@@ -934,10 +934,15 @@ object TextAnalysis {
     * rows — scan-speed at corpus scale.
     */
   def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
-    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    def bucketOf(df: DataFrame): Column =
+    val mxRow = docs.agg(max(col("doc_id"))).head
+    if (mxRow.isNullAt(0))
+      throw new IllegalArgumentException(
+        "vocabGrowth: input has no rows (max(doc_id) is NULL) — " +
+          "cannot derive ingestion-order buckets from an empty corpus")
+    val mx = mxRow.getLong(0) + 1
+    val bucketOf: Column =
       expr(s"doc_id * $nBuckets div CAST($mx AS BIGINT)")
-    val tok = docs.select(bucketOf(docs).as("bucket"),
+    val tok = docs.select(bucketOf.as("bucket"),
         explode(words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
     val perBW = tok.groupBy("bucket", "w").agg(count(lit(1)).as("c"))
@@ -946,7 +951,7 @@ object TextAnalysis {
       .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
     val perB = perBW.groupBy("bucket").agg(
       sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
-    val docsPerB = docs.groupBy(bucketOf(docs).as("bucket"))
+    val docsPerB = docs.groupBy(bucketOf.as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
     // bounded window: exactly nBuckets rows reach the running sum
     val wB = Window.orderBy("bucket")

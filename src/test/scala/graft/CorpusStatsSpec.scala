@@ -89,6 +89,14 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(b9.getAs[Long]("new_terms") == 1L && b9.getAs[Long]("cum_terms") == 4L)
   }
 
+  test("vocabGrowth names the empty input instead of an opaque NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabGrowth(empty)
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
+
   test("sceneCuts invariants: shot partition sums to frames, sentinel on one-shot") {
     // invariants over arbitrary stub scores (the digest is content-
     // derived, so assert structure, then cross-check one doc by hand

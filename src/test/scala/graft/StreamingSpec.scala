@@ -347,6 +347,54 @@ class StreamingSpec extends SparkTestBase {
     succeed
   }
 
+  test("sceneCutStream matches batch sceneCuts across a mid-video batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameStream
+    // the SAME stub-digest scores the batch operator segments on,
+    // replayed as an arriving frame feed (tsec = arrival order)
+    val docs = Seq(
+      (1L, "x" * 450),
+      (2L, "short"),
+      (3L, "the quick brown fox " * 30)).toDF("doc_id", "text")
+    val m = 1048576L
+    val frames = graft.operators.Multimodal.frameSample(docs, stride = 2)
+      .withColumn("score", ((col("frame_digest") % m) + m) % m)
+      .select(col("doc_id"), col("frame_idx"), col("score"),
+        col("frame_idx").as("tsec"))
+      .orderBy("doc_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "score", "tsec")
+    val q = FrameStream.sceneCutStream(streamDF, threshold = 524288L)
+      .writeStream.format("memory").queryName("cuts").outputMode("append").start()
+    // split mid-video: the lag state must survive the batch boundary,
+    // so a shot straddling the split still cuts exactly once
+    val (first, second) = frames.splitAt(frames.length / 2)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, frame_idx FROM cuts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch-mode run of the SAME streaming transform
+    val batchCuts = FrameStream.sceneCutStream(
+        frames.toDF("doc_id", "frame_idx", "score", "tsec"))
+      .collect().map(c => (c.doc_id, c.frame_idx)).toSet
+    assert(streamed == batchCuts)
+    // batch-equality against the at-rest authority: per-video cut
+    // count and first-cut position reproduce Multimodal.sceneCuts
+    val agg = streamed.groupBy(_._1).map { case (d, cs) =>
+      (d, cs.size.toLong, cs.map(_._2).min) }.toSet
+    val authority = graft.operators.Multimodal
+      .sceneCuts(docs, stride = 2, threshold = 524288L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_cuts"),
+        r.getAs[Long]("first_cut")))
+      .filter(_._2 > 0L).map(t => (t._1, t._2, t._3)).toSet
+    assert(agg == authority, s"stream=$agg batch=$authority")
+  }
+
   test("levelShiftStream pages at the step, stays quiet on wobble and flat") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Long, Double)]
