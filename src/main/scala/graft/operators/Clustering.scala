@@ -555,6 +555,121 @@ object Clustering {
       .toDF("id1", "id2", "cos_sim")
   }
 
+  /** Salted in-cell exact top-k neighbors — the kNN sibling of
+    * [[inCellPairs]], and the fix for the r10 embskew audit's one real
+    * finding: the kNN consumers (labelKnnAccuracy, oodKnnDist) built
+    * their in-cell candidates with a plain self-equijoin on `cell`,
+    * and a mega-cell is ONE join key — the measured result at the ×20
+    * hot-cell corpus was a single task external-sorting ~10⁹ candidate
+    * rows for 50+ minutes while 31 cores idled (the exact failure a
+    * boilerplate-dense cell produces at 100 TB; the dedup family never
+    * had it because inCellPairs tiles). Here every (query-salt,
+    * neighbor-salt) tile is an independent task: a row ships 2s−1
+    * times (once per tile it participates in), each task streams its
+    * ≤saltCap×saltCap sims keeping a k-slot selection per query, and
+    * only s·k candidate rows per vector reach the final global top-k
+    * window — so the mega-cell's |cell|² dot products parallelize and
+    * NOTHING quadratic is ever materialized, shuffled or sorted.
+    *
+    * Exactness: each neighbor belongs to exactly one salt, so the
+    * global top-k over the per-salt top-k lists is the true top-k;
+    * sims use the IDENTICAL IEEE sequence as inCellPairs (sequential
+    * dot, raw divide, NaN/Inf passthrough, shared r4 floor) and the
+    * comparator is Double.compare descending with nid-ascending ties —
+    * bit-for-bit the `row_number OVER (ORDER BY sim DESC, nid)` result
+    * on both engines (NaN greatest, the Spark/DuckDB convention).
+    *
+    * `av` columns: cell (int), vec_id (long), v (array<double>),
+    * nrm (double). Emits (cell, vec_id, nid, sim, rn) with rn = 1..k
+    * (fewer when the cell has under k+1 members; singleton-cell rows
+    * emit nothing).
+    */
+  private[graft] def inCellTopK(av: DataFrame, k: Int,
+                                saltCap: Int = 4096): DataFrame = {
+    val spark = av.sparkSession
+    import spark.implicits._
+    val cellsDf = av.select(col("cell").cast("int").as("cell"),
+      col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"))
+    val sizes = cellsDf.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salts = sizes.map { case (c, n) =>
+      c -> math.max(1, ((n + saltCap - 1) / saltCap).toInt)
+    }
+    val bc = spark.sparkContext.broadcast(salts)
+    val kk = k
+    cellsDf
+      .as[(Int, Long, Seq[Double], Double)]
+      .flatMap { case (c, id, v, nrm) =>
+        val s = bc.value.getOrElse(c, 1)
+        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
+        else {
+          val my = java.lang.Math.floorMod(id, s.toLong).toInt
+          // the diagonal copy serves both roles; elsewhere side 0 =
+          // query member of tile (c, my, ns), side 1 = neighbor member
+          // of tile (c, qs, my)
+          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
+            (0 until s).iterator.filter(_ != my)
+              .map(ns => ((c, my, ns), (id, v, nrm, 0))) ++
+            (0 until s).iterator.filter(_ != my)
+              .map(qs => ((c, qs, my), (id, v, nrm, 1)))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Seq[Double], Double, Int))]) =>
+        val rows = it.map(_._2).toArray
+        val diagonal = key._2 == key._3
+        val qs = if (diagonal) rows else rows.filter(_._4 == 0)
+        val ns = if (diagonal) rows else rows.filter(_._4 == 1)
+        val nIds = ns.map(_._1); val nVs = ns.map(_._2.toArray)
+        val nNs = ns.map(_._3)
+        val cell = key._1
+        qs.iterator.flatMap { case (qid, qv, qn, _) =>
+          val a = qv.toArray
+          // k-slot selection ordered (sim desc via Double.compare —
+          // NaN greatest, the engine convention — then nid asc)
+          val selSim = new Array[Double](kk)
+          val selNid = new Array[Long](kk)
+          var used = 0
+          var j = 0
+          while (j < nIds.length) {
+            if (nIds(j) != qid) {
+              var acc = 0.0
+              var d = 0
+              val b = nVs(j)
+              while (d < a.length) { acc += a(d) * b(d); d += 1 }
+              val raw = acc / (qn * nNs(j))
+              val cs =
+                if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+                else math.floor((raw + 1e-9) * 1e4 + 0.5) / 1e4
+              // insertion position among the current slots
+              var p = used
+              while (p > 0 && {
+                val cmp = java.lang.Double.compare(cs, selSim(p - 1))
+                cmp > 0 || (cmp == 0 && nIds(j) < selNid(p - 1))
+              }) p -= 1
+              if (p < kk) {
+                val last = math.min(used, kk - 1)
+                var q = last
+                while (q > p) {
+                  selSim(q) = selSim(q - 1); selNid(q) = selNid(q - 1)
+                  q -= 1
+                }
+                selSim(p) = cs; selNid(p) = nIds(j)
+                if (used < kk) used += 1
+              }
+            }
+            j += 1
+          }
+          (0 until used).iterator.map(i => (cell, qid, selNid(i), selSim(i)))
+        }
+      }
+      .toDF("cell", "vec_id", "nid", "sim")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+      .filter(col("rn") <= kk)
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic deduplication by
     * k-means partitioning — cluster the embeddings, find cosine-similar
     * pairs WITHIN each cluster, connect them into duplicate groups, and

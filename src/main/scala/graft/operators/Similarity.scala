@@ -578,18 +578,21 @@ object Similarity {
     val assigned = assignCells(base, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .persist().tracked
-    val sims = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        r4(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("sim"),
-        col("b.vec_id").as("nid"))
-    val byBest = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("nid").asc)
-    sims.withColumn("rn", row_number().over(byBest))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("vec_id")))
+    // salted top-k kernel (Clustering.inCellTopK) instead of a cell
+    // self-equijoin: a mega-cell is ONE join key, so the join plan
+    // single-tasks |cell|² candidate rows (measured 50+ min at the ×20
+    // hot-cell audit); the tiled kernel parallelizes the same dot
+    // products and only s·k candidates per vector ever leave a task.
+    // m (= |cell|−1 candidates) now comes from the cell sizes instead
+    // of a count window over the materialized sims — same number.
+    val topk = graft.operators.Clustering.inCellTopK(
+      assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")), k)
+    val szs = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+    topk.join(broadcast(szs), "cell")
+      .withColumn("m", col("csz") - 1L)
       .filter(col("rn") === least(lit(k.toLong), col("m")))
-      .select(col("vec_id"), col("cell"), (col("m") + 1).as("n_cell"),
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (col("m") + 1).as("n_cell"),
         col("sim").as("knn_sim"), r4(lit(1.0) - col("sim")).as("ood_score"))
       .orderBy(col("ood_score").desc, col("vec_id"))
       .limit(topN)
@@ -614,13 +617,18 @@ object Similarity {
     val assigned = assignCells(base, cents)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
       .persist().tracked
-    val sims = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("nid"), col("b.label").as("nlabel"),
-        r4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nid").asc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // salted 1-NN kernel (Clustering.inCellTopK) instead of a cell
+    // self-equijoin — the mega-cell single-task join the r10 embskew
+    // audit measured (50+ min at ×20); labels rejoin on the k-bounded
+    // winner rows, never on the candidate volume
+    val labels = assigned.select(col("vec_id"), col("label"))
+    val top1 = graft.operators.Clustering.inCellTopK(
+        assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")), 1)
+      .filter(col("rn") === 1L)
+      .select(col("vec_id"), col("nid"))
+    top1.join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        "nid")
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))

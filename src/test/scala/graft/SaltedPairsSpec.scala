@@ -64,4 +64,41 @@ class SaltedPairsSpec extends SparkTestBase {
     val got = Clustering.inCellPairs(av, threshold = -1.0, saltCap = 10).count()
     assert(got == 100L * 99 / 2)
   }
+
+  test("salted top-k kernel equals the naive window plan on a hot cell") {
+    // the r10 fix: labelKnnAccuracy/oodKnnDist used a cell self-equijoin
+    // (a mega-cell = ONE join key = one task); inCellTopK must produce
+    // the IDENTICAL (vec_id, nid, sim, rn) rows as the join + window it
+    // replaced — ties (many identical sims exist in this lattice
+    // corpus) must break by nid exactly like row_number
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val av = (0 until 97).map { i =>
+      (0, i.toLong, Seq(1.0, 0.02 * (i % 5), 0.01 * (i % 7)), 1.0)
+    }.toDF("cell", "vec_id", "v", "nrm")
+    def naive(k: Int) = {
+      val sims = av.as("a").join(av.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nid"),
+          graft.Num.r4(expr(
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+            / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select("vec_id", "nid", "sim", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    for (k <- Seq(1, 5)) {
+      val salted = Clustering.inCellTopK(av, k, saltCap = 10)
+        .select("vec_id", "nid", "sim", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(salted == naive(k), s"k=$k")
+    }
+    // unsalted path (cell under cap) must agree too
+    val one = Clustering.inCellTopK(av, 3, saltCap = 1 << 30)
+      .select("vec_id", "nid", "sim", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(one == naive(3))
+  }
 }
