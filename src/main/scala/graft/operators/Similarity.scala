@@ -459,13 +459,25 @@ object Similarity {
     val assigned = assignCells(base, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .withColumn("sk", sk)
-      .persist().tracked // both sides of the pair self-join
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .persist().tracked // pair kernel input + both sketch lookups
+    // salted pair kernel + broadcast sketch lookup instead of a cell
+    // self-equijoin (a mega-cell is ONE join key → single-task |cell|²
+    // enumeration, the r10 embskew finding; threshold −2 keeps every
+    // pair since a rounded cosine is ≥ −1). The broadcast is the
+    // n-row (vec_id → 8-byte sketch) map — fine at any gate corpus;
+    // a 100 TB deployment calibrates hamming→cos on a sample by
+    // construction, so n here is the calibration sample size.
+    val pairsRaw = graft.operators.Clustering.inCellPairs(
+      assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")),
+      threshold = -2.0)
+    val pairs = pairsRaw
+      .join(broadcast(assigned.select(col("vec_id").as("id1"),
+        col("sk").as("sk1"))), "id1")
+      .join(broadcast(assigned.select(col("vec_id").as("id2"),
+        col("sk").as("sk2"))), "id2")
       .select(
-        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"),
-        r4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
+        bit_count(col("sk1").bitwiseXOR(col("sk2"))).cast("long").as("hamming"),
+        col("cos_sim"))
       .withColumn("qc", floor(col("cos_sim") * lit(1e4) + lit(0.5)).cast("long"))
       // shared-literal lookup, not an engine cos (see cosEstTable)
       .withColumn("est", element_at(
