@@ -5006,6 +5006,36 @@ object SparkEntry {
         .orderBy("label")
     }, Some(sqlLabelKnn(SQL_AUTOCELLS))),
 
+    Q("ann_knn_graph", (s, dir) =>
+      // the kNN-graph stage (graph dedup / diversity sampling / label
+      // propagation input): per vector its top-3 in-cell neighbors as
+      // ranked directed edges, on the salted top-k kernel at the
+      // autoCells production knob — the oracle replays assignment +
+      // ranking with the shared rounded-cosine / id-tiebreak rules
+      Similarity.knnGraph(Tables.embeddings(s, dir), nCells = 0, k = 3)
+        .orderBy("vec_id", "rank"),
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+          |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < ($SQL_AUTOCELLS)),
+          |asg AS (SELECT vec_id, v, nrm, cid FROM (
+          |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+          |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+          |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+          |      c.cid ASC) AS crn
+          |  FROM n CROSS JOIN c) WHERE crn = 1),
+          |ksims AS (SELECT a.vec_id,
+          |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+          |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
+          |  b.vec_id AS nid
+          | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+          |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)
+          |SELECT vec_id, CAST(rn AS BIGINT) AS rank, nid, sim AS cos_sim
+          |FROM krk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
     Q("embed_matryoshka", (s, dir) => {
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))
     }, Some(

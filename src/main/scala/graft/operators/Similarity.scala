@@ -648,6 +648,31 @@ object Similarity {
         r4(col("n_correct").cast("double") / col("n").cast("double")).as("acc_1nn"))
   }
 
+  /** kNN-graph construction: per vector, its top-k in-cell neighbors
+    * as directed edges (rank 1..k by rounded cosine, nid tiebreak) —
+    * the graph stage that graph-based dedup, diversity sampling and
+    * label propagation consume. Runs on the salted top-k kernel
+    * ([[graft.operators.Clustering.inCellTopK]]), so a
+    * boilerplate-dense mega-cell tiles across tasks instead of
+    * single-tasking through one join key (the r10 embskew audit
+    * finding); vectors alone in their cell emit no edges (declared,
+    * the oodKnnDist contract), and cells with under k neighbors emit
+    * what they have.
+    */
+  def knnGraph(embs: DataFrame, nCells: Int = 0, k: Int = 3): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(embs)
+    val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCells(base, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    graft.operators.Clustering.inCellTopK(
+        assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")), k)
+      .select(col("vec_id"), col("rn").as("rank"), col("nid"),
+        col("sim").as("cos_sim"))
+  }
+
   /** Radius (range) search: every corpus vector within a cosine
     * threshold of each query — the "find ALL near-duplicates / all
     * in-policy matches" sibling of top-k, where the result size is

@@ -101,4 +101,22 @@ class SaltedPairsSpec extends SparkTestBase {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(one == naive(3))
   }
+
+  test("knnGraph emits dense ranked edges over the kernel, no self loops") {
+    val g = graft.operators.Similarity.knnGraph(hotCorpus, nCells = 1, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Double]("cos_sim")))
+    // one 60-vector cell: every vector gets exactly ranks 1 and 2
+    assert(g.length == 60 * 2)
+    assert(g.forall { case (v, _, n, _) => v != n })
+    val byV = g.groupBy(_._1)
+    assert(byV.size == 60)
+    byV.values.foreach { es =>
+      assert(es.map(_._2).sorted.toSeq == Seq(1L, 2L))
+      // rank 1's cosine is >= rank 2's (ties broken by nid)
+      val Seq(r1, r2) = es.sortBy(_._2).toSeq
+      assert(r1._4 > r2._4 || (r1._4 == r2._4 && r1._3 < r2._3))
+    }
+  }
 }
