@@ -386,6 +386,30 @@ object SparkEntry {
        |   / CAST(count(*) AS DOUBLE) + 1e-9) * 1e4 + 0.5) / 1e4 AS acc_1nn
        |FROM krk WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
 
+  /** kNN-edge CTE chain (assignment at the autoCells knob → in-cell
+    * sims → rank) shared by the ann_knn_graph / ann_knn_mutual
+    * oracles; yields `krk(vec_id, sim, nid, rn)`.
+    */
+  private lazy val SQL_KNN_EDGES =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < ($SQL_AUTOCELLS)),
+      |asg AS (SELECT vec_id, v, nrm, cid FROM (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+      |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
+      |      c.cid ASC) AS crn
+      |  FROM n CROSS JOIN c) WHERE crn = 1),
+      |ksims AS (SELECT a.vec_id,
+      |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
+      |  b.vec_id AS nid
+      | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+      |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)""".stripMargin
+
   /** SemDeDup oracle body over a Lloyd CTE chain — shared by the
     * fixed-k gate and the autoCells production-path gate.
     */
@@ -5015,26 +5039,30 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, dir), nCells = 0, k = 3)
         .orderBy("vec_id", "rank"),
       Some(
-        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |  FROM embeddings),
-          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-          |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < ($SQL_AUTOCELLS)),
-          |asg AS (SELECT vec_id, v, nrm, cid FROM (
-          |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-          |      floor((list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
-          |        / (n.nrm * c.cn) + 1e-9) * 1e4 + 0.5) / 1e4 DESC,
-          |      c.cid ASC) AS crn
-          |  FROM n CROSS JOIN c) WHERE crn = 1),
-          |ksims AS (SELECT a.vec_id,
-          |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-          |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS sim,
-          |  b.vec_id AS nid
-          | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id != b.vec_id),
-          |krk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-          |  ORDER BY sim DESC, nid ASC) AS rn FROM ksims)
+        s"""WITH $SQL_KNN_EDGES
           |SELECT vec_id, CAST(rn AS BIGINT) AS rank, nid, sim AS cos_sim
           |FROM krk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    Q("ann_knn_mutual", (s, dir) => {
+      // mutual-kNN refinement: keep an edge only when BOTH endpoints
+      // rank each other in their top-3 — the standard asymmetry filter
+      // that strips hub edges before graph clustering (a hub vector is
+      // many vectors' neighbor without reciprocating). One symmetric
+      // undirected edge per pair (id1 < id2); the edge join is on the
+      // k-bounded graph rows, never on candidate volume
+      val g = Similarity.knnGraph(Tables.embeddings(s, dir), nCells = 0, k = 3)
+        .select(col("vec_id"), col("nid"), col("cos_sim"))
+      val rev = g.select(col("nid").as("vec_id"), col("vec_id").as("nid"))
+      g.join(rev, Seq("vec_id", "nid"))
+        .filter(col("vec_id") < col("nid"))
+        .select(col("vec_id").as("id1"), col("nid").as("id2"), col("cos_sim"))
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $SQL_KNN_EDGES,
+        |ged AS (SELECT vec_id, nid, sim FROM krk WHERE rn <= 3)
+        |SELECT a.vec_id AS id1, a.nid AS id2, a.sim AS cos_sim
+        |FROM ged a JOIN ged b ON a.vec_id = b.nid AND a.nid = b.vec_id
+        |WHERE a.vec_id < a.nid ORDER BY id1, id2""".stripMargin)),
 
     Q("embed_matryoshka", (s, dir) => {
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))
