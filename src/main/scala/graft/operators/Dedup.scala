@@ -210,6 +210,109 @@ object Dedup {
       .select("doc1", "doc2", "n_match", "est_j", "jac", "abs_err")
   }
 
+  /** Generic SALTED co-bucket pair enumeration — [[graft.operators.Clustering.inCellPairs]]
+    * generalized to an arbitrary bucket key (r10 verdict #1): every
+    * (id, pay) pair sharing a `bkey` emits exactly once as
+    * (id1 < id2, pay1, pay2). Buckets at or under `saltCap` enumerate
+    * in one task; a MEGA-BUCKET — a band slice or pigeonhole block
+    * shared by a near-verbatim document family, the shape a
+    * 30%-mirrored crawl corpus produces — tiles its pair triangle into
+    * s·(s+1)/2 independent tasks (s = ⌈|bucket|/saltCap⌉, salt =
+    * id mod s), so |bucket|²/2 enumerations parallelize across the
+    * cluster instead of serializing onto the single task a self-equijoin
+    * hashes one join key to. Per-task state is ≤ 2·saltCap (id, pay)
+    * tuples — 16 bytes each; a row in an s-salted bucket ships s times
+    * (the triangle fan-out price).
+    *
+    * The PAIR SET is identical to the self-equijoin it replaces
+    * (`a.bkey = b.bkey AND a.id < b.id`): each unordered in-bucket pair
+    * lands in exactly one tile (diagonal when salts match, one cross
+    * tile otherwise), so downstream `.distinct()` + verify stages and
+    * the DuckDB oracles are byte-for-byte unchanged (BucketPairsSpec
+    * pins salted ≡ join on a manufactured mega-bucket).
+    *
+    * Salt-count discovery is a partial-aggregated groupBy count — the
+    * count of a mega-bucket map-side-combines across tasks, never
+    * single-tasking — filtered to buckets OVER the cap before the
+    * driver collect, so driver state is one entry per HOT bucket (the
+    * boilerplate tail: Σ|bucket| ≤ input rows bounds them by
+    * rows/saltCap, and real corpora have a handful). Fails loud past
+    * 4M hot buckets rather than silently OOMing the driver.
+    *
+    * `pay` rides along so verify metadata (a 64-bit phash, a config
+    * id) reaches the pair without a post-hoc n-row join; callers that
+    * need none pass 0.
+    *
+    * Input columns: bkey (string), id (long), pay (long).
+    * Output: id1, pay1, id2, pay2.
+    */
+  private[graft] def bucketPairs(rows: DataFrame,
+                                 saltCap: Int = 4096): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val in = rows.select(col("bkey").cast("string").as("bkey"),
+      col("id").cast("long").as("id"), col("pay").cast("long").as("pay"))
+    val hot = in.groupBy("bkey").count()
+      .filter(col("count") > saltCap.toLong)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1) + saltCap - 1) / saltCap).toInt).toMap
+    require(hot.size <= (1 << 22),
+      s"bucketPairs: ${hot.size} buckets over saltCap=$saltCap — the hot-" +
+        "bucket map no longer fits driver state; raise saltCap or pre-split")
+    val bc = spark.sparkContext.broadcast(hot)
+    in.as[(String, Long, Long)]
+      .flatMap { case (bk, id, pay) =>
+        val s = bc.value.getOrElse(bk, 1)
+        if (s <= 1) Iterator.single(((bk, 0, 0), (id, pay, 0)))
+        else {
+          val my = java.lang.Math.floorMod(id, s.toLong).toInt
+          // diagonal tile + one cross tile per other salt; side tags
+          // which half of a cross tile this row belongs to
+          Iterator.single(((bk, my, my), (id, pay, 0))) ++
+            (0 until my).iterator.map(b1 => ((bk, b1, my), (id, pay, 1))) ++
+            ((my + 1) until s).iterator.map(b2 => ((bk, my, b2), (id, pay, 0)))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[((String, Int, Int), (Long, Long, Int))]) =>
+        val rows = it.map(_._2).toArray
+        val diagonal = key._2 == key._3
+        val as = if (diagonal) rows else rows.filter(_._3 == 0)
+        val bs = if (diagonal) rows else rows.filter(_._3 == 1)
+        // lazy enumeration: pairs stream into the shuffle writer,
+        // never materialized as a task-local collection
+        if (diagonal)
+          as.indices.iterator.flatMap { i =>
+            val (ai, ap, _) = as(i)
+            // ai != bi guard: the join form (`a.id < b.id`) never pairs
+            // an id with itself even if a caller ships duplicate ids
+            (i + 1 until as.length).iterator
+              .filter(j => as(j)._1 != ai)
+              .map { j =>
+                val (bi, bp, _) = as(j)
+                if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
+              }
+          }
+        else
+          as.iterator.flatMap { case (ai, ap, _) =>
+            bs.iterator.map { case (bi, bp, _) =>
+              if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
+            }
+          }
+      }
+      .toDF("id1", "pay1", "id2", "pay2")
+  }
+
+  /** The exact string bucket key [[bucketPairs]] groups on for a
+    * banded signature slice: collision-free (longs joined by "," carry
+    * a ","-free canonical form; the band prefix disambiguates bands),
+    * so bucket membership is IDENTICAL to the (band, slice-array)
+    * equijoin key it replaces — no hash involved, no spurious pairs.
+    */
+  private def sliceKey(prefix: Column, slice: Column): Column =
+    concat(prefix, lit(":"),
+      concat_ws(",", transform(slice, x => x.cast("string"))))
+
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
@@ -223,11 +326,17 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    // salted tiled enumeration, not a band self-equijoin: a (band,
+    // slice) bucket shared by a near-verbatim document family (mirrors
+    // differing by a timestamp line — they SURVIVE exact dedup and
+    // collide on most bands) is ONE join key, serializing |bucket|²
+    // candidate rows onto a single task (the r10 embskew failure class,
+    // here in the flagship dedup path). bucketPairs tiles the triangle
+    // across (salt × salt) tasks; the candidate SET is identical.
+    val candidates = bucketPairs(banded.select(
+        sliceKey(col("band").cast("string"), col("bh")).as("bkey"),
+        col("doc_id").as("id"), lit(0L).as("pay")))
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
       .distinct()
     // verify candidates with exact Jaccard
     candidates
@@ -296,11 +405,15 @@ object Dedup {
         posexplode(array((0 until bands).map(bd =>
           slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
     }.reduce(_ unionByName _)
-    val cand = bandedAll.as("a").join(bandedAll.as("b"),
-        col("a.bands") === col("b.bands") && col("a.band") === col("b.band") &&
-          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.bands").as("bands"), col("a.doc_id").as("doc1"),
-        col("b.doc_id").as("doc2"))
+    // the same tiled kernel as production minhashLsh (sweep buckets are
+    // sample-bounded, but the plan shape should match what it measures);
+    // the config id rides the pay column back out
+    val cand = bucketPairs(bandedAll.select(
+        sliceKey(concat(col("bands").cast("string"), lit("~"),
+          col("band").cast("string")), col("bh")).as("bkey"),
+        col("doc_id").as("id"), col("bands").cast("long").as("pay")))
+      .select(col("pay1").cast("int").as("bands"), col("id1").as("doc1"),
+        col("id2").as("doc2"))
       .distinct().persist().tracked
     val nc = cand.groupBy("bands").agg(count(lit(1)).as("n_cand"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -547,12 +660,16 @@ object Dedup {
     val blocks = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(blk =>
         shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "bv")))
-    val popcnt = (x: Column) => bit_count(x)
-    blocks.as("a").join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        popcnt(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    // tiled pigeonhole enumeration, not a (blk, bv) self-equijoin: a
+    // block value shared by a near-verbatim family is ONE join key →
+    // single-task |bucket|² (the r10 mega-group class). The simhash
+    // rides the pay column, so hamming needs no post-hoc n-row join.
+    bucketPairs(blocks.select(
+        concat(col("blk").cast("string"), lit(":"),
+          col("bv").cast("string")).as("bkey"),
+        col("doc_id").as("id"), col("simhash").as("pay")))
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        bit_count(col("pay1").bitwiseXOR(col("pay2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -672,10 +789,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val cands =
       if (stride == 1)
-        all.as("a").join(all.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("a.p").as("p1"),
-            col("b.doc_id").as("doc2"), col("b.p").as("p2"))
+        // tiled enumeration keyed on the window hash — one boilerplate
+        // passage shared corpus-wide is ONE join key (the r10
+        // mega-group class); the window position rides the pay column.
+        // (doc, h) is deduped above, so ids are unique per bucket.
+        bucketPairs(all.select(col("h").cast("string").as("bkey"),
+            col("doc_id").as("id"), col("p").as("pay")))
+          .select(col("id1").as("doc1"), col("pay1").cast("int").as("p1"),
+            col("id2").as("doc2"), col("pay2").cast("int").as("p2"))
       else
         windows(stride).as("a").join(all.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))

@@ -234,12 +234,18 @@ object Multimodal {
           "shiftright(phash, i * 16) & 65535 AS bval))")).as("e"))
       .select(col("doc_id"), col("phash"),
         col("e.blk").as("blk"), col("e.bval").as("bval"))
-    val a = blocks.as("a"); val b = blocks.as("b")
-    a.join(b,
-        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("dist"))
+    // tiled pigeonhole enumeration (Dedup.bucketPairs), not a
+    // (blk, bval) self-equijoin: a block value shared by a large
+    // same-image family (re-encodes of one logo/frame — different
+    // bytes, same aHash blocks) is ONE join key, serializing |bucket|²
+    // onto a single task (the r10 mega-group class). The phash rides
+    // the pay column so the exact hamming verify needs no n-row join.
+    graft.operators.Dedup.bucketPairs(blocks.select(
+        concat(col("blk").cast("string"), lit(":"),
+          col("bval").cast("string")).as("bkey"),
+        col("doc_id").as("id"), col("phash").as("pay")))
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        bit_count(col("pay1").bitwiseXOR(col("pay2"))).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
       .orderBy("doc1", "doc2")
@@ -282,7 +288,13 @@ object Multimodal {
     * pattern). One sample per payload byte.
     */
   private def synthSamples(blen: Long, csu: Long): Array[Short] = {
-    val n = blen.toInt
+    // clamp, never wrap: a declared length beyond Int.MaxValue would
+    // turn blen.toInt negative (NegativeArraySizeException — a throw
+    // the degrades-never-throws decode contract forbids). Int.MaxValue
+    // PCM16 samples is already past the RIFF container's own u32 data-
+    // chunk ceiling, so no representable WAV is truncated by the clamp;
+    // negative declared lengths synthesize an empty clip (r10 ADVICE).
+    val n = math.min(math.max(blen, 0L), Int.MaxValue.toLong).toInt
     val out = new Array[Short](n)
     var k = 0
     while (k < n) {
@@ -372,5 +384,41 @@ object Multimodal {
       }
       .toDF("doc_id", "n_frames", "total_energy", "peak_frame",
         "peak_energy")
+  }
+
+  /** The decoded per-frame energy FEED itself (doc_id, frame_idx,
+    * fenergy) — the rows [[audioFrameEnergy]] folds and the streaming
+    * pager (`FrameStream.audioEnergyStream`) consumes at ingest. Same
+    * writer→parser seam, same Σ|sample| frame fold; one typed scan,
+    * payloads die in-task. Exists so the at-ingest and at-rest paths
+    * provably read the SAME frames (parity pinned in StreamingSpec).
+    */
+  def audioFrameRows(docs: DataFrame, frameLen: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeMeta(docs)
+      .select(col("doc_id"), col("byte_len"), col("checksum"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blen, csu) =>
+          if (blen <= 0L) Iterator.empty
+          else {
+            val wav = MediaSynth.wavPcm16(synthRate(csu),
+              synthSamples(blen, csu))
+            val it = AudioCodec.samples(wav)
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            var frame = 0L; var acc = 0L; var idx = 0L
+            while (it.hasNext) {
+              val f = idx / frameLen
+              if (f != frame) { out += ((id, frame, acc)); frame = f; acc = 0L }
+              acc += math.abs(it.next().toLong)
+              idx += 1
+            }
+            if (idx > 0) out += ((id, frame, acc))
+            out.result().iterator
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "fenergy")
   }
 }
