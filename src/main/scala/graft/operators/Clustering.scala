@@ -491,6 +491,13 @@ object Clustering {
     }
     val bc = spark.sparkContext.broadcast(salts)
     val thr = threshold
+    // threshold ≤ −1 means "keep every pair": a rounded cosine is
+    // ≥ −1, but a zero-norm vector's cosine is NaN (or ±Inf), and
+    // `NaN >= thr` is false — silently dropping exactly the degenerate
+    // pairs a keep-all caller (bitSketchCalibration's unconditional
+    // oracle enumeration) needs to see. Bypass the test instead of
+    // relying on the comparison (r10 ADVICE).
+    val keepAll = threshold <= -1.0
     cellsDf
       .as[(Int, Long, Seq[Double], Double)]
       .flatMap { case (c, id, v, nrm) =>
@@ -537,7 +544,7 @@ object Clustering {
               val cs =
                 if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
                 else math.floor((raw + 1e-9) * 1e4 + 0.5) / 1e4
-              if (cs >= thr) {
+              if (keepAll || cs >= thr) {
                 val lo = math.min(aIds(i), bid); val hi = math.max(aIds(i), bid)
                 pending = (lo, hi, cs)
               }

@@ -462,8 +462,10 @@ object Similarity {
       .persist().tracked // pair kernel input + both sketch lookups
     // salted pair kernel + broadcast sketch lookup instead of a cell
     // self-equijoin (a mega-cell is ONE join key → single-task |cell|²
-    // enumeration, the r10 embskew finding; threshold −2 keeps every
-    // pair since a rounded cosine is ≥ −1). The broadcast is the
+    // enumeration, the r10 embskew finding; threshold ≤ −1 engages the
+    // kernel's keep-ALL branch, which passes NaN/±Inf cosines from
+    // zero-norm vectors too — matching this oracle's unconditional
+    // pair enumeration, r10 ADVICE). The broadcast is the
     // n-row (vec_id → 8-byte sketch) map — fine at any gate corpus;
     // a 100 TB deployment calibrates hamming→cos on a sample by
     // construction, so n here is the calibration sample size.
@@ -667,6 +669,8 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val assigned = assignCells(base, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .persist().tracked // kernel sizes collect + top-k scan (the
+                         // labelKnnAccuracy/oodKnnDist pattern)
     graft.operators.Clustering.inCellTopK(
         assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")), k)
       .select(col("vec_id"), col("rn").as("rank"), col("nid"),

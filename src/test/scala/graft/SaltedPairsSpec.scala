@@ -102,6 +102,29 @@ class SaltedPairsSpec extends SparkTestBase {
     assert(one == naive(3))
   }
 
+  test("keep-all threshold passes NaN cosines from zero-norm vectors") {
+    // r10 ADVICE (medium): `cs >= thr` is false for NaN, so a keep-all
+    // caller (bitSketchCalibration, threshold −2, whose oracle
+    // enumerates every in-cell pair unconditionally) silently lost any
+    // pair touching a zero-norm embedding. threshold ≤ −1 must now
+    // bypass the comparison: every i<j pair emits, NaN included.
+    val av = Seq(
+      (0, 0L, Seq(1.0, 0.0), 1.0),
+      (0, 1L, Seq(0.0, 0.0), 0.0), // zero norm → cosine NaN
+      (0, 2L, Seq(0.0, 1.0), 1.0)
+    ).toDF("cell", "vec_id", "v", "nrm")
+    for (cap <- Seq(1 << 30, 2)) { // unsalted AND tiled paths
+      val got = Clustering.inCellPairs(av, threshold = -2.0, saltCap = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.size == 3, s"saltCap=$cap must keep all 3 pairs, got $got")
+      assert(got.count { case (_, _, cs) => cs.isNaN } == 2, s"saltCap=$cap")
+      // a REAL threshold still drops the NaN pairs (filter semantics)
+      val thr = Clustering.inCellPairs(av, threshold = 0.0, saltCap = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(!thr.exists(_._3.isNaN), s"saltCap=$cap")
+    }
+  }
+
   test("knnGraph emits dense ranked edges over the kernel, no self loops") {
     val g = graft.operators.Similarity.knnGraph(hotCorpus, nCells = 1, k = 2)
       .collect()

@@ -359,14 +359,17 @@ class StreamingSpec extends SparkTestBase {
     val m = 1048576L
     val frames = graft.operators.Multimodal.frameSample(docs, stride = 2)
       .withColumn("score", ((col("frame_digest") % m) + m) % m)
+      // tsec offset off epoch 0: Spark drops rows with ts <= watermark
+      // and the initial watermark IS 0, so a ts=0 frame never arrives
       .select(col("doc_id"), col("frame_idx"), col("score"),
-        col("frame_idx").as("tsec"))
+        (col("frame_idx") + lit(100L)).as("tsec"))
       .orderBy("doc_id", "frame_idx")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     val mem = MemoryStream[(Long, Long, Long, Long)]
     val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "score", "tsec")
-    val q = FrameStream.sceneCutStream(streamDF, threshold = 524288L)
+    val q = FrameStream.sceneCutStream(streamDF, threshold = 524288L,
+        idleTimeoutSec = 60L)
       .writeStream.format("memory").queryName("cuts").outputMode("append").start()
     // split mid-video: the lag state must survive the batch boundary,
     // so a shot straddling the split still cuts exactly once
@@ -374,6 +377,16 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(first: _*)
     q.processAllAvailable()
     mem.addData(second: _*)
+    q.processAllAvailable()
+    // the detector holds frames until the watermark passes them
+    // (out-of-order correctness) and flushes a quiet video's tail on
+    // event-time timeout — push the watermark past every real video's
+    // idle horizon with a sentinel clip (two batches: the second makes
+    // the timeouts fire without relying on a no-data micro-batch)
+    val maxTs = frames.map(_._4).max
+    mem.addData((99L, 0L, 0L, maxTs + 1000L))
+    q.processAllAvailable()
+    mem.addData((99L, 1L, 0L, maxTs + 1001L))
     q.processAllAvailable()
     val streamed = spark.sql("SELECT doc_id, frame_idx FROM cuts")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -393,6 +406,92 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("first_cut")))
       .filter(_._2 > 0L).map(t => (t._1, t._2, t._3)).toSet
     assert(agg == authority, s"stream=$agg batch=$authority")
+  }
+
+  test("sceneCutStream scores an out-of-order late frame against its true predecessor") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameStream
+    // threshold 10; cuts in true frame order land at idx 1, 3, 4.
+    // Frame 2 arrives a batch LATE (inside the 10 s lateness window):
+    // the v1 detector scored it against frame 4's lag (|105-50| = 55 →
+    // a spurious cut at idx 2 AND a corrupted lag); the buffered
+    // detector must reorder it before frame 3.
+    val all = Seq(
+      (7L, 0L, 0L, 100L), (7L, 1L, 100L, 101L), (7L, 2L, 105L, 102L),
+      (7L, 3L, 0L, 103L), (7L, 4L, 50L, 104L), (7L, 5L, 55L, 105L))
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "score", "tsec")
+    val q = FrameStream.sceneCutStream(streamDF, threshold = 10L,
+        idleTimeoutSec = 60L)
+      .writeStream.format("memory").queryName("oooCuts")
+      .outputMode("append").start()
+    mem.addData(all.filter(_._2 != 2L): _*)
+    q.processAllAvailable()
+    mem.addData(all.filter(_._2 == 2L): _*) // the late arrival
+    q.processAllAvailable()
+    mem.addData((99L, 0L, 0L, 1000L)) // watermark pusher
+    q.processAllAvailable()
+    mem.addData((99L, 1L, 0L, 1001L)) // fires the idle timeouts
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, frame_idx FROM oooCuts WHERE doc_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batchCuts = FrameStream.sceneCutStream(
+        all.toDF("doc_id", "frame_idx", "score", "tsec"), threshold = 10L)
+      .collect().map(c => (c.doc_id, c.frame_idx)).toSet
+    assert(batchCuts == Set((7L, 1L), (7L, 3L), (7L, 4L)))
+    assert(streamed == batchCuts, s"stream=$streamed batch=$batchCuts")
+  }
+
+  test("audioEnergyStream pages quiet clips with the exact mm_audio_energy row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameStream
+    val docs = Seq(
+      (1L, "x" * 450),
+      (2L, "short"),
+      (3L, "the quick brown fox " * 30)).toDF("doc_id", "text")
+    // the REAL decoded frame feed (writer→parser seam), timestamped by
+    // frame position and split mid-clip across two micro-batches
+    val frames = graft.operators.Multimodal.audioFrameRows(docs)
+      // tsec off epoch 0 — Spark drops ts <= watermark, initial wm = 0
+      .select(col("doc_id"), col("frame_idx"), col("fenergy"),
+        (col("frame_idx") + lit(100L)).as("tsec"))
+      .orderBy("doc_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "fenergy", "tsec")
+    val q = FrameStream.audioEnergyStream(streamDF, idleTimeoutSec = 60L)
+      .writeStream.format("memory").queryName("clipEnergy")
+      .outputMode("append").start()
+    val (first, second) = frames.splitAt(frames.length / 2)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    val maxTs = frames.map(_._4).max
+    mem.addData((99L, 0L, 0L, maxTs + 1000L)) // watermark pusher
+    q.processAllAvailable()
+    mem.addData((99L, 1L, 0L, maxTs + 1001L)) // fires the idle timeouts
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "SELECT doc_id, n_frames, total_energy, peak_frame, peak_energy " +
+        "FROM clipEnergy WHERE doc_id < 99 ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    q.stop()
+    // at-rest authority: the batch operator over the same docs
+    val authority = graft.operators.Multimodal.audioFrameEnergy(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == authority, s"stream=$streamed batch=$authority")
+    // batch parity of the streaming transform itself
+    val batchRun = FrameStream.audioEnergyStream(
+        frames.toDF("doc_id", "frame_idx", "fenergy", "tsec"))
+      .collect().map(c => (c.doc_id, c.n_frames, c.total_energy,
+        c.peak_frame, c.peak_energy)).sortBy(_._1).toSeq
+    assert(batchRun == authority, s"batchRun=$batchRun authority=$authority")
   }
 
   test("levelShiftStream pages at the step, stays quiet on wobble and flat") {
