@@ -5049,9 +5049,12 @@ object SparkEntry {
       // that strips hub edges before graph clustering (a hub vector is
       // many vectors' neighbor without reciprocating). One symmetric
       // undirected edge per pair (id1 < id2); the edge join is on the
-      // k-bounded graph rows, never on candidate volume
+      // k-bounded graph rows, never on candidate volume. The graph is
+      // persisted before the self-join so the salted top-k kernel runs
+      // once, not once per join side (r10 ADVICE)
       val g = Similarity.knnGraph(Tables.embeddings(s, dir), nCells = 0, k = 3)
         .select(col("vec_id"), col("nid"), col("cos_sim"))
+        .persist().tracked
       val rev = g.select(col("nid").as("vec_id"), col("vec_id").as("nid"))
       g.join(rev, Seq("vec_id", "nid"))
         .filter(col("vec_id") < col("nid"))
@@ -5063,6 +5066,50 @@ object SparkEntry {
         |SELECT a.vec_id AS id1, a.nid AS id2, a.sim AS cos_sim
         |FROM ged a JOIN ged b ON a.vec_id = b.nid AND a.nid = b.vec_id
         |WHERE a.vec_id < a.nid ORDER BY id1, id2""".stripMargin)),
+
+    Q("ann_knn_components", (s, dir) => {
+      // E31 (r10 verdict #5): the graph CONSUMER the kNN stages exist
+      // for — connected components (min-label propagation, the shared
+      // Dedup.minLabelLoop machinery) over the mutual-kNN edge set:
+      // embedding-space communities for diversity sampling / cluster
+      // telemetry. The mutual filter strips hub edges first, so
+      // components are symmetric-neighborhood groups, not hub stars.
+      // Scale: edges are k-bounded (≤ 3n/2 after the mutual filter),
+      // each propagation round is one keyed shuffle, singleton vectors
+      // rejoin as their own component — nothing touches candidate
+      // volume. The graph persists so the salted top-k kernel runs
+      // once across both mutual-join sides.
+      val embs = Tables.embeddings(s, dir)
+      val g = Similarity.knnGraph(embs, nCells = 0, k = 3)
+        .select(col("vec_id"), col("nid"))
+        .persist().tracked
+      val rev = g.select(col("nid").as("vec_id"), col("vec_id").as("nid"))
+      val mutual = g.join(rev, Seq("vec_id", "nid"))
+        .filter(col("vec_id") < col("nid"))
+        .select(col("vec_id").as("doc1"), col("nid").as("doc2"))
+      Dedup.clusters(embs.select(col("vec_id").as("doc_id")),
+          precomputedPairs = Some(mutual))
+        .select(col("doc_id").as("vec_id"),
+          col("canonical_id").as("component"))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("component"))
+          .cast("long"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE $SQL_KNN_EDGES,
+        |ged AS (SELECT vec_id, nid FROM krk WHERE rn <= 3),
+        |med AS (SELECT a.vec_id AS doc1, a.nid AS doc2
+        |  FROM ged a JOIN ged b ON a.vec_id = b.nid AND a.nid = b.vec_id
+        |  WHERE a.vec_id < a.nid),
+        |eds AS (SELECT doc1 AS a, doc2 AS b FROM med
+        |  UNION ALL SELECT doc2, doc1 FROM med),
+        |comp AS (SELECT vec_id AS doc_id, vec_id AS lab FROM embeddings
+        |  UNION
+        |  SELECT ed.b AS doc_id, c.lab FROM comp c JOIN eds ed ON ed.a = c.doc_id),
+        |grp AS (SELECT doc_id AS vec_id, min(lab) AS component FROM comp GROUP BY doc_id)
+        |SELECT vec_id, component,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+        |FROM grp ORDER BY vec_id""".stripMargin)),
 
     Q("embed_matryoshka", (s, dir) => {
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))
