@@ -260,6 +260,41 @@ object Dedup {
       s"bucketPairs: ${hot.size} buckets over saltCap=$saltCap — the hot-" +
         "bucket map no longer fits driver state; raise saltCap or pre-split")
     val bc = spark.sparkContext.broadcast(hot)
+    // pairs of one tile, lazily: enumeration streams into the shuffle
+    // writer, never materialized as a task-local collection
+    def tilePairs(diagonal: Boolean, rows: Array[(Long, Long, Int)])
+        : Iterator[(Long, Long, Long, Long)] = {
+      val as = if (diagonal) rows else rows.filter(_._3 == 0)
+      val bs = if (diagonal) rows else rows.filter(_._3 == 1)
+      if (diagonal)
+        as.indices.iterator.flatMap { i =>
+          val (ai, ap, _) = as(i)
+          // ai != bi guard: the join form (`a.id < b.id`) never pairs
+          // an id with itself even if a caller ships duplicate ids
+          (i + 1 until as.length).iterator
+            .filter(j => as(j)._1 != ai)
+            .map { j =>
+              val (bi, bp, _) = as(j)
+              if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
+            }
+        }
+      else
+        as.iterator.flatMap { case (ai, ap, _) =>
+          bs.iterator.map { case (bi, bp, _) =>
+            if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
+          }
+        }
+    }
+    // EXPLICIT repartition by tile key, not groupByKey: the fan-out
+    // rows are 16 bytes but each tile is up to saltCap²/2 enumerations
+    // — so compute-dense relative to shuffle bytes that AQE's
+    // byte-sized partition coalescing folds the whole exchange into
+    // ONE task (measured on the near-verbatim sf0.1 corpus: mm_phash
+    // 27.8 s in a single task = 89% of the query — the exact collapse
+    // the tiling exists to prevent, reintroduced by the optimizer).
+    // A user-specified partition count is exempt from AQE coalescing;
+    // the sort-then-walk is the same shuffle+sort groupByKey plans.
+    val parts = spark.sessionState.conf.numShufflePartitions
     in.as[(String, Long, Long)]
       .flatMap { case (bk, id, pay) =>
         val s = bc.value.getOrElse(bk, 1)
@@ -273,32 +308,23 @@ object Dedup {
             ((my + 1) until s).iterator.map(b2 => ((bk, my, b2), (id, pay, 0)))
         }
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: (String, Int, Int), it: Iterator[((String, Int, Int), (Long, Long, Int))]) =>
-        val rows = it.map(_._2).toArray
-        val diagonal = key._2 == key._3
-        val as = if (diagonal) rows else rows.filter(_._3 == 0)
-        val bs = if (diagonal) rows else rows.filter(_._3 == 1)
-        // lazy enumeration: pairs stream into the shuffle writer,
-        // never materialized as a task-local collection
-        if (diagonal)
-          as.indices.iterator.flatMap { i =>
-            val (ai, ap, _) = as(i)
-            // ai != bi guard: the join form (`a.id < b.id`) never pairs
-            // an id with itself even if a caller ships duplicate ids
-            (i + 1 until as.length).iterator
-              .filter(j => as(j)._1 != ai)
-              .map { j =>
-                val (bi, bp, _) = as(j)
-                if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
-              }
-          }
-        else
-          as.iterator.flatMap { case (ai, ap, _) =>
-            bs.iterator.map { case (bi, bp, _) =>
-              if (ai < bi) (ai, ap, bi, bp) else (bi, bp, ai, ap)
+      .repartition(parts, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new scala.collection.AbstractIterator[(Long, Long, Long, Long)] {
+          private var cur: Iterator[(Long, Long, Long, Long)] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && buf.hasNext) {
+              val key = buf.head._1
+              val rows = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Int)]
+              while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
+              cur = tilePairs(key._2 == key._3, rows.toArray)
             }
-          }
+          override def hasNext: Boolean = { advance(); cur.hasNext }
+          override def next(): (Long, Long, Long, Long) = { advance(); cur.next() }
+        }
       }
       .toDF("id1", "pay1", "id2", "pay2")
   }
