@@ -77,7 +77,23 @@ import org.apache.spark.sql.functions._
   * the in-cell salted kernels (saltCap tiling) exist for, without the
   * degenerate everything-is-a-dup corpus no real pipeline sees.
   *
-  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor] [widen|skew|embskew]
+  * A seventh axis (r10 verdict #1): NEAR-VERBATIM duplication.
+  * `skew` heats one LSH cell with a shared boilerplate LINE inside
+  * otherwise-distinct documents; `nearverb` builds the shape that
+  * defeats the exact-dedup-first contract — ONE document family whose
+  * members are near-identical but not byte-identical (a mirrored page
+  * differing only by a retrieval timestamp). Every replica is one
+  * fixed template page plus a replica-unique timestamp suffix, so
+  * exact dedup keeps them all, pairwise shingle Jaccard sits ≈ 0.9
+  * (all true near-dups), and most MinHash band slices are identical
+  * across the WHOLE family — the band buckets and phash/simhash
+  * pigeonhole blocks become mega-buckets, which is precisely the
+  * single-join-key collapse the tiled bucketPairs kernel exists for.
+  * 30% of source docs spawn replicas (factor − 1 each), so factor
+  * tunes the family size: |family| = 0.3·|docs|·(factor − 1).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
+  *   [widen|skew|embskew|nearverb]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -87,6 +103,7 @@ object ScaleGen {
     val widen = args.length > 3 && args(3) == "widen"
     val skew = args.length > 3 && args(3) == "skew"
     val embskew = args.length > 3 && args(3) == "embskew"
+    val nearverb = args.length > 3 && args(3) == "nearverb"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -161,6 +178,42 @@ object ScaleGen {
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
       println(s"wrote ${factor}x SKEW replica (source $hot) of $src to $out")
+      spark.stop()
+      return
+    }
+
+    if (nearverb) {
+      // one near-verbatim mega-family: 30% of docs spawn factor−1
+      // replicas, every replica = the SAME template page + a unique
+      // timestamp suffix (different bytes → survives exact dedup;
+      // ~0.9 pairwise Jaccard → one all-true-pair family whose shared
+      // band slices / pigeonhole blocks are corpus-scale mega-buckets)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val template = "mirror of the daily status page generated for " +
+        "archive purposes the content below is identical on every " +
+        "mirror host and lists the service health dashboard uptime " +
+        "figures release notes and contact addresses for the " +
+        "operations team please do not edit this copy directly as it " +
+        "will be overwritten by the next synchronization run "
+      val hot = docs.filter(col("doc_id") % 10 < 3)
+      val reps = (1 until factor).map { k =>
+        hot.select((col("doc_id") + lit(k * idStep)).as("doc_id"),
+          concat(lit(template), lit(s"retrieved snapshot $k stamp "),
+            col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      (docs.select("doc_id", "text", "lang", "source", "n_chars") +: reps)
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+      println(s"wrote ${factor}x NEARVERB replica (one near-verbatim " +
+        s"family) of $src to $out")
       spark.stop()
       return
     }

@@ -23,6 +23,13 @@ object SparkTestBase {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // keep codegen fallbacks LOUD: a compile failure (64 KB overflow)
+    // silently drops the stage to interpreted mode — correct but slow,
+    // exactly the class of regression a test log should surface. The
+    // WARN includes the failing plan tree, which names the operator.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.WholeStageCodegenExec",
+      org.apache.logging.log4j.Level.WARN)
     Tables.prepare(s)
     s
   }
