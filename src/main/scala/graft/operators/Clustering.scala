@@ -498,24 +498,10 @@ object Clustering {
     // oracle enumeration) needs to see. Bypass the test instead of
     // relying on the comparison (r10 ADVICE).
     val keepAll = threshold <= -1.0
-    cellsDf
-      .as[(Int, Long, Seq[Double], Double)]
-      .flatMap { case (c, id, v, nrm) =>
-        val s = bc.value.getOrElse(c, 1)
-        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
-        else {
-          val my = java.lang.Math.floorMod(id, s.toLong).toInt
-          // the diagonal task plus one cross task per other salt; side
-          // tags which half of a cross task this row belongs to
-          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
-            (0 until my).iterator.map(b1 => ((c, b1, my), (id, v, nrm, 1))) ++
-            ((my + 1) until s).iterator.map(b2 => ((c, my, b2), (id, v, nrm, 0)))
-        }
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Seq[Double], Double, Int))]) =>
-        val rows = it.map(_._2).toArray
-        val diagonal = key._2 == key._3
+    // one tile's surviving pairs, lazily (see the iterator note below)
+    def tilePairs(diagonal: Boolean,
+                  rows: Array[(Long, Seq[Double], Double, Int)])
+        : Iterator[(Long, Long, Double)] = {
         val (as, bs) =
           if (diagonal) (rows.sortBy(_._1), Array.empty[(Long, Seq[Double], Double, Int)])
           else (rows.filter(_._4 == 0).sortBy(_._1), rows.filter(_._4 == 1).sortBy(_._1))
@@ -557,6 +543,47 @@ object Clustering {
           override def next(): (Long, Long, Double) = {
             val p = pending; advance(); p
           }
+        }
+    }
+    // EXPLICIT repartition by tile key (not groupByKey): tiles are
+    // compute-dense relative to their shuffle bytes, and AQE's
+    // size-based partition coalescing folds a small exchange into one
+    // task — re-serializing the very triangle the salts fan out (the
+    // r11 bucketPairs finding; 64-dim rows are ~550 B so the audit
+    // corpora stayed wide organically, but a short-embedding or
+    // sampled-calibration input is one coalesce away from the
+    // collapse). User-specified partition counts are exempt.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    cellsDf
+      .as[(Int, Long, Seq[Double], Double)]
+      .flatMap { case (c, id, v, nrm) =>
+        val s = bc.value.getOrElse(c, 1)
+        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
+        else {
+          val my = java.lang.Math.floorMod(id, s.toLong).toInt
+          // the diagonal task plus one cross task per other salt; side
+          // tags which half of a cross task this row belongs to
+          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
+            (0 until my).iterator.map(b1 => ((c, b1, my), (id, v, nrm, 1))) ++
+            ((my + 1) until s).iterator.map(b2 => ((c, my, b2), (id, v, nrm, 0)))
+        }
+      }
+      .repartition(parts, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new scala.collection.AbstractIterator[(Long, Long, Double)] {
+          private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def load(): Unit =
+            while (!cur.hasNext && buf.hasNext) {
+              val key = buf.head._1
+              val rows = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Seq[Double], Double, Int)]
+              while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
+              cur = tilePairs(key._2 == key._3, rows.toArray)
+            }
+          override def hasNext: Boolean = { load(); cur.hasNext }
+          override def next(): (Long, Long, Double) = { load(); cur.next() }
         }
       }
       .toDF("id1", "id2", "cos_sim")
@@ -604,32 +631,14 @@ object Clustering {
     }
     val bc = spark.sparkContext.broadcast(salts)
     val kk = k
-    cellsDf
-      .as[(Int, Long, Seq[Double], Double)]
-      .flatMap { case (c, id, v, nrm) =>
-        val s = bc.value.getOrElse(c, 1)
-        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
-        else {
-          val my = java.lang.Math.floorMod(id, s.toLong).toInt
-          // the diagonal copy serves both roles; elsewhere side 0 =
-          // query member of tile (c, my, ns), side 1 = neighbor member
-          // of tile (c, qs, my)
-          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
-            (0 until s).iterator.filter(_ != my)
-              .map(ns => ((c, my, ns), (id, v, nrm, 0))) ++
-            (0 until s).iterator.filter(_ != my)
-              .map(qs => ((c, qs, my), (id, v, nrm, 1)))
-        }
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), (Long, Seq[Double], Double, Int))]) =>
-        val rows = it.map(_._2).toArray
-        val diagonal = key._2 == key._3
+    // per-tile k-slot selection, shared by every tile walk below
+    def tileTopK(cell: Int, diagonal: Boolean,
+                 rows: Array[(Long, Seq[Double], Double, Int)])
+        : Iterator[(Int, Long, Long, Double)] = {
         val qs = if (diagonal) rows else rows.filter(_._4 == 0)
         val ns = if (diagonal) rows else rows.filter(_._4 == 1)
         val nIds = ns.map(_._1); val nVs = ns.map(_._2.toArray)
         val nNs = ns.map(_._3)
-        val cell = key._1
         qs.iterator.flatMap { case (qid, qv, qn, _) =>
           val a = qv.toArray
           // k-slot selection ordered (sim desc via Double.compare —
@@ -668,6 +677,44 @@ object Clustering {
             j += 1
           }
           (0 until used).iterator.map(i => (cell, qid, selNid(i), selSim(i)))
+        }
+    }
+    // explicit repartition by tile key — same AQE-coalescing pin as
+    // inCellPairs (see the note there)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    cellsDf
+      .as[(Int, Long, Seq[Double], Double)]
+      .flatMap { case (c, id, v, nrm) =>
+        val s = bc.value.getOrElse(c, 1)
+        if (s <= 1) Iterator.single(((c, 0, 0), (id, v, nrm, 0)))
+        else {
+          val my = java.lang.Math.floorMod(id, s.toLong).toInt
+          // the diagonal copy serves both roles; elsewhere side 0 =
+          // query member of tile (c, my, ns), side 1 = neighbor member
+          // of tile (c, qs, my)
+          Iterator.single(((c, my, my), (id, v, nrm, 0))) ++
+            (0 until s).iterator.filter(_ != my)
+              .map(ns => ((c, my, ns), (id, v, nrm, 0))) ++
+            (0 until s).iterator.filter(_ != my)
+              .map(qs => ((c, qs, my), (id, v, nrm, 1)))
+        }
+      }
+      .repartition(parts, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new scala.collection.AbstractIterator[(Int, Long, Long, Double)] {
+          private var cur: Iterator[(Int, Long, Long, Double)] = Iterator.empty
+          private def load(): Unit =
+            while (!cur.hasNext && buf.hasNext) {
+              val key = buf.head._1
+              val rows = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Seq[Double], Double, Int)]
+              while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
+              cur = tileTopK(key._1, key._2 == key._3, rows.toArray)
+            }
+          override def hasNext: Boolean = { load(); cur.hasNext }
+          override def next(): (Int, Long, Long, Double) = { load(); cur.next() }
         }
       }
       .toDF("cell", "vec_id", "nid", "sim")
