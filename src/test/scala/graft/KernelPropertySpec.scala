@@ -284,4 +284,37 @@ class KernelPropertySpec extends SparkTestBase {
       assert(got.head.getAs[Double]("mi_nats") > 0.3)
     }
   }
+
+  test("bucketPairs equals the self-equijoin over 40 random bucket distributions") {
+    // seeded adversarial shapes: skewed bucket sizes (Zipf-ish), empty
+    // and singleton buckets, ids shared across buckets, random salt
+    // caps forcing 1..12 salts — the kernel's pair MULTISET must equal
+    // the join's for every draw (the r11 tiling contract, randomized)
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 0 until 40) {
+      val nBuckets = 1 + rng.nextInt(6)
+      val rows = (0 until nBuckets).flatMap { b =>
+        val size = rng.nextInt(4) match {
+          case 0 => rng.nextInt(2)            // empty/singleton
+          case 1 => 2 + rng.nextInt(5)        // small
+          case _ => 10 + rng.nextInt(40)      // hot
+        }
+        (0 until size).map { _ =>
+          val id = rng.nextInt(60).toLong     // ids collide across buckets
+          (s"b$b", id, id * 7L + b)
+        }
+      }.distinct // (bkey, id) unique per bucket — the caller contract
+      if (rows.nonEmpty) {
+        val df = rows.toDF("bkey", "id", "pay")
+        val cap = 1 + rng.nextInt(12)
+        val got = graft.operators.Dedup.bucketPairs(df, saltCap = cap)
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        val want = df.as("x").join(df.as("y"),
+            col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+          .select(col("x.id"), col("x.pay"), col("y.id"), col("y.pay"))
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"trial=$trial cap=$cap rows=${rows.size}")
+      }
+    }
+  }
 }
