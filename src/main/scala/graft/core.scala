@@ -55,10 +55,13 @@ object Num {
   def qint(c: Column, scale: Double, eps: Double = 1e-9): Column =
     floor((c + lit(eps)) * lit(scale) + lit(0.5)).cast(DecimalType(18, 0))
 
+  // native single-eval expression (VectorExpressions.RoundFloor): the
+  // CASE form referenced `c` five times, replicating every argument
+  // tree 5x in generated code — the direct cause of the r11 mixKl
+  // 64 KB overflow and a codegen-size tax on every projection. Same
+  // IEEE op sequence, identical values, child evaluated once.
   private def rFloor(c: Column, eps: Double, scale: Double): Column =
-    when(isnan(c) || c === lit(Double.PositiveInfinity) ||
-      c === lit(Double.NegativeInfinity), c)
-      .otherwise(floor((c + lit(eps)) * lit(scale) + lit(0.5)) / lit(scale))
+    org.apache.spark.sql.graft.VectorExpressions.roundFloor(c, eps, scale)
 }
 
 /** Spark-computed SQL literal fragments for the DuckDB oracle.

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -123,6 +123,45 @@ object VectorExpressions {
 
   /** Column API: rolling code-point hash of a STRING column. */
   def textHash(c: Column): Column = column(RollingHash(expression(c)))
+
+  /** The repo's epsilon-floor rounding (Num.r4/r6) as a native
+    * expression: NaN/±Inf pass through, else
+    * floor((x + eps) · scale + 0.5) / scale — the IDENTICAL IEEE op
+    * sequence as the Column formulation it replaces, evaluated ONCE.
+    * The `when(isnan(c) || ...)` form references its child in all five
+    * guard/branch positions, so every r4-wrapped output column
+    * replicated its argument tree 5× in generated code — the direct
+    * cause of the one 64 KB codegen overflow (mixKlReport) and a
+    * code-size tax on every projection in the engine. Values are
+    * bit-identical: Math.floor is IEEE-exact, and for every value both
+    * engines agreed on before (|scaled| < 2⁵³) the double result
+    * equals the old floor-to-long path.
+    */
+  case class RoundFloor(child: Expression, eps: Double, scale: Double)
+      extends UnaryExpression with ImplicitCastInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "round_floor"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[Double]
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+      else math.floor((v + eps) * scale + 0.5) / scale
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"((Double.isNaN($c) || Double.isInfinite($c)) ? $c : " +
+          s"Math.floor(($c + ${eps}D) * ${scale}D + 0.5D) / ${scale}D)")
+
+    override protected def withNewChildInternal(newChild: Expression): RoundFloor =
+      copy(child = newChild)
+  }
+
+  /** Column API: epsilon-floor rounding (see [[RoundFloor]]). */
+  def roundFloor(c: Column, eps: Double, scale: Double): Column =
+    column(RoundFloor(expression(c), eps, scale))
 
   /** Bloom-filter aggregate over a LONG column — Spark's own mergeable
     * sketch (the one InjectRuntimeFilter builds for runtime row-level
