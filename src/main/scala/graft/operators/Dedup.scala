@@ -236,8 +236,30 @@ object Dedup {
     * single-tasking — filtered to buckets OVER the cap before the
     * driver collect, so driver state is one entry per HOT bucket (the
     * boilerplate tail: Σ|bucket| ≤ input rows bounds them by
-    * rows/saltCap, and real corpora have a handful). Fails loud past
-    * 4M hot buckets rather than silently OOMing the driver.
+    * rows/saltCap, and real corpora have a handful). The driver map is
+    * keyed by `xxhash64(bkey)`, not the bucket string: the kernel only
+    * needs "how many salts does this bucket get", and over-salting a
+    * cold bucket whose hash collides with a hot one is
+    * correctness-neutral (its triangle just tiles — the pair set is
+    * unchanged, KernelPropertySpec's low-cap draws exercise exactly
+    * that universal-over-salting shape), so 12-byte entries replace
+    * 100+-byte band-slice strings and the 4M fail-loud ceiling costs
+    * ≈ 240 MB of driver map + broadcast (Map overhead included)
+    * instead of GBs. Tile keys stay the exact bucket STRING — colliding
+    * buckets never mix rows, they only share a salt count.
+    *
+    * SKEW-FREE FAST PATH: when no bucket exceeds the cap — the common
+    * production shape after exact dedup, and every uniform gate corpus
+    * — the tiling machinery is pure constant-factor tax (the r11 idle
+    * bench priced it at 1.3-2.7× across the minhashLsh family), so the
+    * kernel plans the plain self-equijoin the tiling is property-tested
+    * equal to. The tiled path engages exactly when it pays for itself:
+    * some bucket would otherwise serialize |bucket|²/2 enumerations
+    * onto the single task its join key hashes to.
+    *
+    * NULL bucket keys are dropped up front, matching the self-equijoin
+    * contract (`a.bkey = b.bkey` never matches NULL — r11 ADVICE: the
+    * tiled path used to group NULLs into one bucket and pair them).
     *
     * `pay` rides along so verify metadata (a 64-bit phash, a config
     * id) reaches the pair without a post-hoc n-row join; callers that
@@ -250,15 +272,28 @@ object Dedup {
                                  saltCap: Int = 4096): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    // persisted: the hot-count action materializes this projection
+    // anyway, and the pair plan reads it 1-2 more times (both sides of
+    // the fast-path self-equijoin, or the tiled flatMap) — without the
+    // persist every read recomputes the caller's upstream (minhash
+    // signatures, phash decode). MEMORY_AND_DISK, so a 100 TB banded
+    // frame spills instead of OOMing; it is one pass's output either way.
     val in = rows.select(col("bkey").cast("string").as("bkey"),
       col("id").cast("long").as("id"), col("pay").cast("long").as("pay"))
-    val hot = in.groupBy("bkey").count()
+      .filter(col("bkey").isNotNull)
+      .persist().tracked
+    val hot = in.groupBy(xxhash64(col("bkey")).as("bh")).count()
       .filter(col("count") > saltCap.toLong)
-      .collect().map(r => r.getString(0) ->
+      .collect().map(r => r.getLong(0) ->
         ((r.getLong(1) + saltCap - 1) / saltCap).toInt).toMap
     require(hot.size <= (1 << 22),
       s"bucketPairs: ${hot.size} buckets over saltCap=$saltCap — the hot-" +
         "bucket map no longer fits driver state; raise saltCap or pre-split")
+    if (hot.isEmpty)
+      return in.as("x").join(in.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id1"), col("x.pay").as("pay1"),
+          col("y.id").as("id2"), col("y.pay").as("pay2"))
     val bc = spark.sparkContext.broadcast(hot)
     // pairs of one tile, lazily: enumeration streams into the shuffle
     // writer, never materialized as a task-local collection
@@ -295,9 +330,10 @@ object Dedup {
     // A user-specified partition count is exempt from AQE coalescing;
     // the sort-then-walk is the same shuffle+sort groupByKey plans.
     val parts = spark.sessionState.conf.numShufflePartitions
-    in.as[(String, Long, Long)]
-      .flatMap { case (bk, id, pay) =>
-        val s = bc.value.getOrElse(bk, 1)
+    in.withColumn("bh", xxhash64(col("bkey")))
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (bk, id, pay, bh) =>
+        val s = bc.value.getOrElse(bh, 1)
         if (s <= 1) Iterator.single(((bk, 0, 0), (id, pay, 0)))
         else {
           val my = java.lang.Math.floorMod(id, s.toLong).toInt

@@ -53,10 +53,15 @@ object FrameStream {
     * (frames of one video are timestamped by position — the decoder's
     * own order), so the watermark-ready frames always form a
     * frame_idx prefix and no finalized frame can be preceded by a
-    * still-pending one. Event-time timeout retires a video that goes
-    * quiet past `idleTimeoutSec`, FLUSHING its buffered tail (every
-    * pending frame is older than the idle horizon the watermark just
-    * passed, so nothing that could reorder them can still arrive).
+    * still-pending one. The event-time timeout is armed at the OLDEST
+    * pending frame's event time (capped by the idle horizon), so a
+    * video whose feed pauses still drains each buffered cut one
+    * watermark step after the lateness window finalizes it — cut
+    * latency is bounded by `lateness`, not `idleTimeoutSec` (r11
+    * ADVICE: watermark advance alone never invokes a key's function,
+    * so a pure-retirement timeout held finalized cuts for the full
+    * idle hour). Retirement itself happens when the watermark passes
+    * `maxTs + idleTimeoutSec` with nothing pending.
     * State per video: the lag pair + the lateness-window buffer — a
     * 100 TB/day frame feed holds state for the videos in flight, not
     * the corpus. The score column is whatever the ingest decoder
@@ -101,11 +106,31 @@ object FrameStream {
               hasLast = last.isDefined), out.result())
           }
           if (state.hasTimedOut) {
-            // idle flush: watermark passed the idle horizon, so every
-            // buffered frame is final — score the tail, retire the video
+            // flush TICK, not necessarily retirement (r11 ADVICE):
+            // flatMapGroupsWithState never invokes a key on watermark
+            // advance alone, so a video whose feed stopped would sit on
+            // watermark-finalized cuts until the idle horizon if the
+            // timeout were only a retirement signal. The timeout is
+            // armed at the oldest pending frame's event time (capped by
+            // the idle horizon), so buffered cuts drain one watermark
+            // step after they finalize; the video itself retires only
+            // once the watermark passes maxTs + idleTimeout with
+            // nothing left pending.
             val st = state.getOption.getOrElse(empty)
-            val (_, cuts) = emit(st, st.pending.sortBy(_.idx))
-            state.remove()
+            val wmMs = state.getCurrentWatermarkMs()
+            val all = st.pending.sortBy(f => (f.idx, f.tsMs))
+            val (ready, hold) = all.partition(_.tsMs <= wmMs)
+            val (st1, cuts) = emit(st, ready)
+            val idleAtMs = st.maxTsMs + idleTimeoutSec * 1000L
+            if (hold.isEmpty && wmMs >= idleAtMs) state.remove()
+            else {
+              state.update(st1.copy(pending = hold))
+              // every held frame has ts > watermark (that is why it is
+              // held), so the max() is only the Spark legality floor
+              state.setTimeoutTimestamp(math.max(wmMs + 1L,
+                if (hold.isEmpty) idleAtMs
+                else math.min(hold.map(_.tsMs).min, idleAtMs)))
+            }
             cuts.iterator
           } else {
             val st = state.getOption.getOrElse(empty)
@@ -124,11 +149,18 @@ object FrameStream {
             val maxTs = math.max(st.maxTsMs,
               if (incoming.isEmpty) 0L else incoming.map(_.tsMs).max)
             state.update(st1.copy(maxTsMs = maxTs, pending = hold))
-            if (streaming)
-              // never earlier than the watermark (Spark rejects that —
-              // possible when a batch delivers only late frames)
-              state.setTimeoutTimestamp(
-                math.max(maxTs, wmMs + 1L) + idleTimeoutSec * 1000L)
+            if (streaming) {
+              // arm at the oldest still-pending frame (it finalizes —
+              // and should emit — one watermark step later), capped by
+              // the idle horizon; never at or before the watermark
+              // (Spark rejects that — possible when a batch delivers
+              // only late frames)
+              val idleAtMs = math.max(maxTs, wmMs + 1L) +
+                idleTimeoutSec * 1000L
+              state.setTimeoutTimestamp(math.max(wmMs + 1L,
+                if (hold.isEmpty) idleAtMs
+                else math.min(hold.map(_.tsMs).min, idleAtMs)))
+            }
             cuts.iterator
           }
       }

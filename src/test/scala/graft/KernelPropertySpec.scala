@@ -306,15 +306,34 @@ class KernelPropertySpec extends SparkTestBase {
       }.distinct // (bkey, id) unique per bucket — the caller contract
       if (rows.nonEmpty) {
         val df = rows.toDF("bkey", "id", "pay")
-        val cap = 1 + rng.nextInt(12)
-        val got = graft.operators.Dedup.bucketPairs(df, saltCap = cap)
-          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
         val want = df.as("x").join(df.as("y"),
             col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
           .select(col("x.id"), col("x.pay"), col("y.id"), col("y.pay"))
           .as[(Long, Long, Long, Long)].collect().sorted.toSeq
-        assert(got == want, s"trial=$trial cap=$cap rows=${rows.size}")
+        // low cap exercises the tiled path (and, since r12, universal
+        // over-salting — the hash-collision failure mode is exactly "a
+        // cold bucket gets s > 1 salts", which cap=1 draws force on
+        // EVERY bucket); the huge cap pins the r12 skew-free fast path
+        // (hot map empty → plain self-equijoin)
+        for (cap <- Seq(1 + rng.nextInt(12), 1 << 30)) {
+          val got = graft.operators.Dedup.bucketPairs(df, saltCap = cap)
+            .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+          assert(got == want, s"trial=$trial cap=$cap rows=${rows.size}")
+        }
       }
+    }
+  }
+
+  test("bucketPairs drops NULL bucket keys on both paths (join semantics)") {
+    // a.bkey = b.bkey never matches NULL — the tiled path must not
+    // invent a "null bucket" and pair it (r11 ADVICE)
+    val rows = Seq((Some("k"), 1L, 0L), (Some("k"), 2L, 0L),
+      (None, 10L, 0L), (None, 11L, 0L), (None, 12L, 0L))
+      .toDF("bkey", "id", "pay")
+    for (cap <- Seq(1 << 30, 1)) {
+      val got = graft.operators.Dedup.bucketPairs(rows, saltCap = cap)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"cap=$cap: $got")
     }
   }
 }

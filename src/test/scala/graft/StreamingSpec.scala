@@ -526,4 +526,102 @@ class StreamingSpec extends SparkTestBase {
       t >= 8 && t <= 19 && r.getDouble(2) <= 1.1 + 1e-9 && r.getDouble(3) >= 9.9
     }, rows.mkString(";"))
   }
+
+  test("a paused video drains finalized cuts at watermark pace, not idle timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameStream
+    // video 7 sends three frames then goes QUIET; only video 8 keeps
+    // the watermark moving. idleTimeoutSec is an hour, so any emission
+    // before then proves the r12 flush tick (timeout armed at the
+    // oldest pending frame), not retirement — the r11 ADVICE latency
+    // bug held these cuts for the full idle hour.
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "score", "tsec")
+    val q = FrameStream.sceneCutStream(streamDF, threshold = 10L,
+        idleTimeoutSec = 3600L)
+      .writeStream.format("memory").queryName("pausedCuts")
+      .outputMode("append").start()
+    mem.addData((7L, 0L, 0L, 100L), (7L, 1L, 100L, 101L), (7L, 2L, 0L, 102L))
+    q.processAllAvailable()
+    // watermark is still 92 s — nothing finalized yet
+    assert(spark.sql("SELECT * FROM pausedCuts").count() == 0)
+    // two video-8 batches: the first advances the watermark past video
+    // 7's frames (200 − 10 = 190 s), the second runs with that
+    // watermark so video 7's flush tick fires
+    mem.addData((8L, 0L, 0L, 200L))
+    q.processAllAvailable()
+    mem.addData((8L, 1L, 0L, 201L))
+    q.processAllAvailable()
+    val early = spark.sql(
+        "SELECT doc_id, frame_idx FROM pausedCuts WHERE doc_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(early == Set((7L, 1L), (7L, 2L)), s"early=$early")
+    // the tick must KEEP the video's lag state: a resumed feed scores
+    // against frame 2 (score 0) — no cut at idx 3 (score 0), cut at 4
+    mem.addData((7L, 3L, 0L, 210L), (7L, 4L, 100L, 211L))
+    q.processAllAvailable()
+    mem.addData((8L, 2L, 0L, 300L))
+    q.processAllAvailable()
+    mem.addData((8L, 3L, 0L, 301L))
+    q.processAllAvailable()
+    val resumed = spark.sql(
+        "SELECT doc_id, frame_idx FROM pausedCuts WHERE doc_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(resumed == Set((7L, 1L), (7L, 2L), (7L, 4L)), s"resumed=$resumed")
+  }
+
+  test("sceneCutStream equals the batch detector over random arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FrameStream
+    // r11 verdict #6: the buffered detector's contract (per video,
+    // tsec non-decreasing in frame_idx) had one targeted late-frame
+    // spec — randomize it. Each trial: random per-video feeds, arrival
+    // shuffled by a jitter strictly inside the 10 s lateness window
+    // (|j| ≤ 4 s ⇒ every row arrives above the watermark — no drops),
+    // split across a random number of micro-batches; the emitted cut
+    // set must equal the batch run of the same transform every draw.
+    val rng = new scala.util.Random(20260817L)
+    for (trial <- 0 until 4) {
+      val all = (0 until 2 + rng.nextInt(3)).flatMap { v =>
+        var t = 50L + rng.nextInt(20)
+        (0 until 8 + rng.nextInt(12)).map { i =>
+          t += rng.nextInt(3)
+          (100L + v, i.toLong, rng.nextInt(100).toLong, t)
+        }
+      }
+      // precompute the jitter keys: sortBy's key function runs per
+      // COMPARISON, so a random key violates the ordering contract
+      val arrival = all
+        .map(r => (r, r._4 + rng.nextInt(9) - 4, rng.nextInt()))
+        .sortBy(t => (t._2, t._3)).map(_._1)
+      val nBatches = 2 + rng.nextInt(4)
+      val per = math.max(1, (arrival.size + nBatches - 1) / nBatches)
+      val mem = MemoryStream[(Long, Long, Long, Long)]
+      val streamDF = mem.toDF().toDF("doc_id", "frame_idx", "score", "tsec")
+      val q = FrameStream.sceneCutStream(streamDF, threshold = 30L,
+          idleTimeoutSec = 60L)
+        .writeStream.format("memory").queryName(s"randCuts$trial")
+        .outputMode("append").start()
+      arrival.grouped(per).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val maxTs = all.map(_._4).max
+      mem.addData((999L, 0L, 0L, maxTs + 1000L))
+      q.processAllAvailable()
+      mem.addData((999L, 1L, 0L, maxTs + 1001L))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, frame_idx, prev_idx, " +
+          s"prev_score, score FROM randCuts$trial WHERE doc_id < 999")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      q.stop()
+      val batchCuts = FrameStream.sceneCutStream(
+          all.toDF("doc_id", "frame_idx", "score", "tsec"), threshold = 30L)
+        .collect().map(c => (c.doc_id, c.frame_idx, c.prev_idx,
+          c.prev_score, c.score)).toSet
+      assert(streamed == batchCuts,
+        s"trial=$trial stream=$streamed batch=$batchCuts")
+    }
+  }
 }
