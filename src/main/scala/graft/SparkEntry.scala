@@ -5246,8 +5246,12 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * w[i])) >= 0
          |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sk
          | FROM n CROSS JOIN bpl GROUP BY n.vec_id),
-         |bav AS (SELECT iasg.vec_id, iasg.v, iasg.nrm, iasg.cid, bsk.sk
-         | FROM iasg JOIN bsk ON iasg.vec_id = bsk.vec_id),
+         |bav AS (SELECT vec_id, v, nrm, cid, sk FROM (
+         | SELECT iasg.vec_id, iasg.v, iasg.nrm, iasg.cid, bsk.sk,
+         |  row_number() OVER (ORDER BY
+         |   CAST('0x' || substr(md5(CAST(iasg.vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+         |   iasg.vec_id) AS srn
+         | FROM iasg JOIN bsk ON iasg.vec_id = bsk.vec_id) WHERE srn <= 4096),
          |bpr AS (SELECT CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming,
          |  floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
          |    / (a.nrm * b.nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim

@@ -445,7 +445,7 @@ object Similarity {
   }
 
   def bitSketchCalibration(embs: DataFrame, nPlanes: Int = 32,
-                           nCells: Int = 8): DataFrame = {
+                           nCells: Int = 8, sampleN: Int = 4096): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     val planeCols = planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*))
     val base = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -456,9 +456,21 @@ object Similarity {
     val cells = if (nCells > 0) nCells else autoCells(embs)
     val cents = base.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // the hamming→cos curve is a property of the hash family and the
+    // similarity distribution, not of corpus size — so calibration runs
+    // on a FIXED-SIZE md5-ranked sample (deterministic, append-stable;
+    // the lshBandSweep/embed_hard_negatives convention). This is the
+    // 100 TB contract AS CODE (r11 verdict #4): a naive caller used to
+    // be one default away from materializing the full in-cell pair
+    // volume (1.77·10¹⁰ pairs ≈ 425 GB at the embskew ×100 audit
+    // shape); now the pair volume is ≤ sampleN²/2 regardless of corpus.
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition
+    // top-N, no global sort, no single-partition shuffle.
     val assigned = assignCells(base, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .withColumn("sk", sk)
+      .orderBy(Sampling.hash32(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN)
       .persist().tracked // pair kernel input + both sketch lookups
     // salted pair kernel + broadcast sketch lookup instead of a cell
     // self-equijoin (a mega-cell is ONE join key → single-task |cell|²
@@ -466,9 +478,7 @@ object Similarity {
     // kernel's keep-ALL branch, which passes NaN/±Inf cosines from
     // zero-norm vectors too — matching this oracle's unconditional
     // pair enumeration, r10 ADVICE). The broadcast is the
-    // n-row (vec_id → 8-byte sketch) map — fine at any gate corpus;
-    // a 100 TB deployment calibrates hamming→cos on a sample by
-    // construction, so n here is the calibration sample size.
+    // sampleN-row (vec_id → 8-byte sketch) map — bounded by the cap.
     val pairsRaw = graft.operators.Clustering.inCellPairs(
       assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm")),
       threshold = -2.0)
