@@ -22,7 +22,12 @@ object BenchSome {
       // floor: drop it so parallelism-first coalescing actually keeps
       // the session's 32-way parallelism. Cluster deployments at real
       // data sizes never see sub-MB hot exchanges and keep defaults.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // SPARK_GRAFT_MIN_PART_SIZE lets a probe A/B the floor itself
+      // (the r11 hypothesis for the small-query idle movers: a 64 kb
+      // floor schedules 32 near-empty tasks where the 1 MB default ran
+      // 2-3, and ~30 empty task launches cost real ms per exchange)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64kb"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)

@@ -116,7 +116,15 @@ object StageAudit {
         f"""{"stage":${st.stageId},"tasks":${st.nTasks},""" +
           f""""sumSec":${st.sumMs / 1000.0}%.2f,"maxSec":${st.maxMs / 1000.0}%.2f,""" +
           f""""maxShare":${st.maxShare}%.3f}""").mkString("[", ",", "]")
-      val worst = if (heavy.isEmpty) 0.0 else heavy.map(_.maxShare).max
+      // "worst share" counts only stages carrying ≥ 20% of the biggest
+      // stage's summed task time: a 0.6 s single-task scan or a final
+      // 1-row collect legitimately has maxShare 1.0 and says nothing
+      // about kernel collapse
+      val bigSum = heavy.headOption.map(_.sumMs).getOrElse(0L)
+      val worst = heavy.filter(_.sumMs * 5 >= bigSum) match {
+        case Seq() => 0.0
+        case hs => hs.map(_.maxShare).max
+      }
       qjson.append(f""""$name":{"sec":$dt%.2f,"rows":$rows,""" +
         f""""worstHeavyShare":$worst%.3f,"stages":$stagesJson}""")
       Caches.release()

@@ -483,11 +483,19 @@ object Clustering {
     import spark.implicits._
     val cellsDf = av.select(col("cell").cast("int").as("cell"),
       col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"))
-    // bounded driver state: one count per cell (k = O(√n) cells)
+    // bounded driver state: one count per cell (k = O(√n) cells).
+    // A hot cell gets at least √(8·parts) salts (≈ 4 tiles per shuffle
+    // partition): ceil(n/saltCap) alone hands a cell just over the cap
+    // only 2-3 salts, and the kernel stage then waits on one
+    // saltCap²/2-dot straggler tile (the r12 mm_phash finding, same
+    // mechanism here). The pair set is s-invariant.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sMin = math.max(2, math.ceil(math.sqrt(8.0 * parts)).toInt)
     val sizes = cellsDf.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val salts = sizes.map { case (c, n) =>
-      c -> math.max(1, ((n + saltCap - 1) / saltCap).toInt)
+      val s0 = ((n + saltCap - 1) / saltCap).toInt
+      c -> (if (s0 > 1) math.max(s0, sMin) else 1)
     }
     val bc = spark.sparkContext.broadcast(salts)
     val thr = threshold
@@ -553,7 +561,6 @@ object Clustering {
     // corpora stayed wide organically, but a short-embedding or
     // sampled-calibration input is one coalesce away from the
     // collapse). User-specified partition counts are exempt.
-    val parts = spark.sessionState.conf.numShufflePartitions
     cellsDf
       .as[(Int, Long, Seq[Double], Double)]
       .flatMap { case (c, id, v, nrm) =>
@@ -624,10 +631,15 @@ object Clustering {
     import spark.implicits._
     val cellsDf = av.select(col("cell").cast("int").as("cell"),
       col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"))
+    // hot cells get at least √(8·parts) salts — same straggler-tile
+    // reasoning as inCellPairs; top-k merge is s-invariant
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sMin = math.max(2, math.ceil(math.sqrt(8.0 * parts)).toInt)
     val sizes = cellsDf.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val salts = sizes.map { case (c, n) =>
-      c -> math.max(1, ((n + saltCap - 1) / saltCap).toInt)
+      val s0 = ((n + saltCap - 1) / saltCap).toInt
+      c -> (if (s0 > 1) math.max(s0, sMin) else 1)
     }
     val bc = spark.sparkContext.broadcast(salts)
     val kk = k
@@ -681,7 +693,6 @@ object Clustering {
     }
     // explicit repartition by tile key — same AQE-coalescing pin as
     // inCellPairs (see the note there)
-    val parts = spark.sessionState.conf.numShufflePartitions
     cellsDf
       .as[(Int, Long, Seq[Double], Double)]
       .flatMap { case (c, id, v, nrm) =>

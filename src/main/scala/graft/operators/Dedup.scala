@@ -269,7 +269,7 @@ object Dedup {
     * Output: id1, pay1, id2, pay2.
     */
   private[graft] def bucketPairs(rows: DataFrame,
-                                 saltCap: Int = 4096): DataFrame = {
+                                 saltCap: Int = 1024): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     // persisted: the hot-count action materializes this projection
@@ -282,10 +282,22 @@ object Dedup {
       col("id").cast("long").as("id"), col("pay").cast("long").as("pay"))
       .filter(col("bkey").isNotNull)
       .persist().tracked
+    // minimum salt count for a HOT bucket: ceil(n/saltCap) alone gives
+    // a bucket just over the cap only 2-3 salts → 3-6 tiles of up to
+    // saltCap²/2 enumerations each, and the whole kernel waits on one
+    // ~9 s tile (measured: mm_phash on the nearverb family, s = 2, one
+    // 9 M-pair cross tile = the stage straggler). Tiling to ≈ 4 tiles
+    // per shuffle partition (s(s+1)/2 ≥ 4·parts ⇒ s ≈ √(8·parts))
+    // keeps every tile a sub-second task; the price is s× fan-out of
+    // the bucket's rows, bounded because the bump only applies to
+    // buckets in (saltCap, saltCap·s_min) — bigger buckets already
+    // exceed it organically. The pair set is s-invariant.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sMin = math.max(2, math.ceil(math.sqrt(8.0 * parts)).toInt)
     val hot = in.groupBy(xxhash64(col("bkey")).as("bh")).count()
       .filter(col("count") > saltCap.toLong)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1) + saltCap - 1) / saltCap).toInt).toMap
+        math.max(((r.getLong(1) + saltCap - 1) / saltCap).toInt, sMin)).toMap
     require(hot.size <= (1 << 22),
       s"bucketPairs: ${hot.size} buckets over saltCap=$saltCap — the hot-" +
         "bucket map no longer fits driver state; raise saltCap or pre-split")
@@ -329,7 +341,6 @@ object Dedup {
     // the tiling exists to prevent, reintroduced by the optimizer).
     // A user-specified partition count is exempt from AQE coalescing;
     // the sort-then-walk is the same shuffle+sort groupByKey plans.
-    val parts = spark.sessionState.conf.numShufflePartitions
     in.withColumn("bh", xxhash64(col("bkey")))
       .as[(String, Long, Long, Long)]
       .flatMap { case (bk, id, pay, bh) =>
