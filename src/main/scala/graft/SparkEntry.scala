@@ -4688,6 +4688,35 @@ object SparkEntry {
          |SELECT doc1, doc2, jac FROM verjac
          |WHERE jac >= 0.1 ORDER BY doc1, doc2""".stripMargin)),
 
+    Q("dedup_incremental", (s, dir) => {
+      // the daily-ingest shape: the doc_id % 10 = 7 slice stands in
+      // for today's batch, checked against the rest (the existing
+      // corpus) — exact digest probe, then MinHash band probe, never
+      // corpus×corpus; batch side broadcast
+      Dedup.incremental(Tables.documents(s, dir), col("doc_id") % 10 === 7)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $SQL_MINHASH_CTES,
+         |bb AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+         |cc AS (SELECT doc_id AS cid, md5(text) AS h FROM documents WHERE doc_id % 10 != 7),
+         |ex AS (SELECT bb.doc_id, min(cid) AS ex_match FROM bb JOIN cc USING (h) GROUP BY 1),
+         |cr AS (SELECT CASE WHEN doc1 % 10 = 7 THEN doc1 ELSE doc2 END AS doc_id,
+         |  CASE WHEN doc1 % 10 = 7 THEN doc2 ELSE doc1 END AS cid, jac
+         | FROM verjac WHERE (doc1 % 10 = 7) != (doc2 % 10 = 7) AND jac >= 0.1),
+         |nr AS (SELECT doc_id, cid AS near_match, jac FROM (
+         |  SELECT doc_id, cid, jac, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jac DESC, cid) AS rn FROM cr) WHERE rn = 1),
+         |b0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7)
+         |SELECT b0.doc_id,
+         | CASE WHEN ex.ex_match IS NOT NULL THEN 'exact'
+         |      WHEN nr.near_match IS NOT NULL THEN 'near'
+         |      ELSE 'new' END AS verdict,
+         | CASE WHEN ex.ex_match IS NOT NULL THEN ex.ex_match
+         |      ELSE nr.near_match END AS match_id,
+         | CASE WHEN ex.ex_match IS NOT NULL THEN 1.0 ELSE nr.jac END AS jac
+         |FROM b0 LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
+
     Q("minhash_calibration", (s, dir) => {
       // measured signature quality: the signature-only Jaccard estimate
       // (what LSH banding actually thresholds on) next to the exact
@@ -4880,6 +4909,29 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
         | FROM scored)
         |SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("ann_filtered", (s, dir) => {
+      // filtered vector search: top-5 among label != query label, with
+      // in_post flagging which hits the post-filter pipeline (filter
+      // AFTER global top-k) would have surfaced — rows at 0 are its
+      // recall loss
+      Similarity.filteredKnn(Tables.embeddings(s, dir), 10, 5)
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (SELECT qid, qlabel, n.vec_id AS nid, n.label,
+        |  floor((list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qn * nrm) + 1e-9) * 1e4 + 0.5) / 1e4 AS cos_sim
+        | FROM n CROSS JOIN q WHERE n.vec_id != qid),
+        |ra AS (SELECT qid, qlabel, nid, label, cos_sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank_all
+        | FROM scored),
+        |fr AS (SELECT qid, nid, cos_sim, rank_all,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS INT) AS rank
+        | FROM ra WHERE label != qlabel)
+        |SELECT qid, rank, nid, cos_sim, CAST(rank_all <= 5 AS INT) AS in_post
+        |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     Q("embed_norm_stats", (s, dir) => {
       // distribution of embedding L2 norms per label — the standard
@@ -6717,6 +6769,45 @@ object SparkEntry {
         |             CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_budget_fill", (s, dir) => {
+      // what an 800-token budget buys per source: best-quality-first
+      // fill, straddler kept; the engine plan never sorts documents —
+      // per-(source, quality-value) histogram walk, only the boundary
+      // value's docs get row-level ranking
+      Sampling.budgetFill(
+          TextAnalysis.qualityGate(Tables.documents(s, dir),
+              keepCols = Seq("source"))
+            .select(col("source"), col("doc_id"), col("n_tokens"),
+              col("quality")),
+          "source", 800L)
+        .orderBy("source")
+    }, Some(
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        | FROM documents),
+        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor((1.0 - least(punct / len * 5.0, 0.3) - least(digits / len * 5.0, 0.3)
+        |    - least(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / len(w), 0.3) + 1e-9) * 1e4 + 0.5) / 1e4 AS quality
+        | FROM t),
+        |r AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        | FROM q),
+        |k AS (SELECT * FROM r WHERE cb < 800),
+        |ka AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        |  min(quality) AS cut_quality FROM k GROUP BY 1),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM q GROUP BY 1)
+        |SELECT tot.source, n_docs, corpus_tokens,
+        | COALESCE(n_kept, 0) AS n_kept, COALESCE(tokens_kept, 0) AS tokens_kept,
+        | cut_quality,
+        | floor((CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / 800 + 1e-9) * 1e4 + 0.5) / 1e4 AS util
+        |FROM tot LEFT JOIN ka USING (source) ORDER BY tot.source""".stripMargin)),
 
     Q("sample_balanced", (s, dir) =>
       // class-balanced downsample: every lang stratum cut to the

@@ -422,6 +422,75 @@ object Dedup {
       .select("doc1", "doc2", "jac")
   }
 
+  /** Incremental dedup — the daily-ingest shape at corpus scale: check
+    * an incoming batch against the EXISTING corpus without ever
+    * pairing corpus×corpus. Every batch document gets one verdict row:
+    * `exact` (byte-identical to a corpus doc — md5 digest probe,
+    * match_id = lowest matching corpus id, jac = 1.0), `near` (shares
+    * a MinHash band with a corpus doc and verifies at exact shingle
+    * Jaccard ≥ threshold — match_id/jac = the best verified match,
+    * ties to the lowest corpus id), or `new`. Within-batch duplicates
+    * are out of scope by design (that is a self-dedup of the increment,
+    * [[minhashLsh]]'s job).
+    *
+    * Scale shape: candidate volume is ∝ batch × collision rate, never
+    * corpus². The batch digest and band frames are BROADCAST (the
+    * increment is small next to the corpus), so the probe rides the
+    * corpus scan with no corpus shuffle and no join-key skew — a hot
+    * band bucket (boilerplate slice) fans out across the corpus
+    * partitions that hold it instead of serializing onto one task. In
+    * production the corpus side is the pre-built signature/digest
+    * index (see `sources.BucketedCorpus` for the bucketed layout) —
+    * deriving it in-query here stands in for that read.
+    */
+  def incremental(docs: DataFrame, batchPred: Column, numHashes: Int = 64,
+                  bands: Int = 16, threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = numHashes / bands
+    val batch = docs.filter(batchPred)
+    val corpus = docs.filter(!batchPred)
+    // exact layer: only 128-bit digests move, never text
+    val bDig = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val cDig = corpus.select(col("doc_id").as("cid"), md5(col("text")).as("h"))
+    val ex = cDig.join(broadcast(bDig), "h")
+      .groupBy("doc_id").agg(min("cid").as("ex_match"))
+    // near layer: the same signature pipeline as minhashLsh, split at
+    // the band join so only batch×corpus band collisions become
+    // candidates
+    val bSets = withShingles(batch).persist().tracked
+    val cSets = withShingles(corpus).persist().tracked
+    def banded(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bd =>
+        slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
+    val cand = banded(signatures(cSets, numHashes))
+      .withColumnRenamed("doc_id", "cid")
+      .join(broadcast(banded(signatures(bSets, numHashes))), Seq("band", "bh"))
+      .select(col("doc_id"), col("cid")).distinct()
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("jac").desc, col("cid").asc)
+    val nr = cand
+      .join(bSets.select(col("doc_id"), col("sh").as("sh1")), "doc_id")
+      .join(cSets.select(col("doc_id").as("cid"), col("sh").as("sh2")), "cid")
+      .withColumn("inter", sortedIntersect(col("sh1"), col("sh2")))
+      .withColumn("jac", r4(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter"))))
+      .filter(col("jac") >= threshold)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cid").as("near_match"), col("jac"))
+    batch.select(col("doc_id"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(nr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        when(col("ex_match").isNotNull, col("ex_match"))
+          .otherwise(col("near_match")).as("match_id"),
+        when(col("ex_match").isNotNull, lit(1.0))
+          .otherwise(col("jac")).as("jac"))
+  }
+
   /** LSH banding tradeoff sweep — the measured S-curve the (bands,
     * rows) choice is actually made on: for each config over the SAME
     * 64-hash signatures, the candidate-pair count, recall against the

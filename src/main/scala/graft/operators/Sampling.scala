@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Caches._
+import graft.Num._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -172,6 +173,74 @@ object Sampling {
       .crossJoin(broadcast(m))
       .filter(col("_hrk") <= col("_m"))
       .drop("_hrk", "_m")
+  }
+
+  /** Quality-budgeted corpus fill — "what does a token budget buy, per
+    * stratum?": rank each stratum's documents best-quality-first
+    * (4-dp-rounded quality DESC, doc_id ASC — the rounded score makes
+    * the order engine-stable) and keep documents while the cumulative
+    * token count BEFORE each one is under the budget, so the budget
+    * straddler is kept (the [[pack_sequences]]-family convention).
+    * Output is the per-stratum scorecard: documents/tokens the budget
+    * bought, the effective quality cut it induced, and utilization.
+    *
+    * `scored` carries (strataCol, doc_id, n_tokens, quality) — one
+    * `TextAnalysis.qualityGate` scan produces it.
+    *
+    * Scale shape — NO document-level sort: the doc-level cumsum window
+    * would serialize a mega-stratum onto one task. Instead (the
+    * sample_curriculum move) aggregate to the per-(stratum, quality
+    * VALUE) histogram first — a parallel hash aggregate; ≤ 10⁴ 4-dp
+    * values per stratum — walk the value-level cumulative token sums
+    * to find each stratum's BOUNDARY value (budget crossed inside it),
+    * and rank row-by-row ONLY the boundary value's documents. Values
+    * above the boundary are kept wholesale from the histogram; values
+    * below never leave the aggregate.
+    */
+  def budgetFill(scored: DataFrame, strataCol: String,
+                 budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = col(strataCol)
+    val vals = scored.groupBy(st, col("quality"))
+      .agg(count(lit(1)).as("c"), sum("n_tokens").as("toks"))
+    val wv = Window.partitionBy(st).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vals
+      .withColumn("cum_before", coalesce(sum("toks").over(wv), lit(0L)))
+      .persist().tracked
+    // values wholly inside the budget: every document kept (the last
+    // one's per-doc cum_before is cum_before + toks − its own ≥ 1
+    // tokens < budget)
+    val full = cum.filter(col("cum_before") + col("toks") <= budget)
+      .groupBy(st).agg(sum("c").as("n_full"), sum("toks").as("toks_full"),
+        min("quality").as("q_full"))
+    // the boundary value (≤ 1 per stratum): budget crossed inside it —
+    // only ITS documents get row-level ranking
+    val bnd = cum.filter(col("cum_before") < budget &&
+      col("cum_before") + col("toks") > budget)
+    val wb = Window.partitionBy(st).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bkept = scored
+      .join(broadcast(bnd.select(st, col("quality"), col("cum_before"))),
+        Seq(strataCol, "quality"))
+      .withColumn("cb_doc",
+        col("cum_before") + coalesce(sum("n_tokens").over(wb), lit(0L)))
+      .filter(col("cb_doc") < budget)
+      .groupBy(st).agg(count(lit(1)).as("n_bnd"),
+        sum("n_tokens").as("toks_bnd"), min("quality").as("q_bnd"))
+    scored.groupBy(st)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("corpus_tokens"))
+      .join(full, Seq(strataCol), "left")
+      .join(bkept, Seq(strataCol), "left")
+      .select(st, col("n_docs"), col("corpus_tokens"),
+        (coalesce(col("n_full"), lit(0L)) +
+          coalesce(col("n_bnd"), lit(0L))).as("n_kept"),
+        (coalesce(col("toks_full"), lit(0L)) +
+          coalesce(col("toks_bnd"), lit(0L))).as("tokens_kept"),
+        coalesce(col("q_bnd"), col("q_full")).as("cut_quality"),
+        r4((coalesce(col("toks_full"), lit(0L)) +
+          coalesce(col("toks_bnd"), lit(0L))).cast("double") / budget)
+          .as("util"))
   }
 
   /** Deterministic k-fold assignment: fold = md5-hash(key) mod k — the

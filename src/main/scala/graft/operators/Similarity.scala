@@ -70,6 +70,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Filtered k-NN — vector search under a metadata predicate (here:
+    * neighbor label ≠ query label, the cross-label retrieval shape —
+    * "most similar vector from a DIFFERENT class/source"). The output
+    * is the PRE-filter answer (predicate applied before ranking, the
+    * correct semantics) with an `in_post` flag per hit: would the
+    * cheaper POST-filter pipeline (rank everything, then drop
+    * disallowed hits from the global top-k) have surfaced this
+    * neighbor? Rows with in_post = 0 are post-filtering's recall loss
+    * — the measured number behind "push the predicate into the index
+    * scan, don't filter the results".
+    *
+    * Scale shape: one broadcast of the query rows, one corpus pass,
+    * ONE exchange shared by both rankings (the two row_number windows
+    * partition and sort identically, so Catalyst plans a single
+    * shuffle+sort and the filtered ranking reuses it). The production
+    * composition pushes the same predicate into the IVF cell scan
+    * ([[ivfAnn]]) so disallowed vectors never reach the distance
+    * kernel.
+    */
+  def filteredKnn(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = embs.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"), col("label"),
+        r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank_all", row_number().over(w))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos_sim"),
+        (col("rank_all") <= k).cast("int").as("in_post"))
+  }
+
   /** Deterministic pseudo-random hyperplanes via splitmix64 — no RNG
     * state, reproducible across runs and engines.
     */

@@ -102,6 +102,22 @@ class PipelineSpec extends SparkTestBase {
     assert(out.head == 1L)
   }
 
+  test("filteredKnn pre-filters by label and flags post-filter recall loss") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0), // query, label 0
+      (1L, Array(1.0f, 0.001f, 0.0f), 0), // nearest overall, SAME label
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),
+      (3L, Array(0.5f, 0.5f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredKnn(e, nQueries = 1, k = 2)
+      .orderBy("rank")
+      .select("nid", "in_post").as[(Long, Int)].collect().toSeq
+    // pre-filter answer: 2 then 3; the unfiltered top-2 is (1, 2), so
+    // 3 is exactly what post-filtering would have lost
+    assert(out == Seq((2L, 1), (3L, 0)))
+  }
+
   test("lsh ann returns ranked neighbors from the same bucket") {
     val e = (0 until 40).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)

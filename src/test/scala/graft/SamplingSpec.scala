@@ -195,4 +195,54 @@ class SamplingSpec extends SparkTestBase {
     val d = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
     assert(Dedup.substringPairs(d, width = 32).count() == 0)
   }
+
+  test("budgetFill keeps the straddler, ranks boundary ties by doc_id, " +
+    "and reports under-budget strata whole") {
+    val scored = Seq(
+      // stratum a: 4 equal-size docs, quality-ordered — budget 800
+      // crosses inside doc 3 (cum_before 600 < 800), doc 4 dropped
+      ("a", 1L, 300L, 0.9), ("a", 2L, 300L, 0.9),
+      ("a", 3L, 300L, 0.8), ("a", 4L, 300L, 0.7),
+      // stratum b: fits entirely under the budget
+      ("b", 10L, 100L, 0.5), ("b", 11L, 50L, 0.6),
+      // stratum c: ALL docs share one quality value — the boundary
+      // path must rank them by doc_id (22's cum_before = 800, not <)
+      ("c", 20L, 400L, 0.9), ("c", 21L, 400L, 0.9), ("c", 22L, 400L, 0.9)
+    ).toDF("source", "doc_id", "n_tokens", "quality")
+    val out = Sampling.budgetFill(scored, "source", 800L)
+      .orderBy("source")
+      .select("source", "n_docs", "corpus_tokens", "n_kept", "tokens_kept",
+        "cut_quality", "util")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 1200L, 3L, 900L, 0.8, 1.125),
+      ("b", 2L, 150L, 2L, 150L, 0.5, 0.1875),
+      ("c", 3L, 1200L, 2L, 800L, 0.9, 1.0)))
+  }
+
+  test("incremental dedup verdicts: exact beats near, near verifies " +
+    "jaccard, within-batch dups stay 'new'") {
+    val d = Seq(
+      // corpus
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated totally different content here now"),
+      // batch (doc_id >= 100)
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (101L, "the quick brown fox jumps over the lazy cat"), // near dup of 2
+      (102L, "completely novel words nobody else ever uses"),
+      (103L, "completely novel words nobody else ever uses") // batch-internal dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(d, col("doc_id") >= 100, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (100L, "exact", Some(1L)),
+      (101L, "near", Some(2L)),
+      (102L, "new", None),
+      (103L, "new", None)))
+    assert(out.head._4.contains(1.0))
+    // doc 2 has 8 bigram shingles, doc 101 shares 7 → jac 7/9
+    assert(out(1)._4.contains(0.7778))
+  }
 }
