@@ -201,7 +201,11 @@ object Sampling {
                  budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val st = col(strataCol)
-    val vals = scored.groupBy(st, col("quality"))
+    // three consumers (histogram, boundary ranking, stratum totals) —
+    // materialize the slim projection once instead of re-scanning the
+    // raw corpus (and re-computing the quality expression) per branch
+    val sc = scored.persist().tracked
+    val vals = sc.groupBy(st, col("quality"))
       .agg(count(lit(1)).as("c"), sum("n_tokens").as("toks"))
     val wv = Window.partitionBy(st).orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -220,7 +224,7 @@ object Sampling {
       col("cum_before") + col("toks") > budget)
     val wb = Window.partitionBy(st).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bkept = scored
+    val bkept = sc
       .join(broadcast(bnd.select(st, col("quality"), col("cum_before"))),
         Seq(strataCol, "quality"))
       .withColumn("cb_doc",
@@ -228,7 +232,7 @@ object Sampling {
       .filter(col("cb_doc") < budget)
       .groupBy(st).agg(count(lit(1)).as("n_bnd"),
         sum("n_tokens").as("toks_bnd"), min("quality").as("q_bnd"))
-    scored.groupBy(st)
+    sc.groupBy(st)
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("corpus_tokens"))
       .join(full, Seq(strataCol), "left")
       .join(bkept, Seq(strataCol), "left")
