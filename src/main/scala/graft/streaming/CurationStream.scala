@@ -104,4 +104,74 @@ object CurationStream {
         (col("ok_len") === 1 && col("maybe_contaminated") === 0).cast("int"))
       .drop("_wd")
   }
+
+  /** Build the corpus dedup sketches for ingest-time incremental dedup
+    * (driver-side, once per corpus/index version): a bloom over the
+    * corpus text digests (exact-dup probe) and a bloom over the corpus
+    * MinHash band keys (near-dup probe). Both are fixed-size binaries
+    * that ship with the streaming plan as literals — the sketch-side
+    * of the sketch-at-ingest / exact-at-rest split that
+    * `Dedup.incremental` answers at rest. Band keys use the SAME
+    * per-row signature expression the stream probe runs
+    * (Dedup.rowSig), so a batch near-dup candidate's shared band is in
+    * the sketch by construction — no false negatives.
+    */
+  def corpusDedupSketch(corpus: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16,
+                        expectedItems: Long = 1000000L,
+                        numBits: Long = 8000000L): (Array[Byte], Array[Byte]) = {
+    val dig = corpus
+      .agg(VectorExpressions.bloomAgg(xxhash64(col("text")),
+        expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val band = graft.operators.Dedup.bandHashes(corpus, numHashes, bands)
+      .agg(VectorExpressions.bloomAgg(col("bh64"),
+        expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (dig, band)
+  }
+
+  /** Ingest-time incremental dedup — the streaming face of
+    * `Dedup.incremental`: flag each document of an unbounded feed
+    * against the EXISTING corpus with zero joins and zero state.
+    *   - `maybe_exact`: text digest possibly among the corpus digests
+    *   - `maybe_near`: any MinHash band key possibly among the corpus
+    *     band keys
+    *   - `verdict_stream`: `flagged_exact` / `flagged_near` / `clean`
+    * The bloom contract makes `clean` DEFINITIVE (no false negatives:
+    * every doc Dedup.incremental would verdict exact/near is flagged —
+    * StreamingSpec pins it); flagged docs route to the exact batch
+    * check instead of being dropped blind. One stateless projection:
+    * the shingle array, 64-permutation signature, and 16 band probes
+    * live and die inside the task — the only state on a 100 TB/day
+    * feed is the two fixed-size sketches.
+    */
+  def incrementalGate(docs: DataFrame, digestSketch: Array[Byte],
+                      bandSketch: Array[Byte], numHashes: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    import graft.operators.Dedup
+    val wd = split(lower(col("text")), "\\s+")
+    val shingles = sort_array(array_distinct(
+      expr("transform(sequence(1, size(_wd) - 1), " +
+        "i -> concat(element_at(_wd, i), ' ', element_at(_wd, i + 1)))")))
+    docs
+      .withColumn("_wd", wd)
+      .withColumn("_sh",
+        when(size(col("_wd")) >= 2, shingles).otherwise(array().cast("array<string>")))
+      .withColumn("_hs", Dedup.shingleHash64(col("_sh")))
+      .withColumn("_sig", Dedup.rowSig(col("_hs"), numHashes))
+      .withColumn("maybe_exact",
+        VectorExpressions.bloomMightContain(lit(digestSketch),
+          xxhash64(col("text"))).cast("int"))
+      .withColumn("maybe_near",
+        when(size(col("_sh")) < 1, lit(0)).otherwise(
+          exists(Dedup.bandHash64(col("_sig"), bands, numHashes / bands),
+            h => VectorExpressions.bloomMightContain(lit(bandSketch), h))
+            .cast("int")))
+      .withColumn("verdict_stream",
+        when(col("maybe_exact") === 1, "flagged_exact")
+          .when(col("maybe_near") === 1, "flagged_near")
+          .otherwise("clean"))
+      .drop("_wd", "_sh", "_hs", "_sig")
+  }
 }

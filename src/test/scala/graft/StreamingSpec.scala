@@ -624,4 +624,52 @@ class StreamingSpec extends SparkTestBase {
         s"trial=$trial stream=$streamed batch=$batchCuts")
     }
   }
+
+  test("incrementalGate never misses a batch exact/near verdict and " +
+    "passes clean docs; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated totally different content here now"))
+    val batchRows = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (101L, "the quick brown fox jumps over the lazy cat"), // near dup of 2
+      (102L, "completely novel words nobody else ever uses"),
+      (103L, "x")) // single word: no shingles, no bands
+    val all = (corpus ++ batchRows).toDF("doc_id", "text")
+    val (dig, band) = CurationStream.corpusDedupSketch(
+      corpus.toDF("doc_id", "text"))
+    // the at-rest adjudication the stream prefilter must never contradict
+    val atRest = Dedup.incremental(all, col("doc_id") >= 100, threshold = 0.5)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(atRest(100L) == "exact" && atRest(101L) == "near")
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.incrementalGate(
+        mem.toDF().toDF("doc_id", "text"), dig, band)
+      .select("doc_id", "maybe_exact", "maybe_near", "verdict_stream")
+      .writeStream.format("memory").queryName("incgate")
+      .outputMode("append").start()
+    mem.addData(batchRows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM incgate ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSeq
+    q.stop()
+    val verdicts = streamed.map(r => r._1 -> r._4).toMap
+    // no false negatives: every at-rest exact/near doc is flagged
+    assert(verdicts(100L) == "flagged_exact")
+    assert(verdicts(101L) == "flagged_near")
+    // definitive cleans: novel docs stream through unflagged
+    assert(verdicts(102L) == "clean" && verdicts(103L) == "clean")
+    // stateless parity: batch run of the same projection is identical
+    val batchOut = CurationStream.incrementalGate(
+        batchRows.toDF("doc_id", "text"), dig, band)
+      .select("doc_id", "maybe_exact", "maybe_near", "verdict_stream")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSeq
+    assert(batchOut == streamed)
+  }
 }
