@@ -7533,6 +7533,57 @@ object SparkEntry {
          |  floor((dist + 1e-9) * 1e4 + 0.5) / 1e4 AS dtw, CAST(n AS INTEGER) AS n
          |FROM fin ORDER BY obj_name, cand_name, node""".stripMargin)),
 
+    Q("ts_matrix_profile", (s, dir) =>
+      // exact z-normalized matrix profile per signal on the hourly
+      // grid: nearest non-trivial neighbor distance per length-8
+      // subsequence — motifs at the low end, THE discord at the max;
+      // integer moments + one fixed IEEE distance sequence, SCAMP-
+      // style index-block tiling keeps a signal's O(n²/2) triangle
+      // off a single task
+      TimeSeries.matrixProfile(corrGrid(s, dir))
+        .orderBy("name", "node", "idx"),
+    Some(
+      s"""WITH $SQL_CORR_CTES,
+         |mpx AS (SELECT name, node, tsb, gval,
+         |  max(abs(gval)) OVER (PARTITION BY name, node) AS mr FROM ff36),
+         |rp AS (SELECT name, node, tsb,
+         |  CAST(floor((gval / (CASE WHEN mr > 0 THEN mr ELSE 1.0 END)) * 1e6
+         |    + 0.5) AS BIGINT) AS qv,
+         |  row_number() OVER (PARTITION BY name, node ORDER BY tsb) AS idx
+         | FROM mpx),
+         |wn AS (SELECT name, node, tsb, idx,
+         |  list(qv) OVER fr AS qw,
+         |  CAST(sum(qv) OVER fr AS BIGINT) AS sw,
+         |  CAST(sum(qv * qv) OVER fr AS BIGINT) AS sw2,
+         |  CAST(count(*) OVER fr AS BIGINT) AS nw
+         | FROM rp WINDOW fr AS (PARTITION BY name, node ORDER BY idx
+         |   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+         |ps AS MATERIALIZED (SELECT name, node, tsb, idx, qw, sw,
+         |  8 * sw2 - sw * sw AS den FROM wn
+         | WHERE nw = 8 AND 8 * sw2 - sw * sw > 0),
+         |pr AS (SELECT a.name, a.node, a.idx AS i, b.idx AS j,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    k -> a.qw[k] * b.qw[k])) AS BIGINT) AS dot,
+         |  a.sw AS swa, b.sw AS swb, a.den AS dena, b.den AS denb
+         | FROM ps a JOIN ps b ON a.name = b.name AND a.node = b.node
+         |   AND b.idx >= a.idx + 4),
+         |dm AS (SELECT name, node, i, j,
+         |  floor((sqrt(greatest(0e0, 16e0 * (1e0 -
+         |    CAST(8 * dot - swa * swb AS DOUBLE)
+         |    / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))))))
+         |    + 1e-9) * 1e4 + 0.5) / 1e4 AS d4
+         | FROM pr),
+         |un AS (SELECT name, node, i AS idx, j AS nn, d4 FROM dm
+         |  UNION ALL SELECT name, node, j, i, d4 FROM dm),
+         |bst AS (SELECT name, node, idx, nn, d4,
+         |  row_number() OVER (PARTITION BY name, node, idx
+         |    ORDER BY d4, nn) AS rn FROM un)
+         |SELECT p.name, p.node, CAST(b2.idx AS INT) AS idx, p.tsb,
+         | CAST(b2.nn AS INT) AS nn_idx, b2.d4 AS dist
+         |FROM bst b2 JOIN ps p ON p.name = b2.name AND p.node = b2.node
+         |  AND p.idx = b2.idx
+         |WHERE b2.rn = 1 ORDER BY p.name, p.node, idx""".stripMargin)),
+
     // Converted from rows-only (r5): the regression runs on ×1e4
     // integers (Granger.rssQ — exact Long moments, fixed-pivot IEEE
     // elimination, t-ordered residual fold), so the oracle replays the

@@ -1506,4 +1506,98 @@ object TimeSeries {
       }
       .toDF("name", "node", "n", "macd", "macd_signal", "hist", "n_cross")
   }
+
+  /** Exact z-normalized MATRIX PROFILE per signal (Yeh et al. 2016,
+    * UCR): for every length-`m` subsequence, the distance to its
+    * nearest non-trivial neighbor in the same signal — low values are
+    * motifs (repeated shapes), the maximum is THE discord, and unlike
+    * the SAX approximations beside it (ts_motif_sax, ad_discord) this
+    * is the exact distance, so it adjudicates them. Pairs closer than
+    * `excl` positions are excluded (trivial matches — a subsequence
+    * nearly overlapping itself is always near).
+    *
+    * Determinism: the z-normalized distance is SCALE-INVARIANT, so
+    * values first normalize by the signal's max |gval| (the
+    * reference's own |max| move — ts_relative) and quantize to ×1e6
+    * integers ≤ 1e6 REGARDLESS of metric magnitude; window sum /
+    * sum-of-squares ride long window aggregates, and the per-pair dot
+    * runs on the double-encoded windows through the NATIVE codegen
+    * DotProduct — exact anyway, because every product (≤ 1e12) and
+    * sum (≤ 6.4e13) of these integers is below 2⁵³, so the "double"
+    * dot is integer arithmetic in disguise and equals the oracle's
+    * BIGINT dot bit-for-bit. The distance
+    * d = √(2m·(1 − (m·dot − swᵢswⱼ)/(√denᵢ·√denⱼ))) is one fixed IEEE
+    * sequence over those integers, mirrored verbatim in the oracle.
+    * Constant windows (den = 0) have no z-normalized profile and are
+    * excluded on the exact integer test. The nearest neighbor is
+    * chosen on the ROUNDED distance with an index tiebreak.
+    *
+    * Scale shape (SCAMP-style blocking): the profile is inherently
+    * O(n²/2) per signal — the plan's job is to keep that off a single
+    * task. Positions tile into `block`-sized index blocks; side A
+    * replicates each position to every block at-or-after its own, side
+    * B ships once keyed by its block, and the join key
+    * (name, node, jblock) spreads one signal's triangle across
+    * ⌈n/block⌉ tasks (each ≤ n·block pairs) instead of the ONE task a
+    * bare (name, node) self-join hashes to — the same mega-group
+    * lesson as the salted pair kernels, here with ordered tiles. Rows
+    * carry only the m quantized longs + 3 moments; all distances die
+    * into the per-position argmin.
+    */
+  def matrixProfile(grid: DataFrame, m: Int = 8, excl: Int = 4,
+                    block: Int = 256): DataFrame = {
+    val w = signalWindow
+    val frame = w.rowsBetween(Window.currentRow, m - 1)
+    val sig = Window.partitionBy("name", "node")
+    val pos = grid
+      .withColumn("mr0", max(abs(col("gval"))).over(sig))
+      .withColumn("mr", when(col("mr0") > 0, col("mr0")).otherwise(lit(1.0)))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("qv",
+        floor((col("gval") / col("mr")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("qw", collect_list(col("qv").cast("double")).over(frame))
+      .withColumn("sw", sum(col("qv")).over(frame))
+      .withColumn("sw2", sum(col("qv") * col("qv")).over(frame))
+      .filter(size(col("qw")) === m)
+      .withColumn("den", lit(m.toLong) * col("sw2") - col("sw") * col("sw"))
+      .filter(col("den") > 0)
+      .withColumn("bi", ((col("idx") - 1) / block).cast("int"))
+      .withColumn("mb", max("bi").over(sig))
+      .select("name", "node", "idx", "tsb", "qw", "sw", "den", "bi", "mb")
+      .persist().tracked
+    val a = pos.withColumn("bj", explode(sequence(col("bi"), col("mb"))))
+      .select(col("name"), col("node"), col("bj"), col("idx").as("i"),
+        col("qw").as("qa"), col("sw").as("swa"), col("den").as("dena"))
+    val b = pos.select(col("name"), col("node"), col("bi").as("bj"),
+      col("idx").as("j"), col("qw").as("qb"), col("sw").as("swb"),
+      col("den").as("denb"))
+    // native codegen dot over the double-encoded integer windows —
+    // exact (see scaladoc) and ~an order faster than the interpreted
+    // HOF aggregate on the 5M-pair stage
+    val dot = org.apache.spark.sql.graft.VectorExpressions
+      .vecDot(col("qa"), col("qb"))
+    val pairs = a.join(b, Seq("name", "node", "bj"))
+      .filter(col("j") >= col("i") + excl)
+      .withColumn("num",
+        lit(m.toDouble) * dot - (col("swa") * col("swb")).cast("double"))
+      .withColumn("r", col("num") /
+        (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double"))))
+      .withColumn("d4", r4(sqrt(greatest(lit(0.0),
+        lit(2.0 * m) * (lit(1.0) - col("r"))))))
+      .select("name", "node", "i", "j", "d4")
+    // both profile directions re-run the tiled join + dot (the plan
+    // embeds it twice) — measured CHEAPER than persisting the 5M-row
+    // pair frame: the codegen'd 8-wide dot recomputes faster than the
+    // block-manager writes + reads back
+    val both = pairs.select(col("name"), col("node"), col("i").as("idx"),
+        col("j").as("nn"), col("d4"))
+      .unionByName(pairs.select(col("name"), col("node"),
+        col("j").as("idx"), col("i").as("nn"), col("d4")))
+    val best = Window.partitionBy("name", "node", "idx")
+      .orderBy(col("d4").asc, col("nn").asc)
+    both.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .join(pos.select("name", "node", "idx", "tsb"), Seq("name", "node", "idx"))
+      .select(col("name"), col("node"), col("idx"), col("tsb"),
+        col("nn").as("nn_idx"), col("d4").as("dist"))
+  }
 }

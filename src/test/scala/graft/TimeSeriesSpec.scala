@@ -367,4 +367,34 @@ class TimeSeriesSpec extends SparkTestBase {
       .select("crossings").as[Long].head()
     assert(f == 0L)
   }
+
+  test("matrixProfile finds the exact repeat at distance 0 and the " +
+    "discord at the max; constant windows drop") {
+    // period-8 sawtooth, one corrupted cycle in the middle, repeated
+    // clean cycles everywhere else
+    val base = Array.tabulate(48)(i => (i % 8).toDouble)
+    base(20) = 40.0 // corrupt one point → windows 13..20 see an outlier
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      ("s", "a", i * 3600L, v)
+    }.toSeq
+    val out = TimeSeries.matrixProfile(grid(rows: _*), m = 8, excl = 4,
+        block = 16)
+      .select("idx", "nn_idx", "dist")
+      .as[(Int, Int, Double)].collect().sortBy(_._1)
+    // a clean window far from the corruption has an exact period-8
+    // repeat → z-normalized distance 0 to idx ± 8
+    val byIdx = out.map(r => r._1 -> r).toMap
+    assert(byIdx(1)._3 == 0.0 && byIdx(1)._2 == 9)
+    // the discord: every window touching the corrupted point is far
+    // from everything; the corruption sits at 1-based idx 21, so the
+    // global max dist lands on a window start in 14..21
+    val discord = out.maxBy(r => (r._3, r._1))
+    assert(discord._1 >= 14 && discord._1 <= 21, s"$discord")
+    assert(discord._3 > 1.0)
+    // windows fully inside a clean stretch all profile at 0
+    assert(out.filter(r => r._1 <= 5).forall(_._3 == 0.0))
+    // a constant signal has zero-variance windows → no profile rows
+    val const = (0 until 20).map(i => ("c", "a", i * 3600L, 5.0))
+    assert(TimeSeries.matrixProfile(grid(const: _*), m = 8).count() == 0)
+  }
 }
