@@ -112,10 +112,15 @@ object StageAudit {
           f"maxShare=${st.maxShare}%5.2f  ${st.name}")
       }
       if (qjson.nonEmpty) qjson.append(",")
+      // locale-pinned number rendering: the default-locale f"" renders
+      // "47,38" under comma-decimal locales, corrupting the committed
+      // JSON artifact
+      def num(d: Double, dec: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
       val stagesJson = heavy.map(st =>
-        f"""{"stage":${st.stageId},"tasks":${st.nTasks},""" +
-          f""""sumSec":${st.sumMs / 1000.0}%.2f,"maxSec":${st.maxMs / 1000.0}%.2f,""" +
-          f""""maxShare":${st.maxShare}%.3f}""").mkString("[", ",", "]")
+        s"""{"stage":${st.stageId},"tasks":${st.nTasks},""" +
+          s""""sumSec":${num(st.sumMs / 1000.0, 2)},"maxSec":${num(st.maxMs / 1000.0, 2)},""" +
+          s""""maxShare":${num(st.maxShare, 3)}}""").mkString("[", ",", "]")
       // "worst share" counts only stages carrying ≥ 20% of the biggest
       // stage's summed task time: a 0.6 s single-task scan or a final
       // 1-row collect legitimately has maxShare 1.0 and says nothing
@@ -125,13 +130,14 @@ object StageAudit {
         case Seq() => 0.0
         case hs => hs.map(_.maxShare).max
       }
-      qjson.append(f""""$name":{"sec":$dt%.2f,"rows":$rows,""" +
-        f""""worstHeavyShare":$worst%.3f,"stages":$stagesJson}""")
+      qjson.append(s""""$name":{"sec":${num(dt, 2)},"rows":$rows,""" +
+        s""""worstHeavyShare":${num(worst, 3)},"stages":$stagesJson}""")
       Caches.release()
       spark.catalog.clearCache()
     }
     sys.env.get("SPARK_GRAFT_AUDIT_OUT").foreach { path =>
-      val json = s"""{"corpus":"$sfDir","queries":{$qjson}}"""
+      val esc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      val json = s"""{"corpus":"$esc","queries":{$qjson}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
       println(s"AUDIT_OUT $path")

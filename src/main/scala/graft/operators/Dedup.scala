@@ -28,15 +28,23 @@ object Dedup {
     * Sorted ONCE per document so every downstream pair verification is
     * an allocation-free merge scan (see sorted_intersect_count).
     */
+  /** Sorted distinct bigram shingles from a word array — ONE builder
+    * shared by the batch pipeline ([[withShingles]]) and the streaming
+    * probe (CurationStream.incrementalGate): the stream's
+    * no-false-negative contract is only valid while both sides
+    * shingle bit-identically, so there is exactly one definition to
+    * drift. Caller guarantees size(w) ≥ 2 (sequence(1, 0) DESCENDS
+    * and element_at(w, 0) throws).
+    */
+  private[graft] def bigramShingles(w: Column): Column =
+    sort_array(array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), words(col("text")).as("w"))
-      // single-word docs have no bigrams; without the guard
-      // sequence(1, 0) DESCENDS and element_at(w, 0) throws
+      // single-word docs have no bigrams
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        sort_array(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat(element_at(col("w"), i), lit(" "),
-            element_at(col("w"), i + 1))))).as("sh"))
+      .select(col("doc_id"), bigramShingles(col("w")).as("sh"))
 
   /** A text corpus often arrives as few large files; per-doc expression
     * work (shingling, hashing) is CPU-bound, so spread it across all
@@ -196,9 +204,13 @@ object Dedup {
     * across lambda boundaries — the withShingles lesson).
     */
   private[graft] def shingleHash64(sh: Column): Column =
-    transform(sh, s =>
-      shiftleft(conv(substring(md5(s), 17, 8), 16, 10).cast("long"), 32) +
-        conv(substring(md5(s), 25, 8), 16, 10).cast("long"))
+    // inner transform materializes each digest ONCE; slicing both
+    // halves of `d` in the outer lambda would otherwise re-run md5
+    // per half (no CSE across lambda boundaries — the withShingles
+    // lesson, and this is the streaming ingest hot path)
+    transform(transform(sh, s => md5(s)), d =>
+      shiftleft(conv(substring(d, 17, 8), 16, 10).cast("long"), 32) +
+        conv(substring(d, 25, 8), 16, 10).cast("long"))
 
   /** Per-row MinHash signature as ONE expression — the STREAM-SAFE
     * formulation: [[signatures]] groups exploded shingles (a shuffle +
@@ -238,13 +250,26 @@ object Dedup {
     * (streaming.CurationStream.corpusDedupSketch); the same per-row
     * signature expression runs on the stream side.
     */
+  /** rowSig's splitmix mix is Column-level long multiplication relying
+    * on Java-wrap overflow; under ANSI mode it would throw
+    * ARITHMETIC_OVERFLOW deep inside the first micro-batch — fail loud
+    * at plan time instead (Tables.prepare sets the conf).
+    */
+  private[graft] def requireNonAnsi(df: DataFrame): Unit =
+    require(!df.sparkSession.conf.get("spark.sql.ansi.enabled", "false")
+        .toBoolean,
+      "Dedup.rowSig needs Java-wrap long multiplication: set " +
+        "spark.sql.ansi.enabled=false (Tables.prepare does)")
+
   private[graft] def bandHashes(docs: DataFrame, numHashes: Int = 64,
-                                bands: Int = 16): DataFrame =
+                                bands: Int = 16): DataFrame = {
+    requireNonAnsi(docs)
     withShingles(docs)
       .withColumn("_hs", shingleHash64(col("sh")))
       .withColumn("_sig", rowSig(col("_hs"), numHashes))
       .select(col("doc_id"),
         explode(bandHash64(col("_sig"), bands, numHashes / bands)).as("bh64"))
+  }
 
   /** MinHash estimate calibration — measured signature quality, the
     * companion telemetry to [[minhashLsh]]: for every verified
@@ -503,15 +528,24 @@ object Dedup {
     * deriving it in-query here stands in for that read.
     */
   def incremental(docs: DataFrame, batchPred: Column, numHashes: Int = 64,
-                  bands: Int = 16, threshold: Double = 0.1): DataFrame = {
+                  bands: Int = 16, threshold: Double = 0.1,
+                  broadcastBatch: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = numHashes / bands
+    // broadcastBatch = the "increment is small next to the corpus"
+    // assumption made EXPLICIT: the hint bypasses
+    // autoBroadcastJoinThreshold, so a caller whose increment is
+    // itself large (a week of backfill) must pass false — the probes
+    // fall back to shuffle joins on the digest / band keys (hot-band
+    // skew then costs a skewed join task instead of a driver OOM).
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     val batch = docs.filter(batchPred)
     val corpus = docs.filter(!batchPred)
     // exact layer: only 128-bit digests move, never text
     val bDig = batch.select(col("doc_id"), md5(col("text")).as("h"))
     val cDig = corpus.select(col("doc_id").as("cid"), md5(col("text")).as("h"))
-    val ex = cDig.join(broadcast(bDig), "h")
+    val ex = cDig.join(maybeB(bDig), "h")
       .groupBy("doc_id").agg(min("cid").as("ex_match"))
     // near layer: the same signature pipeline as minhashLsh, split at
     // the band join so only batch×corpus band collisions become
@@ -523,7 +557,7 @@ object Dedup {
         slice(col("sig"), bd * rows + 1, rows)): _*)).as(Seq("band", "bh")))
     val cand = banded(signatures(cSets, numHashes))
       .withColumnRenamed("doc_id", "cid")
-      .join(broadcast(banded(signatures(bSets, numHashes))), Seq("band", "bh"))
+      .join(maybeB(banded(signatures(bSets, numHashes))), Seq("band", "bh"))
       .select(col("doc_id"), col("cid")).distinct()
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("jac").desc, col("cid").asc)

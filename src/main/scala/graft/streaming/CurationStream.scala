@@ -124,9 +124,12 @@ object CurationStream {
       .agg(VectorExpressions.bloomAgg(xxhash64(col("text")),
         expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // the band bloom receives `bands` inserts PER corpus doc — sized
+    // ×bands or it saturates at exactly the corpus scale the defaults
+    // advertise and flags every streamed doc as a near-dup
     val band = graft.operators.Dedup.bandHashes(corpus, numHashes, bands)
       .agg(VectorExpressions.bloomAgg(col("bh64"),
-        expectedItems, numBits).as("bf"))
+        expectedItems * bands, numBits * bands).as("bf"))
       .head().getAs[Array[Byte]](0)
     (dig, band)
   }
@@ -150,21 +153,27 @@ object CurationStream {
                       bandSketch: Array[Byte], numHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
     import graft.operators.Dedup
+    Dedup.requireNonAnsi(docs)
     val wd = split(lower(col("text")), "\\s+")
-    val shingles = sort_array(array_distinct(
-      expr("transform(sequence(1, size(_wd) - 1), " +
-        "i -> concat(element_at(_wd, i), ' ', element_at(_wd, i + 1)))")))
     docs
       .withColumn("_wd", wd)
       .withColumn("_sh",
-        when(size(col("_wd")) >= 2, shingles).otherwise(array().cast("array<string>")))
+        // ONE shingle definition shared with the batch pipeline — the
+        // no-false-negative contract is only as good as this equality
+        when(size(col("_wd")) >= 2, Dedup.bigramShingles(col("_wd")))
+          .otherwise(array().cast("array<string>")))
       .withColumn("_hs", Dedup.shingleHash64(col("_sh")))
       .withColumn("_sig", Dedup.rowSig(col("_hs"), numHashes))
       .withColumn("maybe_exact",
-        VectorExpressions.bloomMightContain(lit(digestSketch),
+        // a null sketch = the corpus side had no rows (first-ever
+        // ingest bootstrap) — nothing can match, and lit(null) must
+        // not reach the probe (the gate() lesson)
+        if (digestSketch == null) lit(0)
+        else VectorExpressions.bloomMightContain(lit(digestSketch),
           xxhash64(col("text"))).cast("int"))
       .withColumn("maybe_near",
-        when(size(col("_sh")) < 1, lit(0)).otherwise(
+        if (bandSketch == null) lit(0)
+        else when(size(col("_sh")) < 1, lit(0)).otherwise(
           exists(Dedup.bandHash64(col("_sig"), bands, numHashes / bands),
             h => VectorExpressions.bloomMightContain(lit(bandSketch), h))
             .cast("int")))

@@ -671,5 +671,16 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
         r.getString(3))).toSeq
     assert(batchOut == streamed)
+    // first-ever ingest bootstrap: an EMPTY corpus yields null sketches
+    // (bloom agg over zero rows); the gate must verdict everything
+    // clean with int flags, not null-poisoned columns
+    val (d0, b0) = CurationStream.corpusDedupSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(d0 == null && b0 == null)
+    val boot = CurationStream.incrementalGate(
+        batchRows.toDF("doc_id", "text"), d0, b0)
+      .select("doc_id", "maybe_exact", "maybe_near", "verdict_stream")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(boot.forall(_ == ((0, 0, "clean"))))
   }
 }
