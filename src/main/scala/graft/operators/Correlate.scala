@@ -988,9 +988,10 @@ object Correlate {
       .select(concat(col("a_name"), lit("|"), col("a_node")).as("doc1"),
         concat(col("b_name"), lit("|"), col("b_node")).as("doc2"))
       .distinct()
+    // the edge cache (self-loops, round-key partitioning) lives inside
+    // minLabelLoop — same shape as Dedup.clusters
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .persist().tracked
     val labels = Dedup.minLabelLoop(edges, maxRounds = 50)
     val verts = indexedGrid
       .select(concat(col("name"), lit("|"), col("node")).as("doc_id"))
@@ -998,7 +999,6 @@ object Correlate {
     val isolated = verts
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lab"))
-    edges.unpersist()
     labels.unionByName(isolated)
       .select(col("doc_id").as("signal"), col("lab").as("group_id"),
         (col("doc_id") =!= col("lab")).cast("int").as("is_member"))

@@ -692,8 +692,10 @@ object Dedup {
     // cost and must never run twice
     val pairs = precomputedPairs.getOrElse(jaccardPairs(docs, threshold))
       .select("doc1", "doc2")
+    // the symmetric edge list is persisted (with self-loops, partitioned
+    // by the round-join key) INSIDE minLabelLoop — see its header
     val edges = pairs.unionByName(
-      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).persist().tracked
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
     // only vertices with an edge can ever change label — iterate over
     // the near-dup subgraph (a sliver of the corpus) and union the
     // isolated documents back as their own canonical at the end
@@ -701,7 +703,6 @@ object Dedup {
     val isolated = docs.select("doc_id")
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lab"))
-    edges.unpersist()
     labels.unionByName(isolated)
       .select(col("doc_id"), col("lab").as("canonical_id"),
         (col("doc_id") =!= col("lab")).cast("int").as("is_dup"))
@@ -716,73 +717,74 @@ object Dedup {
     * least member under the type's ordering. Returns `(doc_id, lab)`
     * for every vertex with ≥1 edge.
     *
-    * The seed folds in each vertex's neighbor minimum (one round for
-    * free); each round then propagates labels one hop (join + keyed
-    * min) and carries the previous label so convergence is read off
-    * the same frame — two shuffles and one action per round. Each
-    * round's frame is eagerly localCheckpoint-ed: the label table
-    * references its predecessor more than once, so an un-severed
-    * lineage grows exponentially with rounds (the analyzed plan, not
-    * the data) — checkpointing keeps every round's plan O(1), the
-    * requirement for any iterative dataflow at scale.
+    * r12 round shape — ONE join + ONE aggregate per round. The edge
+    * list is persisted HASH-PARTITIONED by the per-round join key
+    * (guide §2.4: operations keyed the same way share one exchange —
+    * the edge side of the round join never re-shuffles), and each
+    * vertex's own previous label enters the round's keyed aggregate as
+    * a unioned self row, so min(nlab) IS least(own, nbr_min) and the
+    * self row doubles as the `old` label for convergence counting. The
+    * former labels⋈prop rejoin — two more n-row exchanges per round —
+    * is gone. Per round: one exchange of the n-row label table into
+    * the join, one exchange for the keyed min, one eager
+    * localCheckpoint. The checkpoint severs lineage (the label table
+    * references its predecessor more than once, so an un-severed plan
+    * grows exponentially with rounds) and carries the convergence
+    * tally as an OBSERVED aggregate, so each round is one driver
+    * round-trip.
     *
-    * Convergence is O(log diameter), not O(diameter): from round 3 on,
-    * each round ALSO propagates label-of-label (pointer jumping —
-    * label chains halve per round, the classic path-doubling device),
-    * so maxRounds = 50 covers any component a 64-bit id space can
-    * hold. The jump is DEFERRED because it costs a third n-row shuffle
-    * join per round, and the common near-dup graph (LSH clusters are
+    * From round 3 on, each round ALSO propagates label-of-label
+    * (pointer jumping) as insurance against pathological diameters, so
+    * maxRounds = 50 covers any component a 64-bit id space can hold.
+    * The jump is DEFERRED because it costs an extra n-row shuffle join
+    * per round, and the common near-dup graph (LSH clusters are
     * near-cliques, diameter ≤ 3) converges in ≤ 4 plain rounds — the
     * r9 bench measured the unconditional jump costing ~0.8 s/query
-    * across the four label-loop consumers while buying nothing there;
-    * deferring keeps the hot path at two joins and still bounds the
-    * pathological chain at 3 + O(log d) rounds. If the loop still
+    * across the four label-loop consumers while buying nothing there.
+    * (The r12 probes: applying the jump 2-3× per round did NOT reduce
+    * the 14-round mutual-kNN convergence — label chains are already
+    * shallow after the previous round's jump — and jump-off converged
+    * in 17 rounds at lower cost; the single deferred jump is kept as
+    * the diameter bound, not as a local-bench win.) If the loop still
     * exits with changed > 0 it THROWS rather than return non-canonical
     * labels — a silently-split component is a correctness lie four
     * queries would inherit (dedup_cluster, dedup_cluster_minhash,
     * mm_dedup_cluster, corr_cluster).
     */
   private[graft] def minLabelLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
-    var labels = edges.groupBy(col("doc1").as("doc_id"))
+    // the edge list is persisted ONCE, hash-partitioned by the
+    // per-round join key, so the round join never re-shuffles it
+    val ed = edges.repartition(col("doc1")).persist()
+    // seed folds in each vertex's neighbor minimum (one round for free)
+    var labels = ed.groupBy(col("doc1").as("doc_id"))
       .agg(min("doc2").as("nbr0"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("lab"))
       .localCheckpoint()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
-        .groupBy(col("doc2").as("doc_id"))
-        .agg(min("nlab").as("nbr_min"))
-      // pointer jump (round >= 3 only): this round's label also folds
-      // in lab(lab) from the previous table — labels only ever
-      // decrease toward the component minimum, so shortcutting through
-      // the label graph is sound and turns O(diameter) rounds into
-      // O(log diameter) once a graph proves it needs more than the
-      // near-clique round budget
-      val doJump = round >= 3
-      val jump = labels.select(col("doc_id").as("jid"), col("lab").as("jlab"))
-      // convergence detection rides the SAME action that materializes
-      // the round (the eager localCheckpoint): the changed-row tally is
-      // an OBSERVED codegen'd aggregate on the checkpoint job, so each
-      // round is ONE driver round-trip, not a checkpoint plus a
-      // separate count() — serialized per-round actions are what
-      // contention amplifies. observe() beats the r7 accumulator-in-
-      // mapPartitions form on both axes: the row pass stays inside
-      // whole-stage codegen with no per-row (de)serialization for any
-      // key type, and metrics are exactly-once per completed action
-      // (no task-retry overcount caveat). Fresh Observation per round
-      // (the API is single-use); `get` returns immediately — the
-      // eager checkpoint already ran the action.
+      val doJump = round >= 3 && !sys.env.contains("SPARK_GRAFT_CC_NOJUMP")
       val obs = org.apache.spark.sql.Observation(s"graft.cc.r$round")
-      val halved = labels.join(prop, "doc_id")
-        .select(col("doc_id"), least(col("lab"), col("nbr_min")).as("lab"),
-          col("lab").as("old"))
+      // one hop: neighbor labels arrive via the (cached, pre-
+      // partitioned) edge join; each vertex's OWN previous label rides
+      // a unioned self row into the same keyed aggregate — so min(nlab)
+      // IS least(old, nbr_min) and the self row's nlab IS `old`. The
+      // former two-join round (prop, then labels⋈prop to re-attach the
+      // old label) paid two more n-row exchanges per round.
+      val hopped = ed
+        .join(labels.select(col("doc_id").as("doc1"), col("lab").as("nlab")), "doc1")
+        .select(col("doc2"), col("nlab"), lit(false).as("self"))
+        .unionByName(labels.select(col("doc_id").as("doc2"),
+          col("lab").as("nlab"), lit(true).as("self")))
+        .groupBy(col("doc2").as("doc_id"))
+        .agg(min("nlab").as("lab"),
+          min(when(col("self"), col("nlab"))).as("old"))
+      val jump = labels.select(col("doc_id").as("jid"), col("lab").as("jlab"))
       val jumped =
-        if (!doJump) halved
-        else halved.join(jump, halved("lab") === jump("jid"), "left")
-          .select(col("doc_id"),
-            least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"),
+        if (!doJump) hopped
+        else hopped.join(jump, hopped("lab") === jump("jid"), "left")
+          .select(hopped("doc_id"),
+            least(hopped("lab"), coalesce(col("jlab"), hopped("lab"))).as("lab"),
             col("old"))
       val next = jumped
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L).otherwise(0L))
@@ -793,6 +795,7 @@ object Dedup {
       labels = next
       round += 1
     }
+    ed.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"minLabelLoop did not converge after $maxRounds rounds " +
