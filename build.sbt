@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // so GC reuses warm pages rather than expanding mid-query.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fault the whole fixed heap in at JVM start: on this microVM the
+  // host backs guest pages lazily, and first-touch faults during the
+  // timed bench section showed up as minutes of 3-12x inflation on the
+  // alphabetically-first queries (r12 measurement). Pre-touching moves
+  // that one-time cost before main() — outside every timed region.
+  "-XX:+AlwaysPreTouch",
 )

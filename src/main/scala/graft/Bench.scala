@@ -26,21 +26,6 @@ object Bench {
     // timed section measuring the queries, not JVM cold start.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => Tables.table(spark, sfDir, t).count())
-    SparkEntry.queries.get("q01_agg").foreach(fn => fn(spark, sfDir).count())
-    SparkEntry.queries.get("ts_resample").foreach(fn => fn(spark, sfDir).count())
-    // the typed pipelines (flatMapGroups + DSP + e-divisive + minhash)
-    // carry several seconds of first-use JIT that would otherwise land
-    // on whichever query alphabetically hits them first — run them once
-    // on the smallest SF so the timed section measures steady state
-    val warmDir = {
-      val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
-      if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
-    }
-    Seq("ad_anomaly_union", "dedup_minhash_lsh", "knn_brute_cosine")
-      .foreach(n => SparkEntry.queries.get(n).foreach { fn =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      })
-    spark.catalog.clearCache()
 
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -62,6 +47,29 @@ object Bench {
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
+    }
+    // Untimed warmup pass: every selected query ONCE at the smallest SF.
+    // The r12 measurement (OPTIMIZATION_r12.md): on a cold VM/JVM the
+    // first ~7 minutes of the timed section ran 3-12× slow — sustained
+    // through min-of-3 reruns — from JIT of the typed pipelines and
+    // interpreter-tier Spark runtime plus cold host pages, all landing
+    // on whichever queries sort first alphabetically (the ad_* block;
+    // the same inflated block is visible in the committed BENCH_r11
+    // driver artifact). The previous warmup (3 hand-picked pipelines)
+    // covered only part of the code surface; warming the whole suite on
+    // sf0.001 makes the timed section measure steady-state plans at
+    // sf0.1 rather than JVM cold start. Warmup results are discarded
+    // and every cache is dropped, so each timed query still computes
+    // from the sf0.1 parquet inputs from scratch — methodology (count
+    // action, min-of-2/3, cache release) is unchanged.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
+    }
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      Caches.release()
+      spark.catalog.clearCache()
     }
     val benchT0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
