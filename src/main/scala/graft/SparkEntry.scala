@@ -9831,11 +9831,14 @@ object SparkEntry {
       // one order, lift = P(a,b)/(P(a)·P(b)). The (order, brand)
       // distinct frame is the only corpus-sized exchange; pair counts
       // live on the |brands|²-bounded frame, totals broadcast.
+      // persisted pre-partitioned by okey: the brand-pair self-join's
+      // two sides then reuse the cache's partitioning (zero join-time
+      // exchanges; guide §2.4) — one build exchange replaces two
       val ob = Tables.lineitem(s, dir)
         .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-        .distinct().persist().tracked
+        .distinct().repartition(col("okey")).persist().tracked
       val bn = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
       val tot = broadcast(ob.select(countDistinct(col("okey")).as("n_orders")))
       val pairs = ob.select(col("okey"), col("brand").as("brand_a"))

@@ -356,14 +356,31 @@ object Dedup {
                                  saltCap: Int = 1024): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    // r12: a LONG bkey is kept as a long end-to-end — the fast-path
+    // self-equijoin then exchanges 8-byte keys instead of their ~20-byte
+    // decimal strings (guide §2.3, narrower types), and key compare/sort
+    // is integer work. Callers whose bucket key is naturally numeric
+    // (substring window hashes, simhash/phash pigeonhole blocks) pass
+    // the long; the string form stays for composite band-slice keys.
+    val keyIsLong = rows.schema("bkey").dataType ==
+      org.apache.spark.sql.types.LongType
     // persisted: the hot-count action materializes this projection
     // anyway, and the pair plan reads it 1-2 more times (both sides of
     // the fast-path self-equijoin, or the tiled flatMap) — without the
     // persist every read recomputes the caller's upstream (minhash
     // signatures, phash decode). MEMORY_AND_DISK, so a 100 TB banded
     // frame spills instead of OOMing; it is one pass's output either way.
-    val in = rows.select(col("bkey").cast("string").as("bkey"),
-      col("id").cast("long").as("id"), col("pay").cast("long").as("pay"))
+    // NOT pre-partitioned here: a small cached frame self-joins as a
+    // zero-exchange BroadcastHashJoin (cache stats are exact), and an
+    // unconditional repartition only ADDS an exchange (r12 measured the
+    // minhash family +6 MB shuffle each). A caller whose frame is too
+    // big to broadcast (substringPairs' ~L× window amplification) passes
+    // its rows already repartitioned by bkey — select/filter below are
+    // narrow, so that partitioning reaches the cache and the fast-path
+    // join runs with zero join-time exchanges (guide §2.4).
+    val in = rows.select(
+        (if (keyIsLong) col("bkey") else col("bkey").cast("string")).as("bkey"),
+        col("id").cast("long").as("id"), col("pay").cast("long").as("pay"))
       .filter(col("bkey").isNotNull)
       .persist().tracked
     // minimum salt count for a HOT bucket: ceil(n/saltCap) alone gives
@@ -416,6 +433,19 @@ object Dedup {
           }
         }
     }
+    // diagonal tile + one cross tile per other salt; side tags which
+    // half of a cross tile this row belongs to
+    def fanOut[K](bk: K, id: Long, pay: Long, bh: Long)
+        : Iterator[((K, Int, Int), (Long, Long, Int))] = {
+      val s = bc.value.getOrElse(bh, 1)
+      if (s <= 1) Iterator.single(((bk, 0, 0), (id, pay, 0)))
+      else {
+        val my = java.lang.Math.floorMod(id, s.toLong).toInt
+        Iterator.single(((bk, my, my), (id, pay, 0))) ++
+          (0 until my).iterator.map(b1 => ((bk, b1, my), (id, pay, 1))) ++
+          ((my + 1) until s).iterator.map(b2 => ((bk, my, b2), (id, pay, 0)))
+      }
+    }
     // EXPLICIT repartition by tile key, not groupByKey: the fan-out
     // rows are 16 bytes but each tile is up to saltCap²/2 enumerations
     // — so compute-dense relative to shuffle bytes that AQE's
@@ -425,39 +455,35 @@ object Dedup {
     // the tiling exists to prevent, reintroduced by the optimizer).
     // A user-specified partition count is exempt from AQE coalescing;
     // the sort-then-walk is the same shuffle+sort groupByKey plans.
-    in.withColumn("bh", xxhash64(col("bkey")))
-      .as[(String, Long, Long, Long)]
-      .flatMap { case (bk, id, pay, bh) =>
-        val s = bc.value.getOrElse(bh, 1)
-        if (s <= 1) Iterator.single(((bk, 0, 0), (id, pay, 0)))
-        else {
-          val my = java.lang.Math.floorMod(id, s.toLong).toInt
-          // diagonal tile + one cross tile per other salt; side tags
-          // which half of a cross tile this row belongs to
-          Iterator.single(((bk, my, my), (id, pay, 0))) ++
-            (0 until my).iterator.map(b1 => ((bk, b1, my), (id, pay, 1))) ++
-            ((my + 1) until s).iterator.map(b2 => ((bk, my, b2), (id, pay, 0)))
+    def walk[K](fanned: org.apache.spark.sql.Dataset[((K, Int, Int), (Long, Long, Int))])
+        : DataFrame =
+      fanned
+        .repartition(parts, col("_1"))
+        .sortWithinPartitions(col("_1"))
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new scala.collection.AbstractIterator[(Long, Long, Long, Long)] {
+            private var cur: Iterator[(Long, Long, Long, Long)] = Iterator.empty
+            private def advance(): Unit =
+              while (!cur.hasNext && buf.hasNext) {
+                val key = buf.head._1
+                val rows = scala.collection.mutable.ArrayBuffer
+                  .empty[(Long, Long, Int)]
+                while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
+                cur = tilePairs(key._2 == key._3, rows.toArray)
+              }
+            override def hasNext: Boolean = { advance(); cur.hasNext }
+            override def next(): (Long, Long, Long, Long) = { advance(); cur.next() }
+          }
         }
-      }
-      .repartition(parts, col("_1"))
-      .sortWithinPartitions(col("_1"))
-      .mapPartitions { it =>
-        val buf = it.buffered
-        new scala.collection.AbstractIterator[(Long, Long, Long, Long)] {
-          private var cur: Iterator[(Long, Long, Long, Long)] = Iterator.empty
-          private def advance(): Unit =
-            while (!cur.hasNext && buf.hasNext) {
-              val key = buf.head._1
-              val rows = scala.collection.mutable.ArrayBuffer
-                .empty[(Long, Long, Int)]
-              while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
-              cur = tilePairs(key._2 == key._3, rows.toArray)
-            }
-          override def hasNext: Boolean = { advance(); cur.hasNext }
-          override def next(): (Long, Long, Long, Long) = { advance(); cur.next() }
-        }
-      }
-      .toDF("id1", "pay1", "id2", "pay2")
+        .toDF("id1", "pay1", "id2", "pay2")
+    val withH = in.withColumn("bh", xxhash64(col("bkey")))
+    if (keyIsLong)
+      walk(withH.as[(Long, Long, Long, Long)]
+        .flatMap { case (bk, id, pay, bh) => fanOut(bk, id, pay, bh) })
+    else
+      walk(withH.as[(String, Long, Long, Long)]
+        .flatMap { case (bk, id, pay, bh) => fanOut(bk, id, pay, bh) })
   }
 
   /** The exact string bucket key [[bucketPairs]] groups on for a
@@ -902,9 +928,10 @@ object Dedup {
     // block value shared by a near-verbatim family is ONE join key →
     // single-task |bucket|² (the r10 mega-group class). The simhash
     // rides the pay column, so hamming needs no post-hoc n-row join.
+    // long bkey: blk ∈ [0,3] and bv ∈ [0,65535] pack bijectively into
+    // (blk << 16) | bv — same buckets, 8-byte keys on the exchange
     bucketPairs(blocks.select(
-        concat(col("blk").cast("string"), lit(":"),
-          col("bv").cast("string")).as("bkey"),
+        (col("blk").cast("long") * 65536L + col("bv")).as("bkey"),
         col("doc_id").as("id"), col("simhash").as("pay")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
         bit_count(col("pay1").bitwiseXOR(col("pay2"))).as("hamming"))
@@ -1018,12 +1045,11 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         hashFn(col("text").substr(col("p"), lit(width))).as("h"))
       .groupBy("doc_id", "h").agg(min("p").as("p"))
-    // both sides of the candidate self-join read the full window table;
-    // persisted so the explode+hash pass over the text runs once
-    // (prefixJaccard release convention). At extreme corpus scale a
-    // deployment can trade this cache for a recompute — the exchange
-    // shape is unchanged either way.
-    val all = windows(1)
+    // stride > 1: both sides of the asymmetric candidate join read the
+    // full window table; persisted so the explode+hash pass over the
+    // text runs once. stride == 1: bucketPairs persists internally, so
+    // a second cache here would only double the memory footprint.
+    lazy val all = windows(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val cands =
       if (stride == 1)
@@ -1031,8 +1057,15 @@ object Dedup {
         // passage shared corpus-wide is ONE join key (the r10
         // mega-group class); the window position rides the pay column.
         // (doc, h) is deduped above, so ids are unique per bucket.
-        bucketPairs(all.select(col("h").cast("string").as("bkey"),
-            col("doc_id").as("id"), col("p").as("pay")))
+        // long bkey (8-byte exchange rows instead of ~20-byte decimal
+        // strings), pre-partitioned by it: this frame is ~L× the corpus
+        // — far past broadcast range — so the fast-path self-join
+        // inside bucketPairs reuses the cache partitioning instead of
+        // exchanging both sides (91 → 38 MB shuffled, r12 measurement)
+        bucketPairs(windows(1)
+            .select(col("h").as("bkey"), col("doc_id").as("id"),
+              col("p").cast("long").as("pay"))
+            .repartition(col("bkey")))
           .select(col("id1").as("doc1"), col("pay1").cast("int").as("p1"),
             col("id2").as("doc2"), col("pay2").cast("int").as("p2"))
       else
@@ -1086,7 +1119,12 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                      minShared: Long = 3, dfMax: Long = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // spread BEFORE the gram explode: the rightmost-min window (and the
+    // per-doc count window, and both fingerprint distincts — all keyed
+    // by doc_id or a doc_id-prefixed tuple) then reuse the small docs
+    // exchange instead of shuffling the ~L× larger gram frame
+    // (guide §2.3: move the exchange to the lightweight side)
+    val grams = spread(docs)
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"), explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("pos"),
         col("text"))

@@ -240,9 +240,10 @@ object Multimodal {
     // bytes, same aHash blocks) is ONE join key, serializing |bucket|²
     // onto a single task (the r10 mega-group class). The phash rides
     // the pay column so the exact hamming verify needs no n-row join.
+    // long bkey: blk ∈ [0,3], bval ∈ [0,65535] pack bijectively into
+    // (blk << 16) | bval — same buckets, 8-byte keys on the exchange
     graft.operators.Dedup.bucketPairs(blocks.select(
-        concat(col("blk").cast("string"), lit(":"),
-          col("bval").cast("string")).as("bkey"),
+        (col("blk").cast("long") * 65536L + col("bval")).as("bkey"),
         col("doc_id").as("id"), col("phash").as("pay")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
         bit_count(col("pay1").bitwiseXOR(col("pay2"))).as("dist"))
