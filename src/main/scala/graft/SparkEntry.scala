@@ -9531,11 +9531,18 @@ object SparkEntry {
       // date (the q42 convention). Top-20 by held-up order count.
       val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
+      // persisted pre-partitioned by the shared key: li feeds BOTH the
+      // per-order aggregate and the late-rows semi-join side — without
+      // the cache the lineitem⋈orders join ran twice, and with the
+      // okey partitioning the aggregate, the semi-join (both sides;
+      // perOrder's output partitioning matches) and the distinct all
+      // reuse one build-time exchange of the 3-column frame
       val li = Tables.lineitem(s, dir)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late", (unix_date(col("l_shipdate").cast("date")) -
           unix_date(col("o_orderdate").cast("date")) > 60).cast("int"))
         .select("l_orderkey", "l_suppkey", "late")
+        .repartition(col("l_orderkey")).persist().tracked
       val perOrder = li.groupBy("l_orderkey")
         .agg(countDistinct(col("l_suppkey")).as("nsupp"),
           countDistinct(when(col("late") === 1, col("l_suppkey"))).as("nlate"))

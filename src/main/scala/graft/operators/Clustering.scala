@@ -776,12 +776,16 @@ object Clustering {
     val capEff =
       if (trainCap >= 0) trainCap else if (k > 0) 0 else 8 * kEff
     val (asgRaw, _) = lloydExact(embs, kEff, iters, capEff)
-    val asg = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))
-      .persist().tracked
     val base = embs.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
-    val av = asg.join(base, "vec_id").persist().tracked
+    // ONE cache: av is a superset of the assignment columns, so the
+    // final keep-ranking joins av's slim projection instead of a
+    // separately-persisted asg (r12: one fewer cache materialization
+    // and half the cached bytes for identical results)
+    val av = asgRaw.select(col("vec_id"), col("cluster"), col("dist2q"))
+      .join(base, "vec_id").persist().tracked
+    val asg = av.select(col("vec_id"), col("cluster"), col("dist2q"))
     // in-cell pairs via the SALTED per-cell kernel ([[inCellPairs]]),
     // not a self-join: the join form materializes Σ|cell|² candidate
     // ROWS each carrying two full vectors (~1 KB) BEFORE the threshold

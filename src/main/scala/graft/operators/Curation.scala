@@ -894,16 +894,21 @@ object Curation {
       .withColumn("b", Sampling.hash32(col("bg")) % buckets)
       .select("doc_id", "source", "lang", "b")
       .persist().tracked // feeds the bucket counts AND the per-doc sums
-    val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = bg.filter(col("lang") === targetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum("cr").as("tot_r"))
-      .crossJoin(bg.filter(col("lang") === targetLang)
-        .agg(count(lit(1)).as("tot_t")))
-    val llr = raw.join(tgt, Seq("b"), "left_outer")
+    // ONE keyed aggregate carries both distributions (raw count and
+    // target count per bucket — the target filter becomes a conditional
+    // sum), and the two totals reduce from its ≤`buckets` rows: the
+    // former three passes over the bigram frame plus a raw⋈tgt join
+    // (r12: four extra driver-serialized jobs per dsir query) collapse
+    // to one pass + one tiny reduce. Values are identical: ct is 0
+    // where the old left join produced NULL→0, and the totals are the
+    // same exact sums.
+    val cnt = bg.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = cnt.agg(sum("cr").as("tot_r"), sum("ct").as("tot_t"))
+    val llr = cnt
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        ((qln(coalesce(col("ct"), lit(0L)) + 1) - qln(col("tot_t") + buckets)) -
+        ((qln(col("ct") + 1) - qln(col("tot_t") + buckets)) -
           (qln(col("cr") + 1) - qln(col("tot_r") + buckets))).as("llr_q"))
     val scores = bg.join(broadcast(llr), "b")
       .groupBy("doc_id").agg(sum("llr_q").as("score_q"))
