@@ -4,10 +4,12 @@ import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-/** Throwaway plan-metrics probe (r12 optimization round): per query,
-  * count jobs / stages / tasks and shuffle bytes — deterministic
-  * observables for A/B-ing plan shapes while the shared host's speed
-  * drifts. Not part of the driver contract; deleted before commit.
+/** Plan-metrics probe (r12 optimization round): per query, count
+  * jobs / stages / tasks and shuffle bytes — deterministic observables
+  * for A/B-ing plan shapes while the shared host's speed drifts.
+  * `SPARK_GRAFT_PM_SITES=1` additionally groups job-submission call
+  * sites, which localizes which action a job count belongs to. Not
+  * part of the driver contract — a measurement tool, like BenchSome.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
