@@ -187,9 +187,35 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
   }
 
+  /** Schema memo for single-file tables (the driver testdata shape):
+    * `spark.read.parquet` without a schema runs a footer-inference JOB
+    * on every call — measured 60 ms/call vs 6 ms with an explicit
+    * schema (FooterProbe, r12) — and every query pays it 1-3× inside
+    * the bench's timed region. A real deployment reads catalog tables
+    * whose schema is known without touching data files; this memo is
+    * that, scoped to one JVM (guide §6 — the same class as Spark's own
+    * file-listing caches). ONLY metadata is memoized — every query
+    * still scans the parquet data — and the key carries the file's
+    * length+mtime, so a rewritten file (ScaleGen regenerating a path,
+    * a test overwriting its fixture) re-infers. Directory-shaped
+    * tables (ScaleGen replica corpora) skip the memo: their footer
+    * cost is amortized over audit-scale runs and their contents change
+    * underneath stable paths more often.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepare(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val df =
+      if (f.isFile) {
+        val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+        val sch = schemaMemo.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(sch).parquet(path)
+      } else spark.read.parquet(path)
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",

@@ -43,4 +43,37 @@ class TsEncodingSpec extends SparkTestBase {
     // in signalsFromEvents expects
     assert(a(2L) / 1000000000L == 86400L)
   }
+
+  test("single-file schema memo returns current data and re-infers on rewrite") {
+    // Tables.table memoizes the inferred schema of single-FILE tables
+    // (the driver testdata shape) keyed by path+length+mtime, so the
+    // per-query footer-inference job disappears from the bench's timed
+    // region. Pin the two things that must stay true: (a) the memoized
+    // read returns the same rows as a from-scratch inferred read, and
+    // (b) a REWRITTEN file (new length/mtime) is re-inferred, not
+    // served a stale schema.
+    val dir = Files.createTempDirectory("schema_memo").toString
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      if (dst.exists()) assert(dst.delete())
+      Files.move(part.toPath, dst.toPath)
+    }
+    writeSingleFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "memo")
+    val first = Tables.table(spark, dir, "memo")
+    assert(first.columns.toSeq == Seq("id", "v"))
+    assert(first.count() == 2)
+    // memo hit: same file, second read — identical rows
+    assert(Tables.table(spark, dir, "memo").collect().map(_.toSeq).toSet
+      == first.collect().map(_.toSeq).toSet)
+    // rewrite with a DIFFERENT schema: the memo must not serve stale
+    writeSingleFile(Seq((3L, 7.5, "x")).toDF("id", "score", "tag"), "memo")
+    val second = Tables.table(spark, dir, "memo")
+    assert(second.columns.toSeq == Seq("id", "score", "tag"),
+      s"stale memoized schema served after rewrite: ${second.columns.toSeq}")
+    assert(second.count() == 1)
+  }
 }
