@@ -8,16 +8,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing runs at DEFAULTS: every exchange whose width
+      // matters for compute density (the signal grid, the tiled pair
+      // kernels) carries an explicit AQE-exempt repartition in code
+      // (SparkEntry.grid/corrGrid, Dedup.bucketPairs, Clustering
+      // kernels), so the r11 session-wide minPartitionSize=64kb floor
+      // — which also forced 32 near-empty tasks onto every tiny
+      // exchange of the other ~200 queries — is gone. Same settings
+      // local and cluster; partitioning is scale-adaptive.
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's default 1 MB minPartitionSize floor coalesces the signal
-      // grid's few-MB keyed exchanges to 1-3 partitions, serializing
-      // per-signal windows on an otherwise idle 32-core host (and it
-      // re-collapsed the tiled pair kernels the same way before their
-      // explicit repartition). Local benches measure PLANS, not the
-      // floor: drop it so parallelism-first coalescing actually keeps
-      // the session's 32-way parallelism. Cluster deployments at real
-      // data sizes never see sub-MB hot exchanges and keep defaults.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,20 +14,13 @@ object BenchSome {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's default 1 MB minPartitionSize floor coalesces the signal
-      // grid's few-MB keyed exchanges to 1-3 partitions, serializing
-      // per-signal windows on an otherwise idle 32-core host (and it
-      // re-collapsed the tiled pair kernels the same way before their
-      // explicit repartition). Local benches measure PLANS, not the
-      // floor: drop it so parallelism-first coalescing actually keeps
-      // the session's 32-way parallelism. Cluster deployments at real
-      // data sizes never see sub-MB hot exchanges and keep defaults.
-      // SPARK_GRAFT_MIN_PART_SIZE lets a probe A/B the floor itself
-      // (the r11 hypothesis for the small-query idle movers: a 64 kb
-      // floor schedules 32 near-empty tasks where the 1 MB default ran
-      // 2-3, and ~30 empty task launches cost real ms per exchange)
+      // AQE coalescing at DEFAULTS (mirrors Bench): width where
+      // compute density demands it is explicit in code (grid/corrGrid,
+      // tiled kernels). SPARK_GRAFT_MIN_PART_SIZE lets a probe A/B the
+      // floor itself (the r12 measurement: the r11 64 kb session floor
+      // forced 32 near-empty tasks onto every tiny exchange).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64kb"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)

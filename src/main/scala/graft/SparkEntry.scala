@@ -31,8 +31,28 @@ object SparkEntry {
       | FROM signals GROUP BY 1, 2, 3)""".stripMargin.replace("\n", " ")
   private val WITH_GRID = s"WITH $SQL_SIG, $SQL_GRID"
 
+  /** The signal grid is built on an EXPLICIT (name, node) hash
+    * partitioning (user repartition with an explicit count is exempt
+    * from AQE partition coalescing): the per-signal compute that
+    * dominates every grid consumer — rolling windows, Theil-Sen pair
+    * slopes, PSI, e-divisive — hangs off ClusteredDistribution(name,
+    * node[, ...]) requirements, so establishing the partitioning ONCE
+    * here lets every downstream window/aggregate reuse it (guide §2.4)
+    * at full width, while AQE's DEFAULT byte-based coalescing handles
+    * every other exchange. This replaces the r11 session-wide
+    * `minPartitionSize=64kb` floor, which kept the few-MB grid
+    * exchanges wide but ALSO forced 32 near-empty tasks onto every
+    * tiny exchange of the other ~200 queries (measured: the r12
+    * 8-core bench beat the 32-core bench 163 vs 198 s — pure
+    * scheduling tax at toy scale). Width where compute-density
+    * demands it is now code (here and in the tiled kernels), not a
+    * session constant tuned for local mode.
+    */
   private def grid(s: SparkSession, dir: String): DataFrame =
-    TimeSeries.resample(TimeSeries.signalsFromEvents(Tables.events(s, dir)))
+    TimeSeries.resample(
+      TimeSeries.signalsFromEvents(Tables.events(s, dir))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("name"), col("node")))
 
   /** Correlation runs on a dense grid: coarser step (1 h), fewer nodes,
     * forward-filled — so every bucket has full overlap (the reference
@@ -42,9 +62,15 @@ object SparkEntry {
     // fused one-exchange grid build (TimeSeries.gridOnePass) — feeds
     // ~30 oracle-checked queries, so the fused path's bit-equality to
     // the composed resample→fillForward→indexed form is re-proven by
-    // every driver correctness run
+    // every driver correctness run. The typed groupByKey's output
+    // partitioning is opaque (struct key behind SerializeFromObject),
+    // so the explicit (name, node) layout every consumer reuses is
+    // established by one cheap exempt exchange of the GRID (≪ the raw
+    // signal stream the fused build already shuffles once).
     TimeSeries.gridOnePass(
       TimeSeries.signalsFromEvents(Tables.events(s, dir), nodeMod = 4), 3600L)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("name"), col("node"))
 
   /** Oracle-SQL prefix replaying MediaDecoder.Stub.decode's byte fold in
     * HUGEINT mod-2⁶⁴ over `src` (must select doc_id, text; the corpus

@@ -81,15 +81,8 @@ object StageAudit {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's default 1 MB minPartitionSize floor coalesces the signal
-      // grid's few-MB keyed exchanges to 1-3 partitions, serializing
-      // per-signal windows on an otherwise idle 32-core host (and it
-      // re-collapsed the tiled pair kernels the same way before their
-      // explicit repartition). Local benches measure PLANS, not the
-      // floor: drop it so parallelism-first coalescing actually keeps
-      // the session's 32-way parallelism. Cluster deployments at real
-      // data sizes never see sub-MB hot exchanges and keep defaults.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // AQE at defaults (mirrors Bench, r12): kernel width is explicit
+      // in code, so the audit measures exactly what the bench runs
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prepare(spark)

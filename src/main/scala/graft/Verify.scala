@@ -11,9 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // same rationale as Bench: don't let AQE's 1 MB floor serialize
-      // few-MB keyed exchanges on the local gate host
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // AQE at defaults (mirrors Bench): the exchanges whose width is
+      // compute-bound carry explicit repartitions in code (r12)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
