@@ -155,29 +155,89 @@ object Clustering {
     // the single full assignment pass is the only n·k·d term left
     // (the FAISS train-on-sample contract). trainCap <= 0 keeps the
     // exact full-corpus iteration.
-    val tr =
-      if (trainCap > 0)
-        q.orderBy(Sampling.hash32(col("vec_id").cast("string")), col("vec_id"))
-          .limit(trainCap).persist().tracked
-      else q
-    var cents: Array[Array[Long]] = tr.orderBy("vec_id").limit(k)
-      .select("q").collect().map(_.getSeq[Long](0).toArray)
-    require(cents.length == k, s"need at least $k vectors")
-    val dim = cents(0).length
-    for (_ <- 1 to iters) {
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("q"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
-      val rows = assignTo(tr, cents).groupBy("cluster")
-        .agg(sums.head, sums.tail: _*).collect()
-      val byC = rows.map(r => r.getInt(0) -> r).toMap
-      cents = (0 until k).map { ci =>
-        byC.get(ci) match {
-          case Some(r) =>
-            val n = r.getLong(dim + 1)
-            (0 until dim).map(i => Math.floorDiv(r.getLong(i + 1), n)).toArray
-          case None => cents(ci)
+    //
+    // r12 (guide §1.2 — the distributed algorithm first): the sampled
+    // loop runs LOCALLY. The sample is cap-bounded driver state by
+    // contract (8k × d longs ≈ 2 MB — the same boundedness argument
+    // as the per-iteration k×(d+1) collect the distributed loop
+    // already paid 5×), so ONE TakeOrdered collect replaces
+    // 5 × (assignment job + tiny-exchange AQE materializations +
+    // aggregate collect) — a pure driver-round-trip tax on a frame
+    // that never exceeds the cap (measured: dedup_semdedup_auto
+    // 63 → ~45 jobs; FAISS trains on-sample in-process for the same
+    // reason). The arithmetic is the assignTo kernel's, op for op:
+    // ascending-index dot (VecDot's loop), dist = (selfq − 2·dot) + Σc²,
+    // strict < / first-wins argmin, exact Long coordinate sums (order-
+    // free), floorDiv centroid update, empty cluster keeps its old
+    // centroid — LloydSpec pins local(cap ≥ n) ≡ distributed(cap = 0)
+    // on both returned values. trainCap <= 0 (the full-corpus
+    // contract) keeps the distributed iteration: n is unbounded there.
+    var cents: Array[Array[Long]] = null
+    if (trainCap > 0) {
+      val sample = q
+        .orderBy(Sampling.hash32(col("vec_id").cast("string")), col("vec_id"))
+        .limit(trainCap)
+        .select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      val seed = sample.sortBy(_._1).take(k).map(_._2)
+      require(seed.length == k, s"need at least $k vectors")
+      cents = seed
+      val dim = cents(0).length
+      val xs = sample.map(_._2.map(_.toDouble))
+      val selfqs = xs.map { x =>
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * x(i); i += 1 }
+        acc
+      }
+      for (_ <- 1 to iters) {
+        val cd = cents.map(_.map(_.toDouble))
+        val c2 = cents.map(_.map(v => v.toDouble * v.toDouble).sum)
+        val sums = Array.fill(k)(new Array[Long](dim))
+        val ns = new Array[Long](k)
+        var r = 0
+        while (r < xs.length) {
+          val x = xs(r)
+          var best = Double.PositiveInfinity; var bi = 0; var ci = 0
+          while (ci < k) {
+            val cv = cd(ci)
+            var acc = 0.0; var i = 0
+            while (i < x.length) { acc += x(i) * cv(i); i += 1 }
+            val dist = selfqs(r) - 2.0 * acc + c2(ci)
+            if (dist < best) { best = dist; bi = ci }
+            ci += 1
+          }
+          val qv = sample(r)._2
+          var i = 0
+          while (i < dim) { sums(bi)(i) += qv(i); i += 1 }
+          ns(bi) += 1L
+          r += 1
         }
-      }.toArray
+        cents = Array.tabulate(k) { ci =>
+          if (ns(ci) > 0L)
+            Array.tabulate(dim)(i => Math.floorDiv(sums(ci)(i), ns(ci)))
+          else cents(ci)
+        }
+      }
+    } else {
+      cents = q.orderBy("vec_id").limit(k)
+        .select("q").collect().map(_.getSeq[Long](0).toArray)
+      require(cents.length == k, s"need at least $k vectors")
+      val dim = cents(0).length
+      for (_ <- 1 to iters) {
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("q"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+        val rows = assignTo(q, cents).groupBy("cluster")
+          .agg(sums.head, sums.tail: _*).collect()
+        val byC = rows.map(r => r.getInt(0) -> r).toMap
+        cents = (0 until k).map { ci =>
+          byC.get(ci) match {
+            case Some(r) =>
+              val n = r.getLong(dim + 1)
+              (0 until dim).map(i => Math.floorDiv(r.getLong(i + 1), n)).toArray
+            case None => cents(ci)
+          }
+        }.toArray
+      }
     }
     (assignTo(q, cents), cents)
   }

@@ -72,6 +72,31 @@ class ClusteringSpec extends SparkTestBase {
     }
   }
 
+  test("sampled local Lloyd (cap >= n) equals the distributed full-corpus loop") {
+    // trainCap > 0 runs the iteration LOCALLY on the collected sample
+    // (r12); with cap >= n the sample IS the corpus, so centroids and
+    // assignments must be bit-identical to the distributed trainCap=0
+    // path — the strongest public-API pin of the local loop's
+    // arithmetic (dot order, argmin tiebreak, floorDiv update,
+    // empty-cluster carry)
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 2) {
+      val n = 37 + trial * 18
+      val data = (0 until n).map { i =>
+        (i.toLong, Array.fill(5)((rnd.nextFloat() - 0.5f) * 6f), i % 2)
+      }
+      val df = data.toDF("vec_id", "embedding", "label")
+      val (aDist, cDist) = Clustering.lloydExact(df, k = 4, iters = 5, trainCap = 0)
+      val (aLoc, cLoc) = Clustering.lloydExact(df, k = 4, iters = 5, trainCap = 10000)
+      assert(cLoc.map(_.toSeq).toSeq == cDist.map(_.toSeq).toSeq, s"trial $trial centroids")
+      val gd = aDist.select("vec_id", "cluster", "dist2q").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val gl = aLoc.select("vec_id", "cluster", "dist2q").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(gl == gd, s"trial $trial assignments")
+    }
+  }
+
   test("lloydExact carries an emptied cluster's centroid forward") {
     // duplicated init points: both copies tie at distance 0 and the
     // tiebreak sends both to the lower cluster id, so cluster 1 is
