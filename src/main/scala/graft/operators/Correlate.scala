@@ -215,6 +215,55 @@ object Correlate {
     * aggregate. At 1000 signals × a year this is the same
     * signals²·buckets cell count every matrix query here carries.
     */
+  /** Shared cell walker for the O(n²)-per-cell matrix kernels
+    * ([[kendallMatrix]], [[dcorMatrix]]): the aligned pair rows are
+    * hash-spread over an EXPLICIT numShufflePartitions-wide exchange
+    * on the (pair, bucket) cell key and walked as sorted runs in-task.
+    * A typed groupByKey here plans the same exchange — but behind an
+    * opaque tuple key that AQE's byte-based coalescing is free to
+    * collapse (the cell frame is a few MB at bench scale while each
+    * cell carries O(n²) integer/BigInt work, the exact compute-dense
+    * sub-MB shape the r11 mm_phash finding showed AQE serializing onto
+    * 1-3 tasks). User-specified repartition is exempt from AQE
+    * coalescing (SURVEY §3 architecture rule), so kernel width here is
+    * code, not a session constant. Per-cell compute is order-
+    * independent (symmetric integer sums), so sorted-run grouping is
+    * value-identical to flatMapGroups.
+    */
+  private def cellWalk(cells: DataFrame)(
+      f: ((String, String, String, String, Long), Array[(Long, Long)])
+        => Option[(Double, Long)]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    cells
+      .repartition(parts, col("a_name"), col("a_node"),
+        col("b_name"), col("b_node"), col("b"))
+      .sortWithinPartitions("a_name", "a_node", "b_name", "b_node", "b")
+      .as[(String, String, String, String, Long, Long, Long)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        val runs = new scala.collection.AbstractIterator[
+            ((String, String, String, String, Long), Array[(Long, Long)])] {
+          def hasNext: Boolean = b.hasNext
+          def next(): ((String, String, String, String, Long), Array[(Long, Long)]) = {
+            val h = b.head
+            val key = (h._1, h._2, h._3, h._4, h._5)
+            val pts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (b.hasNext && (b.head._1, b.head._2, b.head._3,
+                b.head._4, b.head._5) == key) {
+              val r = b.next(); pts += ((r._6, r._7))
+            }
+            (key, pts.toArray)
+          }
+        }
+        runs.flatMap { case (k, pts) =>
+          f(k, pts).map(v => (k._1, k._2, k._3, k._4, k._5, v._1, v._2))
+        }
+      }
+      .toDF("a_name", "a_node", "b_name", "b_node", "b", "stat", "n")
+  }
+
   def kendallMatrix(indexedGrid: DataFrame, minOverlap: Int = 8): DataFrame = {
     val spark = indexedGrid.sparkSession
     import spark.implicits._
@@ -235,42 +284,35 @@ object Correlate {
     // per cell with four string keys each (measured 3× the total cost
     // of this whole query at sf0.1); the alignment join is the only
     // exchange
-    a.join(bdf, cond)
+    cellWalk(a.join(bdf, cond)
       .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
-        col("b"), col("av"), col("bv"))
-      .as[(String, String, String, String, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
-      .flatMapGroups { (key: (String, String, String, String, Long),
-                        it: Iterator[(String, String, String, String, Long, Long, Long)]) =>
-        val pts = it.map(t => (t._6, t._7)).toArray
-        val n = pts.length
-        if (n < minOverlap) Iterator.empty
+        col("b"), col("av"), col("bv"))) { (_, pts) =>
+      val n = pts.length
+      if (n < minOverlap) None
+      else {
+        var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = java.lang.Long.compare(pts(i)._1, pts(j)._1)
+            val dy = java.lang.Long.compare(pts(i)._2, pts(j)._2)
+            if (dx == 0) tx += 1
+            if (dy == 0) ty += 1
+            if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+            j += 1
+          }
+          i += 1
+        }
+        val n0 = n.toLong * (n - 1) / 2
+        if (n0 - tx <= 0 || n0 - ty <= 0) None
         else {
-          var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
-          var i = 0
-          while (i < n) {
-            var j = i + 1
-            while (j < n) {
-              val dx = java.lang.Long.compare(pts(i)._1, pts(j)._1)
-              val dy = java.lang.Long.compare(pts(i)._2, pts(j)._2)
-              if (dx == 0) tx += 1
-              if (dy == 0) ty += 1
-              if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
-              j += 1
-            }
-            i += 1
-          }
-          val n0 = n.toLong * (n - 1) / 2
-          if (n0 - tx <= 0 || n0 - ty <= 0) Iterator.empty
-          else {
-            val tau = (c - d).toDouble /
-              math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
-            Iterator((key._1, key._2, key._3, key._4, key._5,
-              math.floor((tau + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
-          }
+          val tau = (c - d).toDouble /
+            math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+          Some((math.floor((tau + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
         }
       }
-      .toDF("a_name", "a_node", "b_name", "b_node", "b", "tau", "n")
+    }.withColumnRenamed("stat", "tau")
   }
 
   /** Distance correlation (Székely–Rizzo) per signal pair per bucket —
@@ -306,18 +348,13 @@ object Correlate {
     val cond = col("bi") === col("i") && col("bb") === col("b") &&
       (col("a_name") < col("b_name") ||
         (col("a_name") === col("b_name") && col("a_node") < col("b_node")))
-    a.join(bdf, cond)
+    cellWalk(a.join(bdf, cond)
       .select(col("a_name"), col("a_node"), col("b_name"), col("b_node"),
-        col("b"), col("av"), col("bv"))
-      .as[(String, String, String, String, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
-      .flatMapGroups { (key: (String, String, String, String, Long),
-                        it: Iterator[(String, String, String, String, Long, Long, Long)]) =>
-        val pts = it.map(t => (t._6, t._7)).toArray
-        val n = pts.length
-        if (n < minOverlap) Iterator.empty
-        else {
-          val nL = n.toLong
+        col("b"), col("av"), col("bv"))) { (_, pts) =>
+      val n = pts.length
+      if (n < minOverlap) None
+      else {
+        val nL = n.toLong
           // row sums and totals of the two distance matrices (longs:
           // |q| ≤ 1e9 → row sum ≤ n·2e9, total ≤ n²·2e9)
           val rx = new Array[Long](n); val ry = new Array[Long](n)
@@ -349,16 +386,14 @@ object Correlate {
             }
             i += 1
           }
-          if (sxx.signum <= 0 || syy.signum <= 0) Iterator.empty
+          if (sxx.signum <= 0 || syy.signum <= 0) None
           else {
             val dcor = math.sqrt(
               sxy.doubleValue / math.sqrt(sxx.doubleValue * syy.doubleValue))
-            Iterator((key._1, key._2, key._3, key._4, key._5,
-              math.floor((dcor + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
+            Some((math.floor((dcor + 1e-9) * 1e4 + 0.5) / 1e4, n.toLong))
           }
-        }
       }
-      .toDF("a_name", "a_node", "b_name", "b_node", "b", "dcor", "n")
+    }.withColumnRenamed("stat", "dcor")
   }
 
   /** Upper-tail dependence per signal pair: when signal A is in its
