@@ -31,6 +31,28 @@ object Clustering {
     */
   private val LiteralKMax = 32
 
+  /** Per-task pair-enumeration budget for [[kernelWidth]]: ~1M dot
+    * products is tens of ms of kernel compute at d = 64 — small enough
+    * that a task never straggles, large enough that toy-scale inputs
+    * stop paying 32 task launches for microseconds of work each.
+    */
+  private val PairsPerTask = 1L << 20
+
+  /** Workload-derived width for the tiled cell kernels (guide §2 —
+    * partitioning scales with the data, not with the session): any
+    * salted cell (over saltCap) takes the FULL session width — the
+    * tiles exist precisely to spread a mega-cell, and every hot-corpus
+    * audit/spec runs through this arm unchanged — while a cold corpus
+    * sizes its exchange by the exact pair volume the cell-size collect
+    * already priced. Saturates to numShufflePartitions as Σ|cell|²
+    * grows: identical plans at 100 TB, fewer near-empty task launches
+    * at bench scale.
+    */
+  private def kernelWidth(parts: Int, hot: Boolean, pairs: Long): Int =
+    if (hot) parts
+    else math.max(1L, math.min(parts.toLong,
+      (pairs + PairsPerTask - 1) / PairsPerTask)).toInt
+
   /** Engine-exact Lloyd's k-means over the embedding column.
     *
     * MLlib's KMeans (kmeans|| init, double centroids) is seeded but not
@@ -557,6 +579,17 @@ object Clustering {
       val s0 = ((n + saltCap - 1) / saltCap).toInt
       c -> (if (s0 > 1) math.max(s0, sMin) else 1)
     }
+    // kernel width is WORKLOAD-derived, not a constant (guide §2 —
+    // partitioning scales with the data): the cell-size collect above
+    // already prices the kernel exactly, so a hot-cell corpus (any
+    // cell over saltCap — tiles exist precisely to spread) takes the
+    // full session width, while a cold corpus sizes the exchange by
+    // its true pair volume (~1M dot products ≈ tens of ms per task)
+    // instead of fanning 32 near-empty tasks at toy scale. Saturates
+    // to numShufflePartitions as Σ|cell|² grows — identical plans at
+    // 100 TB, fewer task launches on a laptop-scale input.
+    val width = kernelWidth(parts, salts.values.exists(_ > 1),
+      sizes.values.iterator.map(n => n * (n - 1) / 2).sum)
     val bc = spark.sparkContext.broadcast(salts)
     val thr = threshold
     // threshold ≤ −1 means "keep every pair": a rounded cosine is
@@ -635,7 +668,7 @@ object Clustering {
             ((my + 1) until s).iterator.map(b2 => ((c, my, b2), (id, v, nrm, 0)))
         }
       }
-      .repartition(parts, col("_1"))
+      .repartition(width, col("_1"))
       .sortWithinPartitions(col("_1"))
       .mapPartitions { it =>
         val buf = it.buffered
@@ -701,6 +734,9 @@ object Clustering {
       val s0 = ((n + saltCap - 1) / saltCap).toInt
       c -> (if (s0 > 1) math.max(s0, sMin) else 1)
     }
+    // workload-derived kernel width — see [[kernelWidth]] / inCellPairs
+    val width = kernelWidth(parts, salts.values.exists(_ > 1),
+      sizes.values.iterator.map(n => n * (n - 1) / 2).sum)
     val bc = spark.sparkContext.broadcast(salts)
     val kk = k
     // per-tile k-slot selection, shared by every tile walk below
@@ -770,7 +806,7 @@ object Clustering {
               .map(qs => ((c, qs, my), (id, v, nrm, 1)))
         }
       }
-      .repartition(parts, col("_1"))
+      .repartition(width, col("_1"))
       .sortWithinPartitions(col("_1"))
       .mapPartitions { it =>
         val buf = it.buffered
