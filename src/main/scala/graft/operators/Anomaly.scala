@@ -310,11 +310,9 @@ object Anomaly {
   def discords(grid: DataFrame, w: Int = 8, k: Int = 3): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"),
-        floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
-      .as[(String, String, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Long)]) =>
+    SignalKernel.perSignalL(
+      grid.select(col("name"), col("node"), col("tsb"),
+        floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))) { (key: (String, String), it: Iterator[(String, String, Long, Long)]) =>
         val rows = it.toArray.sortBy(_._3)
         val q = rows.map(_._4)
         val n = q.length
@@ -508,10 +506,8 @@ object Anomaly {
                  level: Double = 3.0, minSamples: Int = 48): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String),
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String),
                         it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         val n = pts.length
@@ -579,11 +575,9 @@ object Anomaly {
                     rFrac: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"),
-        floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))
-      .as[(String, String, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Long)]) =>
+    SignalKernel.perSignalL(
+      grid.select(col("name"), col("node"), col("tsb"),
+        floor(col("gval") * lit(1e6) + lit(0.5)).cast("long").as("q"))) { (key: (String, String), it: Iterator[(String, String, Long, Long)]) =>
         val q = it.toArray.sortBy(_._3).map(_._4)
         val n = q.length
         if (n < 2 * (w + 1)) Iterator.empty

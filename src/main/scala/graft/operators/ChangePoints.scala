@@ -106,10 +106,12 @@ object ChangePoints {
                 maxPoints: Int = 64): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    // relational grouping reuses the grid pin's (name, node) layout —
+    // no kernel exchange, full width (see SignalKernel; the typed
+    // groupByKey form ran this whole stage on ONE AQE-coalesced task)
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) {
+      (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val raw = pts.map(_._4)
@@ -141,10 +143,8 @@ object ChangePoints {
   def pelt(grid: DataFrame, minSize: Int = 5): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val q = graft.functions.Pelt.quantize(pts.map(_._4))
@@ -176,10 +176,8 @@ object ChangePoints {
     val spark = grid.sparkSession
     import spark.implicits._
     stashEsdLams(grid, kFrac, alpha)
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val kMax = math.max(1, math.ceil(pts.length * kFrac).toInt)
@@ -202,10 +200,8 @@ object ChangePoints {
     val spark = grid.sparkSession
     import spark.implicits._
     stashSpectral(grid)
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         Dsp.dominantPeriod(pts.map(_._4), minCycles).map { case (period, strength) =>
@@ -223,10 +219,8 @@ object ChangePoints {
     val spark = grid.sparkSession
     import spark.implicits._
     stashSpectral(grid)
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         Dsp.spectralEntropy(pts.map(_._4)).map { case (h, n) =>
           (key._1, key._2, n, r4d(h))
@@ -283,10 +277,8 @@ object ChangePoints {
     val spark = grid.sparkSession
     import spark.implicits._
     stashSpectral(grid)
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val x = pts.map(_._4)
@@ -357,10 +349,8 @@ object ChangePoints {
     val spark = grid.sparkSession
     import spark.implicits._
     stashSpectral(grid)
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val pts = it.toArray.sortBy(_._3)
         val x = pts.map(_._4)

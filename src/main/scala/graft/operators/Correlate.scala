@@ -652,12 +652,12 @@ object Correlate {
   def dtwDist(grid: DataFrame, objNames: Seq[String], band: Int = 6): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    val series = grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    val series = SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) {
+      (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
-        (k._1, k._2, graft.functions.Dtw.znorm(graft.functions.Dtw.quantize(pts.map(_._4))))
+        Iterator.single((k._1, k._2,
+          graft.functions.Dtw.znorm(graft.functions.Dtw.quantize(pts.map(_._4)))))
       }.toDF("name", "node", "series")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val obj = series.filter(col("name").isin(objNames: _*))
@@ -690,12 +690,11 @@ object Correlate {
   def grangerF(grid: DataFrame, objNames: Seq[String], p: Int = 2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    val series = grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    val series = SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) {
+      (k: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
-        (k._1, k._2, pts.map(_._4))
+        Iterator.single((k._1, k._2, pts.map(_._4)))
       }.toDF("name", "node", "series")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).tracked
     val obj = series.filter(col("name").isin(objNames: _*))

@@ -67,12 +67,18 @@ object TimeSeries {
                   bucket: Long = BucketSec): DataFrame = {
     val spark = signals.sparkSession
     import spark.implicits._
-    signals
-      .select(col("name"), col("node"), expr(s"tsec div $step").as("cell"),
-        col("value"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    // the ONE shuffle of the raw signal stream is pinned to an explicit
+    // (name, node) width (AQE-exempt; the r12 SignalKernel finding: the
+    // old groupByKey exchange was opaque-keyed and sub-MB at bench
+    // scale, so AQE's byte-based coalescing serialized the whole
+    // BigDecimal fold onto 1-2 tasks); the relational grouping below
+    // reuses this exchange, so the per-signal fold runs in-stage wide
+    SignalKernel.perSignalD(
+      signals.select(col("name"), col("node"),
+          expr(s"tsec div $step").as("cell"), col("value"))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("name"), col("node"))) {
+      (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val (name, node) = key
         val sums = scala.collection.mutable.LongMap
           .empty[(java.math.BigDecimal, Long)]
@@ -382,10 +388,8 @@ object TimeSeries {
   def downsampleLttb(grid: DataFrame, nOut: Int = 200): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         val ts = pts.map(_._3)
         val qvs = pts.map(p => math.floor((p._4 + 1e-9) * 1e4 + 0.5).toLong)
@@ -398,10 +402,8 @@ object TimeSeries {
   def ewma(grid: DataFrame, alpha: Double = 0.3): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         var acc = Double.NaN
         pts.map { case (name, node, tsb, v) =>
@@ -556,10 +558,8 @@ object TimeSeries {
                   beta: Double = 0.2, gamma: Double = 0.1): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val xs = it.toArray.sortBy(_._3).map(_._4)
         val n = xs.length
         if (n < 2 * m + 1) Iterator.empty
@@ -606,10 +606,8 @@ object TimeSeries {
                    beta: Double = 0.2, gamma: Double = 0.1): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String),
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String),
                         it: Iterator[(String, String, Long, Double)]) =>
         val xs = it.toArray.sortBy(_._3).map(_._4)
         val n = xs.length
@@ -656,10 +654,8 @@ object TimeSeries {
   def holt(grid: DataFrame, alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         if (pts.length < 2) Iterator.empty
         else {
@@ -700,10 +696,8 @@ object TimeSeries {
                    beta: Double = 0.2): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         if (pts.length < 3) Iterator.empty
         else {
@@ -925,10 +919,8 @@ object TimeSeries {
                        mult: Long = 2L): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         if (pts.length < 3) Iterator.empty
         else {
@@ -973,10 +965,8 @@ object TimeSeries {
   def kalman(grid: DataFrame, q: Double = 0.05, r: Double = 1.0): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(x => (x._1, x._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         if (pts.length < 2) Iterator.empty
         else {
@@ -1474,10 +1464,9 @@ object TimeSeries {
   def macd(grid: DataFrame): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    grid.select(col("name"), col("node"), col("tsb"), col("gval"))
-      .as[(String, String, Long, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+    SignalKernel.perSignalD(
+      grid.select(col("name"), col("node"), col("tsb"), col("gval"))) {
+      (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
         val pts = it.toArray.sortBy(_._3)
         var fast = pts(0)._4
         var slow = pts(0)._4
@@ -1499,10 +1488,10 @@ object TimeSeries {
           i += 1
         }
         val m = fast - slow
-        (key._1, key._2, pts.length.toLong,
+        Iterator.single((key._1, key._2, pts.length.toLong,
           math.floor((m + 1e-9) * 1e4 + 0.5) / 1e4,
           math.floor((sig + 1e-9) * 1e4 + 0.5) / 1e4,
-          qh.toDouble / 1e4, xc)
+          qh.toDouble / 1e4, xc))
       }
       .toDF("name", "node", "n", "macd", "macd_signal", "hist", "n_cross")
   }

@@ -86,6 +86,28 @@ class KernelWidthSpec extends SparkTestBase {
     }
   }
 
+  test("per-signal kernel reuses the pinned grid width under default AQE") {
+    withListener { listener =>
+      // compute-dense sub-MB per-signal grid — the r12 SignalKernel
+      // class: 200 series × 60 samples is ~200 KB on the wire while
+      // each group runs the 100-permutation e-divisive test. The old
+      // typed groupByKey(tuple) planned its own opaque-keyed exchange
+      // here, which default AQE coalesced to ONE task (measured:
+      // ad_edivisive 0.80 s single-task kernel, maxShare 1.00); the
+      // relational grouping must instead reuse the explicit AQE-exempt
+      // (name, node) repartition below and run the kernel wide.
+      val n = 200; val len = 60
+      val rows = for (s <- 0 until n; i <- 0 until len)
+        yield (f"sig$s%03d", "u0", i.toLong * 900L,
+          math.sin(i * 0.7) * 10 + (if (i > len / 2) s % 7 else 0))
+      val grid = rows.toDF("name", "node", "tsb", "gval")
+        .repartition(WIDTH, col("name"), col("node"))
+      listener.reset()
+      operators.ChangePoints.eDivisive(grid, medianW = 5).count()
+      assertWide(listener.settled(), "perSignal")
+    }
+  }
+
   test("inCellTopK runs a mega-cell wide under default AQE") {
     withListener { listener =>
       val n = 1500
