@@ -795,17 +795,27 @@ object Correlate {
     val c = binned.filter(col("name") =!= objName)
       .select(col("name").as("cand_name"), col("node"), col("i"),
         col("bin").as("cb"))
+    // ONE explicit (cand, node) exchange carries the whole tail (guide
+    // §2.4): hash(cand_name, node) satisfies ClusteredDistribution for
+    // the ≤bins² joint aggregate, all three marginal WINDOW sums and
+    // the final reduce — the former shape (3 marginal re-aggregates +
+    // 3 joins back onto a persisted joint frame) planned ~7 more
+    // exchanges and their AQE stage materializations over the same few
+    // thousand rows. Marginals as window sums of exact integer counts
+    // are value-identical to the aggregate+join form (every joint row
+    // matched exactly its own group in those inner joins).
+    val parts = indexedGrid.sparkSession.sessionState.conf.numShufflePartitions
     val joint = c.join(o, Seq("node", "i"))
+      .repartition(parts, col("cand_name"), col("node"))
       .groupBy("cand_name", "node", "ob", "cb")
       .agg(count(lit(1)).as("cxy"))
-      .persist().tracked // marginals + final pass share it (prefixJaccard convention)
-    val nn = joint.groupBy("cand_name", "node").agg(sum("cxy").as("n"))
-    val mx = joint.groupBy("cand_name", "node", "ob").agg(sum("cxy").as("cx"))
-    val my = joint.groupBy("cand_name", "node", "cb").agg(sum("cxy").as("cy"))
+    val wp = Window.partitionBy("cand_name", "node")
     joint
-      .join(mx, Seq("cand_name", "node", "ob"))
-      .join(my, Seq("cand_name", "node", "cb"))
-      .join(nn, Seq("cand_name", "node"))
+      .withColumn("cx", sum("cxy").over(wp.partitionBy(col("cand_name"),
+        col("node"), col("ob"))))
+      .withColumn("cy", sum("cxy").over(wp.partitionBy(col("cand_name"),
+        col("node"), col("cb"))))
+      .withColumn("n", sum("cxy").over(wp))
       .withColumn("qln",
         // ExactMath flat lnInt sum (cross-engine bit-exact, no product
         // overflow): ln(cxy·n/(cx·cy)) = L(cxy)+L(n)−L(cx)−L(cy)
@@ -863,21 +873,25 @@ object Correlate {
     val c = binned.filter(col("name") =!= objName)
       .select(col("name").as("cand_name"), col("node"),
         (col("i") + 1).as("i"), col("bin").as("x1"))
+    // same one-exchange tail as mutualInfo: hash(cand, node) satisfies
+    // the ≤bins³ joint aggregate, all FOUR marginal window sums and
+    // the final reduce — replacing 4 re-aggregates + 4 joins over a
+    // persisted joint frame with window sums of the same exact integer
+    // counts (value-identical; see mutualInfo's note)
+    val parts = indexedGrid.sparkSession.sessionState.conf.numShufflePartitions
     val joint = c.join(o, Seq("node", "i"))
+      .repartition(parts, col("cand_name"), col("node"))
       .groupBy("cand_name", "node", "yt", "y1", "x1")
       .agg(count(lit(1)).as("c3"))
-      .persist().tracked // four marginal frames share it
-    val nn = joint.groupBy("cand_name", "node").agg(sum("c3").as("n"))
-    val c2a = joint.groupBy("cand_name", "node", "y1", "x1")
-      .agg(sum("c3").as("c2a"))
-    val c2b = joint.groupBy("cand_name", "node", "yt", "y1")
-      .agg(sum("c3").as("c2b"))
-    val c1 = joint.groupBy("cand_name", "node", "y1").agg(sum("c3").as("c1"))
+    val wp = Window.partitionBy("cand_name", "node")
     joint
-      .join(c2a, Seq("cand_name", "node", "y1", "x1"))
-      .join(c2b, Seq("cand_name", "node", "yt", "y1"))
-      .join(c1, Seq("cand_name", "node", "y1"))
-      .join(nn, Seq("cand_name", "node"))
+      .withColumn("c2a", sum("c3").over(wp.partitionBy(col("cand_name"),
+        col("node"), col("y1"), col("x1"))))
+      .withColumn("c2b", sum("c3").over(wp.partitionBy(col("cand_name"),
+        col("node"), col("yt"), col("y1"))))
+      .withColumn("c1", sum("c3").over(wp.partitionBy(col("cand_name"),
+        col("node"), col("y1"))))
+      .withColumn("n", sum("c3").over(wp))
       .withColumn("qln",
         // ExactMath flat lnInt sum — see mutualInfo's qln note
         floor((graft.functions.ExactMath.lnIntCol(col("c3")) +
