@@ -75,8 +75,19 @@ object Curation {
         s"i -> array_join(slice(w, i, $w), ' '))"))).as("p"))
     .select(col(idAs), md5(col("p")).as("ph"), xxhash64(col("p")).as("h64"))
 
+  /** Spread the CORPUS side before digesting (the Dedup.spread /
+    * text_ngram_novelty convention, r12): tokenize + per-shingle md5 is
+    * CPU-bound and the train corpus arrives as a single-file scan — one
+    * task digests everything while the session idles. One keyed
+    * exchange of the slim (doc_id, text) rows buys full-width digest
+    * compute; eval sides stay unspread (broadcast-sized by contract).
+    */
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   def decontaminate(train: DataFrame, eval: DataFrame, w: Int = 8): DataFrame =
-    shingleDigests(train, "doc_id", w)
+    shingleDigests(spreadDocs(train), "doc_id", w)
       .join(broadcast(shingleDigests(eval, "eval_doc_id", w).select("eval_doc_id", "ph")), "ph")
       .groupBy("doc_id", "eval_doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -98,7 +109,7 @@ object Curation {
     */
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame, w: Int = 8,
                          minFrac: Double = 0.8): DataFrame = {
-    val tr = shingleDigests(train, "doc_id", w).persist().tracked
+    val tr = shingleDigests(spreadDocs(train), "doc_id", w).persist().tracked
     val perDoc = tr.groupBy("doc_id").agg(count(lit(1)).as("n_train"))
     tr.join(broadcast(shingleDigests(eval, "eval_doc_id", w).select("eval_doc_id", "ph")), "ph")
       .groupBy("doc_id", "eval_doc_id")
