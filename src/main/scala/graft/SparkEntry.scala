@@ -10502,30 +10502,39 @@ object SparkEntry {
       // COUNT-VALUE HISTOGRAM (distinct per-key counts are few), so
       // no global sort of the key frame is ever needed — the shape a
       // 100 TB key census actually runs.
-      def keyStats(df: DataFrame, table: String, key: String): DataFrame = {
-        // the per-key count frame feeds totals, the count-value
-        // histogram, and the p99 probe — persisted so each table
-        // scans once (prefixJaccard release convention)
-        val counts = df.groupBy(col(key).as("k"))
-          .agg(count(lit(1)).as("c"))
-          .persist().tracked
-        val tot = counts.agg(sum("c").as("n_rows"),
-          count(lit(1)).as("n_keys"), max("c").as("max_c"))
-        val cum = counts.groupBy("c").agg(count(lit(1)).as("f"))
-          .withColumn("cum", sum("f").over(Window.orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val p99 = cum.crossJoin(broadcast(tot.select(col("n_keys").as("nk"))))
-          .filter(col("cum") >= ceil(col("nk").cast("double") * lit(0.99)))
-          .agg(min("c").as("p99_c"))
-        tot.crossJoin(p99)
-          .select(lit(table + "." + key).as("key_col"),
-            col("n_rows"), col("n_keys"), col("max_c"), col("p99_c"),
-            r4(col("max_c") / (col("n_rows") / col("n_keys"))).as("max_over_mean"),
-            r4(col("max_c") / col("n_rows")).as("top1_share"))
-      }
-      keyStats(Tables.events(s, dir), "events", "user_id")
-        .unionByName(keyStats(Tables.lineitem(s, dir), "lineitem", "l_orderkey"))
-        .unionByName(keyStats(Tables.orders(s, dir), "orders", "o_custkey"))
+      // ONE union-first pipeline over all three key columns (the
+      // oracle's own CTE shape, mirrored — r12: the former per-table
+      // keyStats helper planned 3 independent persist + total + p99
+      // pipelines, 33 jobs of sub-MB AQE stage materializations for a
+      // 3-row result; one grouped pipeline keyed by (key_col, k) cuts
+      // that ~3×, with per-key_col windows replacing the per-table
+      // global window — identical arithmetic per table)
+      def keyed(df: DataFrame, table: String, key: String): DataFrame =
+        df.select(lit(table + "." + key).as("key_col"),
+          col(key).cast("string").as("k"))
+      val src = keyed(Tables.events(s, dir), "events", "user_id")
+        .unionByName(keyed(Tables.lineitem(s, dir), "lineitem", "l_orderkey"))
+        .unionByName(keyed(Tables.orders(s, dir), "orders", "o_custkey"))
+      // the per-key count frame feeds totals, the count-value
+      // histogram, and the p99 probe — persisted so each table scans
+      // once (prefixJaccard release convention)
+      val counts = src.groupBy("key_col", "k")
+        .agg(count(lit(1)).as("c")).persist().tracked
+      val tot = counts.groupBy("key_col").agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max("c").as("max_c"))
+      val cum = counts.groupBy("key_col", "c").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum("f").over(Window.partitionBy("key_col")
+          .orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val p99 = cum.join(broadcast(tot.select(col("key_col"),
+          col("n_keys").as("nk"))), "key_col")
+        .filter(col("cum") >= ceil(col("nk").cast("double") * lit(0.99)))
+        .groupBy("key_col").agg(min("c").as("p99_c"))
+      tot.join(p99, "key_col")
+        .select(col("key_col"),
+          col("n_rows"), col("n_keys"), col("max_c"), col("p99_c"),
+          r4(col("max_c") / (col("n_rows") / col("n_keys"))).as("max_over_mean"),
+          r4(col("max_c") / col("n_rows")).as("top1_share"))
         .orderBy("key_col")
     }, Some(
       """WITH src AS (
